@@ -1,0 +1,45 @@
+"""Cross-engine numerically-stable aggregate helpers.
+
+Floating-point SUM/AVG over a distributed dataset is order-dependent:
+Spark's partial+final aggregation and DuckDB's single-node aggregation
+can differ in the last ulps, which breaks value-hash comparisons
+against the DuckDB oracle. Decimal addition, by contrast, is exact and
+associative in both engines, so we sum in DECIMAL and cast the final
+scalar back to DOUBLE — one deterministic rounding, identical in both
+engines. Every arithmetic step after that (division, sqrt, comparison)
+is an IEEE-754 correctly-rounded scalar op, hence bit-identical.
+
+SQL-side equivalents (used by __spark_entry__.oracle_sql):
+    stable_sum(x)  -> CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+    stable_avg(x)  -> CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(x)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+DECIMAL_T = "decimal(28,6)"
+
+
+def stable_sum(col: Column | str) -> Column:
+    """Order-independent SUM(double): exact decimal sum → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_T)).cast("double")
+
+
+def stable_avg(col: Column | str) -> Column:
+    """Order-independent AVG(double) matching the SQL rendering above."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c)
+
+
+def sql_stable_sum(expr: str) -> str:
+    """ANSI-SQL rendering of stable_sum for the DuckDB oracle."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def sql_stable_avg(expr: str) -> str:
+    """ANSI-SQL rendering of stable_avg for the DuckDB oracle."""
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr}))"

@@ -1,0 +1,97 @@
+"""Counting core — SURVEY.md §2.4 A1–A4.
+
+The reference's workhorse is the conditional count
+(``len(df.query(...))`` at utils.py:26-29, helpers.py:52-54). It
+re-scans the pandas table once per count; here every family of counts
+is fused into ONE aggregate pass (partial+final hash aggregation,
+whole-stage codegen — no Python in the loop), which is the shape that
+survives a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def group_census(df: DataFrame, keys: Sequence[str], count_col: str = "n") -> DataFrame:
+    """All non-empty key combinations with sizes, in one shuffle.
+
+    Replaces the reference's recursive depth-first group enumeration
+    (demv/helpers.py:63-106, 2^k pandas slices) with a single
+    ``groupBy`` — Catalyst does partial aggregation map-side, so the
+    shuffle carries only one row per (partition, group).
+    """
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def conditional_counts(df: DataFrame, preds: Mapping[str, Column]) -> DataFrame:
+    """Fused conditional counts: {name: predicate} → single-row DataFrame.
+
+    Equivalent of N separate ``len(df.query(...))`` scans
+    (reference utils.py:26-29,37-60) collapsed into one pass:
+    ``agg(count_if(p1), count_if(p2), ...)``. SQL oracle form:
+    ``COUNT(*) FILTER (WHERE p)``.
+    """
+    aggs = [
+        F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(name)
+        for name, p in preds.items()
+    ]
+    return df.agg(F.count(F.lit(1)).alias("n_total"), *aggs)
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """Distinct values of a column (reference helpers.py:50 np.unique)."""
+    return df.select(col).distinct()
+
+
+def group_weights(
+    df: DataFrame,
+    sensitive: Sequence[str],
+    label: str,
+    round_level: int | None = 1,
+) -> DataFrame:
+    """Per-(sensitive…, label) expected/observed weights + disparity.
+
+    Semantics of demv/helpers.py:50-57 with the crucial invariant that
+    the expected weight is a product of *marginal* frequencies frozen
+    on the original table::
+
+        w_exp = (|S=s| / N) * (|y=l| / N)      (helpers.py:53)
+        w_obs = |S=s ∧ y=l| / N                (helpers.py:54)
+        disparity = round(w_exp / w_obs, round_level)  (helpers.py:10)
+
+    Plan shape: ONE full-table groupBy(sensitive…, label) census; both
+    marginals are re-aggregations of that tiny census (zero additional
+    scans of the base table); the combine is a broadcast join on the
+    census. Columns: sensitive…, label, n, n_sens, n_label, n_total,
+    w_exp, w_obs, disparity.
+    """
+    census = group_census(df, [*sensitive, label], count_col="n")
+    sens_marginal = census.groupBy(*sensitive).agg(F.sum("n").alias("n_sens"))
+    label_marginal = census.groupBy(label).agg(F.sum("n").alias("n_label"))
+    total = census.agg(F.sum("n").alias("n_total"))
+
+    out = (
+        census.join(F.broadcast(sens_marginal), list(sensitive))
+        .join(F.broadcast(label_marginal), label)
+        .crossJoin(F.broadcast(total))
+    )
+    w_exp = (F.col("n_sens") / F.col("n_total")) * (F.col("n_label") / F.col("n_total"))
+    w_obs = F.col("n") / F.col("n_total")
+    disparity = w_exp / w_obs
+    if round_level:
+        disparity = F.round(disparity, round_level)
+    return out.select(
+        *sensitive,
+        label,
+        "n",
+        "n_sens",
+        "n_label",
+        "n_total",
+        w_exp.alias("w_exp"),
+        w_obs.alias("w_obs"),
+        disparity.alias("disparity"),
+    )

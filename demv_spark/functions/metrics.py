@@ -1,0 +1,294 @@
+"""Fairness metric suite — SURVEY.md §2.4 M1–M5, A8–A12.
+
+Reproduces the *as-implemented* semantics of the reference
+(`replication_package/src/utils.py:15-121`), including its quirks:
+
+- The prediction table's label column holds PREDICTIONS; ground truth
+  travels in a separate ``y_true`` column (utils.py:249-251). Here the
+  caller passes predicates: ``unpriv`` (group condition), ``pred_pos``
+  (prediction = positive), ``true_pos`` (truth = positive).
+- "Equalized odds" (utils.py:33-62) uses precision-style ratios — the
+  TPR denominator is predicted-positive, not actual-positive — and
+  guards every zero denominator to 0. Reproduced exactly.
+- ``average_odds_difference`` (utils.py:98-113) returns a per-class
+  vector with the as-written operator precedence
+  ``(fpr_u - fpr_p) + (tpr_u - tpr_p)/2`` (no outer parens).
+- ``disparate_impact`` (utils.py:15-20): ``min(u/p, p/u)`` unless
+  ``u == 0`` (then ``u/p``); the reference leaves ``p == 0`` unguarded
+  (ZeroDivisionError) — we define it as 0.0 and document.
+
+Execution shape: every metric is ONE fused aggregate pass over the
+predictions table (conditional-count fusion, utils.py re-scans 4-10×
+per metric). ``fairness_suite`` fuses all scalar metrics + accuracy
+into a single job. All pure Spark SQL expressions — no UDFs — so each
+metric also renders to ANSI SQL for the DuckDB oracle.
+
+All ratios here divide exact integer counts, so results are
+bit-identical across engines (IEEE-754 correctly-rounded division).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _cnt(pred: Column) -> Column:
+    """COUNT(*) FILTER (WHERE pred) as a double (ratio-ready)."""
+    return F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("double")
+
+
+def _guard(num: Column, den: Column) -> Column:
+    """num/den with the reference's 0-denominator→0 guard (utils.py:37-58)."""
+    return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+
+def statistical_parity(
+    df: DataFrame, unpriv: Column, pred_pos: Column, alias: str = "stat_par"
+) -> DataFrame:
+    """M1 (utils.py:23-30): P(ŷ=pos|unpriv) − P(ŷ=pos|priv), priv = ¬unpriv.
+
+    Single-row DataFrame; one aggregate pass (4 fused conditional counts).
+    """
+    agg = df.agg(
+        _cnt(unpriv & pred_pos).alias("up"),
+        _cnt(unpriv).alias("u"),
+        _cnt(~unpriv & pred_pos).alias("pp"),
+        _cnt(~unpriv).alias("p"),
+    )
+    return agg.select(
+        ((F.col("up") / F.col("u")) - (F.col("pp") / F.col("p"))).alias(alias)
+    )
+
+
+def disparate_impact(
+    df: DataFrame, unpriv: Column, pred_pos: Column, alias: str = "disp_imp"
+) -> DataFrame:
+    """M2 (utils.py:15-20): min(u/p, p/u); u==0 → u/p; p==0 defined as 0.0."""
+    agg = df.agg(
+        _cnt(unpriv & pred_pos).alias("up"),
+        _cnt(unpriv).alias("u"),
+        _cnt(~unpriv & pred_pos).alias("pp"),
+        _cnt(~unpriv).alias("p"),
+    )
+    u_rate = F.col("up") / F.col("u")
+    p_rate = F.col("pp") / F.col("p")
+    di = (
+        F.when(p_rate == 0, F.lit(0.0))
+        .when(u_rate == 0, u_rate / p_rate)
+        .otherwise(F.least(u_rate / p_rate, p_rate / u_rate))
+    )
+    return agg.select(di.alias(alias))
+
+
+def equalized_odds(
+    df: DataFrame,
+    unpriv: Column,
+    pred_pos: Column,
+    true_pos: Column,
+    alias: str = "eq_odds",
+) -> DataFrame:
+    """M3 (utils.py:33-62), as-implemented precision-style form.
+
+    tpr_g  = |g ∧ ŷ=pos ∧ y=pos| / |g ∧ ŷ=pos|        (0 if denom 0)
+    fpr_g  = |g ∧ ŷ=pos ∧ y≠pos| / |g ∧ ŷ≠pos|        (0 if denom 0)
+    result = max(|tpr_u − tpr_p|, |fpr_u − fpr_p|)
+    """
+    g, ng = unpriv, ~unpriv
+    agg = df.agg(
+        _cnt(g & pred_pos).alias("u_pp"),
+        _cnt(g & pred_pos & true_pos).alias("u_pp_tp"),
+        _cnt(ng & pred_pos).alias("p_pp"),
+        _cnt(ng & pred_pos & true_pos).alias("p_pp_tp"),
+        _cnt(g & ~pred_pos).alias("u_pn"),
+        _cnt(g & pred_pos & ~true_pos).alias("u_pp_tn"),
+        _cnt(ng & ~pred_pos).alias("p_pn"),
+        _cnt(ng & pred_pos & ~true_pos).alias("p_pp_tn"),
+    )
+    tpr_u = _guard(F.col("u_pp_tp"), F.col("u_pp"))
+    tpr_p = _guard(F.col("p_pp_tp"), F.col("p_pp"))
+    fpr_u = _guard(F.col("u_pp_tn"), F.col("u_pn"))
+    fpr_p = _guard(F.col("p_pp_tn"), F.col("p_pn"))
+    return agg.select(
+        F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias(alias)
+    )
+
+
+def accuracy(
+    df: DataFrame, y_true: str, y_pred: str, alias: str = "acc"
+) -> DataFrame:
+    """A11 (utils.py:260 accuracy_score): mean(y_true == y_pred)."""
+    match = F.when(F.col(y_true) == F.col(y_pred), F.lit(1)).otherwise(F.lit(0))
+    return df.agg((F.sum(match) / F.count(F.lit(1))).alias(alias))
+
+
+def zero_one_loss_diff(
+    df: DataFrame,
+    y_true: str,
+    y_pred: str,
+    sensitive: Sequence[str],
+    alias: str = "zero_one_loss",
+) -> DataFrame:
+    """M5 (utils.py:116-121, fairlearn MetricFrame.difference()).
+
+    Per-sensitive-group zero-one loss, then max between-group
+    difference (max − min). Two-level aggregation; the second level
+    runs over |groups| rows only.
+    """
+    miss = F.when(F.col(y_true) != F.col(y_pred), F.lit(1)).otherwise(F.lit(0))
+    per_group = df.groupBy(*sensitive).agg(
+        (F.sum(miss) / F.count(F.lit(1))).alias("loss")
+    )
+    return per_group.agg((F.max("loss") - F.min("loss")).alias(alias))
+
+
+def zero_one_loss_by_group(
+    df: DataFrame, y_true: str, y_pred: str, sensitive: Sequence[str]
+) -> DataFrame:
+    """Per-group zero-one loss table (the MetricFrame.by_group view)."""
+    miss = F.when(F.col(y_true) != F.col(y_pred), F.lit(1)).otherwise(F.lit(0))
+    return df.groupBy(*sensitive).agg(
+        (F.sum(miss) / F.count(F.lit(1))).alias("loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def confusion_matrix_long(df: DataFrame, y_true: str, y_pred: str) -> DataFrame:
+    """A8 (utils.py:87): multiclass confusion matrix in long form
+    (y_true, y_pred, cnt). One shuffle; pivot to wide driver-side if a
+    matrix is wanted (|classes|² rows is tiny by construction).
+    """
+    return df.groupBy(y_true, y_pred).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def confusion_matrix_normalized(df: DataFrame, y_true: str, y_pred: str) -> DataFrame:
+    """A9 (confusionmatrix.py:63-64): row-normalized confusion matrix.
+
+    Normalizer via a window over the tiny long-form matrix — the big
+    table is scanned once.
+    """
+    from pyspark.sql import Window
+
+    cm = confusion_matrix_long(df, y_true, y_pred)
+    w = Window.partitionBy(y_true)
+    return cm.select(
+        y_true,
+        y_pred,
+        "cnt",
+        (F.col("cnt") / F.sum("cnt").over(w)).alias("frac"),
+    )
+
+
+def average_odds_difference(
+    df: DataFrame,
+    unpriv: Column,
+    y_true: str,
+    y_pred: str,
+    alias: str = "avg_odds_diff",
+) -> DataFrame:
+    """M4 (utils.py:98-113): per-class (fpr_u − fpr_p) + (tpr_u − tpr_p)/2.
+
+    From each partition's confusion matrix (utils.py:87-95):
+    TPR_c = TP_c / |y=c|,  FPR_c = (|ŷ=c| − TP_c) / (n_g − |y=c|).
+
+    Plan: ONE scan → groupBy(is_unpriv, y_true, y_pred) count cube
+    (tiny), then re-aggregations of the cube. Classes are the union of
+    per-partition truth/prediction values; a class absent from one
+    partition yields NULL there (the reference would crash on
+    misaligned numpy vectors — documented deviation).
+    Returns one row per class: (class, avg_odds_diff).
+    """
+    cube = (
+        df.select(
+            unpriv.cast("int").alias("g"),
+            F.col(y_true).alias("yt"),
+            F.col(y_pred).alias("yp"),
+        )
+        .groupBy("g", "yt", "yp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_g = cube.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    cnt_true = cube.groupBy("g", F.col("yt").alias("cls")).agg(
+        F.sum("cnt").alias("cnt_true")
+    )
+    cnt_pred = cube.groupBy("g", F.col("yp").alias("cls")).agg(
+        F.sum("cnt").alias("cnt_pred")
+    )
+    tp = (
+        cube.filter(F.col("yt") == F.col("yp"))
+        .groupBy("g", F.col("yt").alias("cls"))
+        .agg(F.sum("cnt").alias("tp"))
+    )
+    per = (
+        cnt_true.join(cnt_pred, ["g", "cls"], "full_outer")
+        .join(tp, ["g", "cls"], "full_outer")
+        .join(n_g, "g")
+        .na.fill({"cnt_true": 0, "cnt_pred": 0, "tp": 0})
+    )
+    tpr = F.col("tp") / F.col("cnt_true")
+    fpr = (F.col("cnt_pred") - F.col("tp")) / (F.col("n_g") - F.col("cnt_true"))
+    per = per.select("g", "cls", tpr.alias("tpr"), fpr.alias("fpr"))
+    u = per.filter(F.col("g") == 1).select(
+        "cls", F.col("tpr").alias("tpr_u"), F.col("fpr").alias("fpr_u")
+    )
+    p = per.filter(F.col("g") == 0).select(
+        "cls", F.col("tpr").alias("tpr_p"), F.col("fpr").alias("fpr_p")
+    )
+    return u.join(p, "cls", "full_outer").select(
+        "cls",
+        (
+            (F.col("fpr_u") - F.col("fpr_p"))
+            + (F.col("tpr_u") - F.col("tpr_p")) / 2
+        ).alias(alias),
+    )
+
+
+def fairness_suite(
+    df: DataFrame,
+    unpriv: Column,
+    pred_pos: Column,
+    true_pos: Column,
+    y_true: str,
+    y_pred: str,
+) -> DataFrame:
+    """M1+M2+M3+accuracy fused into ONE aggregate job (12 conditional
+    counts — the reference re-scans the table ~20× for the same
+    numbers, utils.py:252-260). Single-row DataFrame with columns
+    (stat_par, disp_imp, eq_odds, acc).
+    """
+    g, ng = unpriv, ~unpriv
+    match = F.when(F.col(y_true) == F.col(y_pred), F.lit(1)).otherwise(F.lit(0))
+    agg = df.agg(
+        _cnt(g & pred_pos).alias("up"),
+        _cnt(g).alias("u"),
+        _cnt(ng & pred_pos).alias("pp"),
+        _cnt(ng).alias("p"),
+        _cnt(g & pred_pos & true_pos).alias("u_pp_tp"),
+        _cnt(ng & pred_pos & true_pos).alias("p_pp_tp"),
+        _cnt(g & ~pred_pos).alias("u_pn"),
+        _cnt(g & pred_pos & ~true_pos).alias("u_pp_tn"),
+        _cnt(ng & ~pred_pos).alias("p_pn"),
+        _cnt(ng & pred_pos & ~true_pos).alias("p_pp_tn"),
+        F.sum(match).cast("double").alias("n_match"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    u_rate = F.col("up") / F.col("u")
+    p_rate = F.col("pp") / F.col("p")
+    di = (
+        F.when(p_rate == 0, F.lit(0.0))
+        .when(u_rate == 0, u_rate / p_rate)
+        .otherwise(F.least(u_rate / p_rate, p_rate / u_rate))
+    )
+    # |g ∧ ŷ=pos| is the same count as `up` — reuse it for the tpr denominator
+    tpr_u = _guard(F.col("u_pp_tp"), F.col("up"))
+    tpr_p = _guard(F.col("p_pp_tp"), F.col("pp"))
+    fpr_u = _guard(F.col("u_pp_tn"), F.col("u_pn"))
+    fpr_p = _guard(F.col("p_pp_tn"), F.col("p_pn"))
+    return agg.select(
+        (u_rate - p_rate).alias("stat_par"),
+        di.alias("disp_imp"),
+        F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
+        (F.col("n_match") / F.col("n")).alias("acc"),
+    )

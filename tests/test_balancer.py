@@ -1,0 +1,139 @@
+"""Balancer invariants per SURVEY.md §5.1:
+- target sizes reproduce the reference loop's exact integer dynamics
+  (brute-force simulated here as the test oracle);
+- post-balance, every converged group satisfies
+  round(w_exp/w_obs, round_level) == 1 with w_exp frozen on ORIGINAL N
+  (demv/helpers.py:53);
+- only whole-row duplicates/deletions; schema preserved; deterministic
+  under a fixed seed.
+"""
+
+import random
+
+import pytest
+
+from demv_spark.operators.balancer import DEMV, _simulate_target, group_targets
+
+
+def _reference_loop(n0, total, w_exp, round_level, stop):
+    """Direct transcription of the loop dynamics at helpers.py:13-26
+    as a pure-integer test oracle (no dataframes)."""
+    if n0 == 0:
+        return n0, 0
+    n, i = n0, 0
+    w_obs = n / total
+    disp = round(w_exp / w_obs, round_level) if round_level else w_exp / w_obs
+    while disp != 1 and i != stop and w_obs != 0:
+        ratio = w_exp / w_obs
+        if ratio > 1:
+            n += 1
+        elif ratio < 1:
+            n -= 1
+        w_obs = n / total
+        if w_obs == 0:
+            return n, i
+        disp = round(w_exp / w_obs, round_level) if round_level else w_exp / w_obs
+        i += 1
+    return n, i
+
+
+@pytest.mark.parametrize("round_level", [1, 2, None])
+def test_simulate_target_matches_reference_loop(round_level):
+    rng = random.Random(7)
+    for _ in range(300):
+        total = rng.randint(50, 5000)
+        n0 = rng.randint(1, total)
+        w_exp = rng.uniform(0.0005, 0.4)
+        stop = rng.choice([10, 100, 10000])
+        exp = _reference_loop(n0, total, w_exp, round_level, stop)
+        got = _simulate_target(n0, total, w_exp, round_level, stop)
+        assert got == exp, (n0, total, w_exp, round_level, stop)
+
+
+def test_simulate_target_large_delta_fast():
+    # a 10M-row gap must not take 10M python steps (stop effectively ∞)
+    n, iters = _simulate_target(10, 100_000_000, 0.1, 1, 10**9)
+    assert n == pytest.approx(10_000_000, rel=0.06)
+    assert iters == n - 10
+
+
+def _fixture_df(spark, n=400, seed=5):
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.random(),
+            rng.random(),
+            int(rng.random() < 0.25),
+            int(rng.random() < 0.5),
+            rng.choice([0, 1, 2]),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, ["f1", "f2", "s1", "s2", "y"])
+
+
+def test_rebalance_exact_group_sizes(spark):
+    df = _fixture_df(spark)
+    d = DEMV(["s1", "s2"], label="y", round_level=1, seed=11)
+    out = d.fit_transform(df)
+    got = {
+        (r["s1"], r["s2"], r["y"]): r["cnt"]
+        for r in out.groupBy("s1", "s2", "y").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for t in d._targets:
+        key = (t["s1"], t["s2"], t["y"])
+        assert got.get(key, 0) == t["target"], (key, t)
+
+
+def test_rebalance_invariant_converged_disparity(spark):
+    df = _fixture_df(spark)
+    n_orig = df.count()
+    d = DEMV(["s1", "s2"], label="y", round_level=1, stop=10000)
+    d.fit(df)
+    for t in d._targets:
+        if t["iters"] < d.stop and t["target"] > 0:
+            assert round(t["w_exp"] * n_orig / t["target"], 1) == 1.0
+
+
+def test_rebalance_rows_are_whole_row_copies(spark):
+    df = _fixture_df(spark, n=200)
+    d = DEMV(["s1", "s2"], label="y", seed=3)
+    out = d.fit_transform(df)
+    assert out.columns == df.columns  # schema preserved
+    src = set(map(tuple, df.collect()))
+    for row in out.collect():
+        assert tuple(row) in src
+
+
+def test_rebalance_deterministic(spark):
+    df = _fixture_df(spark, n=300)
+    a = DEMV(["s1"], label="y", seed=9).fit_transform(df).collect()
+    b = DEMV(["s1"], label="y", seed=9).fit_transform(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_skew_salt_same_group_sizes(spark):
+    df = _fixture_df(spark, n=500)
+    plain = DEMV(["s1", "s2"], label="y", seed=4).fit_transform(df)
+    salted = DEMV(["s1", "s2"], label="y", seed=4, skew_salt=8).fit_transform(df)
+    key = ["s1", "s2", "y"]
+    a = {tuple(r[:3]): r["count"] for r in plain.groupBy(*key).count().collect()}
+    b = {tuple(r[:3]): r["count"] for r in salted.groupBy(*key).count().collect()}
+    assert a == b
+
+
+def test_get_iters_and_disparities(spark):
+    df = _fixture_df(spark)
+    d = DEMV(["s1", "s2"], label="y")
+    assert d.get_iters() == 0 and d.get_disparities() == []
+    d.fit_transform(df)
+    assert d.get_iters() > 0
+    assert len(d.get_disparities()) > 0
+
+
+def test_group_targets_multivalued_sensitive(spark):
+    # generalization beyond the reference's hardcoded binary domains
+    rows = [(s, y) for s in (0, 1, 2) for y in (0, 1) for _ in range((s + 1) * 10 + y * 5)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    targets = group_targets(df, ["s"], "y", 1, 10000)
+    assert len(targets) == 6

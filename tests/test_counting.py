@@ -1,0 +1,58 @@
+import pyspark.sql.functions as F
+
+from demv_spark.functions.counting import (
+    conditional_counts,
+    group_census,
+    group_weights,
+)
+
+ROWS = [
+    # (s1, s2, y)
+    (0, 0, 0), (0, 0, 0), (0, 0, 1),
+    (0, 1, 0), (0, 1, 1), (0, 1, 1), (0, 1, 1),
+    (1, 0, 0), (1, 0, 0), (1, 0, 0), (1, 0, 1),
+    (1, 1, 1),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, ["s1", "s2", "y"])
+
+
+def test_group_census(spark):
+    out = {tuple(r[:3]): r["n"] for r in group_census(_df(spark), ["s1", "s2", "y"]).collect()}
+    assert out[(0, 0, 0)] == 2
+    assert out[(0, 1, 1)] == 3
+    assert out[(1, 1, 1)] == 1
+    assert (1, 1, 0) not in out  # only non-empty groups
+    assert sum(out.values()) == len(ROWS)
+
+
+def test_conditional_counts_fused(spark):
+    df = _df(spark)
+    row = conditional_counts(
+        df,
+        {
+            "pos": F.col("y") == 1,
+            "s1_pos": (F.col("s1") == 1) & (F.col("y") == 1),
+            "none": F.col("y") == 99,
+        },
+    ).collect()[0]
+    assert row["n_total"] == 12
+    assert row["pos"] == 6
+    assert row["s1_pos"] == 2
+    assert row["none"] == 0
+
+
+def test_group_weights_frozen_marginals(spark):
+    df = _df(spark)
+    rows = {(r["s1"], r["s2"], r["y"]): r for r in group_weights(df, ["s1", "s2"], "y").collect()}
+    n = len(ROWS)
+    r = rows[(0, 1, 1)]
+    # marginals: |s=(0,1)| = 4, |y=1| = 6, group n = 3
+    assert r["n"] == 3 and r["n_sens"] == 4 and r["n_label"] == 6 and r["n_total"] == n
+    w_exp = (4 / n) * (6 / n)
+    w_obs = 3 / n
+    assert abs(r["w_exp"] - w_exp) < 1e-12
+    assert abs(r["w_obs"] - w_obs) < 1e-12
+    assert r["disparity"] == round(w_exp / w_obs, 1)

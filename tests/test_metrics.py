@@ -1,0 +1,115 @@
+"""Metric goldens computed by hand / with pandas against the reference
+formulas (replication_package/src/utils.py:15-121 semantics)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.functions import metrics as M
+
+# (sens, y_pred, y_true) — y_pred plays the reference's "label col of
+# the prediction table" role; positive class = 1
+ROWS = [
+    (1, 1, 1), (1, 1, 0), (1, 0, 1), (1, 0, 0), (1, 0, 0),   # unpriv: 5 rows, 2 pred-pos
+    (0, 1, 1), (0, 1, 1), (0, 1, 0), (0, 0, 1), (0, 0, 0), (0, 0, 0), (0, 1, 1),  # priv: 7 rows, 4 pred-pos
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, ["sens", "y_pred", "y_true"])
+
+
+def _unpriv():
+    return F.col("sens") == 1
+
+
+def _pred_pos():
+    return F.col("y_pred") == 1
+
+
+def _true_pos():
+    return F.col("y_true") == 1
+
+
+def test_statistical_parity(df):
+    # unpriv rate = 2/5, priv rate = 4/7
+    got = M.statistical_parity(df, _unpriv(), _pred_pos()).collect()[0][0]
+    assert got == pytest.approx(2 / 5 - 4 / 7, abs=1e-12)
+
+
+def test_disparate_impact(df):
+    u, p = 2 / 5, 4 / 7
+    got = M.disparate_impact(df, _unpriv(), _pred_pos()).collect()[0][0]
+    assert got == pytest.approx(min(u / p, p / u), abs=1e-12)
+
+
+def test_disparate_impact_zero_unpriv(spark):
+    d = spark.createDataFrame([(1, 0), (1, 0), (0, 1), (0, 0)], ["sens", "y_pred"])
+    got = M.disparate_impact(d, F.col("sens") == 1, F.col("y_pred") == 1).collect()[0][0]
+    assert got == 0.0  # u==0 → u/p per utils.py:19-20
+
+
+def test_equalized_odds_as_implemented(df):
+    # as-implemented precision-style ratios (utils.py:33-62):
+    # unpriv: pred-pos=2, of which true-pos=1 → tpr_u = 1/2
+    #         pred-neg=3; pred-pos & true-neg=1 → fpr_u = 1/3
+    # priv:   pred-pos=4, of which true-pos=3 → tpr_p = 3/4
+    #         pred-neg=3; pred-pos & true-neg=1 → fpr_p = 1/3
+    expected = max(abs(1 / 2 - 3 / 4), abs(1 / 3 - 1 / 3))
+    got = M.equalized_odds(df, _unpriv(), _pred_pos(), _true_pos()).collect()[0][0]
+    assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_accuracy(df):
+    matches = sum(1 for _, yp, yt in ROWS if yp == yt)
+    got = M.accuracy(df, "y_true", "y_pred").collect()[0][0]
+    assert got == pytest.approx(matches / len(ROWS), abs=1e-12)
+
+
+def test_zero_one_loss_diff(df):
+    # unpriv loss = 3/5 mismatches? rows: (1,1)ok,(1,0)x,(0,1)x,(0,0)ok,(0,0)ok → 2/5
+    # priv: (1,1)ok,(1,1)ok,(1,0)x,(0,1)x,(0,0)ok,(0,0)ok,(1,1)ok → 2/7
+    got = M.zero_one_loss_diff(df, "y_true", "y_pred", ["sens"]).collect()[0][0]
+    assert got == pytest.approx(2 / 5 - 2 / 7, abs=1e-12)
+
+
+def test_confusion_matrix_long(df):
+    cm = {(r["y_true"], r["y_pred"]): r["cnt"]
+          for r in M.confusion_matrix_long(df, "y_true", "y_pred").collect()}
+    assert cm[(1, 1)] == 4 and cm[(0, 1)] == 2 and cm[(1, 0)] == 2 and cm[(0, 0)] == 4
+
+
+def test_confusion_matrix_normalized(df):
+    rows = M.confusion_matrix_normalized(df, "y_true", "y_pred").collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["y_true"], 0.0)
+        by_true[r["y_true"]] += r["frac"]
+    for v in by_true.values():
+        assert v == pytest.approx(1.0, abs=1e-12)
+
+
+def test_average_odds_difference_binary(df):
+    # textbook TPR/FPR per partition (utils.py:86-95), class c=1:
+    # unpriv: y_true=1 rows: 2, tp(1)=1 → tpr=1/2 ; pred(1)=2, fp=1, n-true(1)=3 → fpr=1/3
+    # priv:   y_true=1 rows: 4, tp(1)=3 → tpr=3/4 ; pred(1)=4, fp=1, n-true(1)=3 → fpr=1/3
+    # aod(1) = (1/3-1/3) + (1/2-3/4)/2 = -1/8
+    out = {r["cls"]: r["avg_odds_diff"]
+           for r in M.average_odds_difference(df, _unpriv(), "y_true", "y_pred").collect()}
+    assert out[1] == pytest.approx(-1 / 8, abs=1e-12)
+    # class 0: unpriv tpr0 = 2/3, fpr0 = (3-2)/2 = 1/2; priv tpr0 = 2/3? priv y_true=0 rows=3, tp0=2 → 2/3
+    #          priv pred0=3, fp0=1, n-true0=4 → 1/4
+    # aod(0) = (1/2 - 1/4) + (2/3 - 2/3)/2 = 1/4
+    assert out[0] == pytest.approx(1 / 4, abs=1e-12)
+
+
+def test_fairness_suite_matches_individual(df):
+    suite = M.fairness_suite(df, _unpriv(), _pred_pos(), _true_pos(), "y_true", "y_pred").collect()[0]
+    sp = M.statistical_parity(df, _unpriv(), _pred_pos()).collect()[0][0]
+    di = M.disparate_impact(df, _unpriv(), _pred_pos()).collect()[0][0]
+    eo = M.equalized_odds(df, _unpriv(), _pred_pos(), _true_pos()).collect()[0][0]
+    acc = M.accuracy(df, "y_true", "y_pred").collect()[0][0]
+    assert suite["stat_par"] == pytest.approx(sp, abs=1e-12)
+    assert suite["disp_imp"] == pytest.approx(di, abs=1e-12)
+    assert suite["eq_odds"] == pytest.approx(eo, abs=1e-12)
+    assert suite["acc"] == pytest.approx(acc, abs=1e-12)
