@@ -1,38 +1,591 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fairness pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+(spark, sf_dir) → DataFrame; ``oracle_sql()`` gives the DuckDB-
+equivalent ANSI SQL. Column aliases match pairwise; float aggregates
+go through exact-decimal sums (demv_spark.functions.compat) so value
+hashes are bit-identical across engines.
+
+Query naming: q_<area>_<operator>.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from demv_spark.functions import counting, metrics as M
+from demv_spark.operators import dedup, etl, similarity, text
+from demv_spark.operators.balancer import DEMV
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from demv_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---- shared predicate fixtures (orders-as-predictions scenario) ----
+# The fairness metrics need (group condition, prediction, truth); we
+# derive a deterministic classification scenario from the TPC-H-ish
+# tables: unprivileged = high-priority orders, predicted-positive =
+# above-median price, true-positive = finished status.
+
+def _unpriv():
+    return F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+
+def _pred_pos():
+    return F.col("o_totalprice") > 250000
+
+
+def _true_pos():
+    return F.col("o_orderstatus") == "F"
+
+
+_SQL_UNPRIV = "o_orderpriority IN ('1-URGENT','2-HIGH')"
+_SQL_PRED = "o_totalprice > 250000"
+_SQL_TRUE = "o_orderstatus = 'F'"
+
+# orders with explicit y_true / y_pred string labels (multi-class via
+# status letters) for accuracy / loss / confusion queries
+def _orders_pred(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "*",
+        F.col("o_orderstatus").alias("y_true"),
+        F.when(_pred_pos(), F.lit("F")).otherwise(F.lit("O")).alias("y_pred"),
+    )
+
+
+_SQL_ORDERS_PRED = (
+    "SELECT *, o_orderstatus AS y_true, "
+    "CASE WHEN o_totalprice > 250000 THEN 'F' ELSE 'O' END AS y_pred FROM orders"
+)
+
+# events as a 5-class prediction scenario for the multiclass metrics
+def _events_pred(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("unpriv"),
+        F.col("event_type").alias("y_true"),
+        F.when(F.col("value") < 20, "click")
+        .when(F.col("value") < 40, "view")
+        .when(F.col("value") < 60, "signup")
+        .when(F.col("value") < 80, "purchase")
+        .otherwise("error")
+        .alias("y_pred"),
+    )
+
+
+_SQL_EVENTS_PRED = """
+SELECT (user_id % 2 = 1) AS unpriv, event_type AS y_true,
+       CASE WHEN value < 20 THEN 'click' WHEN value < 40 THEN 'view'
+            WHEN value < 60 THEN 'signup' WHEN value < 80 THEN 'purchase'
+            ELSE 'error' END AS y_pred
+FROM events
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DEMV group census + fairness suite on sf0.001 orders.
+
+    Balances orders on (priority-tier, status) groups and reports the
+    per-group weights — the engine's core counting plan — joined with
+    the one-pass fairness suite as a cross product (both tiny)."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    tbl = orders.select(
+        _unpriv().cast("int").alias("s"),
+        _true_pos().cast("int").alias("y"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    d = DEMV(["s"], label="y", round_level=1, seed=42)
+    balanced = d.fit_transform(tbl)
+    return counting.group_weights(balanced, ["s"], "y", round_level=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- counting core (A1-A4) ----
+    q["q_count_group_census"] = lambda spark, sf: counting.group_census(
+        _t(spark, sf, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+    q["q_count_conditional"] = lambda spark, sf: counting.conditional_counts(
+        _t(spark, sf, "lineitem"),
+        {
+            "high_qty": F.col("l_quantity") > 30,
+            "returned": F.col("l_returnflag") == "R",
+            "returned_high": (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30),
+        },
+    )
+    q["q_count_group_weights"] = lambda spark, sf: counting.group_weights(
+        _t(spark, sf, "orders"), ["o_orderpriority"], "o_orderstatus", round_level=None
+    )
+
+    # ---- fairness metrics (M1-M5, A8-A12) ----
+    q["q_metric_stat_parity"] = lambda spark, sf: M.statistical_parity(
+        _t(spark, sf, "orders"), _unpriv(), _pred_pos()
+    )
+    q["q_metric_disp_impact"] = lambda spark, sf: M.disparate_impact(
+        _t(spark, sf, "orders"), _unpriv(), _pred_pos()
+    )
+    q["q_metric_eq_odds"] = lambda spark, sf: M.equalized_odds(
+        _t(spark, sf, "orders"), _unpriv(), _pred_pos(), _true_pos()
+    )
+    q["q_metric_accuracy"] = lambda spark, sf: M.accuracy(
+        _orders_pred(spark, sf), "y_true", "y_pred"
+    )
+    q["q_metric_zero_one_loss_diff"] = lambda spark, sf: M.zero_one_loss_diff(
+        _orders_pred(spark, sf), "y_true", "y_pred", ["o_orderpriority"]
+    )
+    q["q_metric_zero_one_loss_by_group"] = lambda spark, sf: M.zero_one_loss_by_group(
+        _orders_pred(spark, sf), "y_true", "y_pred", ["o_orderpriority"]
+    )
+    q["q_metric_fairness_suite"] = lambda spark, sf: M.fairness_suite(
+        _orders_pred(spark, sf), _unpriv(), _pred_pos(), _true_pos(), "y_true", "y_pred"
+    )
+    q["q_metric_confusion_matrix"] = lambda spark, sf: M.confusion_matrix_long(
+        _events_pred(spark, sf), "y_true", "y_pred"
+    )
+    q["q_metric_confusion_norm"] = lambda spark, sf: M.confusion_matrix_normalized(
+        _events_pred(spark, sf), "y_true", "y_pred"
+    )
+    q["q_metric_avg_odds_diff"] = lambda spark, sf: M.average_odds_difference(
+        _events_pred(spark, sf), F.col("unpriv"), "y_true", "y_pred"
+    )
+
+    # ---- ETL kit (P1-P10, F1-F10) ----
+    q["q_etl_binarize"] = lambda spark, sf: etl.binarize(
+        _t(spark, sf, "customer"), "c_acctbal", 0.0, out="acct_pos"
+    ).select("c_custkey", "acct_pos")
+    q["q_etl_recode_map"] = lambda spark, sf: etl.recode_map(
+        _t(spark, sf, "nation"), "n_name",
+        {"UNITED STATES": "US", "UNITED KINGDOM": "UK"}, out="n_name_rec",
+    ).select("n_nationkey", "n_name_rec")
+    q["q_etl_bucketize"] = lambda spark, sf: etl.bucketize(
+        _t(spark, sf, "lineitem"), "l_quantity", [0, 10, 20, 30, 40, 50], labels=[0, 1, 2, 3, 4],
+    ).groupBy("l_quantity_bin").agg(F.count(F.lit(1)).alias("n"))
+    q["q_etl_one_hot"] = lambda spark, sf: etl.one_hot(
+        _t(spark, sf, "orders").select(
+            "o_orderkey", F.col("o_orderpriority").alias("prio")
+        ),
+        "prio",
+        values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        prefix="p",
+    ).withColumnsRenamed(
+        {"p_1-URGENT": "p1", "p_2-HIGH": "p2", "p_3-MEDIUM": "p3",
+         "p_4-NOT SPECIFIED": "p4", "p_5-LOW": "p5"}
+    )
+    q["q_etl_label_encode"] = lambda spark, sf: etl.label_encode(
+        _t(spark, sf, "customer"), "c_mktsegment", out="seg_code"
+    ).select("c_custkey", "c_mktsegment", "seg_code")
+    q["q_etl_zscore"] = lambda spark, sf: etl.zscore(
+        _t(spark, sf, "customer"), ["c_acctbal"]
+    ).select("c_custkey", F.col("c_acctbal").alias("z"))
+    q["q_etl_quantile_label"] = lambda spark, sf: etl.quantile_label(
+        _t(spark, sf, "orders"), "o_totalprice", 5, out="y", tiebreak=["o_orderkey"]
+    ).select("o_orderkey", "y")
+    q["q_etl_union_provenance"] = lambda spark, sf: etl.union_provenance(
+        _t(spark, sf, "customer").select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("acctbal")),
+        _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("acctbal")),
+        "type", 0, 1,
+    )
+
+    # ---- text analysis ----
+    q["q_text_token_count"] = lambda spark, sf: text.token_count(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "n_tokens")
+    q["q_text_bpe_estimate"] = lambda spark, sf: text.bpe_token_estimate(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "n_bpe_est")
+    q["q_text_quality"] = lambda spark, sf: text.quality_score(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "quality")
+    q["q_text_lang_id"] = lambda spark, sf: text.lang_id(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "lang_pred")
+    q["q_text_fingerprint"] = lambda spark, sf: text.fingerprint(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "fp")
+
+    # ---- dedup ----
+    q["q_dedup_exact"] = lambda spark, sf: dedup.exact_dedup(
+        _t(spark, sf, "documents")
+    ).select("doc_id")
+    q["q_dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=2, threshold=0.1, max_df=50
+    )
+    # hash-sketch families use Spark xxhash64 (no DuckDB twin) →
+    # rows-only driver checks; invariants covered in tests/
+    q["q_dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=32, bands=16
+    )
+    q["q_dedup_simhash"] = lambda spark, sf: dedup.simhash_near_pairs(
+        _t(spark, sf, "documents"), max_hamming=8, bands=4
+    )
+
+    # ---- similarity search ----
+    q["q_sim_cosine_topk"] = lambda spark, sf: similarity.cosine_topk_bruteforce(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        _t(spark, sf, "embeddings"),
+        k=10,
+    )
+    q["q_sim_near_dup"] = lambda spark, sf: similarity.embedding_near_dup(
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, band_bits=4
+    )
+
+    # ---- balancer (sampled output → rows-only; census halves are
+    # covered by q_count_group_weights's SQL oracle) ----
+    def _demv_uniform(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            _unpriv().cast("int").alias("s"),
+            _true_pos().cast("int").alias("y"),
+            "o_orderkey", "o_totalprice",
+        )
+        return DEMV(["s"], label="y", round_level=1, seed=42).fit_transform(tbl)
+
+    def _demv_smote(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            _unpriv().cast("int").alias("s"),
+            _true_pos().cast("int").alias("y"),
+            F.col("o_totalprice").alias("f1"),
+            (F.col("o_totalprice") / 1000).alias("f2"),
+        )
+        return DEMV(["s"], label="y", strategy="smote", seed=42).fit_transform(tbl)
+
+    q["q_demv_rebalance_uniform"] = _demv_uniform
+    q["q_demv_rebalance_smote"] = _demv_smote
+
+    # ---- events windowed rollup (streaming-shaped aggregate) ----
+    q["q_events_hourly"] = lambda spark, sf: (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q_count_group_census"] = (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+    o["q_count_conditional"] = """
+        SELECT COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE l_quantity > 30) AS high_qty,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS returned,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R' AND l_quantity > 30) AS returned_high
+        FROM lineitem
     """
-    return {}
+    o["q_count_group_weights"] = """
+        WITH census AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        ), sens AS (
+            SELECT o_orderpriority, SUM(n) AS n_sens FROM census GROUP BY 1
+        ), lab AS (
+            SELECT o_orderstatus, SUM(n) AS n_label FROM census GROUP BY 1
+        ), tot AS (SELECT SUM(n) AS n_total FROM census)
+        SELECT c.o_orderpriority, c.o_orderstatus, c.n, s.n_sens, l.n_label, t.n_total,
+               (CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total) AS w_exp,
+               CAST(c.n AS DOUBLE)/t.n_total AS w_obs,
+               ((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total))
+                   / (CAST(c.n AS DOUBLE)/t.n_total) AS disparity
+        FROM census c JOIN sens s USING (o_orderpriority)
+        JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
+    """
+
+    _counts4 = f"""
+        SELECT CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED}) AS DOUBLE) AS up,
+               CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV}) AS DOUBLE) AS u,
+               CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED}) AS DOUBLE) AS pp,
+               CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV})) AS DOUBLE) AS p
+        FROM orders
+    """
+    o["q_metric_stat_parity"] = f"SELECT (up/u) - (pp/p) AS stat_par FROM ({_counts4})"
+    o["q_metric_disp_impact"] = f"""
+        SELECT CASE WHEN (pp/p) = 0 THEN 0.0
+                    WHEN (up/u) = 0 THEN (up/u) / (pp/p)
+                    ELSE LEAST((up/u)/(pp/p), (pp/p)/(up/u)) END AS disp_imp
+        FROM ({_counts4})
+    """
+    o["q_metric_eq_odds"] = f"""
+        WITH c AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED}) AS DOUBLE) AS u_pp,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED} AND {_SQL_TRUE}) AS DOUBLE) AS u_pp_tp,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED}) AS DOUBLE) AS p_pp,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND {_SQL_TRUE}) AS DOUBLE) AS p_pp_tp,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND NOT ({_SQL_PRED})) AS DOUBLE) AS u_pn,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED} AND NOT ({_SQL_TRUE})) AS DOUBLE) AS u_pp_tn,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND NOT ({_SQL_PRED})) AS DOUBLE) AS p_pn,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND NOT ({_SQL_TRUE})) AS DOUBLE) AS p_pp_tn
+            FROM orders
+        )
+        SELECT GREATEST(
+            ABS(CASE WHEN u_pp = 0 THEN 0.0 ELSE u_pp_tp/u_pp END
+              - CASE WHEN p_pp = 0 THEN 0.0 ELSE p_pp_tp/p_pp END),
+            ABS(CASE WHEN u_pn = 0 THEN 0.0 ELSE u_pp_tn/u_pn END
+              - CASE WHEN p_pn = 0 THEN 0.0 ELSE p_pp_tn/p_pn END)
+        ) AS eq_odds FROM c
+    """
+    o["q_metric_accuracy"] = f"""
+        SELECT CAST(SUM(CASE WHEN y_true = y_pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc
+        FROM ({_SQL_ORDERS_PRED})
+    """
+    o["q_metric_zero_one_loss_diff"] = f"""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN y_true != y_pred THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS loss
+            FROM ({_SQL_ORDERS_PRED}) GROUP BY 1
+        )
+        SELECT MAX(loss) - MIN(loss) AS zero_one_loss FROM g
+    """
+    o["q_metric_zero_one_loss_by_group"] = f"""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN y_true != y_pred THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS loss,
+               COUNT(*) AS n
+        FROM ({_SQL_ORDERS_PRED}) GROUP BY 1
+    """
+    o["q_metric_fairness_suite"] = f"""
+        WITH c AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED}) AS DOUBLE) AS up,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV}) AS DOUBLE) AS u,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED}) AS DOUBLE) AS pp,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV})) AS DOUBLE) AS p,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED} AND {_SQL_TRUE}) AS DOUBLE) AS u_pp_tp,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND {_SQL_TRUE}) AS DOUBLE) AS p_pp_tp,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND NOT ({_SQL_PRED})) AS DOUBLE) AS u_pn,
+                   CAST(COUNT(*) FILTER (WHERE {_SQL_UNPRIV} AND {_SQL_PRED} AND NOT ({_SQL_TRUE})) AS DOUBLE) AS u_pp_tn,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND NOT ({_SQL_PRED})) AS DOUBLE) AS p_pn,
+                   CAST(COUNT(*) FILTER (WHERE NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND NOT ({_SQL_TRUE})) AS DOUBLE) AS p_pp_tn,
+                   CAST(SUM(CASE WHEN y_true = y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS n_match,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM ({_SQL_ORDERS_PRED})
+        )
+        SELECT (up/u) - (pp/p) AS stat_par,
+               CASE WHEN (pp/p) = 0 THEN 0.0
+                    WHEN (up/u) = 0 THEN (up/u)/(pp/p)
+                    ELSE LEAST((up/u)/(pp/p), (pp/p)/(up/u)) END AS disp_imp,
+               GREATEST(
+                   ABS(CASE WHEN up = 0 THEN 0.0 ELSE u_pp_tp/up END
+                     - CASE WHEN pp = 0 THEN 0.0 ELSE p_pp_tp/pp END),
+                   ABS(CASE WHEN u_pn = 0 THEN 0.0 ELSE u_pp_tn/u_pn END
+                     - CASE WHEN p_pn = 0 THEN 0.0 ELSE p_pp_tn/p_pn END)
+               ) AS eq_odds,
+               n_match/n AS acc
+        FROM c
+    """
+    o["q_metric_confusion_matrix"] = f"""
+        SELECT y_true, y_pred, COUNT(*) AS cnt FROM ({_SQL_EVENTS_PRED}) GROUP BY 1, 2
+    """
+    o["q_metric_confusion_norm"] = f"""
+        WITH cm AS (SELECT y_true, y_pred, COUNT(*) AS cnt FROM ({_SQL_EVENTS_PRED}) GROUP BY 1, 2)
+        SELECT y_true, y_pred, cnt,
+               CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY y_true) AS frac
+        FROM cm
+    """
+    o["q_metric_avg_odds_diff"] = f"""
+        WITH base AS ({_SQL_EVENTS_PRED}),
+        cube AS (
+            SELECT CAST(unpriv AS INTEGER) AS g, y_true AS yt, y_pred AS yp, COUNT(*) AS cnt
+            FROM base GROUP BY 1, 2, 3
+        ),
+        n_g AS (SELECT g, SUM(cnt) AS n_g FROM cube GROUP BY 1),
+        ct AS (SELECT g, yt AS cls, SUM(cnt) AS cnt_true FROM cube GROUP BY 1, 2),
+        cp AS (SELECT g, yp AS cls, SUM(cnt) AS cnt_pred FROM cube GROUP BY 1, 2),
+        tp AS (SELECT g, yt AS cls, SUM(cnt) AS tp FROM cube WHERE yt = yp GROUP BY 1, 2),
+        per AS (
+            SELECT COALESCE(ct.g, cp.g, tp.g) AS g, COALESCE(ct.cls, cp.cls, tp.cls) AS cls,
+                   COALESCE(cnt_true, 0) AS cnt_true, COALESCE(cnt_pred, 0) AS cnt_pred,
+                   COALESCE(tp, 0) AS tp
+            FROM ct FULL OUTER JOIN cp ON ct.g = cp.g AND ct.cls = cp.cls
+                    FULL OUTER JOIN tp ON COALESCE(ct.g, cp.g) = tp.g AND COALESCE(ct.cls, cp.cls) = tp.cls
+        ),
+        rates AS (
+            SELECT per.g, cls,
+                   CAST(tp AS DOUBLE)/cnt_true AS tpr,
+                   CAST(cnt_pred - tp AS DOUBLE)/(n_g.n_g - cnt_true) AS fpr
+            FROM per JOIN n_g ON per.g = n_g.g
+        )
+        SELECT COALESCE(u.cls, p.cls) AS cls,
+               (u.fpr - p.fpr) + (u.tpr - p.tpr)/2 AS avg_odds_diff
+        FROM (SELECT * FROM rates WHERE g = 1) u
+        FULL OUTER JOIN (SELECT * FROM rates WHERE g = 0) p ON u.cls = p.cls
+    """
+
+    o["q_etl_binarize"] = (
+        "SELECT c_custkey, CAST(c_acctbal >= 0.0 AS INTEGER) AS acct_pos FROM customer"
+    )
+    o["q_etl_recode_map"] = """
+        SELECT n_nationkey,
+               CASE WHEN n_name = 'UNITED STATES' THEN 'US'
+                    WHEN n_name = 'UNITED KINGDOM' THEN 'UK'
+                    ELSE n_name END AS n_name_rec
+        FROM nation
+    """
+    o["q_etl_bucketize"] = """
+        SELECT CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0
+                    WHEN l_quantity > 10 AND l_quantity <= 20 THEN 1
+                    WHEN l_quantity > 20 AND l_quantity <= 30 THEN 2
+                    WHEN l_quantity > 30 AND l_quantity <= 40 THEN 3
+                    WHEN l_quantity > 40 AND l_quantity <= 50 THEN 4
+               END AS l_quantity_bin, COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    """
+    o["q_etl_one_hot"] = """
+        SELECT o_orderkey,
+               CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS p1,
+               CAST(o_orderpriority = '2-HIGH' AS INTEGER) AS p2,
+               CAST(o_orderpriority = '3-MEDIUM' AS INTEGER) AS p3,
+               CAST(o_orderpriority = '4-NOT SPECIFIED' AS INTEGER) AS p4,
+               CAST(o_orderpriority = '5-LOW' AS INTEGER) AS p5
+        FROM orders
+    """
+    o["q_etl_label_encode"] = """
+        SELECT c_custkey, c_mktsegment,
+               CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS seg_code
+        FROM customer
+    """
+    o["q_etl_zscore"] = """
+        WITH s AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                   CAST(COUNT(c_acctbal) AS DOUBLE) AS n
+            FROM customer
+        )
+        SELECT c_custkey,
+               (c_acctbal - sx/n) / SQRT((sxx - n * (sx/n) * (sx/n)) / (n - 1.0)) AS z
+        FROM customer, s
+    """
+    o["q_etl_quantile_label"] = """
+        SELECT o_orderkey,
+               CAST(NTILE(5) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS INTEGER) AS y
+        FROM orders
+    """
+    o["q_etl_union_provenance"] = """
+        SELECT c_custkey AS id, c_acctbal AS acctbal, 0 AS type FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_acctbal AS acctbal, 1 AS type FROM supplier
+    """
+
+    _toks = r"string_split_regex(trim(lower(text)), '\s+')"
+    o["q_text_token_count"] = f"SELECT doc_id, CAST(len({_toks}) AS INTEGER) AS n_tokens FROM documents"
+    o["q_text_bpe_estimate"] = r"""
+        SELECT doc_id,
+               CAST(CEIL(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0)
+                  + CEIL(length(regexp_replace(text, '[^0-9]', '', 'g')) / 2.0)
+                  + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_est
+        FROM documents
+    """
+    o["q_text_quality"] = rf"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(len({_toks}) AS DOUBLE) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(1.0, n_chars / 500.0)
+                   + 0.3 * (1.0 - LEAST(1.0, punct / n_chars * 10.0))
+                   + 0.3 * (1.0 - LEAST(1.0, ABS(alpha / n_tok - 5.0) / 5.0)), 6) AS quality
+        FROM f
+    """
+    o["q_text_lang_id"] = rf"""
+        WITH h AS (
+            SELECT doc_id,
+                   len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
+                   len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
+                   len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,
+                   len(list_filter({_toks}, t -> list_contains(['le','la','les','et','est','une','que','des'], t))) AS h_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """
+    _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+    o["q_text_fingerprint"] = f"SELECT doc_id, {_fp} AS fp FROM documents"
+
+    o["q_dedup_exact"] = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {_fp} ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """
+    o["q_dedup_ngram_jaccard"] = rf"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh_all AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                               i -> array_to_string(t[i:i+1], ' ')))) AS sh
+            FROM toks
+        ),
+        rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 50),
+        sh AS (SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN rare USING (sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+                   JOIN sizes sb ON pairs.id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+    """
+
+    _dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    _norm = (
+        "SQRT(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    o["q_sim_cosine_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_dot.format(a='qe', b='ce')} / ({_norm.format(a='qe')} * {_norm.format(a='ce')}) AS cos_sim
+            FROM c CROSS JOIN q WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+    o["q_events_hourly"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """
+
+    # q_dedup_minhash_lsh, q_dedup_simhash, q_sim_near_dup,
+    # q_demv_rebalance_uniform, q_demv_rebalance_smote: intentionally
+    # no SQL oracle (xxhash64 sketches / seeded sampling are not
+    # SQL-expressible) → driver rows-only check; invariants in tests/.
+    return o

@@ -1,0 +1,69 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is forced with a full collect (the driver-comparable
+shape); value = total wall seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from demv_spark.session import get_spark
+
+HEADLINE = [
+    "q_count_group_weights",
+    "q_metric_fairness_suite",
+    "q_metric_avg_odds_diff",
+    "q_demv_rebalance_uniform",
+    "q_etl_zscore",
+    "q_etl_quantile_label",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_sim_cosine_topk",
+    "q_text_quality",
+    "q_events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(
+        "demv-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

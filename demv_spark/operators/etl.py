@@ -1,0 +1,213 @@
+"""Feature-engineering ETL kit — SURVEY.md §2.2 (P1–P10) and §2.7 (F1–F10).
+
+Everything the reference's per-dataset loaders do
+(replication_package/src/getdataset.py:9-545) as composable,
+SQL-expressible DataFrame transforms. No UDFs anywhere: each operator
+is a pure column expression, so Catalyst keeps it inside whole-stage
+codegen and each has a direct ANSI-SQL rendering for the DuckDB
+oracle.
+
+Scale notes: the only operators that aggregate are zscore (one fused
+agg broadcast back — one scan), label_encode / quantile ops (shuffle
+of the *distinct values* only, broadcast back). Everything else is
+embarrassingly parallel row-local work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import StringType
+
+
+def binarize(df: DataFrame, col: str, threshold: float, out: str | None = None) -> DataFrame:
+    """P8 — threshold binarization, the single most repeated reference
+    op (getdataset.py:98-101 et al., ~20 sites): x >= t → 1 else 0.
+    SQL: CASE WHEN x >= t THEN 1 ELSE 0 END."""
+    return df.withColumn(out or col, (F.col(col) >= F.lit(threshold)).cast("int"))
+
+
+def recode_when(df: DataFrame, col: str, pred: Column, value) -> DataFrame:
+    """P6 — conditional value recode (`loc[pred, col] = v`,
+    getdataset.py:19-20 etc.)."""
+    return df.withColumn(col, F.when(pred, F.lit(value)).otherwise(F.col(col)))
+
+
+def recode_map(df: DataFrame, col: str, mapping: Mapping, out: str | None = None) -> DataFrame:
+    """P7 — dictionary value replace (getdataset.py:230-236): values
+    absent from the map pass through. Chained CASE WHEN — stays in
+    codegen; for very large maps use a broadcast-join instead."""
+    expr = None
+    for k, v in mapping.items():
+        cond = F.col(col) == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    expr = expr.otherwise(F.col(col)) if expr is not None else F.col(col)
+    return df.withColumn(out or col, expr)
+
+
+def bucketize(
+    df: DataFrame,
+    col: str,
+    splits: Sequence[float],
+    labels: Sequence | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """F1 — fixed-bin bucketize (pd.cut semantics, getdataset.py:21-32):
+    bin i covers (splits[i], splits[i+1]]; below/above range → NULL.
+    SQL: CASE WHEN chain over the same boundaries."""
+    out = out or f"{col}_bin"
+    expr = None
+    for i in range(len(splits) - 1):
+        lo, hi = splits[i], splits[i + 1]
+        lab = labels[i] if labels else i
+        cond = (F.col(col) > F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return df.withColumn(out, expr)
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    out: str | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """F2/A7 — quantile bucketize (pd.qcut, getdataset.py:340) via
+    NTILE(n) OVER (ORDER BY col, tiebreak…) — exact and identical in
+    Spark and DuckDB given a total order (pass tiebreak columns when
+    `col` has duplicates).
+
+    Scale note: a global NTILE is a single-ordering window (one sort).
+    For 100 TB use approx_quantile_bucketize below instead; this exact
+    form is the oracle-parity path."""
+    w = Window.orderBy(F.col(col), *[F.col(t) for t in tiebreak])
+    return df.withColumn(out or f"{col}_q", F.ntile(n_buckets).over(w))
+
+
+def approx_quantile_bucketize(
+    df: DataFrame, col: str, n_buckets: int, out: str | None = None, rel_err: float = 1e-4
+) -> DataFrame:
+    """A7 scale path: cut points from approxQuantile (distributed
+    Greenwald-Khanna sketch, no global sort), then a row-local CASE
+    chain. Not oracle-exact by construction — use for big data."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(col, qs, rel_err)
+    expr = None
+    for i, c in enumerate(cuts):
+        cond = F.col(col) <= F.lit(c)
+        expr = F.when(cond, F.lit(i + 1)) if expr is None else expr.when(cond, F.lit(i + 1))
+    expr = expr.otherwise(F.lit(n_buckets)) if expr is not None else F.lit(1)
+    return df.withColumn(out or f"{col}_q", expr)
+
+
+def quantile_label(
+    df: DataFrame, col: str, n_classes: int, out: str = "y", tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """F6 — quantile-based multiclass label construction
+    (getdataset.py:173-180): class = quantile bucket − 1."""
+    q = quantile_bucketize(df, col, n_classes, out="__q", tiebreak=tiebreak)
+    return q.withColumn(out, (F.col("__q") - 1).cast("int")).drop("__q")
+
+
+def one_hot(
+    df: DataFrame, col: str, values: Sequence, prefix: str | None = None, drop: bool = True
+) -> DataFrame:
+    """F3/J1 — one-hot expansion (pd.get_dummies, getdataset.py:35-48)
+    as explicit indicator columns: new cols in the same plan, no join.
+    `values` must be the category list (enumerate with
+    distinct_values() when unknown). SQL: one CASE WHEN per value."""
+    prefix = prefix or col
+    out = df
+    for v in values:
+        name = f"{prefix}_{v}"
+        out = out.withColumn(name, (F.col(col) == F.lit(v)).cast("int"))
+    return out.drop(col) if drop else out
+
+
+def label_encode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """F4 — label encode with sklearn LabelEncoder parity: codes are
+    assigned in *lexicographic* order (sklearn sorts; MLlib
+    StringIndexer defaults to frequency — SURVEY §2.7 F4 footgun).
+
+    Plan: distinct values (small shuffle) → dense_rank over the tiny
+    distinct table → broadcast join back. One scan of the base table.
+    SQL: DENSE_RANK() OVER (ORDER BY col) - 1 via a distinct CTE."""
+    out = out or f"{col}_enc"
+    dv = df.select(F.col(col)).distinct()
+    codes = dv.withColumn(
+        out, (F.dense_rank().over(Window.orderBy(F.col(col))) - 1).cast("int")
+    )
+    return df.join(F.broadcast(codes), on=col, how="left")
+
+
+def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """F5/A6 — z-score normalization ((x−μ)/σ, getdataset.py:172).
+    Uses sample std (ddof=1) for parity with the reference's pandas
+    ``.std()`` default.
+
+    One fused aggregate over all cols (stable decimal sums for
+    cross-engine determinism) broadcast back via crossJoin — a single
+    scan + a 1-row broadcast."""
+    from demv_spark.functions.compat import stable_sum
+
+    aggs = []
+    for c in cols:
+        aggs.append(stable_sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(stable_sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+        aggs.append(F.count(F.col(c)).cast("double").alias(f"__n_{c}"))
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        n, s, ss = F.col(f"__n_{c}"), F.col(f"__s_{c}"), F.col(f"__ss_{c}")
+        mean = s / n
+        # sample variance: (ss - n*mean^2) / (n - 1)
+        std = F.sqrt((ss - n * mean * mean) / (n - F.lit(1.0)))
+        out = out.withColumn(c, (F.col(c) - mean) / std)
+    return out.drop(*[f"__{p}_{c}" for c in cols for p in ("s", "ss", "n")])
+
+
+def union_provenance(
+    a: DataFrame, b: DataFrame, col: str = "type", a_val=0, b_val=1
+) -> DataFrame:
+    """F7 — vertical union with provenance column (red+white wine,
+    getdataset.py:495-499). unionByName keeps schema alignment."""
+    return a.withColumn(col, F.lit(a_val)).unionByName(b.withColumn(col, F.lit(b_val)))
+
+
+def drop_string_cols(df: DataFrame) -> DataFrame:
+    """P10 — drop remaining object/string columns (getdataset.py:237-238)."""
+    drops = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    return df.drop(*drops)
+
+
+def drop_na_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P5 — drop rows with any NULL (getdataset.py:170,334)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def drop_all_null_cols(df: DataFrame) -> DataFrame:
+    """P5 — drop columns that are entirely NULL: one fused
+    count(col) aggregate, then a driver-side drop list."""
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).collect()[0]
+    return df.drop(*[c for c in df.columns if counts[c] == 0])
+
+
+def random_relabel(
+    df: DataFrame,
+    pred: Column,
+    label: str,
+    new_value,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """F9 — park-style noise injection (getdataset.py:451-452): pick n
+    random rows matching `pred`, set their label. One pass: rank
+    matching rows by rand(seed), flip where rank <= n."""
+    w = Window.partitionBy(pred.cast("int")).orderBy(F.rand(seed))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    flipped = F.when(pred & (F.col("__rn") <= n), F.lit(new_value)).otherwise(F.col(label))
+    return ranked.withColumn(label, flipped).drop("__rn")

@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed
+(random-hyperplane signatures) as the scale path — candidates come
+from an equi-join on the signature prefix, never a full cross join.
+
+Dot products are pure `zip_with`/`aggregate` column expressions over
+double-cast arrays (Arrow-free, JVM-side). At very high dims, a
+vectorized Pandas-UDF path would amortize better; 64-1024 dims stay
+comfortably JVM-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — sequential left fold, deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan: broadcast the (small) query set against the corpus —
+    a broadcast nested-loop of |Q|×|corpus| dot products with NO
+    shuffle of the corpus; then per-query top-k via window. Scales
+    linearly in the corpus for a bounded query set, which is the
+    realistic 100 TB shape (the all-pairs case is what LSH is for).
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    seeded LCG — no numpy needed at plan-build time)."""
+    state = seed & 0x7FFFFFFF
+    def rnd():
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            u1, u2 = max(rnd(), 1e-12), rnd()
+            v.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    out: str = "lsh_sig",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (SRP) signature: bit i = sign(v·plane_i).
+    Pure column arithmetic against literal plane arrays."""
+    v = _as_double(vec_col)
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(x) for x in p]))
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseXOR(F.shiftleft(bit, i))
+    return df.withColumn(out, sig)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: SRP signatures, candidates share at least one
+    signature band (equi-join on (band, chunk)), exact cosine re-rank
+    of candidates only. Recall rises with n_planes/band count;
+    corpus-side work is one linear signature pass + a hash join."""
+    assert n_planes % band_bits == 0
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df_in: DataFrame, role: str) -> DataFrame:
+        s = lsh_signature(df_in, dim, n_planes, vec_col, "__sig", seed)
+        return s.select(
+            F.col(id_col).alias(f"{role}_id"),
+            _as_double(vec_col).alias(f"{role}_v"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ])
+            ).alias("bc"),
+        ).select(
+            f"{role}_id", f"{role}_v",
+            F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+        )
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "chunk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_v", "neighbor_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_v"), F.col("neighbor_v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidates, exact
+    cosine filter at `threshold`. Returns (id_a, id_b, cos_sim)."""
+    assert n_planes % band_bits == 0
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    s = lsh_signature(df, dim, n_planes, vec_col, "__sig", seed)
+    banded = s.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sig"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bc"),
+    ).select("id", "v", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

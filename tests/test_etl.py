@@ -1,0 +1,90 @@
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators import etl
+
+
+def test_binarize(spark):
+    df = spark.createDataFrame([(1.0,), (33.0,), (50.0,)], ["x"])
+    got = [r["x"] for r in etl.binarize(df, "x", 33).collect()]
+    assert got == [0, 1, 1]
+
+
+def test_recode_map_passthrough(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("z",)], ["c"])
+    got = [r["c"] for r in etl.recode_map(df, "c", {"a": "A", "b": "B"}).collect()]
+    assert got == ["A", "B", "z"]
+
+
+def test_recode_when(spark):
+    df = spark.createDataFrame([(1,), (5,), (9,)], ["v"])
+    got = [r["v"] for r in etl.recode_when(df, "v", F.col("v") > 4, 0).collect()]
+    assert got == [1, 0, 0]
+
+
+def test_bucketize_pd_cut_semantics(spark):
+    df = spark.createDataFrame([(0.5,), (1.0,), (1.5,), (99.0,)], ["x"])
+    out = etl.bucketize(df, "x", splits=[0, 1, 2], labels=["lo", "hi"]).collect()
+    got = [r["x_bin"] for r in out]
+    assert got == ["lo", "lo", "hi", None]  # (0,1], (1,2], out-of-range → NULL
+
+
+def test_quantile_bucketize_ntile(spark):
+    df = spark.createDataFrame([(float(i), i) for i in range(10)], ["x", "id"])
+    out = etl.quantile_bucketize(df, "x", 5, tiebreak=["id"]).orderBy("x").collect()
+    assert [r["x_q"] for r in out] == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_quantile_label(spark):
+    df = spark.createDataFrame([(float(i), i) for i in range(9)], ["x", "id"])
+    out = etl.quantile_label(df, "x", 3, out="y", tiebreak=["id"]).orderBy("x").collect()
+    assert [r["y"] for r in out] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+def test_one_hot(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["cat"])
+    out = etl.one_hot(df, "cat", values=["a", "b"]).collect()
+    assert [(r["cat_a"], r["cat_b"]) for r in out] == [(1, 0), (0, 1), (0, 0)]
+    assert "cat" not in etl.one_hot(df, "cat", values=["a"]).columns
+
+
+def test_label_encode_alphabetical(spark):
+    # sklearn LabelEncoder parity: lexicographic order, not frequency
+    df = spark.createDataFrame([("b",), ("b",), ("a",), ("c",)], ["s"])
+    got = {r["s"]: r["s_enc"] for r in etl.label_encode(df, "s").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_zscore_sample_std(spark):
+    import statistics
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = sorted(r["x"] for r in etl.zscore(df, ["x"]).collect())
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)  # ddof=1
+    exp = sorted((v - mu) / sd for v in vals)
+    assert out == pytest.approx(exp, abs=1e-9)
+
+
+def test_union_provenance(spark):
+    a = spark.createDataFrame([(1.0,)], ["q"])
+    b = spark.createDataFrame([(2.0,), (3.0,)], ["q"])
+    out = etl.union_provenance(a, b, "type", 0, 1).collect()
+    assert sorted((r["q"], r["type"]) for r in out) == [(1.0, 0), (2.0, 1), (3.0, 1)]
+
+
+def test_drop_string_cols(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    assert etl.drop_string_cols(df).columns == ["a", "c"]
+
+
+def test_drop_all_null_cols(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
+    assert etl.drop_all_null_cols(df).columns == ["a"]
+
+
+def test_random_relabel_count(spark):
+    df = spark.createDataFrame([(i, 0) for i in range(100)], ["id", "y"])
+    out = etl.random_relabel(df, F.col("id") < 50, "y", 1, n=10, seed=1)
+    flipped = out.filter(F.col("y") == 1)
+    assert flipped.count() == 10
+    assert flipped.filter(F.col("id") >= 50).count() == 0  # only matching rows flip

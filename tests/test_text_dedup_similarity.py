@@ -1,0 +1,121 @@
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators import dedup, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "The  quick  brown fox jumps over the lazy dog"),        # whitespace/case dup of 1
+    (4, "the quick brown fox jumps over the sleepy dog"),        # near dup (1 word)
+    (5, "completely different text about spark engines and scale"),
+    (6, "der schnelle braune fuchs und die katze ist nicht da"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert got[1] == 9 and got[3] == 9  # multi-space collapses
+
+
+def test_quality_score_range(docs):
+    for r in text.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[6] == "de"
+    # no markers at all → 'und'
+    assert got[5] in ("en", "und")  # 'and' is an en marker
+
+
+def test_fingerprint_normalization(docs):
+    got = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[1] != got[4]
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]  # 2,3 collapse into 1 (normalized)
+    raw = dedup.exact_dedup(docs, normalized=False)
+    assert sorted(r["doc_id"] for r in raw.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.3 <= pairs[(1, 4)] < 1.0
+    assert all(5 not in p and 6 not in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups(docs):
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+    assert pairs.get((1, 2)) == 1.0   # identical docs always collide
+    assert (1, 3) in pairs            # normalized-identical too
+    assert (1, 4) in pairs            # near-dup should be caught with 16 bands
+
+
+def test_simhash_near_pairs(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[1] == sig[2]  # identical text → identical signature
+    out = dedup.simhash_near_pairs(docs, max_hamming=10, bands=8)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [0.95, 0.05, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_topk_bruteforce(vecs):
+    out = similarity.cosine_topk_bruteforce(
+        vecs.filter(F.col("vec_id") == 1), vecs, k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert [g[0] for g in got] == [5, 2]  # closest first
+    cos12 = next(r["cos_sim"] for r in out if r["neighbor_id"] == 2)
+    exp = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert cos12 == pytest.approx(exp, abs=1e-6)
+
+
+def test_cosine_topk_lsh_recall(vecs):
+    exact = similarity.cosine_topk_bruteforce(vecs.filter(F.col("vec_id") == 1), vecs, k=1)
+    approx = similarity.cosine_topk_lsh(
+        vecs.filter(F.col("vec_id") == 1), vecs, dim=4, k=1, n_planes=8, band_bits=2
+    )
+    e = exact.collect()[0]
+    a = approx.collect()
+    assert a, "LSH returned no candidates for a near-identical vector"
+    assert a[0]["neighbor_id"] == e["neighbor_id"]
+
+
+def test_embedding_near_dup(vecs):
+    out = similarity.embedding_near_dup(vecs, dim=4, threshold=0.98, n_planes=8, band_bits=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 5) in pairs
+    assert (1, 3) not in pairs
