@@ -274,6 +274,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
+    # ---- streaming operators, batch-symmetric form ----
+    def _stream_census(spark, sf):
+        from demv_spark.streaming.monitor import windowed_group_census
+
+        ev = _t(spark, sf, "events").select(
+            "ts",
+            (F.col("user_id") % 2).cast("int").alias("s"),
+            (F.col("value") > 50).cast("int").alias("y"),
+        )
+        out = windowed_group_census(ev, ["s"], "y", window="6 hours")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "s", "y", "n",
+        )
+
+    q["q_stream_window_census"] = _stream_census
+
+    def _sessionize(spark, sf):
+        from demv_spark.streaming.monitor import session_window_rollup
+
+        out = session_window_rollup(_t(spark, sf, "events"), gap="30 minutes")
+        return out.select(
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "user_id", "n_events",
+        )
+
+    q["q_stream_sessionize"] = _sessionize
+
+    # ---- ML evaluation harness ----
+    def _fold_sizes(spark, sf):
+        from demv_spark.ml.evaluation import assign_folds
+
+        return (
+            assign_folds(_t(spark, sf, "orders"), k=10, seed=2)
+            .groupBy("fold").agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["q_ml_fold_sizes"] = _fold_sizes
+
+    def _oof_predictions(spark, sf):
+        from demv_spark.ml.evaluation import build_classifier, out_of_fold_predictions
+
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") / 100000).alias("f1"),
+            F.length("o_orderpriority").cast("double").alias("f2"),
+            (F.col("o_custkey") % 97).cast("double").alias("f3"),
+            _true_pos().cast("double").alias("y"),
+        )
+        clf = build_classifier("logistic", "y", "__features", n_classes=2)
+        return out_of_fold_predictions(tbl, ["f1", "f2", "f3"], "y", clf, k=3)
+
+    q["q_ml_out_of_fold"] = _oof_predictions
+
+    # ---- post-processing balancer ----
+    def _postprocess(spark, sf):
+        from demv_spark.operators.postprocess import equalize_positive_rates
+
+        return equalize_positive_rates(
+            _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            ["o_orderpriority"], "o_totalprice", rate=0.25, tiebreak=["o_orderkey"],
+        )
+
+    q["q_postprocess_equalize"] = _postprocess
+
+    # ---- declarative dataset recipe (loader kit) ----
+    def _dataset_recipe(spark, sf):
+        from demv_spark.sources.datasets import DatasetSpec, load
+
+        spec = DatasetSpec(
+            filter_sql="c_acctbal IS NOT NULL",
+            binarize={"c_acctbal": 0.0},
+            one_hot={"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]},
+            drop=["c_name"],
+        )
+        out = load(_t(spark, sf, "customer"), spec)
+        return out.withColumnsRenamed(
+            {"c_mktsegment_AUTOMOBILE": "seg_auto", "c_mktsegment_BUILDING": "seg_bld",
+             "c_mktsegment_FURNITURE": "seg_furn", "c_mktsegment_HOUSEHOLD": "seg_house",
+             "c_mktsegment_MACHINERY": "seg_mach"}
+        )
+
+    q["q_dataset_recipe"] = _dataset_recipe
+
     return q
 
 
@@ -582,6 +666,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    """
+    o["q_stream_window_census"] = """
+        SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+               CAST(user_id % 2 AS INTEGER) AS s,
+               CAST(value > 50 AS INTEGER) AS y,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    """
+    o["q_stream_sessionize"] = """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ), islands AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
+               user_id, COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, session_id
+    """
+    o["q_ml_fold_sizes"] = """
+        WITH n AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT CAST(i AS INTEGER) AS fold,
+               total // 10 + CASE WHEN i < total % 10 THEN 1 ELSE 0 END AS n_rows
+        FROM range(10) t(i), n
+    """
+    o["q_postprocess_equalize"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey)
+                    <= CEIL(COUNT(*) OVER (PARTITION BY o_orderpriority) * 0.25)
+                    AS INTEGER) AS prediction_adj
+        FROM orders
+    """
+    o["q_dataset_recipe"] = """
+        SELECT c_custkey,
+               CAST(c_acctbal >= 0.0 AS INTEGER) AS c_acctbal,
+               c_nationkey,
+               CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS seg_auto,
+               CAST(c_mktsegment = 'BUILDING' AS INTEGER) AS seg_bld,
+               CAST(c_mktsegment = 'FURNITURE' AS INTEGER) AS seg_furn,
+               CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER) AS seg_house,
+               CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS seg_mach
+        FROM customer WHERE c_acctbal IS NOT NULL
     """
 
     # q_dedup_minhash_lsh, q_dedup_simhash, q_sim_near_dup,

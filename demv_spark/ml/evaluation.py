@@ -1,0 +1,231 @@
+"""Evaluation harness — SURVEY.md §2.6 (E1–E7, E10–E11).
+
+The reference evaluates debiasing with sklearn KFold(10, shuffle,
+seed=2) + classifier train/predict per fold, collecting fairness
+metrics per fold (utils.py:136-158, 242-261). Here:
+
+- fold assignment is a COLUMN (seeded ntile over a random order —
+  fold sizes match sklearn KFold exactly: the first n%k folds get the
+  extra row), so per-fold train/test splits are plain filters that
+  Catalyst prunes;
+- classifiers are MLlib estimators (distributed fit/predict) behind
+  the same four names the reference uses (generatemetrics.py:172-184);
+- the featurized table is cached once before the k-fold loop — the
+  reference re-slices an in-memory pandas frame, the Spark analogue
+  is reuse of a cached DataFrame, not 10× ETL recompute;
+- per-fold metrics are ONE fused aggregate each (fairness_suite), and
+  the final report is mean ± std over the tiny per-fold table
+  (A5/E10), with explode for list-valued cells (E11).
+
+sklearn↔MLlib gaps (documented, SURVEY §7): GBTClassifier is
+binary-only → multiclass falls back to RandomForest; LinearSVC gets
+OneVsRest for multiclass; MLP needs explicit layer sizes. Metric
+parity with the reference is tolerance-based, never bitwise.
+
+Fairlearn ExponentiatedGradient/GridSearch (E8) are third-party
+reduction *algorithms*, not engine operators — out of scope; the
+engine-side hook they need (instance-weight column + reweighed
+refits) exists via `weightCol` on every MLlib classifier here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from demv_spark.functions import metrics as M
+
+
+def assign_folds(
+    df: DataFrame, k: int = 10, seed: int = 2, fold_col: str = "fold", exact: bool = True
+) -> DataFrame:
+    """Seeded fold-assignment column (E4, utils.py:137,145-148).
+
+    exact=True: ntile(k) over rand(seed) — fold sizes identical to
+    sklearn KFold (first n % k folds take the extra row). Global sort;
+    right for datasets that fit a sort (the reference's regime).
+
+    exact=False: pmod(hash, k) — shuffle-free, scales to any size,
+    fold sizes only approximately equal (the 100 TB default)."""
+    if exact:
+        w = Window.orderBy(F.rand(seed))
+        return df.withColumn(fold_col, F.ntile(k).over(w) - 1)
+    return df.withColumn(
+        fold_col, F.pmod(F.xxhash64(F.struct(*df.columns), F.lit(seed)), k).cast("int")
+    )
+
+
+def build_classifier(name: str, label_col: str, features_col: str, n_classes: int, seed: int = 2):
+    """E3 — classifier factory matching generatemetrics.py:172-184:
+    logistic | gradient | svc | mlp (+ input layer sizes for mlp)."""
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        LinearSVC,
+        LogisticRegression,
+        OneVsRest,
+        RandomForestClassifier,
+    )
+
+    if name == "logistic":
+        return LogisticRegression(labelCol=label_col, featuresCol=features_col)
+    if name == "gradient":
+        if n_classes <= 2:
+            return GBTClassifier(labelCol=label_col, featuresCol=features_col, seed=seed)
+        # GBT is binary-only in MLlib → documented RF fallback
+        return RandomForestClassifier(labelCol=label_col, featuresCol=features_col, seed=seed)
+    if name == "svc":
+        svc = LinearSVC(labelCol=label_col, featuresCol=features_col)
+        if n_classes <= 2:
+            return svc
+        return OneVsRest(classifier=svc, labelCol=label_col, featuresCol=features_col)
+    if name == "mlp":
+        raise ValueError("mlp needs explicit layers; use build_mlp(...)")
+    raise ValueError(f"unknown classifier: {name}")
+
+
+def build_mlp(label_col: str, features_col: str, layers: Sequence[int], seed: int = 2):
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    return MultilayerPerceptronClassifier(
+        labelCol=label_col, featuresCol=features_col, layers=list(layers), seed=seed
+    )
+
+
+def _pipeline(feature_cols: Sequence[str], label_col: str, classifier):
+    """E1+E2 — VectorAssembler → StandardScaler → classifier
+    (reference: make_pipeline(StandardScaler(), model),
+    generatemetrics.py:196)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    assembler = VectorAssembler(inputCols=list(feature_cols), outputCol="__raw_features")
+    scaler = StandardScaler(
+        inputCol="__raw_features", outputCol="__features", withMean=True, withStd=True
+    )
+    clf = classifier.copy() if hasattr(classifier, "copy") else classifier
+    clf = clf.setParams(featuresCol="__features") if hasattr(clf, "setParams") else clf
+    return Pipeline(stages=[assembler, scaler, clf])
+
+
+def out_of_fold_predictions(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    classifier,
+    k: int = 10,
+    seed: int = 2,
+    fold_col: str = "fold",
+    debias: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """E7 (confusionmatrix.py:147-205): per fold, fit on the other
+    k−1 folds (optionally debiased first), predict the held-out fold;
+    union of the k test-fold predictions covers every row exactly
+    once. No row-id writeback join is needed — predictions stay
+    attached to their rows through transform (the reference's
+    positional writeback at confusionmatrix.py:203 is a pandas-ism).
+
+    Returns df columns + `prediction` (double) + `y_true` (the label
+    copied, matching the reference's column convention)."""
+    folded = assign_folds(df, k, seed, fold_col).cache()
+    pipe = _pipeline(feature_cols, label_col, classifier)
+    parts = []
+    for fold in range(k):
+        train = folded.filter(F.col(fold_col) != fold)
+        test = folded.filter(F.col(fold_col) == fold)
+        if debias is not None:
+            train = debias(train)
+        model = pipe.fit(train)
+        pred = model.transform(test).drop(
+            "__raw_features", "__features", "rawPrediction", "probability"
+        )
+        parts.append(pred)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("y_true", F.col(label_col))
+
+
+def cross_val(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    classifier,
+    unpriv,
+    positive_label,
+    sensitive: Sequence[str],
+    k: int = 10,
+    seed: int = 2,
+    debias: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """E4+E5 (utils.py:136-158): k-fold cross-validation collecting
+    the fairness metric suite per fold. `unpriv` is a Column predicate
+    over the raw columns; `positive_label` the positive class value.
+    Optional `debias` callable (e.g. DEMV fit_transform) runs on each
+    training split only, mirroring _demv_training (utils.py:231-239).
+
+    Returns one row per fold: (fold, stat_par, disp_imp, eq_odds, acc,
+    zero_one_loss)."""
+    folded = assign_folds(df, k, seed).cache()
+    pipe = _pipeline(feature_cols, label_col, classifier)
+    rows = []
+    for fold in range(k):
+        train = folded.filter(F.col("fold") != fold)
+        test = folded.filter(F.col("fold") == fold)
+        if debias is not None:
+            train = debias(train)
+        model = pipe.fit(train)
+        pred = model.transform(test)
+        suite = M.fairness_suite(
+            pred,
+            unpriv,
+            F.col("prediction") == positive_label,
+            F.col(label_col) == positive_label,
+            label_col,
+            "prediction",
+        ).collect()[0]
+        loss = M.zero_one_loss_diff(pred, label_col, "prediction", sensitive).collect()[0][0]
+        rows.append(
+            {
+                "fold": fold,
+                "stat_par": suite["stat_par"],
+                "disp_imp": suite["disp_imp"],
+                "eq_odds": suite["eq_odds"],
+                "acc": suite["acc"],
+                "zero_one_loss": loss,
+            }
+        )
+    return df.sparkSession.createDataFrame(rows)
+
+
+def metrics_report(per_fold: DataFrame, metric_cols: Sequence[str] | None = None) -> DataFrame:
+    """E10/A5 (utils.py:330-340): mean ± population std per metric
+    over the per-fold table. Long form: (metric, mean, std)."""
+    metric_cols = metric_cols or [c for c in per_fold.columns if c != "fold"]
+    pieces = [
+        per_fold.agg(
+            F.lit(c).alias("metric"),
+            F.avg(c).alias("mean"),
+            F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("std"),
+        )
+        for c in metric_cols
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def explode_metric_lists(df: DataFrame, list_cols: Sequence[str]) -> DataFrame:
+    """E11 (utils.py:342-354): explode list-valued metric cells into
+    rows for CSV output — literal same-name Spark op."""
+    out = df
+    for c in list_cols:
+        out = out.withColumn(c, F.explode(c))
+    return out
+
+
+def write_metrics_csv(df: DataFrame, path: str) -> None:
+    """S6 — CSV sink for (tiny) metric tables (utils.py:352-358)."""
+    df.toPandas().to_csv(path, index=False)

@@ -1,0 +1,146 @@
+"""Structured Streaming operators — online fairness monitoring.
+
+The reference is batch-only (SURVEY.md §2.8: no streaming anywhere),
+so this module is an *extension*: the engine's counting core applied
+to unbounded data. The design follows the standard Structured
+Streaming shapes:
+
+- windowed group census with watermark (late data bounded, state
+  evicted) — ONE streaming aggregation per query (Spark's limit);
+- disparity derivation (w_exp/w_obs needs three aggregates of the
+  same census) runs in ``foreachBatch`` on each micro-batch's census
+  delta — the documented pattern for multi-aggregate post-processing;
+- sessionization via ``session_window`` (native stateful op).
+
+Every operator returns a plain DataFrame plan that works identically
+on a batch frame (tested that way) and on ``spark.readStream`` input —
+the same lazy plan, different source. That batch/stream symmetry is
+the whole point of the DataFrame-first design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def windowed_group_census(
+    df: DataFrame,
+    sensitive: Sequence[str],
+    label: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(time-window, sensitive…, label) counts with a watermark.
+
+    On a stream: append-mode capable (watermarked tumbling window);
+    state per open window × group only. On a batch frame: identical
+    results, watermark is a no-op."""
+    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        wm.groupBy(F.window(ts_col, window).alias("w"), *sensitive, label)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *sensitive,
+            label,
+            "n",
+        )
+    )
+
+
+def derive_disparities(
+    census: DataFrame, sensitive: Sequence[str], label: str
+) -> DataFrame:
+    """Batch post-processing of a windowed census: per-window group
+    weights (w_exp frozen on the window's own total — the streaming
+    analogue of the reference's frozen-N invariant). Used inside
+    foreachBatch, where multi-aggregate plans are allowed."""
+    keys = ["window_start", "window_end"]
+    sens = census.groupBy(*keys, *sensitive).agg(F.sum("n").alias("n_sens"))
+    lab = census.groupBy(*keys, label).agg(F.sum("n").alias("n_label"))
+    tot = census.groupBy(*keys).agg(F.sum("n").alias("n_total"))
+    out = (
+        census.join(sens, [*keys, *sensitive])
+        .join(lab, [*keys, label])
+        .join(tot, keys)
+    )
+    w_exp = (F.col("n_sens") / F.col("n_total")) * (F.col("n_label") / F.col("n_total"))
+    w_obs = F.col("n") / F.col("n_total")
+    return out.select(
+        *keys, *sensitive, label, "n",
+        w_exp.alias("w_exp"), w_obs.alias("w_obs"),
+        (w_exp / w_obs).alias("disparity"),
+    )
+
+
+def disparity_monitor(
+    stream: DataFrame,
+    sensitive: Sequence[str],
+    label: str,
+    sink_table: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """End-to-end online disparity monitor: windowed census stream →
+    foreachBatch → per-window disparities appended to an in-memory /
+    catalog table. Returns the StreamingQuery (caller awaits it)."""
+    census = windowed_group_census(stream, sensitive, label, ts_col, window, watermark)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        disp = derive_disparities(batch_df, sensitive, label)
+        disp.write.mode("append").saveAsTable(sink_table)
+
+    writer = census.writeStream.outputMode("append").foreachBatch(emit)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def event_rate_monitor(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed event-type rates — the plain streaming rollup."""
+    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        wm.groupBy(F.window(ts_col, window).alias("w"), type_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n",
+        )
+    )
+
+
+def session_window_rollup(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user sessionization via native session_window (stateful op;
+    applyInPandasWithState would only be needed for custom session
+    logic beyond a gap timeout)."""
+    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        wm.groupBy(F.session_window(ts_col, gap).alias("s"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )

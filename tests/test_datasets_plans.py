@@ -1,0 +1,94 @@
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.plans.introspect import assert_no_python_udf, explain_str, plan_stats
+from demv_spark.sources.datasets import DatasetSpec, load
+
+
+@pytest.fixture(scope="module")
+def cmc_like(spark):
+    """cmc-loader-shaped raw table (getdataset.py:86-124 recipe shape)."""
+    rows = [
+        (24, 2, 3, 3, 1, 1, 2, 3, 0, 1),
+        (45, 1, 3, 10, 1, 1, 3, 4, 0, 1),
+        (43, 2, 3, 7, 1, 1, 3, 4, 0, 3),
+        (42, 3, 2, 9, 1, 1, 3, 3, 0, 2),
+        (36, 3, 3, 8, 1, 1, 3, 2, 0, 3),
+        (19, 4, 4, 0, 1, 0, 3, 3, 0, 2),
+        (38, 2, 3, 6, 1, 1, 3, 2, 0, 3),
+        (21, 3, 3, 1, 1, 0, 3, 2, 0, 2),
+        (27, 2, 3, 3, 1, 1, 3, 4, 0, 1),
+        (45, 1, 1, 8, 1, 1, 2, 4, 1, 1),
+    ]
+    cols = ["wife_age", "wife_edu", "hus_edu", "num_child", "wife_religion",
+            "wife_work", "hus_occ", "living", "media", "y"]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_dataset_spec_cmc_shape(cmc_like):
+    spec = DatasetSpec(
+        binarize={"wife_age": 33},                     # getdataset.py:98-101 pattern
+        recodes={"y": {1: 0, 2: 1, 3: 2}},             # label recode
+        one_hot={"hus_occ": [1, 2, 3, 4]},
+        sensitive=["wife_religion", "wife_work"],
+        label="y",
+    )
+    out = load(cmc_like, spec)
+    rows = out.collect()
+    assert all(r["wife_age"] in (0, 1) for r in rows)
+    assert all(r["y"] in (0, 1, 2) for r in rows)
+    assert "hus_occ_1" in out.columns and "hus_occ" not in out.columns
+
+
+def test_dataset_spec_filter_and_quantile_label(cmc_like):
+    spec = DatasetSpec(
+        filter_sql="num_child > 0",
+        quantile_label=("wife_age", 3),
+        drop=["media"],
+    )
+    out = load(cmc_like, spec)
+    assert out.filter(F.col("num_child") <= 0).count() == 0
+    assert set(r["y"] for r in out.collect()) <= {0, 1, 2}
+    assert "media" not in out.columns
+
+
+def test_single_pass_recipe_plan(cmc_like):
+    """The whole recipe (filter+recode+binarize+one-hot) must compile
+    to a scan-side projection: no shuffle exchanges at all."""
+    spec = DatasetSpec(
+        filter_sql="num_child >= 0",
+        binarize={"wife_age": 33},
+        recodes={"y": {1: 0, 2: 1, 3: 2}},
+        one_hot={"hus_occ": [1, 2, 3, 4]},
+    )
+    out = load(cmc_like, spec)
+    stats = plan_stats(out)
+    assert stats["n_exchanges"] == 0
+    assert not stats["has_python_udf"]
+
+
+def test_plan_stats_detects_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    stats = plan_stats(q)
+    assert any("l_quantity" in p for p in stats["pushed_filters"])
+    assert any("l_orderkey" in s and "l_returnflag" not in s for s in stats["read_schemas"])
+
+
+def test_assert_no_python_udf_fires(spark):
+    from pyspark.sql.functions import udf
+
+    bad = udf(lambda x: x + 1)
+    df = spark.range(5).select(bad("id").alias("x"))
+    with pytest.raises(AssertionError):
+        assert_no_python_udf(df)
+
+
+def test_engine_hot_paths_have_no_python_udf(spark):
+    """Every SQL-oracled query must stay JVM-side end-to-end."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in oracles:
+        assert_no_python_udf(qs[name](spark, "/root/testdata/sf0.001"))

@@ -1,0 +1,112 @@
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.ml import evaluation as E
+from demv_spark.operators.balancer import DEMV
+from demv_spark.operators.postprocess import equalize_positive_rates, group_threshold_adjust
+from demv_spark.sources.generator import make_classification
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return make_classification(
+        spark, n_rows=400, n_features=4, n_classes=2, n_sensitive=1, seed=7
+    ).cache()
+
+
+def test_generator_shape_and_balance(data):
+    assert data.columns == ["f0", "f1", "f2", "f3", "s0", "y"]
+    n = data.count()
+    assert n == 400
+    s_counts = {r["s0"]: r["count"] for r in data.groupBy("s0").count().collect()}
+    assert s_counts[0] == s_counts[1] == 200  # exact half/half like the reference
+    assert data.select("y").distinct().count() == 2
+
+
+def test_assign_folds_exact_sizes(spark, data):
+    folded = E.assign_folds(data, k=7, seed=2)
+    sizes = sorted(r["count"] for r in folded.groupBy("fold").count().collect())
+    # sklearn KFold parity: first n%k folds get the extra row
+    assert sizes == [57, 57, 57, 57, 57, 57, 58]
+    # deterministic under same seed
+    a = E.assign_folds(data, 7, seed=2).groupBy("fold").count().collect()
+    b = E.assign_folds(data, 7, seed=2).groupBy("fold").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_assign_folds_hash_mode(data):
+    folded = E.assign_folds(data, k=5, seed=2, exact=False)
+    counts = folded.groupBy("fold").count().collect()
+    assert len(counts) == 5
+    assert sum(r["count"] for r in counts) == 400
+
+
+def test_out_of_fold_predictions_cover_all_rows(data):
+    clf = E.build_classifier("logistic", "y", "__features", n_classes=2)
+    pred = E.out_of_fold_predictions(data, ["f0", "f1", "f2", "f3"], "y", clf, k=3)
+    assert pred.count() == 400
+    assert "prediction" in pred.columns and "y_true" in pred.columns
+
+
+def test_cross_val_logistic_learns(data):
+    clf = E.build_classifier("logistic", "y", "__features", n_classes=2)
+    per_fold = E.cross_val(
+        data, ["f0", "f1", "f2", "f3"], "y", clf,
+        unpriv=F.col("s0") == 1, positive_label=1, sensitive=["s0"], k=3,
+    )
+    rows = per_fold.collect()
+    assert len(rows) == 3
+    accs = [r["acc"] for r in rows]
+    assert min(accs) > 0.7  # separable synthetic data → well above chance
+    report = {r["metric"]: r for r in E.metrics_report(per_fold).collect()}
+    assert set(report) == {"stat_par", "disp_imp", "eq_odds", "acc", "zero_one_loss"}
+    assert report["acc"]["mean"] == pytest.approx(sum(accs) / 3, abs=1e-9)
+
+
+def test_cross_val_with_demv_debias(data):
+    clf = E.build_classifier("logistic", "y", "__features", n_classes=2)
+
+    def debias(train):
+        return DEMV(["s0"], label="y", seed=3).fit_transform(train)
+
+    per_fold = E.cross_val(
+        data, ["f0", "f1", "f2", "f3"], "y", clf,
+        unpriv=F.col("s0") == 1, positive_label=1, sensitive=["s0"], k=2,
+        debias=debias,
+    )
+    assert per_fold.count() == 2
+
+
+@pytest.mark.parametrize("name,n_classes", [("gradient", 2), ("gradient", 3), ("svc", 2)])
+def test_classifier_factory(name, n_classes):
+    clf = E.build_classifier(name, "y", "__features", n_classes=n_classes)
+    assert clf is not None
+
+
+def test_classifier_factory_rejects_unknown():
+    with pytest.raises(ValueError):
+        E.build_classifier("quantum", "y", "f", 2)
+
+
+def test_explode_metric_lists(spark):
+    df = spark.createDataFrame([("a", [1.0, 2.0])], ["m", "vals"])
+    out = E.explode_metric_lists(df, ["vals"]).collect()
+    assert [r["vals"] for r in out] == [1.0, 2.0]
+
+
+def test_group_threshold_adjust(spark):
+    df = spark.createDataFrame(
+        [(1, 0.6), (1, 0.4), (0, 0.6), (0, 0.4)], ["s", "score"]
+    )
+    out = group_threshold_adjust(df, F.col("s") == 1, "score", 0.5, 0.3)
+    got = {(r["s"], r["score"]): r["prediction_adj"] for r in out.collect()}
+    assert got[(1, 0.4)] == 1   # unpriv threshold lowered
+    assert got[(0, 0.4)] == 0
+
+
+def test_equalize_positive_rates(spark):
+    rows = [(g, float(i)) for g in (0, 1) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "score"])
+    out = equalize_positive_rates(df, ["g"], "score", rate=0.3)
+    pos = out.filter(F.col("prediction_adj") == 1).groupBy("g").count().collect()
+    assert all(r["count"] == 3 for r in pos)
