@@ -47,6 +47,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # steady-state warmup: JVM/codegen/parquet-footer caches, so the
+    # first headline query isn't charged the session tax
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    entrymod._t(spark, sf_dir, "orders").limit(1).collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -41,13 +41,21 @@ def exact_dedup(
     )
 
 
+def _window_starts(k):
+    """[1..k], or empty when k < 1 (sequence(1,0) would be the
+    DESCENDING [1,0] — a footgun for sliding windows)."""
+    return F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles(col, n: int = 3):
     """Word n-gram (shingle) array: sliding windows over the token
-    array via transform+slice — no UDF, no explode-then-regroup."""
+    array via transform+slice — no UDF, no explode-then-regroup.
+    Documents with fewer than n tokens yield an empty array."""
     toks = tokens(col)
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.transform(_window_starts(k), lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def ngram_jaccard_pairs(
@@ -106,6 +114,28 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_hashes(col, n: int = 3):
+    """64-bit hashes of word n-gram shingles, built without
+    materializing shingle strings: each token is hashed ONCE
+    (xxhash64 of the string), then a shingle hash combines the n
+    token hashes with another xxhash64 over fixed-width longs —
+    integer-only inner loop."""
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    k = F.size(th) - F.lit(n - 1)
+    # combine the n offset views of the token-hash array with zip_with
+    # chains. CRITICAL perf property: `th` appears only at TOP level
+    # (n slices) → n evaluations per ROW. Referencing it inside a
+    # per-element lambda (element_at(th, i+j)) would re-evaluate the
+    # whole tokenize+hash subtree per element: O(tokens²) per row in
+    # interpreted higher-order eval.
+    guarded_k = F.greatest(k, F.lit(0))
+    acc = F.slice(th, 1, guarded_k)
+    for j in range(1, n):
+        nxt = F.slice(th, j + 1, guarded_k)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.xxhash64(a, b))
+    return F.when(k >= 1, acc).otherwise(F.array().cast("array<bigint>"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -113,19 +143,34 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle). One explode + ONE groupBy with num_hashes
-    fused min-aggregates — a single shuffle, whole-stage codegen,
-    no UDF. Returns (id_col, sig array<long>)."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
+    """MinHash signature per document: sig[i] = min over shingle
+    hashes re-keyed with seed i.
+
+    Entirely row-local — a document's shingle set already lives in its
+    own row, so there is NO explode and NO shuffle: per row,
+    ``array_min(transform(shingle_hashes, h -> xxhash64(i, h)))`` per
+    seed. At 100 TB this is a pure map stage that scales with input
+    splits. (Shingle identity is by 64-bit hash; the collision rate is
+    negligible relative to MinHash's own approximation error.)
+    Documents with fewer than ``shingle_n`` tokens get NULL signature
+    entries. Returns (id_col, sig array<long>)."""
+    sh = F.array_distinct(shingle_hashes(text_col, shingle_n))
+    seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    # ONE fold over the shingle array maintains all num_hashes minima
+    # simultaneously (zip_with against the seed vector). Building 32
+    # separate array_min(transform(...)) expressions instead would
+    # re-evaluate the whole tokenize→hash→shingle pipeline per seed —
+    # higher-order funcs are interpreted, not codegen'd, and project
+    # collapsing re-inlines the shared subexpression.
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, s: F.least(a, F.xxhash64(s, h))
+        ),
     )
-    mins = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -143,28 +188,36 @@ def minhash_lsh_pairs(
     (id_a, id_b) candidates with estimated jaccard (signature overlap)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # signatures feed BOTH sides of the self-join; as a pure map plan
+    # they would be recomputed twice (no shuffle to reuse) — persist
+    # the tiny (id, 32×long) table instead. At warehouse scale this
+    # is the step you'd checkpoint to a table.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    # docs with no shingles (fewer than shingle_n tokens) all carry
+    # the sentinel signature and would spuriously pair with each
+    # other — exclude them from candidate generation
+    sentinel = (1 << 63) - 1
+    sig = sig.filter(F.element_at("sig", 1) != sentinel)
     banded = sig.select(
         id_col,
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
+                    # band bucket = one integer hash over the band's
+                    # signature slice (fixed-width longs, no strings)
                     F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
+                        *[F.element_at("sig", b * rows_per_band + j + 1)
+                          for j in range(rows_per_band)]
                     ).alias("bucket"),
                 )
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # dedup candidates on bare id pairs (ints), NOT on rows carrying
+    # two signature arrays — then broadcast the tiny signature table
+    # back for the overlap estimate
     cand = (
         banded.alias("a")
         .join(
@@ -176,10 +229,13 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
+    )
+    sigs = sig.select(F.col(id_col), F.col("sig"))
+    cand = (
+        cand.join(F.broadcast(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a")), "id_a")
+        .join(F.broadcast(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b")), "id_b")
     )
     overlap = F.size(
         F.filter(
@@ -197,25 +253,39 @@ def simhash(
 ) -> DataFrame:
     """SimHash per document: per-bit majority vote over token hashes.
 
-    One explode + ONE groupBy with `bits` fused conditional sums; the
-    signature is reassembled with bit arithmetic — no UDF. Returns
-    (id_col, simhash long)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    hashed = tok.withColumn("h", F.xxhash64("t"))
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    Row-local like minhash_signatures — the token multiset is in the
+    row, so each bit's vote is ``size(filter(hashes, bit set))``
+    against half the token count; no explode, no shuffle, pure map
+    stage. Tie votes resolve to 0 (matching the Σ±1 > 0 formulation).
+    Returns (id_col, simhash long)."""
+    assert bits == 64, "simhash is defined for 64-bit signatures"
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    n_tok = F.size(tokens(text_col))
+    # per-bit set-counts in ONE fold (bit positions descending 63..0;
+    # bit_get takes a Column position — shiftright only takes ints)
+    bit_idx = F.array(*[F.lit(i).cast("int") for i in range(bits - 1, -1, -1)])
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    counts = F.aggregate(
+        th,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, b: a + F.bit_get(h, b).cast("long")
+        ),
     )
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return votes.select(id_col, sig.alias("simhash"))
+
+    # assemble the signature as two 32-bit halves folded MSB-first
+    # (s*2 + bit stays < 2^32 — no ANSI long-overflow at bit 63)
+    def fold_half(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda s, c: s * 2 + F.when(c * 2 > n_tok, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    hi = fold_half(F.slice(counts, 1, 32))    # bits 63..32
+    lo = fold_half(F.slice(counts, 33, 32))   # bits 31..0
+    sig = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -229,7 +299,9 @@ def simhash_near_pairs(
     `bands` chunks — any pair within hamming distance < bands shares
     at least one identical band (pigeonhole) — equi-join on (band,
     chunk), then exact hamming filter via bit_count(xor)."""
-    sig = simhash(df, text_col, id_col)
+    # persist: both join sides read the signature table (see
+    # minhash_lsh_pairs)
+    sig = simhash(df, text_col, id_col).persist()
     chunk = 64 // bands
     banded = sig.select(
         id_col,

@@ -18,21 +18,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Read one testdata table, normalizing ns-timestamps to
     TimestampType (micros). Safe for any table; only acts when a
-    column actually arrives as raw nanos."""
+    column actually arrives as raw nanos.
+
+    ``spread``: a single small parquet file arrives as ONE input
+    split, which serializes every downstream map stage onto one core
+    (31 of 32 idle). Production inputs at scale have thousands of
+    splits, so the single-split case is the local-test anomaly —
+    round-robin repartition to the session's parallelism when the
+    scan is under-split."""
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        # INT64 TIMESTAMP(NANOS,…): re-read with nanos surfaced as long
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    # INT64 TIMESTAMP(NANOS,…) columns are rejected by the vectorized
+    # reader; surfacing them as raw longs up-front avoids a failed
+    # first read (which costs a whole schema-inference job). Tables
+    # without nanos columns are unaffected by this conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division keeps exact micros (double division would
         # round at ~1.7e18 ns epoch values)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(target, 8):
+            df = df.repartition(target)
     return df
 
 
