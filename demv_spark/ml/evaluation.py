@@ -199,6 +199,79 @@ def cross_val(
     return df.sparkSession.createDataFrame(rows)
 
 
+def repeated_demv_eval(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    classifier,
+    unpriv,
+    positive_label,
+    sensitive: Sequence[str],
+    n_reps: int = 30,
+    k: int = 10,
+    seed: int = 2,
+    stop: int = 10000,
+) -> DataFrame:
+    """E5 (utils.py:231-239 _demv_training): the reference repeats
+    debias+train 30× per fold to average out sampling noise. Engine
+    form: vary the DEMV sampling seed per repetition; the group census
+    is identical across reps (only sampling differs), so group_targets
+    is computed once per training split by construction. Returns the
+    unioned per-(rep, fold) metric table."""
+    from demv_spark.operators.balancer import DEMV
+
+    reps = []
+    for rep in range(n_reps):
+        per_fold = cross_val(
+            df, feature_cols, label_col, classifier, unpriv, positive_label,
+            sensitive, k=k, seed=seed,
+            debias=lambda t, r=rep: DEMV(
+                list(sensitive), label=label_col, seed=seed + r, stop=stop
+            ).fit_transform(t),
+        )
+        reps.append(per_fold.withColumn("rep", F.lit(rep)))
+    out = reps[0]
+    for p in reps[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sweep_stops(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    classifier,
+    unpriv,
+    positive_label,
+    sensitive: Sequence[str],
+    stops: Sequence[int],
+    k: int = 10,
+    seed: int = 2,
+) -> DataFrame:
+    """E6 (utils.py:214-228 eval_demv): evaluate DEMV across a sweep
+    of ``stop`` values; per-stop grouped mean of each metric (A13,
+    utils.py:223-227). Returns (stop, metric means…)."""
+    from demv_spark.operators.balancer import DEMV
+
+    parts = []
+    for stop in stops:
+        per_fold = cross_val(
+            df, feature_cols, label_col, classifier, unpriv, positive_label,
+            sensitive, k=k, seed=seed,
+            debias=lambda t, s=stop: DEMV(
+                list(sensitive), label=label_col, seed=seed, stop=s
+            ).fit_transform(t),
+        )
+        parts.append(per_fold.withColumn("stop", F.lit(stop)))
+    swept = parts[0]
+    for p in parts[1:]:
+        swept = swept.unionByName(p)
+    metric_cols = [c for c in swept.columns if c not in ("fold", "stop")]
+    return swept.groupBy("stop").agg(
+        *[F.avg(c).alias(c) for c in metric_cols]
+    )
+
+
 def metrics_report(per_fold: DataFrame, metric_cols: Sequence[str] | None = None) -> DataFrame:
     """E10/A5 (utils.py:330-340): mean ± population std per metric
     over the per-fold table. Long form: (metric, mean, std)."""

@@ -100,6 +100,38 @@ def _simulate_target(
     return n, i
 
 
+def disparity_trajectory(
+    n0: int, total: int, w_exp: float, round_level: int | None, stop: int
+) -> list[float]:
+    """D6 — the reference's full per-step disparity log
+    (helpers.py:11-21: ``disparity = [disp]`` + one append per
+    iteration). The engine eliminates the row-at-a-time loop, but the
+    trajectory is pure arithmetic (one row changes per step), so it
+    is reproducible exactly on demand without touching data."""
+    if n0 == 0 or total == 0:
+        return [0.0]
+
+    def disp(n: int) -> float:
+        d = w_exp / (n / total)
+        return round(d, round_level) if round_level else d
+
+    traj = [disp(n0)]
+    n, i = n0, 0
+    while traj[-1] != 1 and i != stop:
+        ratio = w_exp / (n / total)
+        if ratio > 1:
+            n += 1
+        elif ratio < 1:
+            n -= 1
+        else:
+            break
+        if n == 0:
+            break
+        traj.append(disp(n))
+        i += 1
+    return traj
+
+
 def group_targets(
     df: DataFrame,
     sensitive: Sequence[str],
@@ -137,6 +169,7 @@ def group_targets(
                 **{s: r[s] for s in sensitive},
                 label: r[label],
                 "n": r["n"],
+                "n_total": total,
                 "target": target,
                 "iters": iters,
                 "w_exp": w_exp,
@@ -339,5 +372,16 @@ class DEMV:
 
         The reference returns the full one-step-at-a-time trajectory;
         it is an artifact of single-row sampling (monotone step of 1)
-        and reproducible arithmetically from (n, target)."""
+        and reproducible arithmetically — see get_trajectories()."""
         return self.disparities
+
+    def get_trajectories(self) -> list[list[float]]:
+        """Reference-parity full disparity trajectories (demv.py:108,
+        helpers.py:11-21): one list of per-step rounded disparities per
+        group, reconstructed arithmetically from the frozen census."""
+        return [
+            disparity_trajectory(
+                t["n"], t["n_total"], t["w_exp"], self.round_level, self.stop
+            )
+            for t in self._targets
+        ]

@@ -39,9 +39,19 @@ def read_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division keeps exact micros (double division would
-        # round at ~1.7e18 ns epoch values)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # rebuild as TIMESTAMP_NTZ: integer division keeps exact
+        # micros, and the NTZ epoch base makes the value independent
+        # of the session timezone (timestamp_micros would produce an
+        # instant that renders differently under a non-UTC session —
+        # the other tables' ms timestamps already arrive as NTZ via
+        # parquet inferTimestampNTZ)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < min(target, 8):
@@ -61,3 +71,36 @@ def read_csv_noheader(
 def read_csv_semicolon(spark: SparkSession, path: str, **options) -> DataFrame:
     """S3 — ';'-delimited CSV (wine loader, getdataset.py:495-497)."""
     return spark.read.csv(path, header=True, inferSchema=True, sep=";", **options)
+
+
+def read_excel(
+    spark: SparkSession, path: str, na_values: Sequence[str] = ("?",)
+) -> DataFrame:
+    """S4 — Excel scan with NA sentinel (crime loader,
+    getdataset.py:167). Spark has no native Excel source; the loader
+    goes through pandas (driver-side — Excel inputs are config-scale,
+    never data-scale) and promotes to a DataFrame. Gated behind an
+    import-try: raises a clear error when no Excel engine is
+    installed in the environment."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, na_values=list(na_values))
+    except ImportError as e:  # openpyxl/xlrd missing
+        raise NotImplementedError(
+            "Excel reading requires a pandas Excel engine (openpyxl); "
+            "not available in this environment"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def config_lookup(
+    spark: SparkSession, config_path: str, key_col: str, key, value_col: str, **csv_options
+) -> list:
+    """S5 — tiny config-table lookup (utils.py:384-405 get_items: a
+    sensitive-features config CSV keyed by dataset name). Config
+    tables are ~10 rows: read once, filter driver-side. Returns the
+    matching values as a Python list."""
+    cfg = spark.read.csv(config_path, header=True, inferSchema=True, **csv_options)
+    rows = cfg.filter(cfg[key_col] == key).select(value_col).collect()
+    return [r[value_col] for r in rows]

@@ -24,6 +24,21 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermarked(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Apply a watermark on a stream; no-op on batch frames.
+
+    Event-time watermarks require TIMESTAMP (an instant); testdata
+    timestamps are normalized to TIMESTAMP_NTZ for oracle parity, so
+    cast at the watermark boundary — within one streaming query the
+    interpretation is consistent."""
+    if not df.isStreaming:
+        return df
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
 
 
 def windowed_group_census(
@@ -39,7 +54,7 @@ def windowed_group_census(
     On a stream: append-mode capable (watermarked tumbling window);
     state per open window × group only. On a batch frame: identical
     results, watermark is a no-op."""
-    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    wm = _watermarked(df, ts_col, watermark)
     return (
         wm.groupBy(F.window(ts_col, window).alias("w"), *sensitive, label)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -111,7 +126,7 @@ def event_rate_monitor(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Windowed event-type rates — the plain streaming rollup."""
-    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    wm = _watermarked(df, ts_col, watermark)
     return (
         wm.groupBy(F.window(ts_col, window).alias("w"), type_col)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -133,7 +148,7 @@ def session_window_rollup(
     """Per-user sessionization via native session_window (stateful op;
     applyInPandasWithState would only be needed for custom session
     logic beyond a gap timeout)."""
-    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    wm = _watermarked(df, ts_col, watermark)
     return (
         wm.groupBy(F.session_window(ts_col, gap).alias("s"), user_col)
         .agg(F.count(F.lit(1)).alias("n_events"))

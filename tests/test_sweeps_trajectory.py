@@ -1,0 +1,98 @@
+import csv
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.ml import evaluation as E
+from demv_spark.operators.balancer import DEMV, disparity_trajectory
+from demv_spark.sources.generator import make_classification
+from demv_spark.sources.readers import config_lookup
+
+
+def _ref_trajectory(n0, total, w_exp, round_level, stop):
+    """Reference loop disparity log (helpers.py:11-21) as test oracle."""
+    if n0 == 0:
+        return [0.0]
+    n = n0
+    disp = round(w_exp / (n / total), round_level) if round_level else w_exp / (n / total)
+    traj = [disp]
+    i = 0
+    while disp != 1 and i != stop:
+        ratio = w_exp / (n / total)
+        if ratio > 1:
+            n += 1
+        elif ratio < 1:
+            n -= 1
+        else:
+            break
+        if n == 0:
+            break
+        disp = round(w_exp / (n / total), round_level) if round_level else w_exp / (n / total)
+        traj.append(disp)
+        i += 1
+    return traj
+
+
+def test_trajectory_matches_reference_loop():
+    import random
+    rng = random.Random(3)
+    for _ in range(100):
+        total = rng.randint(50, 2000)
+        n0 = rng.randint(1, total)
+        w_exp = rng.uniform(0.001, 0.4)
+        got = disparity_trajectory(n0, total, w_exp, 1, 200)
+        exp = _ref_trajectory(n0, total, w_exp, 1, 200)
+        assert got == exp
+
+
+def test_get_trajectories(spark):
+    df = make_classification(spark, 300, n_features=2, n_sensitive=1, seed=9)
+    d = DEMV(["s0"], label="y")
+    d.fit(df)
+    trajs = d.get_trajectories()
+    assert len(trajs) == len(d.get_disparities())
+    for t in trajs:
+        assert t[-1] == 1.0 or len(t) >= 1  # converged or capped
+    # converged groups end at rounded disparity 1
+    for t, g in zip(trajs, d._targets):
+        if g["iters"] < d.stop and g["target"] > 0:
+            assert t[-1] == 1.0
+
+
+def test_sweep_stops(spark):
+    df = make_classification(spark, 300, n_features=3, n_sensitive=1, seed=4).cache()
+    clf = E.build_classifier("logistic", "y", "__features", 2)
+    out = E.sweep_stops(
+        df, ["f0", "f1", "f2"], "y", clf, F.col("s0") == 1, 1, ["s0"],
+        stops=[5, 10000], k=2,
+    )
+    rows = {r["stop"]: r for r in out.collect()}
+    assert set(rows) == {5, 10000}
+    assert all("acc" in r.asDict() for r in rows.values())
+
+
+def test_repeated_demv_eval(spark):
+    df = make_classification(spark, 300, n_features=3, n_sensitive=1, seed=4).cache()
+    clf = E.build_classifier("logistic", "y", "__features", 2)
+    out = E.repeated_demv_eval(
+        df, ["f0", "f1", "f2"], "y", clf, F.col("s0") == 1, 1, ["s0"],
+        n_reps=2, k=2,
+    )
+    assert out.count() == 4  # 2 reps × 2 folds
+    assert out.select("rep").distinct().count() == 2
+
+
+def test_config_lookup(spark):
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False, newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dataset", "feature"])
+        w.writerows([["cmc", "wife_religion"], ["cmc", "wife_work"], ["adult", "sex"]])
+        path = f.name
+    try:
+        got = config_lookup(spark, path, "dataset", "cmc", "feature")
+        assert sorted(got) == ["wife_religion", "wife_work"]
+        assert config_lookup(spark, path, "dataset", "nope", "feature") == []
+    finally:
+        os.unlink(path)
