@@ -241,6 +241,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_near_dup"] = lambda spark, sf: similarity.embedding_near_dup(
         _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, band_bits=4
     )
+    # IVF ANN (KMeans cells + probe): rows-only — KMeans is iterative,
+    # not SQL-expressible; recall vs brute force is tested in tests/
+    q["q_sim_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        _t(spark, sf, "embeddings"),
+        k=10, n_lists=16, n_probe=8,
+    )
+
+    # stateful streaming drift monitor, batch-twin form (rows-only:
+    # CUSUM state transition is the non-SQL custom operator)
+    def _drift(spark, sf):
+        from demv_spark.streaming.stateful import running_drift_monitor
+
+        return running_drift_monitor(
+            _t(spark, sf, "events"), "event_type", "value", target_mean=100.0
+        )
+
+    q["q_stream_drift_monitor"] = _drift
 
     # ---- balancer (sampled output → rows-only; census halves are
     # covered by q_count_group_weights's SQL oracle) ----

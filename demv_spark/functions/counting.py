@@ -63,21 +63,22 @@ def group_weights(
         w_obs = |S=s ∧ y=l| / N                (helpers.py:54)
         disparity = round(w_exp / w_obs, round_level)  (helpers.py:10)
 
-    Plan shape: ONE full-table groupBy(sensitive…, label) census; both
-    marginals are re-aggregations of that tiny census (zero additional
-    scans of the base table); the combine is a broadcast join on the
-    census. Columns: sensitive…, label, n, n_sens, n_label, n_total,
-    w_exp, w_obs, disparity.
+    Plan shape: ONE full-table groupBy(sensitive…, label) census —
+    the base table is scanned exactly once. The three marginals are
+    WINDOW sums over the tiny census (separate aggregation subtrees
+    would each re-scan the base table: Spark's shuffle reuse only
+    fires on identical exchange subtrees, so a join-based combine
+    costs 4 scans). Columns: sensitive…, label, n, n_sens, n_label,
+    n_total, w_exp, w_obs, disparity.
     """
-    census = group_census(df, [*sensitive, label], count_col="n")
-    sens_marginal = census.groupBy(*sensitive).agg(F.sum("n").alias("n_sens"))
-    label_marginal = census.groupBy(label).agg(F.sum("n").alias("n_label"))
-    total = census.agg(F.sum("n").alias("n_total"))
+    from pyspark.sql import Window
 
-    out = (
-        census.join(F.broadcast(sens_marginal), list(sensitive))
-        .join(F.broadcast(label_marginal), label)
-        .crossJoin(F.broadcast(total))
+    census = group_census(df, [*sensitive, label], count_col="n")
+    out = census.select(
+        "*",
+        F.sum("n").over(Window.partitionBy(*sensitive)).alias("n_sens"),
+        F.sum("n").over(Window.partitionBy(label)).alias("n_label"),
+        F.sum("n").over(Window.partitionBy()).alias("n_total"),
     )
     w_exp = (F.col("n_sens") / F.col("n_total")) * (F.col("n_label") / F.col("n_total"))
     w_obs = F.col("n") / F.col("n_total")

@@ -174,6 +174,67 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: MLlib KMeans partitions
+    the corpus into ``n_lists`` cells; each query probes its
+    ``n_probe`` nearest cells and exact-cosine re-ranks only those
+    candidates.
+
+    Scale shape: one KMeans fit (MLlib distributed), one corpus pass
+    to assign cells, then a broadcast-joined probe — corpus work per
+    query drops from O(N) to O(N·n_probe/n_lists). Recall/latency is
+    tuned with (n_lists, n_probe) exactly like FAISS IVF-Flat.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("__fvec", array_to_vector("cv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__fvec", predictionCol="__cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "cv", "__cell")
+
+    # centroid table is tiny: broadcast for query probing
+    centroids = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cell",
+        cosine(F.col("qv"), F.col("centroid")).alias("__csim"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__csim").desc(), F.col("cell"))
+    probed = (
+        qd.withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", F.col("cell").alias("__cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

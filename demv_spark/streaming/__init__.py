@@ -4,10 +4,12 @@ from demv_spark.streaming.monitor import (
     session_window_rollup,
     windowed_group_census,
 )
+from demv_spark.streaming.stateful import running_drift_monitor
 
 __all__ = [
     "disparity_monitor",
     "event_rate_monitor",
+    "running_drift_monitor",
     "session_window_rollup",
     "windowed_group_census",
 ]

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the driver-side arithmetic
+cores — the pieces where an edge case would silently corrupt results
+at any scale. Pure-Python targets, so hypothesis can hammer them."""
+
+from hypothesis import given, settings, strategies as st
+
+from demv_spark.operators.balancer import _simulate_target, disparity_trajectory
+
+
+def _reference_loop(n0, total, w_exp, round_level, stop):
+    if n0 == 0:
+        return n0, 0
+    n, i = n0, 0
+    w_obs = n / total
+    disp = round(w_exp / w_obs, round_level) if round_level else w_exp / w_obs
+    while disp != 1 and i != stop and w_obs != 0:
+        ratio = w_exp / w_obs
+        if ratio > 1:
+            n += 1
+        elif ratio < 1:
+            n -= 1
+        w_obs = n / total
+        if w_obs == 0:
+            return n, i
+        disp = round(w_exp / w_obs, round_level) if round_level else w_exp / w_obs
+        i += 1
+    return n, i
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    total=st.integers(10, 100_000),
+    frac=st.floats(1e-4, 1.0),
+    w_exp=st.floats(1e-5, 0.5),
+    round_level=st.sampled_from([1, 2, 3, None]),
+    stop=st.sampled_from([1, 7, 100, 10_000]),
+)
+def test_simulate_target_always_matches_reference(total, frac, w_exp, round_level, stop):
+    n0 = max(1, int(total * frac))
+    assert _simulate_target(n0, total, w_exp, round_level, stop) == _reference_loop(
+        n0, total, w_exp, round_level, stop
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    total=st.integers(10, 5_000),
+    frac=st.floats(1e-3, 1.0),
+    w_exp=st.floats(1e-4, 0.5),
+    stop=st.sampled_from([5, 50, 10_000]),
+)
+def test_trajectory_consistent_with_target(total, frac, w_exp, stop):
+    """The trajectory's length-1 equals the iteration count and its
+    terminal state agrees with _simulate_target (both derive from the
+    same reference loop)."""
+    n0 = max(1, int(total * frac))
+    target, iters = _simulate_target(n0, total, w_exp, 1, stop)
+    traj = disparity_trajectory(n0, total, w_exp, 1, stop)
+    if target > 0:
+        assert len(traj) - 1 == iters
+        final = round(w_exp / (target / total), 1)
+        assert traj[-1] == final
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    total=st.integers(10, 100_000),
+    frac=st.floats(1e-4, 1.0),
+    w_exp=st.floats(1e-5, 0.5),
+)
+def test_converged_target_satisfies_invariant(total, frac, w_exp):
+    """If the loop converges (not capped), the target satisfies the
+    reference's fixed-point invariant round(w_exp*N/target, 1) == 1
+    with w_exp frozen on the ORIGINAL N (helpers.py:53)."""
+    n0 = max(1, int(total * frac))
+    target, iters = _simulate_target(n0, total, w_exp, 1, 10_000)
+    if iters < 10_000 and target > 0:
+        assert round(w_exp * total / target, 1) == 1.0

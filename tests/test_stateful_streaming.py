@@ -1,0 +1,74 @@
+"""applyInPandasWithState drift monitor: state must accumulate across
+micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.sources.readers import read_table
+from demv_spark.streaming.stateful import running_drift_monitor
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark):
+    d = tempfile.mkdtemp(prefix="demv_stateful_")
+    ev = read_table(spark, SF, "events").select("event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(d)  # ≥4 files → ≥4 micro-batches
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_state_accumulates_across_batches(spark, multi_file_events):
+    schema = spark.read.parquet(multi_file_events).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_events)
+    )
+    out = running_drift_monitor(stream, "event_type", "value", target_mean=100.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM drift_sink").collect()
+    assert len(rows) > 5  # one row per key per micro-batch
+
+    # final cumulative n per key == total rows per key in the input
+    batch = spark.read.parquet(multi_file_events)
+    expected = {r["event_type"]: r["count"] for r in batch.groupBy("event_type").count().collect()}
+    final = {}
+    for r in rows:  # last emitted row per key carries the final state
+        final[r["key"]] = max(final.get(r["key"], 0), r["n"])
+    assert final == expected
+
+    # cumulative mean matches the batch mean
+    means = {r["event_type"]: r["m"] for r in batch.groupBy("event_type").agg(F.avg("value").alias("m")).collect()}
+    last = {r["key"]: r["mean"] for r in sorted(rows, key=lambda x: x["n"])}
+    for k, m in means.items():
+        assert last[k] == pytest.approx(m, rel=1e-9)
+
+
+def test_batch_twin_same_schema(spark, multi_file_events):
+    batch = spark.read.parquet(multi_file_events)
+    out = running_drift_monitor(batch, "event_type", "value", target_mean=100.0)
+    rows = out.collect()
+    assert {r["key"] for r in rows} == {
+        r["event_type"] for r in batch.select("event_type").distinct().collect()
+    }
+    total = sum(r["n"] for r in rows)
+    assert total == batch.count()
+
+
+def test_drift_flag_fires(spark):
+    df = spark.createDataFrame([("a", 500.0)] * 10 + [("b", 100.0)] * 10, ["k", "v"])
+    out = running_drift_monitor(df, "k", "v", target_mean=100.0, slack=1.0, threshold=10.0)
+    got = {r["key"]: r["drift"] for r in out.collect()}
+    assert got["a"] == 1 and got["b"] == 0

@@ -119,3 +119,19 @@ def test_embedding_near_dup(vecs):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 5) in pairs
     assert (1, 3) not in pairs
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk_bruteforce(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # rank-1 neighbor should almost always be found with half the cells probed
+    e1 = {r["query_id"]: r["neighbor_id"] for r in exact.collect() if r["rank"] == 1}
+    a_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    hits = sum(1 for q, n in e1.items() if (q, n) in a_pairs)
+    assert hits >= len(e1) - 1
