@@ -241,6 +241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_near_dup"] = lambda spark, sf: similarity.embedding_near_dup(
         _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, band_bits=4
     )
+    # Arrow/BLAS top-k (rows-only: float summation order differs from
+    # SQL, but ranks agree with brute force — tested in tests/)
+    q["q_sim_cosine_topk_arrow"] = lambda spark, sf: similarity.cosine_topk_arrow(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        _t(spark, sf, "embeddings"),
+        k=10,
+    )
     # IVF ANN (KMeans cells + probe): rows-only — KMeans is iterative,
     # not SQL-expressible; recall vs brute force is tested in tests/
     q["q_sim_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(

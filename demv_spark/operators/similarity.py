@@ -79,6 +79,70 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul — the vectorized
+    scale path for the embedding hot loop.
+
+    The query set is collected once (bounded by assumption), L2-
+    normalized into a driver matrix, and closed over by a
+    ``mapInPandas`` kernel: each corpus Arrow batch becomes one
+    ``B @ Q.T`` GEMM (numpy/BLAS), and only each batch's per-query
+    top-k survives to the final global top-k window — so the shuffle
+    carries O(batches·|Q|·k) rows, never the corpus.
+
+    Same results as cosine_topk_bruteforce (modulo float summation
+    order); ~10-50× faster per pair than the per-row column-expression
+    form at realistic dims. This is the documented exception to the
+    no-Python policy: BLAS beats interpreted JVM expression eval for
+    dense linear algebra.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score_batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ qm.T                     # |batch| × |Q|
+            top = min(k + 1, len(ids))  # +1 absorbs self-matches
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     seeded LCG — no numpy needed at plan-build time)."""

@@ -105,7 +105,6 @@ def synthetic_rebalance(
     out = rebalance(df, sensitive, label, shrink, seed=seed) if shrink else None
 
     if grow:
-        grow_map = {tuple(t[k2] for k2 in keys): t for t in grow}
         spark = df.sparkSession
         tgt = F.broadcast(
             spark.createDataFrame(

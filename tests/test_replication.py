@@ -1,0 +1,55 @@
+"""Tolerance replication test (SURVEY §5.4): the reference's headline
+claim — DEMV moves disparate impact toward 1 and statistical parity
+toward 0 while accuracy holds (BASELINE.md: cmc 2-features,
+0.494→0.750 disp_imp, −0.126→−0.008 stat_par, acc 0.52→0.56) —
+reproduced end-to-end through the Spark engine on a synthetic biased
+dataset (the reference's CSVs aren't redistributable; the claim is
+directional + tolerance-based, matching the stochastic original).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.ml import evaluation as E
+from demv_spark.operators.balancer import DEMV
+from demv_spark.sources.generator import make_classification
+
+
+@pytest.fixture(scope="module")
+def biased(spark):
+    """Classification data with label bias against s0=1: positive
+    labels in the unprivileged group are flipped with p=0.5."""
+    base = make_classification(
+        spark, 2000, n_features=5, n_classes=2, n_sensitive=1, seed=11
+    )
+    return base.withColumn(
+        "y",
+        F.when(
+            (F.col("s0") == 1) & (F.col("y") == 1) & (F.rand(3) < 0.5), 0
+        ).otherwise(F.col("y")),
+    ).cache()
+
+
+def _run(biased, debias):
+    clf = E.build_classifier("logistic", "y", "__features", 2)
+    per_fold = E.cross_val(
+        biased, [f"f{i}" for i in range(5)], "y", clf,
+        unpriv=F.col("s0") == 1, positive_label=1, sensitive=["s0"], k=3,
+        debias=debias,
+    )
+    return {r["metric"]: r["mean"] for r in E.metrics_report(per_fold).collect()}
+
+
+def test_demv_improves_fairness_holds_accuracy(biased):
+    base = _run(biased, None)
+    demv = _run(
+        biased,
+        lambda t: DEMV(["s0"], label="y", seed=5).fit_transform(t),
+    )
+    # directional claims from BASELINE.md, tolerance-based
+    assert abs(demv["stat_par"]) <= abs(base["stat_par"]) + 0.02
+    assert demv["disp_imp"] >= base["disp_imp"] - 0.02
+    assert demv["acc"] >= base["acc"] - 0.05          # accuracy holds
+    # sanity: the injected bias is visible pre-debias
+    assert base["stat_par"] < 0
+    assert base["disp_imp"] < 1.0

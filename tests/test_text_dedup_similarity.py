@@ -135,3 +135,19 @@ def test_ivf_topk_recall(spark):
     a_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     hits = sum(1 for q, n in e1.items() if (q, n) in a_pairs)
     assert hits >= len(e1) - 1
+
+
+def test_cosine_topk_arrow_agrees_with_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = similarity.cosine_topk_bruteforce(q, emb, k=5).collect()
+    b = similarity.cosine_topk_arrow(q, emb, k=5).collect()
+    sa = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a}
+    sb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b}
+    assert sa == sb
+
+
+def test_cosine_topk_arrow_empty_queries(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.cosine_topk_arrow(emb.filter(F.col("vec_id") < 0), emb, k=5)
+    assert out.count() == 0
