@@ -677,7 +677,9 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
         scored AS (
             SELECT query_id, neighbor_id,
-                   {_dot.format(a='qe', b='ce')} / ({_norm.format(a='qe')} * {_norm.format(a='ce')}) AS cos_sim
+                   CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
+                        ELSE {_dot.format(a='qe', b='ce')} / ({_norm.format(a='qe')} * {_norm.format(a='ce')})
+                   END AS cos_sim
             FROM c CROSS JOIN q WHERE query_id != neighbor_id
         )
         SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -206,14 +206,7 @@ def rebalance(
     prefix counts, so a giant group spreads over k tasks.
     """
     keys = [*sensitive, label]
-    spark = df.sparkSession
-    tgt = F.broadcast(
-        spark.createDataFrame(
-            [{**{k: t[k] for k in keys}, "__n": t["n"], "__target": t["target"]}
-             for t in targets]
-        )
-    )
-    joined = df.join(tgt, on=keys, how="inner")
+    joined = _join_targets(df, keys, targets)
 
     if skew_salt:
         rn = _salted_rank(joined, keys, seed, skew_salt)
@@ -230,6 +223,25 @@ def rebalance(
     )
     # the key join reorders columns — restore the input schema order
     return exploded.select(*df.columns)
+
+
+def _join_targets(df: DataFrame, keys: list[str], targets: list[dict]) -> DataFrame:
+    """Broadcast-join the tiny group→(n, target) map onto the data with
+    NULL-SAFE key equality: the census enumerates NULL-keyed groups
+    (groupBy treats NULL as a value), so a plain equi-join would
+    silently drop every row whose sensitive/label key is NULL."""
+    spark = df.sparkSession
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [{**{k: t[k] for k in keys}, "__n": t["n"], "__target": t["target"]}
+             for t in targets]
+        ).withColumnsRenamed({k: f"__t_{k}" for k in keys})
+    )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(tgt[f"__t_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(tgt, on=cond, how="inner").drop(*[f"__t_{k}" for k in keys])
 
 
 def _salted_rank(joined: DataFrame, keys: list[str], seed: int, salt: int) -> DataFrame:

@@ -1,13 +1,17 @@
 """Similarity search over an embedding column (array<float>).
 
 Brute-force cosine top-k as the exact baseline; LSH-bucketed
-(random-hyperplane signatures) as the scale path — candidates come
-from an equi-join on the signature prefix, never a full cross join.
+(random-hyperplane signatures) and IVF (KMeans cells) as scale
+paths — candidates come from an equi-join on a bucket key, never a
+full cross join.
 
-Dot products are pure `zip_with`/`aggregate` column expressions over
-double-cast arrays (Arrow-free, JVM-side). At very high dims, a
-vectorized Pandas-UDF path would amortize better; 64-1024 dims stay
-comfortably JVM-side.
+Two execution strategies for the dot-product hot loop:
+- JVM column expressions (`zip_with`/`aggregate`) — no Python on the
+  executors, right default for moderate volumes;
+- `cosine_topk_arrow` — Arrow-batched numpy GEMM, the documented
+  exception to the no-Python policy: BLAS wins for dense linear
+  algebra at scale (requires numpy/pandas on executors).
+Zero vectors are defined to have similarity 0.0 in BOTH strategies.
 """
 
 from __future__ import annotations
@@ -37,7 +41,21 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero-norm vectors are defined as 0.0
+    (unguarded 0/0 would yield NaN, which Spark sorts ABOVE all
+    numbers in descending order — a zero vector would rank first)."""
+    den = norm(a) * norm(b)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with the module's single tie-break contract:
+    (cos_sim desc, neighbor_id asc). All exact/approximate paths rank
+    through here so they cannot drift."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def cosine_topk_bruteforce(
@@ -70,13 +88,7 @@ def cosine_topk_bruteforce(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def cosine_topk_arrow(
@@ -104,6 +116,15 @@ def cosine_topk_arrow(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import IntegralType
+
+    for side, d in (("queries", queries), ("corpus", corpus)):
+        if not isinstance(d.schema[id_col].dataType, IntegralType):
+            raise TypeError(
+                f"cosine_topk_arrow requires an integral {id_col} "
+                f"({side} has {d.schema[id_col].dataType.simpleString()}); "
+                "use cosine_topk_bruteforce for non-integer ids"
+            )
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
@@ -112,35 +133,33 @@ def cosine_topk_arrow(
         )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norms[q_norms == 0] = 1.0       # zero query vector → all sims 0.0
+    qm /= q_norms
 
     def score_batches(it):
         for pdf in it:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            norms[norms == 0] = 1.0   # zero corpus vector → sims 0.0
             sims = (m / norms) @ qm.T                     # |batch| × |Q|
             top = min(k + 1, len(ids))  # +1 absorbs self-matches
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            out = {
-                "query_id": np.repeat(q_ids, top),
-                "neighbor_id": ids[idx].T.ravel(),
-                "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            # deterministic per-batch truncation matching the global
+            # tie-break (cos desc, neighbor_id asc): argpartition
+            # would keep an ARBITRARY subset of boundary ties
+            cols = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for j in range(len(q_ids)):
+                order = np.lexsort((ids, -sims[:, j]))[:top]
+                cols["query_id"].append(np.full(top, q_ids[j]))
+                cols["neighbor_id"].append(ids[order])
+                cols["cos_sim"].append(sims[order, j])
+            yield pd.DataFrame({c: np.concatenate(v) for c, v in cols.items()})
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        partial.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(partial.filter(F.col("query_id") != F.col("neighbor_id")), k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -234,8 +253,7 @@ def cosine_topk_lsh(
         "query_id", "neighbor_id",
         cosine(F.col("query_v"), F.col("neighbor_v")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def ivf_topk(
@@ -295,8 +313,7 @@ def ivf_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def embedding_near_dup(

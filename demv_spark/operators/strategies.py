@@ -105,14 +105,9 @@ def synthetic_rebalance(
     out = rebalance(df, sensitive, label, shrink, seed=seed) if shrink else None
 
     if grow:
-        spark = df.sparkSession
-        tgt = F.broadcast(
-            spark.createDataFrame(
-                [{**{k2: t[k2] for k2 in keys}, "__n": t["n"], "__target": t["target"]}
-                 for t in grow]
-            )
-        )
-        grow_df = df.join(tgt, on=keys, how="inner")
+        from demv_spark.operators.balancer import _join_targets
+
+        grow_df = _join_targets(df, keys, grow)
         adaptive = strategy == "adasyn"
 
         def synth(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -137,3 +137,16 @@ def test_group_targets_multivalued_sensitive(spark):
     df = spark.createDataFrame(rows, ["s", "y"])
     targets = group_targets(df, ["s"], "y", 1, 10000)
     assert len(targets) == 6
+
+
+def test_rebalance_null_sensitive_keys(spark):
+    # NULL-keyed groups must be resampled, not silently dropped
+    rows = ([(0, 0)] * 20 + [(1, 0)] * 5 + [(None, 0)] * 8
+            + [(0, 1)] * 15 + [(1, 1)] * 10 + [(None, 1)] * 3)
+    df = spark.createDataFrame(rows, "s int, y int")
+    d = DEMV(["s"], label="y", seed=2)
+    out = d.fit_transform(df)
+    got = {(r["s"], r["y"]): r["count"] for r in out.groupBy("s", "y").count().collect()}
+    for t in d._targets:
+        assert got.get((t["s"], t["y"]), 0) == t["target"], t
+    assert any(k[0] is None for k in got)
