@@ -33,6 +33,8 @@ HEADLINE = [
     "q_sim_cosine_topk",
     "q_text_quality",
     "q_events_hourly",
+    "q_stream_sessionize",
+    "q_postprocess_equalize",
 ]
 
 

@@ -311,10 +311,16 @@ class DEMV:
         sample(frac=1, random_state=2)); row order is meaningless to
         any downstream Spark op and a global sort is the dominant cost
         at scale, so default False.
-    skew_salt : int | None
-        If set, use the two-phase skew-safe ranking with this many
-        salt buckets per group.
+    skew_salt : int | str | None
+        ``"auto"`` (default): choose salting from the census — when
+        the largest group exceeds ~4M rows (too big for one ranking
+        task), rank within that many salt buckets instead. An int
+        forces that many buckets; None forces the single-window path.
     """
+
+    # ~rows a single ranking task should own before the two-phase
+    # salted rank takes over (window sort of one group = one task)
+    AUTO_SALT_GROUP_ROWS = 4_000_000
 
     def __init__(
         self,
@@ -325,7 +331,7 @@ class DEMV:
         strategy: str = "uniform",
         seed: int = 42,
         shuffle_output: bool = False,
-        skew_salt: int | None = None,
+        skew_salt: int | str | None = "auto",
         verbose: bool = False,
     ):
         if strategy not in ("uniform", "smote", "adasyn"):
@@ -354,11 +360,19 @@ class DEMV:
         self.iter = max((t["iters"] for t in self._targets), default=0)
         return self
 
+    def _resolve_salt(self) -> int | None:
+        if self.skew_salt != "auto":
+            return self.skew_salt
+        biggest = max((t["n"] for t in self._targets), default=0)
+        if biggest <= self.AUTO_SALT_GROUP_ROWS:
+            return None
+        return -(-biggest // self.AUTO_SALT_GROUP_ROWS)  # ceil
+
     def transform(self, df: DataFrame) -> DataFrame:
         if self.strategy == "uniform":
             out = rebalance(
                 df, self.sensitive_vars, self.label, self._targets,
-                seed=self.seed, skew_salt=self.skew_salt,
+                seed=self.seed, skew_salt=self._resolve_salt(),
             )
         else:
             from demv_spark.operators.strategies import synthetic_rebalance
