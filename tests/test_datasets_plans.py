@@ -92,3 +92,46 @@ def test_engine_hot_paths_have_no_python_udf(spark):
     oracles = entrymod.oracle_sql()
     for name in oracles:
         assert_no_python_udf(qs[name](spark, "/root/testdata/sf0.001"))
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketed layout → co-located join with no shuffle (the write-
+    side lever for repeated large joins at scale)."""
+    import shutil
+    from demv_spark.sources.sinks import is_exchange_free_join, write_bucketed
+    from demv_spark.sources.readers import read_table
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 4,
+    )
+    assert is_exchange_free_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+
+    # sanity: same join on the raw (unbucketed) frames needs a shuffle
+    from demv_spark.plans.introspect import plan_stats
+    raw = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    )
+    assert plan_stats(raw)["n_exchanges"] > 0 or plan_stats(raw)["n_broadcasts"] > 0
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from demv_spark.sources.sinks import write_partitioned
+    from demv_spark.sources.readers import read_table
+    from demv_spark.plans.introspect import explain_str
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter("o_orderstatus = 'F'")
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+    # partition filter appears as such in the scan, not a data filter
+    assert "PartitionFilters" in explain_str(back, "formatted")
