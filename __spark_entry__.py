@@ -152,6 +152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_metric_fairness_suite"] = lambda spark, sf: M.fairness_suite(
         _orders_pred(spark, sf), _unpriv(), _pred_pos(), _true_pos(), "y_true", "y_pred"
     )
+    # multi-sensitive one-vs-rest view: every (priority × customer-
+    # bucket) combination's metrics from ONE scan — DEMV's multiple-
+    # sensitive-variables setting as a single query
+    q["q_metric_fairness_by_group"] = lambda spark, sf: M.fairness_by_group(
+        _t(spark, sf, "orders").withColumn(
+            "cust_mod", (F.col("o_custkey") % 3).cast("int")
+        ),
+        ["o_orderpriority", "cust_mod"],
+        _pred_pos(),
+        _true_pos(),
+    )
     q["q_metric_confusion_matrix"] = lambda spark, sf: M.confusion_matrix_long(
         _events_pred(spark, sf), "y_true", "y_pred"
     )
@@ -230,6 +241,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_dedup_simhash"] = lambda spark, sf: dedup.simhash_near_pairs(
         _t(spark, sf, "documents"), max_hamming=8, bands=4
+    )
+    # portable-hash (md5-based) sketch variants: same plan shape as
+    # the xxhash64 fast path, but every hash step is reproducible in
+    # ANSI SQL → full value-hash oracles for minhash, LSH banding,
+    # and simhash
+    q["q_dedup_minhash_portable"] = lambda spark, sf: dedup.minhash_signatures_portable(
+        _t(spark, sf, "documents"), num_hashes=32, shingle_n=3
+    )
+    q["q_dedup_lsh_portable"] = lambda spark, sf: dedup.minhash_lsh_pairs_portable(
+        _t(spark, sf, "documents"), num_hashes=32, bands=8, shingle_n=3
+    )
+    q["q_dedup_simhash_portable"] = lambda spark, sf: dedup.simhash_portable(
+        _t(spark, sf, "documents")
     )
 
     # ---- similarity search ----
@@ -451,6 +475,50 @@ def oracle_sql() -> dict[str, str]:
               - CASE WHEN p_pn = 0 THEN 0.0 ELSE p_pp_tn/p_pn END)
         ) AS eq_odds FROM c
     """
+    o["q_metric_fairness_by_group"] = f"""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(o_custkey % 3 AS INTEGER) AS cust_mod,
+                   CASE WHEN {_SQL_PRED} THEN 1 ELSE 0 END AS ispp,
+                   CASE WHEN {_SQL_PRED} AND {_SQL_TRUE} THEN 1 ELSE 0 END AS ispptp
+            FROM orders
+        ),
+        census AS (
+            SELECT o_orderpriority, cust_mod,
+                   COUNT(*) AS n, SUM(ispp) AS n_pp, SUM(ispptp) AS n_pp_tp
+            FROM base GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT SUM(n) AS tn, SUM(n_pp) AS tpp, SUM(n_pp_tp) AS tpptp
+            FROM census
+        ),
+        r AS (
+            SELECT o_orderpriority, cust_mod, n,
+                   CAST(n AS DOUBLE) AS u, CAST(n_pp AS DOUBLE) AS up,
+                   CAST(n_pp_tp AS DOUBLE) AS u_pp_tp,
+                   CAST(tn AS DOUBLE) - CAST(n AS DOUBLE) AS p,
+                   CAST(tpp AS DOUBLE) - CAST(n_pp AS DOUBLE) AS pp,
+                   CAST(tpptp AS DOUBLE) - CAST(n_pp_tp AS DOUBLE) AS p_pp_tp
+            FROM census CROSS JOIN tot
+        ),
+        rates AS (
+            SELECT *,
+                   CASE WHEN u = 0 THEN 0.0 ELSE up / u END AS u_rate,
+                   CASE WHEN p = 0 THEN 0.0 ELSE pp / p END AS p_rate,
+                   CASE WHEN up = 0 THEN 0.0 ELSE u_pp_tp / up END AS tpr_u,
+                   CASE WHEN pp = 0 THEN 0.0 ELSE p_pp_tp / pp END AS tpr_p,
+                   CASE WHEN (u - up) = 0 THEN 0.0 ELSE (up - u_pp_tp) / (u - up) END AS fpr_u,
+                   CASE WHEN (p - pp) = 0 THEN 0.0 ELSE (pp - p_pp_tp) / (p - pp) END AS fpr_p
+            FROM r
+        )
+        SELECT o_orderpriority, cust_mod, n,
+               u_rate - p_rate AS stat_par,
+               CASE WHEN p_rate = 0 THEN 0.0
+                    WHEN u_rate = 0 THEN u_rate / p_rate
+                    ELSE LEAST(u_rate / p_rate, p_rate / u_rate) END AS disp_imp,
+               GREATEST(ABS(tpr_u - tpr_p), ABS(fpr_u - fpr_p)) AS eq_odds
+        FROM rates
+    """
     o["q_metric_accuracy"] = f"""
         SELECT CAST(SUM(CASE WHEN y_true = y_pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc
         FROM ({_SQL_ORDERS_PRED})
@@ -664,6 +732,84 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
     """
 
+    # ---- portable-hash sketch oracles ----
+    # The (a_i, b_i) seed table and band-combine powers come from the
+    # SAME Python helpers the Spark operators use — one source of
+    # truth for the hash-family constants.
+    _p31 = (1 << 31) - 1
+    _ph = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+    _seed_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._seed_pairs(32))
+    )
+    _sig_cte = rf"""
+        toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        shl AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks
+        ),
+        hl AS (
+            SELECT doc_id,
+                   list_transform(sh, s -> {_ph.format(s='s')} % {_p31}) AS hl
+            FROM shl WHERE len(sh) > 0
+        ),
+        seeds(h_idx, a, b) AS (VALUES {_seed_rows}),
+        sigs AS (
+            SELECT doc_id, CAST(h_idx AS INTEGER) AS h_idx,
+                   list_min(list_transform(hl, h -> (a*h + b) % {_p31})) AS min_h
+            FROM hl CROSS JOIN seeds
+        )
+    """
+    o["q_dedup_minhash_portable"] = (
+        f"WITH {_sig_cte} SELECT doc_id, h_idx, min_h FROM sigs"
+    )
+    _pows = dedup._band_pows(4)
+    _bucket_term = (
+        f"(min_h * CASE h_idx % 4 WHEN 0 THEN {_pows[0]} WHEN 1 THEN {_pows[1]} "
+        f"WHEN 2 THEN {_pows[2]} ELSE {_pows[3]} END) % {_p31}"
+    )
+    o["q_dedup_lsh_portable"] = f"""
+        WITH {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT p.id_a, p.id_b,
+                   SUM(CASE WHEN sa.min_h = sb.min_h THEN 1 ELSE 0 END) AS ov
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.id_a
+            JOIN sigs sb ON sb.doc_id = p.id_b AND sb.h_idx = sa.h_idx
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, ov / 32.0 AS est_jaccard FROM ov
+    """
+    o["q_dedup_simhash_portable"] = f"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        hl AS (
+            SELECT doc_id, len(t) AS n,
+                   list_transform(t, s -> {_ph.format(s='s')}) AS hl
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, j, n,
+                   list_sum(list_transform(hl, h -> (h >> j) & 1)) AS v
+            FROM hl CROSS JOIN range(0, 32) r(j)
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2*v > n THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+        FROM votes GROUP BY doc_id
+    """
+
     _dot = (
         "list_sum(list_transform(range(1, len({a}) + 1), "
         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -752,4 +898,6 @@ def oracle_sql() -> dict[str, str]:
     # q_demv_rebalance_uniform, q_demv_rebalance_smote: intentionally
     # no SQL oracle (xxhash64 sketches / seeded sampling are not
     # SQL-expressible) → driver rows-only check; invariants in tests/.
+    # The minhash/LSH/simhash ALGORITHMS are nonetheless fully oracled
+    # via the portable-hash variants above (q_dedup_*_portable).
     return o

@@ -292,3 +292,74 @@ def fairness_suite(
         F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
         (F.col("n_match") / F.col("n")).alias("acc"),
     )
+
+
+def fairness_by_group(
+    df: DataFrame,
+    sensitive: Sequence[str],
+    pred_pos: Column,
+    true_pos: Column,
+) -> DataFrame:
+    """One-vs-rest fairness metrics for EVERY combination of the
+    sensitive columns, in ONE scan of the base table.
+
+    The reference evaluates a single privileged/unprivileged split per
+    call (utils.py:23-58); in DEMV's headline setting — multiple
+    sensitive variables (demv.py: the cross-product of sensitive
+    values) — the per-combination view requires |G| such calls, i.e.
+    |G| scans. Here: one groupBy census over the sensitive combos with
+    the outcome predicates folded into conditional counts, then every
+    group's one-vs-rest metric is window arithmetic over the census.
+    The base table is scanned exactly once; the unpartitioned window
+    runs over |G| rows (tiny by construction), so the single-partition
+    WindowExec is deliberate, not a scale bug.
+
+    Returns one row per sensitive combination with (n, stat_par,
+    disp_imp, eq_odds) where "unprivileged" = this combo and
+    "privileged" = everyone else, using the reference's exact guard
+    quirks (0-denominator→0; disparate-impact 0-rate cases).
+    """
+    from pyspark.sql import Window
+
+    # census counts stay LONG through the window sums (integer adds are
+    # order-exact; double summation order would not be) — cast to
+    # double only where a ratio is formed, so the oracle can reproduce
+    # every float bit-for-bit
+    census = df.groupBy(*[F.col(s) for s in sensitive]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(pred_pos, F.lit(1)).otherwise(F.lit(0))).alias("n_pp"),
+        F.sum(F.when(pred_pos & true_pos, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_pp_tp"
+        ),
+    )
+    w = Window.partitionBy()
+    tot_n = F.sum("n").over(w)
+    tot_pp = F.sum("n_pp").over(w)
+    tot_pp_tp = F.sum("n_pp_tp").over(w)
+
+    def d(c):
+        return c.cast("double")
+
+    u, up, u_pp_tp = d(F.col("n")), d(F.col("n_pp")), d(F.col("n_pp_tp"))
+    p, pp, p_pp_tp = d(tot_n) - u, d(tot_pp) - up, d(tot_pp_tp) - u_pp_tp
+    u_rate = _guard(up, u)
+    p_rate = _guard(pp, p)
+    di = (
+        F.when(p_rate == 0, F.lit(0.0))
+        .when(u_rate == 0, u_rate / p_rate)
+        .otherwise(F.least(u_rate / p_rate, p_rate / u_rate))
+    )
+    # as-implemented M3 form: TPR denominator is the predicted-positive
+    # count, FPR = (pp & ~tp) / pred-negative — all derivable from the
+    # three census counts
+    tpr_u = _guard(u_pp_tp, up)
+    tpr_p = _guard(p_pp_tp, pp)
+    fpr_u = _guard(up - u_pp_tp, u - up)
+    fpr_p = _guard(pp - p_pp_tp, p - pp)
+    return census.select(
+        *sensitive,
+        F.col("n").cast("long").alias("n"),
+        (u_rate - p_rate).alias("stat_par"),
+        di.alias("disp_imp"),
+        F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
+    )

@@ -338,3 +338,183 @@ def simhash_near_pairs(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable sketch variants (cross-engine verifiable)
+#
+# The xxhash64 sketches above are the scale path (integer-only inner
+# loop, no shingle strings materialized) but xxhash64 has no twin in
+# other engines, so they can only be validated by invariants. The
+# variants below trade a little per-row CPU for an ANSI-SQL-portable
+# hash family — every step is reproducible in DuckDB (or any engine
+# with md5), which upgrades minhash / LSH banding / simhash from
+# rows-only checks to exact value-hash oracles. Plan shape is
+# identical to the fast path: map-only signatures, linear explode,
+# equi-join candidates.
+# ---------------------------------------------------------------------------
+
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31 - 1: modulus of the hash family
+_BAND_C = 1_000_003  # polynomial-combine base for band buckets
+
+
+def portable_hash(col):
+    """60-bit integer hash reproducible in any SQL engine with md5():
+    the first 15 hex chars of md5, parsed base-16 (always positive,
+    fits a signed 64-bit).
+
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _seed_pairs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients of the universal hash
+    family h_i(x) = (a_i*x + b_i) mod P31; same table is embedded in
+    the SQL oracle."""
+    return [
+        (((2654435761 * (i + 1)) % _P31) or 1, (40503 * (i + 1) + 17) % _P31)
+        for i in range(num_hashes)
+    ]
+
+
+def _band_pows(rows_per_band: int) -> list[int]:
+    """C^j mod P31 for the in-band polynomial bucket combine."""
+    out, c = [], 1
+    for _ in range(rows_per_band):
+        out.append(c)
+        c = (c * _BAND_C) % _P31
+    return out
+
+
+def _portable_sig(df, text_col, id_col, num_hashes, shingle_n):
+    """(id, sig array<long>) with the portable family; docs with no
+    shingles are dropped (mirrors the sentinel filter in the fast
+    path). Same single-fold shape as minhash_signatures: one pass
+    over the shingle array maintains all minima — all arithmetic
+    stays below 2^62, so ANSI overflow checking never trips."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    hs = F.transform(sh, lambda s: portable_hash(s) % _P31)
+    seeds = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in _seed_pairs(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(_P31).cast("long"), num_hashes)
+    base = df.select(F.col(id_col).alias("id"), hs.alias("__hs")).filter(
+        F.size("__hs") > 0
+    )
+    sig = F.aggregate(
+        F.col("__hs"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, s: F.least(m, (s["a"] * h + s["b"]) % F.lit(_P31))
+        ),
+    )
+    return base.select("id", sig.alias("sig"))
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures in exploded form (id_col, h_idx, min_h) —
+    one row per (document, hash function), all scalar integers, so a
+    SQL oracle can hash-match the exact values. Same map-only plan as
+    the fast path (reference: demv has no sketch ops; this is the
+    training-data extension family)."""
+    sig = _portable_sig(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col("id").alias(id_col),
+        F.posexplode("sig").alias("h_idx", "min_h"),
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs with the portable hash family: band bucket
+    = polynomial combine of the band's signature rows mod P31 (both
+    the banding and the signature arithmetic are SQL-reproducible).
+    Returns (id_a, id_b, est_jaccard) like minhash_lsh_pairs; same
+    linear explode → equi-join → ids-only distinct → broadcast
+    signature re-join plan."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    pows = _band_pows(rows_per_band)
+    sig = _portable_sig(df, text_col, id_col, num_hashes, shingle_n).persist()
+
+    def bucket(b):
+        # sum of (sig[j]*C^j mod P) stays < bands*P < 2^36 — no overflow
+        acc = sum(
+            (F.element_at("sig", b * rows_per_band + j + 1) * F.lit(pows[j]))
+            % F.lit(_P31)
+            for j in range(rows_per_band)
+        )
+        return (acc % F.lit(_P31)).alias("bucket")
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), bucket(b)) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sigs_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sigs_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(F.broadcast(sigs_a), "id_a").join(F.broadcast(sigs_b), "id_b")
+    overlap = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", (overlap / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash over the portable token hash — 32-bit signature whose
+    per-bit majority votes (and thus the exact fingerprint integer)
+    are SQL-reproducible. Same single-fold, map-only shape as
+    simhash(). Returns (id_col, fp long)."""
+    assert 1 <= bits <= 32
+    th = F.transform(tokens(text_col), lambda t: portable_hash(t))
+    n_tok = F.size(tokens(text_col))
+    bit_idx = F.array(*[F.lit(i).cast("int") for i in range(bits - 1, -1, -1)])
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    counts = F.aggregate(
+        th,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, b: a + F.bit_get(h, b).cast("long")
+        ),
+    )
+    fp = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda s, c: s * 2 + F.when(c * 2 > n_tok, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return df.select(F.col(id_col), fp.alias("fp"))

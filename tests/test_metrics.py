@@ -113,3 +113,31 @@ def test_fairness_suite_matches_individual(df):
     assert suite["disp_imp"] == pytest.approx(di, abs=1e-12)
     assert suite["eq_odds"] == pytest.approx(eo, abs=1e-12)
     assert suite["acc"] == pytest.approx(acc, abs=1e-12)
+
+
+def test_fairness_by_group_one_vs_rest(df):
+    """Each sens value's row must equal the corresponding single-split
+    metric with unpriv = (sens == v)."""
+    by = {
+        r["sens"]: r
+        for r in M.fairness_by_group(df, ["sens"], _pred_pos(), _true_pos()).collect()
+    }
+    assert set(by) == {0, 1} and by[1]["n"] == 5 and by[0]["n"] == 7
+    for v in (0, 1):
+        cond = F.col("sens") == v
+        sp = M.statistical_parity(df, cond, _pred_pos()).collect()[0][0]
+        di = M.disparate_impact(df, cond, _pred_pos()).collect()[0][0]
+        eo = M.equalized_odds(df, cond, _pred_pos(), _true_pos()).collect()[0][0]
+        assert by[v]["stat_par"] == pytest.approx(sp, abs=1e-12)
+        assert by[v]["disp_imp"] == pytest.approx(di, abs=1e-12)
+        assert by[v]["eq_odds"] == pytest.approx(eo, abs=1e-12)
+
+
+def test_fairness_by_group_multi_sensitive(df):
+    out = M.fairness_by_group(
+        df, ["sens", "y_true"], _pred_pos(), _true_pos()
+    ).collect()
+    assert len(out) == 4  # 2 sens × 2 y_true combos
+    assert {tuple([r["sens"], r["y_true"]]) for r in out} == {
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    }

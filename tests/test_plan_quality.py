@@ -78,3 +78,19 @@ def test_label_encode_broadcasts_codes(spark):
     s = plan_stats(etl.label_encode(cust, "c_mktsegment"))
     assert s["n_broadcasts"] >= 1
     assert s["n_sort_merge_joins"] == 0
+
+
+def test_fairness_by_group_single_scan(orders):
+    from demv_spark.functions import metrics as M
+    import pyspark.sql.functions as F
+
+    s = plan_stats(
+        M.fairness_by_group(
+            orders.withColumn("m", (F.col("o_custkey") % 3).cast("int")),
+            ["o_orderpriority", "m"],
+            F.col("o_totalprice") > 250000,
+            F.col("o_orderstatus") == "F",
+        )
+    )
+    assert len(s["read_schemas"]) == 1, "per-group view must not re-scan per group"
+    assert not s["has_python_udf"]

@@ -76,6 +76,34 @@ def test_simhash_near_pairs(docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_portable_minhash_invariants(docs):
+    out = dedup.minhash_signatures_portable(docs, num_hashes=16)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["h_idx"]] = r["min_h"]
+    # identical and normalized-identical docs share the exact signature
+    assert by_doc[1] == by_doc[2] == by_doc[3]
+    assert all(len(v) == 16 for v in by_doc.values())
+    p31 = (1 << 31) - 1
+    assert all(0 <= m < p31 for v in by_doc.values() for m in v.values())
+
+
+def test_portable_lsh_finds_dups(docs):
+    out = dedup.minhash_lsh_pairs_portable(docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs  # near-dup caught with 16 bands
+
+
+def test_portable_simhash(docs):
+    fp = {r["doc_id"]: r["fp"] for r in dedup.simhash_portable(docs).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+    # one-word perturbation flips only a few of the 32 bits
+    assert bin(fp[1] ^ fp[4]).count("1") <= 10
+
+
 VECS = [
     (1, [1.0, 0.0, 0.0, 0.0]),
     (2, [0.9, 0.1, 0.0, 0.0]),
