@@ -227,6 +227,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     ).select("doc_id", "fp")
 
+    # ---- text: chunking / boilerplate / vocabulary ----
+    q["q_text_chunk"] = lambda spark, sf: text.chunk_tokens(
+        _t(spark, sf, "documents"), n=8
+    )
+
+    def _line_dedup(spark, sf):
+        # documents are single-line; chunk into 8-token 'lines' first
+        # (the chunker doubles as the line-ifier), then strip chunks
+        # shared by >= 3 docs and reassemble
+        chunked = text.chunk_tokens(_t(spark, sf, "documents"), n=8)
+        docs = chunked.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        return text.line_dedup(docs, min_docs=3).select("doc_id", "clean_text")
+
+    q["q_text_line_dedup"] = _line_dedup
+    q["q_text_top_tokens"] = lambda spark, sf: text.top_tokens(
+        _t(spark, sf, "documents"), k=20
+    )
+
+    # ---- decontamination (train docs sharing a 4-gram with the
+    # benchmark slice doc_id % 20 == 0) ----
+    def _decontaminate(spark, sf):
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        train = docs.filter(F.col("doc_id") % 20 != 0)
+        return dedup.decontaminate(train, bench, n=4)
+
+    q["q_dedup_decontaminate"] = _decontaminate
+
+    # ---- deterministic stratified sampling ----
+    q["q_etl_stratified_sample"] = lambda spark, sf: etl.stratified_sample(
+        _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        strata=["o_orderpriority"],
+        fraction=0.1,
+        key_cols=["o_orderkey"],
+        seed=42,
+    )
+
     # ---- dedup ----
     q["q_dedup_exact"] = lambda spark, sf: dedup.exact_dedup(
         _t(spark, sf, "documents")
@@ -313,6 +360,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_demv_rebalance_uniform"] = _demv_uniform
     q["q_demv_rebalance_smote"] = _demv_smote
 
+    # rebalanced per-group census with a genuinely imbalanced split
+    # (both s and y derive from o_totalprice, so the groups start far
+    # from parity): the SQL oracle independently re-derives the
+    # reference loop's fixed point with a generate_series walk, making
+    # the flagship operator's OUTPUT SIZES value-hash-checked, not
+    # just rows-only
+    def _demv_census(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+            "o_orderkey",
+        )
+        out = DEMV(["s"], label="y", round_level=1, seed=42).fit_transform(tbl)
+        return out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n_out"))
+
+    q["q_demv_rebalance_census"] = _demv_census
+
     # ---- events windowed rollup (streaming-shaped aggregate) ----
     q["q_events_hourly"] = lambda spark, sf: (
         _t(spark, sf, "events")
@@ -376,6 +440,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_of_fold_predictions(tbl, ["f1", "f2", "f3"], "y", clf, k=3)
 
     q["q_ml_out_of_fold"] = _oof_predictions
+
+    # out-of-fold MAJORITY baseline: the CV split-train-predict cycle
+    # with a grouped-count 'model' — fully SQL-expressible, so fold
+    # membership and prediction assembly get a value-hash oracle
+    def _oof_majority(spark, sf):
+        from demv_spark.ml.evaluation import majority_baseline_oof
+
+        tbl = _t(spark, sf, "orders").select(
+            "o_orderkey", _true_pos().cast("int").alias("y_true")
+        )
+        return majority_baseline_oof(
+            tbl, "y_true", key_cols=["o_orderkey"], k=5, seed=2
+        )
+
+    q["q_ml_oof_majority"] = _oof_majority
 
     # ---- post-processing balancer ----
     def _postprocess(spark, sf):
@@ -868,6 +947,124 @@ def oracle_sql() -> dict[str, str]:
                user_id, COUNT(*) AS n_events
         FROM islands GROUP BY user_id, session_id
     """
+    # rebalanced group census: the oracle re-derives the reference
+    # loop's fixed point independently — walk n outward from n0 (one
+    # step per iteration, direction = sign(w_exp·total − n0)) and take
+    # the first size whose rounded disparity is 1, capped at stop.
+    # Verified equivalent to balancer._simulate_target at sf0.001/0.01.
+    o["q_demv_rebalance_census"] = """
+        WITH pred AS (
+          SELECT CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS s,
+                 CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS y
+          FROM orders),
+        census AS (SELECT s, y, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS total FROM census),
+        sm AS (SELECT s, SUM(n) AS sn FROM census GROUP BY 1),
+        lm AS (SELECT y, SUM(n) AS ln FROM census GROUP BY 1),
+        g AS (
+          SELECT c.s, c.y, c.n, t.total,
+                 (CAST(sm.sn AS DOUBLE)/t.total) * (CAST(lm.ln AS DOUBLE)/t.total) AS w_exp
+          FROM census c CROSS JOIN tot t
+          JOIN sm ON c.s = sm.s JOIN lm ON c.y = lm.y),
+        walk AS (
+          SELECT g.s, g.y, g.n,
+                 g.n + CASE WHEN g.w_exp * g.total > g.n THEN st.i ELSE -st.i END AS n_try,
+                 st.i, g.w_exp, g.total
+          FROM g CROSS JOIN generate_series(0, 10000) st(i)),
+        hit AS (
+          SELECT s, y, n, MIN(i) AS steps
+          FROM walk
+          WHERE n_try > 0 AND ROUND(w_exp * total / n_try, 1) = 1.0
+          GROUP BY 1, 2, 3)
+        SELECT g.s, g.y,
+               CAST(g.n + CASE WHEN g.w_exp*g.total > g.n THEN 1 ELSE -1 END
+                     * COALESCE(h.steps, 10000) AS BIGINT) AS n_out
+        FROM g LEFT JOIN hit h ON g.s = h.s AND g.y = h.y
+    """
+
+    _sql_fold5 = (
+        "CAST(CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, '2')), 1, 15)) "
+        "AS BIGINT) % 5 AS INTEGER)"
+    )
+    o["q_ml_oof_majority"] = f"""
+        WITH folded AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y_true,
+                 {_sql_fold5} AS fold
+          FROM orders),
+        census AS (SELECT fold, y_true, COUNT(*) AS n FROM folded GROUP BY 1, 2),
+        totals AS (SELECT y_true, SUM(n) AS n_tot FROM census GROUP BY 1),
+        grid AS (
+          SELECT f.fold, t.y_true, t.n_tot
+          FROM (SELECT DISTINCT fold FROM census) f CROSS JOIN totals t),
+        compl AS (
+          SELECT g.fold, g.y_true, g.n_tot - COALESCE(c.n, 0) AS n_compl
+          FROM grid g LEFT JOIN census c ON g.fold = c.fold AND g.y_true = c.y_true),
+        maj AS (
+          SELECT fold, y_true AS y_pred_base FROM (
+            SELECT fold, y_true,
+                   ROW_NUMBER() OVER (PARTITION BY fold
+                                      ORDER BY n_compl DESC, y_true) AS rk
+            FROM compl) WHERE rk = 1)
+        SELECT f.fold, f.o_orderkey, f.y_true, m.y_pred_base
+        FROM folded f JOIN maj m USING (fold)
+    """
+
+    _chunk_pos_cte = rf"""
+        toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t,
+                 UNNEST(range(0, CAST(CEIL(len(t)/8.0) AS BIGINT))) AS i
+          FROM toks),
+        chunked AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS chunk_pos,
+                 array_to_string(t[i*8+1:i*8+8], ' ') AS chunk
+          FROM pos)
+    """
+    o["q_text_chunk"] = f"WITH {_chunk_pos_cte} SELECT doc_id, chunk_pos, chunk FROM chunked"
+    o["q_text_line_dedup"] = f"""
+        WITH {_chunk_pos_cte},
+        freq AS (
+          SELECT trim(lower(chunk)) AS key FROM chunked
+          GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        kept AS (
+          SELECT c.doc_id, c.chunk_pos, c.chunk FROM chunked c
+          WHERE trim(lower(c.chunk)) NOT IN (SELECT key FROM freq)),
+        reass AS (
+          SELECT doc_id, string_agg(chunk, chr(10) ORDER BY chunk_pos) AS clean_text
+          FROM kept GROUP BY 1)
+        SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN reass r USING (doc_id)
+    """
+    o["q_text_top_tokens"] = f"""
+        WITH tok AS (SELECT UNNEST({_toks}) AS token FROM documents)
+        SELECT token, COUNT(*) AS n FROM tok WHERE token != ''
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+    """
+    o["q_dedup_decontaminate"] = f"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh_all AS (
+          SELECT doc_id, UNNEST(list_distinct(
+            list_transform(range(1, GREATEST(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')))) AS sh
+          FROM toks),
+        bench AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 20 = 0),
+        train AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 20 != 0)
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM train JOIN bench USING (sh) GROUP BY 1
+    """
+    o["q_etl_stratified_sample"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, '42')), 1, 15)) AS BIGINT),
+                            o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS ns
+          FROM orders
+        ) WHERE rn <= CEIL(ns * 0.1)
+    """
+
     o["q_ml_fold_sizes"] = """
         WITH n AS (SELECT COUNT(*) AS total FROM orders)
         SELECT CAST(i AS INTEGER) AS fold,

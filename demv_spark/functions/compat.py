@@ -43,3 +43,20 @@ def sql_stable_sum(expr: str) -> str:
 def sql_stable_avg(expr: str) -> str:
     """ANSI-SQL rendering of stable_avg for the DuckDB oracle."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def portable_hash(col: Column | str) -> Column:
+    """60-bit integer hash reproducible in any SQL engine with md5():
+    the first 15 hex chars of md5, parsed base-16 (always positive,
+    fits a signed 64-bit). The engine-portable twin of ``xxhash64``
+    for operators whose oracle must recompute the hash.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash(expr: str) -> str:
+    """DuckDB rendering of portable_hash for the oracle SQL."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

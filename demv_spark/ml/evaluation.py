@@ -39,7 +39,12 @@ from demv_spark.functions import metrics as M
 
 
 def assign_folds(
-    df: DataFrame, k: int = 10, seed: int = 2, fold_col: str = "fold", exact: bool = True
+    df: DataFrame,
+    k: int = 10,
+    seed: int = 2,
+    fold_col: str = "fold",
+    exact: bool = True,
+    portable_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Seeded fold-assignment column (E4, utils.py:137,145-148).
 
@@ -48,7 +53,21 @@ def assign_folds(
     right for datasets that fit a sort (the reference's regime).
 
     exact=False: pmod(hash, k) — shuffle-free, scales to any size,
-    fold sizes only approximately equal (the 100 TB default)."""
+    fold sizes only approximately equal (the 100 TB default).
+
+    portable_key=[cols]: like exact=False but md5-based (compat.
+    portable_hash) over the given key columns — shuffle-free AND
+    reproducible in any SQL engine, so fold membership itself can be
+    oracle-checked. SQL twin per row:
+    ``CAST(concat('0x', substr(md5(concat_ws('|', key..., 'seed')),
+    1, 15)) AS BIGINT) % k``."""
+    if portable_key is not None:
+        from demv_spark.functions.compat import portable_hash
+
+        h = portable_hash(
+            F.concat_ws("|", *[F.col(c) for c in portable_key], F.lit(str(seed)))
+        )
+        return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
     if exact:
         w = Window.orderBy(F.rand(seed))
         return df.withColumn(fold_col, F.ntile(k).over(w) - 1)
@@ -145,6 +164,54 @@ def out_of_fold_predictions(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("y_true", F.col(label_col))
+
+
+def majority_baseline_oof(
+    df: DataFrame,
+    label_col: str,
+    key_cols: Sequence[str],
+    k: int = 5,
+    seed: int = 2,
+    fold_col: str = "fold",
+    out: str = "y_pred_base",
+) -> DataFrame:
+    """Out-of-fold MAJORITY-CLASS baseline: each row is predicted the
+    most frequent label of the other k−1 folds (ties → smallest
+    label). The zero-parameter twin of ``out_of_fold_predictions`` —
+    same fold machinery, but the 'model' is a grouped count, which
+    makes the entire CV split-train-predict cycle SQL-expressible and
+    therefore oracle-checkable end to end (MLlib fits are not).
+
+    Plan: portable-hash fold column (no shuffle) → per-(fold, label)
+    census (one aggregate; tiny result) → complement counts by
+    label-total subtraction (no second scan) → per-fold argmax →
+    broadcast join back. One scan + one k×|labels| aggregate.
+
+    Returns df + fold_col + ``out`` (the baseline prediction).
+    """
+    folded = assign_folds(df, k, seed, fold_col, portable_key=key_cols)
+    census = folded.groupBy(fold_col, label_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    totals = census.groupBy(label_col).agg(F.sum("__n").alias("__n_tot"))
+    # full fold × label grid: a label absent from fold f still counts
+    # toward f's complement majority (its complement count is the
+    # label's global total)
+    grid = census.select(fold_col).distinct().crossJoin(totals)
+    compl = grid.join(census, [fold_col, label_col], "left").select(
+        fold_col,
+        label_col,
+        (F.col("__n_tot") - F.coalesce(F.col("__n"), F.lit(0))).alias("__n_compl"),
+    )
+    w = Window.partitionBy(fold_col).orderBy(
+        F.desc("__n_compl"), F.col(label_col)
+    )
+    majority = (
+        compl.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(fold_col, F.col(label_col).alias(out))
+    )
+    return folded.join(F.broadcast(majority), fold_col)
 
 
 def cross_val(

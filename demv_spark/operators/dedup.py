@@ -114,6 +114,44 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark corpus — the standard
+    pre-training hygiene pass (the real-world form uses 8–13-gram
+    overlap against eval sets).
+
+    Plan: distinct shingles per side (linear explodes), equi-join on
+    the shingle string, per-doc distinct-hit count. The benchmark
+    shingle set is typically tiny next to the corpus (eval sets are
+    thousands of docs, the corpus billions) — Catalyst broadcasts it
+    when under the threshold, so the pass over the corpus is map-only
+    at scale; otherwise it is a shuffled hash join on the shingle key.
+
+    Returns (id_col, n_hits) for contaminated documents only —
+    anti-join the result against the corpus to drop them.
+    """
+    sh_train = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("__sh"),
+    )
+    sh_bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("__sh")
+        ).distinct()
+    )
+    return (
+        sh_train.join(sh_bench, "__sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def shingle_hashes(col, n: int = 3):
     """64-bit hashes of word n-gram shingles, built without
     materializing shingle strings: each token is hashed ONCE
@@ -358,14 +396,9 @@ _P31 = (1 << 31) - 1  # Mersenne prime 2^31 - 1: modulus of the hash family
 _BAND_C = 1_000_003  # polynomial-combine base for band buckets
 
 
-def portable_hash(col):
-    """60-bit integer hash reproducible in any SQL engine with md5():
-    the first 15 hex chars of md5, parsed base-16 (always positive,
-    fits a signed 64-bit).
-
-    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# canonical definition lives with the other cross-engine parity
+# primitives; re-exported here for the sketch family's callers
+from demv_spark.functions.compat import portable_hash  # noqa: E402
 
 
 def _seed_pairs(num_hashes: int) -> list[tuple[int, int]]:

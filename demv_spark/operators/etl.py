@@ -211,3 +211,45 @@ def random_relabel(
     ranked = df.withColumn("__rn", F.row_number().over(w))
     flipped = F.when(pred & (F.col("__rn") <= n), F.lit(new_value)).otherwise(F.col(label))
     return ranked.withColumn(label, flipped).drop("__rn")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    fraction: float,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic exact stratified sample: keep ``ceil(fraction *
+    n_s)`` rows from every stratum, selected by portable-hash rank
+    over the key columns — the training-pipeline subsampling primitive
+    (per-source / per-language quotas).
+
+    Unlike ``df.sampleBy`` (Bernoulli: approximate counts, seed tied
+    to partition layout) this is exact and ENGINE-PORTABLE: the rank
+    order is md5-based, so the selected set is a pure function of the
+    data — reproducible across engines, partitionings, and retries.
+
+    Plan: one shuffle on the strata key; ``count(*) over stratum`` and
+    ``row_number`` share the same window partition, so Catalyst plans
+    a single Window exchange. Skew note: a giant stratum serializes
+    into one ranking task — pre-split hot strata (salting) if one
+    stratum exceeds a task's memory at your scale.
+
+    SQL twin: QUALIFY ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    portable_hash(key || ':' || seed), key) <= CEIL(COUNT(*) OVER
+    (PARTITION BY strata) * fraction).
+    """
+    from demv_spark.functions.compat import portable_hash
+
+    h = portable_hash(
+        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    w_rank = Window.partitionBy(*strata).orderBy(h, *key_cols)
+    w_all = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__ns", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") <= F.ceil(F.col("__ns") * F.lit(fraction)))
+        .drop("__rn", "__ns")
+    )

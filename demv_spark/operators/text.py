@@ -119,6 +119,104 @@ def lang_id(
     return df.withColumn(out, pred)
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    out: str = "chunk",
+) -> DataFrame:
+    """Fixed-width token chunking: one output row per ``n``-token
+    window (last chunk ragged) — the packing primitive for
+    context-window batching of pre-training corpora.
+
+    Pure column expressions: tokens are projected ONCE into a real
+    column before the per-chunk lambda (referencing the tokenize
+    subtree inside the lambda would re-evaluate it per element), then
+    transform+slice builds the chunk array and posexplode emits
+    (position, chunk) rows — map-only, no shuffle.
+
+    SQL twin: per-row unnest over range(ceil(len(tokens)/n)) with
+    list slicing (DuckDB ``t[a:b]`` is 1-based inclusive).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(n)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * n + 1, n), " "),
+    )
+    # tokens('') == [''] so size >= 1 and sequence(0, n_chunks-1) is
+    # always ascending (sequence(0,-1) would be the DESCENDING [0,-1])
+    return toked.select(id_col, F.posexplode(chunks).alias(pos_col, out))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line whose normalized
+    form occurs in at least ``min_docs`` distinct documents, and
+    reassemble the survivors in original order.
+
+    Plan: posexplode lines (linear) → line-frequency census (one
+    groupBy on the normalized line; partial aggregation means the
+    shuffle carries (line, doc_id) pairs pre-deduped per partition) →
+    left-anti join against the frequent-line set (shuffled hash join
+    on the line key — the frequent set is NOT assumed small; on web
+    corpora boilerplate tables are huge) → groupBy doc reassembly via
+    sort-by-position array_join. Documents reduced to nothing come
+    back as '' (left join from the input keeps every doc).
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__key", F.trim(F.lower(F.col("__line"))))
+    frequent = (
+        lines.groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__key")
+    )
+    kept = lines.join(frequent, "__key", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias(out)
+    )
+    return df.join(reassembled, id_col, "left").select(
+        *df.columns, F.coalesce(F.col(out), F.lit("")).alias(out)
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Global token-frequency top-k with deterministic ties (count
+    desc, token asc) — corpus vocabulary profiling. Partial+final hash
+    aggregation then TakeOrdered(k): the full vocabulary never sits on
+    one node, only each partition's top-k candidates reach the driver.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     """Deterministic content fingerprint: md5 of the whitespace- and
     case-normalized text. Identical in Spark (F.md5) and DuckDB (md5)

@@ -88,3 +88,17 @@ def test_random_relabel_count(spark):
     flipped = out.filter(F.col("y") == 1)
     assert flipped.count() == 10
     assert flipped.filter(F.col("id") >= 50).count() == 0  # only matching rows flip
+
+
+def test_stratified_sample_exact_sizes(spark):
+    from demv_spark.operators.etl import stratified_sample
+
+    rows = [(i, "a" if i % 3 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = stratified_sample(df, ["grp"], 0.25, ["id"], seed=7)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # strata sizes: a=34, b=66 -> ceil(0.25*n) = 9, 17
+    assert got == {"a": 9, "b": 17}
+    # deterministic: same seed -> identical selection
+    again = stratified_sample(df, ["grp"], 0.25, ["id"], seed=7)
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())

@@ -110,3 +110,18 @@ def test_equalize_positive_rates(spark):
     out = equalize_positive_rates(df, ["g"], "score", rate=0.3)
     pos = out.filter(F.col("prediction_adj") == 1).groupBy("g").count().collect()
     assert all(r["count"] == 3 for r in pos)
+
+
+def test_majority_baseline_oof(spark):
+    from demv_spark.ml.evaluation import majority_baseline_oof
+
+    # 70% label 1 -> every fold's complement majority is 1
+    rows = [(i, 1 if i % 10 < 7 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "y"])
+    out = majority_baseline_oof(df, "y", key_cols=["id"], k=5, seed=2)
+    assert out.count() == 200
+    assert out.filter(F.col("y_pred_base") != 1).count() == 0
+    # portable fold assignment is a pure function of (key, seed)
+    folds1 = {r["id"]: r["fold"] for r in out.collect()}
+    out2 = majority_baseline_oof(df, "y", key_cols=["id"], k=5, seed=2)
+    assert folds1 == {r["id"]: r["fold"] for r in out2.collect()}

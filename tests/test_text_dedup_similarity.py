@@ -179,3 +179,65 @@ def test_cosine_topk_arrow_empty_queries(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = similarity.cosine_topk_arrow(emb.filter(F.col("vec_id") < 0), emb, k=5)
     assert out.count() == 0
+
+
+def test_chunk_tokens(docs):
+    rows = text.chunk_tokens(docs, n=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_pos"], r["chunk"]))
+    # doc 1 has 9 tokens -> 3 chunks of 4/4/1, positions 0..2
+    c1 = sorted(by_doc[1])
+    assert [p for p, _ in c1] == [0, 1, 2]
+    assert c1[0][1] == "the quick brown fox"
+    assert c1[2][1] == "dog"
+    # reassembly round-trips the normalized text
+    assert " ".join(c for _, c in c1) == "the quick brown fox jumps over the lazy dog"
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    rows = [
+        (1, "keep me one\nCOPYRIGHT FOOTER\nunique tail a"),
+        (2, "keep me two\ncopyright footer\nunique tail b"),
+        (3, "keep me three\nCopyright Footer\nunique tail c"),
+        (4, "totally unrelated\nsolo line"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"] for r in text.line_dedup(df, min_docs=3).collect()}
+    # the footer occurs (case-normalized) in 3 docs -> removed everywhere
+    assert got[1] == "keep me one\nunique tail a"
+    assert got[2] == "keep me two\nunique tail b"
+    assert got[3] == "keep me three\nunique tail c"
+    assert got[4] == "totally unrelated\nsolo line"
+
+
+def test_line_dedup_empties_all_boilerplate_doc(spark):
+    rows = [(1, "same\nsame"), (2, "same"), (3, "other stuff")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"] for r in text.line_dedup(df, min_docs=2).collect()}
+    assert got[1] == "" and got[2] == ""
+    assert got[3] == "other stuff"
+
+
+def test_top_tokens(docs):
+    rows = text.top_tokens(docs, k=3).collect()
+    assert rows[0]["token"] == "the"  # most frequent across DOCS
+    assert rows[0]["n"] >= rows[1]["n"] >= rows[2]["n"]
+
+
+def test_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix"),   # shares 4-gram
+            (2, "no overlap with the benchmark at all"),
+            (3, "alpha beta gamma delta epsilon verbatim"),  # shares 2 4-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in dedup.decontaminate(train, bench, n=4).collect()}
+    assert got[1] == 1
+    assert got[3] == 2
+    assert 2 not in got
