@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _cnt(pred: Column) -> Column:
@@ -194,10 +194,18 @@ def average_odds_difference(
     TPR_c = TP_c / |y=c|,  FPR_c = (|ŷ=c| − TP_c) / (n_g − |y=c|).
 
     Plan: ONE scan → groupBy(is_unpriv, y_true, y_pred) count cube
-    (tiny), then re-aggregations of the cube. Classes are the union of
-    per-partition truth/prediction values; a class absent from one
-    partition yields NULL there (the reference would crash on
-    misaligned numpy vectors — documented deviation).
+    (tiny), then ONE re-aggregation: each cube row is exploded into
+    its two per-class contributions — (cls=y_true: truth count + TP)
+    and (cls=y_pred: prediction count) — so a single groupBy(g, cls)
+    replaces the three separate re-aggregations and two full-outer
+    joins a naive translation needs (each extra join on the tiny cube
+    costs a whole scheduling round-trip, which dominates at
+    interactive latency). n_g falls out as a window sum over the same
+    result; the final unpriv-vs-priv alignment is one more tiny
+    aggregate, not a join. Classes are the union of per-partition
+    truth/prediction values; a class absent from one partition yields
+    NULL there (the reference would crash on misaligned numpy vectors
+    — documented deviation).
     Returns one row per class: (class, avg_odds_diff).
     """
     cube = (
@@ -209,39 +217,54 @@ def average_odds_difference(
         .groupBy("g", "yt", "yp")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_g = cube.groupBy("g").agg(F.sum("cnt").alias("n_g"))
-    cnt_true = cube.groupBy("g", F.col("yt").alias("cls")).agg(
-        F.sum("cnt").alias("cnt_true")
-    )
-    cnt_pred = cube.groupBy("g", F.col("yp").alias("cls")).agg(
-        F.sum("cnt").alias("cnt_pred")
-    )
-    tp = (
-        cube.filter(F.col("yt") == F.col("yp"))
-        .groupBy("g", F.col("yt").alias("cls"))
-        .agg(F.sum("cnt").alias("tp"))
+    contrib = cube.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("yt").alias("cls"),
+                    F.col("cnt").alias("ct"),
+                    F.lit(0).alias("cp"),
+                    F.when(F.col("yt") == F.col("yp"), F.col("cnt"))
+                    .otherwise(F.lit(0))
+                    .alias("tp"),
+                ),
+                F.struct(
+                    F.col("yp").alias("cls"),
+                    F.lit(0).alias("ct"),
+                    F.col("cnt").alias("cp"),
+                    F.lit(0).alias("tp"),
+                ),
+            )
+        ).alias("c"),
     )
     per = (
-        cnt_true.join(cnt_pred, ["g", "cls"], "full_outer")
-        .join(tp, ["g", "cls"], "full_outer")
-        .join(n_g, "g")
-        .na.fill({"cnt_true": 0, "cnt_pred": 0, "tp": 0})
+        contrib.groupBy("g", F.col("c.cls").alias("cls"))
+        .agg(
+            F.sum("c.ct").alias("cnt_true"),
+            F.sum("c.cp").alias("cnt_pred"),
+            F.sum("c.tp").alias("tp"),
+        )
+        # sum of per-class truth counts within g IS the partition size
+        .withColumn("n_g", F.sum("cnt_true").over(Window.partitionBy("g")))
     )
     tpr = F.col("tp") / F.col("cnt_true")
     fpr = (F.col("cnt_pred") - F.col("tp")) / (F.col("n_g") - F.col("cnt_true"))
     per = per.select("g", "cls", tpr.alias("tpr"), fpr.alias("fpr"))
-    u = per.filter(F.col("g") == 1).select(
-        "cls", F.col("tpr").alias("tpr_u"), F.col("fpr").alias("fpr_u")
-    )
-    p = per.filter(F.col("g") == 0).select(
-        "cls", F.col("tpr").alias("tpr_p"), F.col("fpr").alias("fpr_p")
-    )
-    return u.join(p, "cls", "full_outer").select(
-        "cls",
+    # ≤2 rows per class (g=0/1): align sides with a max(when) pivot —
+    # a missing side stays NULL, matching full-outer-join semantics
+    return per.groupBy("cls").agg(
         (
-            (F.col("fpr_u") - F.col("fpr_p"))
-            + (F.col("tpr_u") - F.col("tpr_p")) / 2
-        ).alias(alias),
+            (
+                F.max(F.when(F.col("g") == 1, F.col("fpr")))
+                - F.max(F.when(F.col("g") == 0, F.col("fpr")))
+            )
+            + (
+                F.max(F.when(F.col("g") == 1, F.col("tpr")))
+                - F.max(F.when(F.col("g") == 0, F.col("tpr")))
+            )
+            / 2
+        ).alias(alias)
     )
 
 

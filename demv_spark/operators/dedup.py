@@ -68,37 +68,58 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs by word-n-gram Jaccard similarity.
 
-    Plan (no quadratic stage):
+    Plan (inverted-index pair generation — ONE shuffle of the shingle
+    set, no self-join):
       1. explode distinct shingles per doc  (linear)
-      2. optional document-frequency cap: shingles appearing in more
-         than ``max_df`` docs are dropped BEFORE the join — a shingle
-         shared by thousands of documents contributes O(df²) pair rows
-         while carrying no discriminative signal; this is the lever
-         that keeps the join linear on corpora with heavy shingle
-         collision (at 100 TB it is mandatory, exactly like stopword
-         removal in classic near-dup systems)
-      3. self-equi-join on shingle → co-occurrence counts per pair
-         (shuffled hash join on the shingle key; residual hot shingles
-         are the skew risk — AQE skew-join splits them)
-      4. |A∪B| = |A|+|B|−|A∩B| from per-doc distinct-shingle counts
-         (over the same capped shingle set, so the metric is
-         self-consistent)
-      5. filter jaccard >= threshold
+      2. document-frequency via a count window over the shingle key,
+         then cap: shingles in more than ``max_df`` docs are dropped —
+         a shingle shared by thousands of documents contributes O(df²)
+         pair rows while carrying no discriminative signal; this is
+         the lever that keeps pair volume linear on corpora with heavy
+         shingle collision (at 100 TB it is mandatory, exactly like
+         stopword removal in classic near-dup systems). The window
+         keeps rows, so the SAME exchange feeds both the cap and the
+         posting lists — a groupBy census + re-join would shuffle the
+         shingle set twice more (measured: 22 exchanges, 0 reused).
+      3. posting list per surviving shingle: groupBy(sh) directly on
+         the window's partitioning (no new exchange), sorted ids
+      4. pair explosion from each posting list (array combinations,
+         ≤ max_df(max_df−1)/2 per shingle) → groupBy(pair) count =
+         intersection size. Residual hot shingles are bounded by
+         max_df, so no skew risk here by construction.
+      5. |A∪B| = |A|+|B|−|A∩B| from per-doc capped-shingle counts;
+         filter jaccard >= threshold
     Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
     )
     if max_df is not None:
-        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(dfreq.filter(F.col("__df") <= max_df).select("sh"), "sh", "inner")
+        w = Window.partitionBy("sh")
+        sh = sh.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+            F.col("__df") <= max_df
         )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    k = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, k - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
