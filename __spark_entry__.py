@@ -377,6 +377,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_rebalance_census"] = _demv_census
 
+    # same size contract for the SMOTE strategy: synthetic rows are
+    # not SQL-reproducible, but the per-group OUTPUT SIZES must hit
+    # the identical fixed-point targets — same oracle walk
+    def _demv_smote_census(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+            F.col("o_totalprice").alias("f1"),
+            (F.col("o_custkey") % 100).cast("double").alias("f2"),
+        )
+        out = DEMV(
+            ["s"], label="y", round_level=1, strategy="smote", seed=42
+        ).fit_transform(tbl)
+        return out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n_out"))
+
+    q["q_demv_smote_census"] = _demv_smote_census
+
+    # multi-valued sensitive attribute (5 priority classes × binary
+    # label, y correlated with s): the reference hardcodes binary
+    # {0,1} sensitive values (helpers.py:74,85) — the Spark census
+    # generalizes for free, and the oracle walk checks every group
+    def _demv_census_multi(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            F.col("o_orderpriority").alias("s"),
+            (
+                (F.col("o_totalprice") > 150000)
+                | (F.col("o_orderpriority") == "1-URGENT")
+            ).cast("int").alias("y"),
+            "o_orderkey",
+        )
+        out = DEMV(["s"], label="y", round_level=1, seed=42).fit_transform(tbl)
+        return out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n_out"))
+
+    q["q_demv_rebalance_census_multi"] = _demv_census_multi
+
     # ---- events windowed rollup (streaming-shaped aggregate) ----
     q["q_events_hourly"] = lambda spark, sf: (
         _t(spark, sf, "events")
@@ -956,6 +991,38 @@ def oracle_sql() -> dict[str, str]:
         WITH pred AS (
           SELECT CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS s,
                  CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS y
+          FROM orders),
+        census AS (SELECT s, y, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS total FROM census),
+        sm AS (SELECT s, SUM(n) AS sn FROM census GROUP BY 1),
+        lm AS (SELECT y, SUM(n) AS ln FROM census GROUP BY 1),
+        g AS (
+          SELECT c.s, c.y, c.n, t.total,
+                 (CAST(sm.sn AS DOUBLE)/t.total) * (CAST(lm.ln AS DOUBLE)/t.total) AS w_exp
+          FROM census c CROSS JOIN tot t
+          JOIN sm ON c.s = sm.s JOIN lm ON c.y = lm.y),
+        walk AS (
+          SELECT g.s, g.y, g.n,
+                 g.n + CASE WHEN g.w_exp * g.total > g.n THEN st.i ELSE -st.i END AS n_try,
+                 st.i, g.w_exp, g.total
+          FROM g CROSS JOIN generate_series(0, 10000) st(i)),
+        hit AS (
+          SELECT s, y, n, MIN(i) AS steps
+          FROM walk
+          WHERE n_try > 0 AND ROUND(w_exp * total / n_try, 1) = 1.0
+          GROUP BY 1, 2, 3)
+        SELECT g.s, g.y,
+               CAST(g.n + CASE WHEN g.w_exp*g.total > g.n THEN 1 ELSE -1 END
+                     * COALESCE(h.steps, 10000) AS BIGINT) AS n_out
+        FROM g LEFT JOIN hit h ON g.s = h.s AND g.y = h.y
+    """
+
+    o["q_demv_smote_census"] = o["q_demv_rebalance_census"]
+    o["q_demv_rebalance_census_multi"] = """
+        WITH pred AS (
+          SELECT o_orderpriority AS s,
+                 CASE WHEN o_totalprice > 150000 OR o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END AS y
           FROM orders),
         census AS (SELECT s, y, COUNT(*) AS n FROM pred GROUP BY 1, 2),
         tot AS (SELECT SUM(n) AS total FROM census),
