@@ -130,6 +130,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"), ["o_orderpriority"], "o_orderstatus", round_level=None
     )
 
+    # incremental census maintenance: per-shard censuses merged by
+    # per-key sum must equal the full-table census exactly (group
+    # counts form a commutative monoid) — the append-path identity
+    def _census_merge(spark, sf):
+        orders = _t(spark, sf, "orders")
+        keys = ["o_orderstatus", "o_orderpriority"]
+        shard_a = counting.group_census(orders.filter(F.col("o_orderkey") % 2 == 0), keys)
+        shard_b = counting.group_census(orders.filter(F.col("o_orderkey") % 2 == 1), keys)
+        return counting.merge_census([shard_a, shard_b], keys)
+
+    q["q_count_census_merge"] = _census_merge
+
     # ---- fairness metrics (M1-M5, A8-A12) ----
     q["q_metric_stat_parity"] = lambda spark, sf: M.statistical_parity(
         _t(spark, sf, "orders"), _unpriv(), _pred_pos()
@@ -538,6 +550,10 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) FILTER (WHERE l_returnflag = 'R' AND l_quantity > 30) AS returned_high
         FROM lineitem
     """
+    o["q_count_census_merge"] = (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
     o["q_count_group_weights"] = """
         WITH census AS (
             SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n

@@ -96,3 +96,26 @@ def group_weights(
         w_obs.alias("w_obs"),
         disparity.alias("disparity"),
     )
+
+
+def merge_census(
+    censuses: Sequence[DataFrame], keys: Sequence[str], count_col: str = "n"
+) -> DataFrame:
+    """Incremental census maintenance: combine per-shard/per-batch
+    censuses into the global one by summing counts per group — the
+    append path for a 100 TB corpus, where re-scanning everything to
+    rebalance after loading one shard is the anti-pattern. Censuses
+    are tiny (≤ Π|domains| rows each), so this is a union of small
+    tables + one shuffle of |groups| rows, independent of corpus size.
+
+    Algebra: group counts are a commutative monoid under per-key sum,
+    so census(A ∪ B) == merge(census(A), census(B)) exactly — the
+    oracle-checkable identity. Deletions: pass a census with negated
+    counts.
+    """
+    if not censuses:
+        raise ValueError("merge_census needs at least one census")
+    out = censuses[0]
+    for c in censuses[1:]:
+        out = out.unionByName(c)
+    return out.groupBy(*keys).agg(F.sum(count_col).alias(count_col))

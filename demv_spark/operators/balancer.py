@@ -149,6 +149,24 @@ def group_targets(
     census_rows = (
         df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    return targets_from_census(census_rows, sensitive, label, round_level, stop)
+
+
+def targets_from_census(
+    census_rows,
+    sensitive: Sequence[str],
+    label: str,
+    round_level: int | None = 1,
+    stop: int = 10000,
+) -> list[dict]:
+    """Target computation from a precomputed census — the incremental
+    path: at 100 TB the census is maintained under appends with
+    ``counting.merge_census`` (per-shard censuses sum exactly), so a
+    re-fit after loading a shard touches |groups| rows, not the
+    corpus. ``census_rows`` is any iterable of row-likes with the
+    sensitive columns, the label column, and ``n``.
+    """
+    census_rows = list(census_rows)
     total = sum(r["n"] for r in census_rows)
     sens_marginal: dict[tuple, int] = {}
     label_marginal: dict[object, int] = {}
@@ -352,6 +370,20 @@ class DEMV:
         self._targets = group_targets(
             df, self.sensitive_vars, self.label, self.round_level, self.stop
         )
+        return self._finish_fit()
+
+    def fit_from_census(self, census) -> "DEMV":
+        """Fit from a precomputed (sensitive…, label, n) census — a
+        DataFrame (e.g. the output of ``counting.merge_census``) or an
+        iterable of row-likes. The incremental re-fit path: no corpus
+        scan, only |groups| rows touched."""
+        rows = census.collect() if isinstance(census, DataFrame) else census
+        self._targets = targets_from_census(
+            rows, self.sensitive_vars, self.label, self.round_level, self.stop
+        )
+        return self._finish_fit()
+
+    def _finish_fit(self) -> "DEMV":
         self.disparities = [
             {k: t[k] for k in (*self.sensitive_vars, self.label,
                                "disparity", "final_disparity", "n", "target")}

@@ -10,6 +10,8 @@
 
 import random
 
+import pyspark.sql.functions as F
+
 import pytest
 
 from demv_spark.operators.balancer import DEMV, _simulate_target, group_targets
@@ -150,3 +152,27 @@ def test_rebalance_null_sensitive_keys(spark):
     for t in d._targets:
         assert got.get((t["s"], t["y"]), 0) == t["target"], t
     assert any(k[0] is None for k in got)
+
+
+def test_fit_from_merged_census_matches_direct_fit(spark):
+    from demv_spark.functions.counting import group_census, merge_census
+
+    rows = [(i % 2, 1 if i % 5 < 3 else 0, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["s", "y", "x"])
+
+    direct = DEMV(["s"], label="y", seed=1).fit(df)
+
+    shard_a = group_census(df.filter(F.col("x") < 200), ["s", "y"])
+    shard_b = group_census(df.filter(F.col("x") >= 200), ["s", "y"])
+    merged = merge_census([shard_a, shard_b], ["s", "y"])
+    incr = DEMV(["s"], label="y", seed=1).fit_from_census(merged)
+
+    key = lambda t: (t["s"], t["y"])
+    assert sorted(direct._targets, key=key) == sorted(incr._targets, key=key)
+    assert direct.get_iters() == incr.get_iters()
+
+    # transform driven by the incremental fit hits the same sizes
+    out = incr.transform(df)
+    got = {(r["s"], r["y"]): r["n"] for r in out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {(t["s"], t["y"]): t["target"] for t in incr._targets}
+    assert got == want
