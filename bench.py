@@ -55,6 +55,18 @@ def main() -> None:
     entrymod._t(spark, sf_dir, "orders").limit(1).collect()
 
     qs = entrymod.queries()
+
+    # warm each headline PLAN SHAPE at the smallest scale factor:
+    # whole-stage codegen is compiled per plan structure, so the timed
+    # sf runs below measure execution, not first-run Janino compilation
+    # (measured: compilation is 2-4x of steady-state per query)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).collect()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run will report
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
