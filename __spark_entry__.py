@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_top_tokens"] = lambda spark, sf: text.top_tokens(
         _t(spark, sf, "documents"), k=20
     )
+    q["q_text_corpus_profile"] = lambda spark, sf: text.corpus_profile(
+        _t(spark, sf, "documents")
+    )
+    q["q_text_lang_confusion"] = lambda spark, sf: text.lang_confusion(
+        _t(spark, sf, "documents")
+    )
+    q["q_events_json_extract"] = lambda spark, sf: etl.json_extract(
+        _t(spark, sf, "events"), "props", "$.k", out="k", cast="int"
+    ).select("event_id", "k")
 
     # ---- decontamination (train docs sharing a 4-gram with the
     # benchmark slice doc_id % 20 == 0) ----
@@ -830,6 +839,43 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred
         FROM h
     """
+    o["q_text_corpus_profile"] = rf"""
+        WITH f AS (
+            SELECT source, lang,
+                   CAST(len({_toks}) AS INTEGER) AS n_tokens,
+                   ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) AS quality
+            FROM documents
+        )
+        SELECT source, lang, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               (CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality)) AS mean_quality
+        FROM f GROUP BY 1, 2
+    """
+    o["q_text_lang_confusion"] = rf"""
+        WITH h AS (
+            SELECT lang AS lang_true,
+                   len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
+                   len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
+                   len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,
+                   len(list_filter({_toks}, t -> list_contains(['le','la','les','et','est','une','que','des'], t))) AS h_fr
+            FROM documents
+        )
+        SELECT lang_true,
+               CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               COUNT(*) AS n
+        FROM h GROUP BY 1, 2
+    """
+    o["q_events_json_extract"] = """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """
+
     _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
     o["q_text_fingerprint"] = f"SELECT doc_id, {_fp} AS fp FROM documents"
 

@@ -253,3 +253,18 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__ns") * F.lit(fraction)))
         .drop("__rn", "__ns")
     )
+
+
+def json_extract(
+    df: DataFrame, col: str, path: str, out: str, cast: str | None = None
+) -> DataFrame:
+    """Scalar JSON field extraction from a string column
+    (semi-structured event properties — the streaming-source staple).
+    ``path`` is a JSONPath like ``$.k``. Engine-portable:
+    ``get_json_object`` here, ``json_extract_string`` in DuckDB.
+    Prefer ``from_json`` with an explicit schema when extracting many
+    fields — one parse instead of one per field."""
+    c = F.get_json_object(F.col(col), path)
+    if cast:
+        c = c.cast(cast)
+    return df.withColumn(out, c)

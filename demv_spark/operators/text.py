@@ -224,3 +224,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     SQL: md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), _WS, " ")
     return df.withColumn(out, F.md5(norm.cast("binary")))
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_cols: tuple = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(source, lang, …) corpus profile: doc count, token sum,
+    mean quality — the dataset-card rollup, ONE scan (token counts and
+    quality are scan-side arithmetic feeding a single partial+final
+    aggregate). Quality is summed in DECIMAL for cross-engine hash
+    parity (compat.stable_avg)."""
+    from demv_spark.functions.compat import stable_avg
+
+    with_feats = quality_score(token_count(df, text_col), text_col)
+    return with_feats.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        stable_avg("quality").alias("mean_quality"),
+    )
+
+
+def lang_confusion(
+    df: DataFrame, truth_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Confusion census of the lang-ID heuristic against a ground-
+    truth language column: (truth, predicted, n). The eval query for
+    the classifier-free language filter."""
+    return (
+        lang_id(df, text_col)
+        .groupBy(F.col(truth_col).alias("lang_true"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -102,3 +102,12 @@ def test_stratified_sample_exact_sizes(spark):
     # deterministic: same seed -> identical selection
     again = stratified_sample(df, ["grp"], 0.25, ["id"], seed=7)
     assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())
+
+
+def test_json_extract(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"tag": "b"}'), (3, None)],
+        ["id", "props"],
+    )
+    got = {r["id"]: r["k"] for r in etl.json_extract(df, "props", "$.k", out="k", cast="int").collect()}
+    assert got == {1: 7, 2: None, 3: None}

@@ -241,3 +241,30 @@ def test_decontaminate(spark):
     assert got[1] == 1
     assert got[3] == 2
     assert 2 not in got
+
+
+def test_corpus_profile(spark):
+    rows = [
+        (1, "the quick brown fox jumps over it", "en", "web"),
+        (2, "the fast red fox is in the barn", "en", "web"),
+        (3, "der schnelle fuchs ist nicht da", "de", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {(r["source"], r["lang"]): r for r in text.corpus_profile(df).collect()}
+    assert got[("web", "en")]["n_docs"] == 2
+    assert got[("web", "en")]["total_tokens"] == 15
+    assert got[("books", "de")]["n_docs"] == 1
+    assert 0.0 <= got[("web", "en")]["mean_quality"] <= 1.0
+
+
+def test_lang_confusion(spark):
+    rows = [
+        (1, "the quick brown fox and the dog", "en"),
+        (2, "der hund und die katze ist da", "de"),
+        (3, "zzz qqq xxx", "en"),  # no markers -> 'und'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {(r["lang_true"], r["lang_pred"]): r["n"] for r in text.lang_confusion(df).collect()}
+    assert got[("en", "en")] == 1
+    assert got[("de", "de")] == 1
+    assert got[("en", "und")] == 1
