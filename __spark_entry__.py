@@ -273,6 +273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_events_json_extract"] = lambda spark, sf: etl.json_extract(
         _t(spark, sf, "events"), "props", "$.k", out="k", cast="int"
     ).select("event_id", "k")
+    q["q_text_repetition"] = lambda spark, sf: text.repetition_score(
+        _t(spark, sf, "documents"), n=2
+    ).select("doc_id", "rep_score")
+    q["q_sim_label_centroids"] = lambda spark, sf: similarity.label_centroids(
+        _t(spark, sf, "embeddings")
+    )
 
     # ---- decontamination (train docs sharing a 4-gram with the
     # benchmark slice doc_id % 20 == 0) ----
@@ -874,6 +880,32 @@ def oracle_sql() -> dict[str, str]:
     o["q_events_json_extract"] = """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
+    """
+    o["q_text_repetition"] = rf"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                                  i -> array_to_string(t[i:i+1], ' ')) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN len(s) > 0
+                    THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)
+                    ELSE 0.0 END AS rep_score
+        FROM sh
+    """
+    o["q_sim_label_centroids"] = """
+        WITH pe AS (
+            SELECT label,
+                   CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, pos,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(v) AS mean_v
+        FROM pe GROUP BY 1, 2
     """
 
     _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"

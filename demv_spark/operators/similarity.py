@@ -365,3 +365,21 @@ def embedding_near_dup(
         cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding centroid in LONG form (label, pos, mean_v)
+    — class prototypes for nearest-centroid classification and
+    cluster seeding. posexplode → groupBy(label, pos) keeps the
+    shuffle rows narrow (3 scalars) instead of carrying whole vectors;
+    the element mean uses decimal-stable summation so the result
+    hash-matches any SQL engine (compat.stable_avg). Reassemble to
+    arrays downstream with sort-by-pos collect_list when needed."""
+    from demv_spark.functions.compat import stable_avg
+
+    pe = df.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "v"))
+    return pe.groupBy(label_col, "pos").agg(
+        stable_avg(F.col("v").cast("double")).alias("mean_v")
+    )

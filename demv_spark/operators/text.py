@@ -257,3 +257,22 @@ def lang_confusion(
         .groupBy(F.col(truth_col).alias("lang_true"), F.col("lang_pred"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", n: int = 2, out: str = "rep_score"
+) -> DataFrame:
+    """Intra-document repetition ratio: 1 − |distinct n-grams| /
+    |n-grams| — the C4-style filter for boilerplate-heavy or looping
+    documents (0 = no repetition, →1 = one phrase repeated). Pure
+    array arithmetic, map-only. Documents with fewer than n tokens
+    score 0.0."""
+    from demv_spark.operators.dedup import shingles
+
+    sh = shingles(text_col, n)
+    total = F.size(sh)
+    score = F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / total,
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out, score)

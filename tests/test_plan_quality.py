@@ -94,3 +94,43 @@ def test_fairness_by_group_single_scan(orders):
     )
     assert len(s["read_schemas"]) == 1, "per-group view must not re-scan per group"
     assert not s["has_python_udf"]
+
+
+def test_avg_odds_single_scan_short_dag(spark):
+    ev = read_table(spark, SF, "events")
+    df = M.average_odds_difference(
+        ev.select((F.col("user_id") % 2 == 1).alias("g"),
+                  F.col("event_type").alias("yt"),
+                  F.col("event_type").alias("yp")),
+        F.col("g"), "yt", "yp",
+    )
+    s = plan_stats(df)
+    assert len(s["read_schemas"]) == 1, "one cube scan only"
+    # cube agg + contribution agg + window + final agg — the old
+    # full-outer-join form needed 7+
+    assert s["n_exchanges"] <= 5
+    assert s["n_sort_merge_joins"] == 0, "no joins on the tiny cube"
+
+
+def test_ngram_jaccard_no_self_join(spark):
+    from demv_spark.operators import dedup
+
+    docs = read_table(spark, SF, "documents")
+    df = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_df=50)
+    s = plan_stats(df)
+    # inverted-index form: sizes joins are the ONLY joins; the pair
+    # source is a posting-list explode, not a shingle self-join
+    # (the old self-join form measured 22 exchanges)
+    assert s["n_exchanges"] <= 10
+    assert not s["has_python_udf"]
+
+
+def test_stratified_sample_single_window_exchange(orders):
+    from demv_spark.operators.etl import stratified_sample
+
+    df = stratified_sample(orders, ["o_orderpriority"], 0.1, ["o_orderkey"])
+    s = plan_stats(df)
+    # rank + per-stratum count share ONE hash partitioning; the
+    # second exchange is read_table's under-split round-robin spread
+    assert s["n_exchanges"] <= 2
+    assert len(s["read_schemas"]) == 1

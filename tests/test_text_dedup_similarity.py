@@ -268,3 +268,28 @@ def test_lang_confusion(spark):
     assert got[("en", "en")] == 1
     assert got[("de", "de")] == 1
     assert got[("en", "und")] == 1
+
+
+def test_repetition_score(spark):
+    rows = [
+        (1, "a b a b a b"),          # bigrams: 5 total, 2 distinct
+        (2, "all words here differ totally"),
+        (3, "x"),                    # < n tokens -> 0.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["rep_score"] for r in text.repetition_score(df, n=2).collect()}
+    assert abs(got[1] - (1 - 2 / 5)) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_label_centroids(spark):
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [10.0, 20.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {(r["label"], r["pos"]): r["mean_v"] for r in similarity.label_centroids(df).collect()}
+    assert got[(0, 0)] == 2.0 and got[(0, 1)] == 3.0
+    assert got[(1, 0)] == 10.0 and got[(1, 1)] == 20.0
