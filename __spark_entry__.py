@@ -280,6 +280,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings")
     )
 
+    # Kamiran–Calders reweighing: the instance-weight debiaser
+    def _reweighing(spark, sf):
+        from demv_spark.operators.balancer import reweighing
+
+        return reweighing(
+            _t(spark, sf, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderstatus"
+            ),
+            ["o_orderpriority"],
+            "o_orderstatus",
+        ).select("o_orderkey", "weight")
+
+    q["q_demv_reweighing"] = _reweighing
+
+    # sequential-fill packing of documents into 512-token shards
+    def _pack(spark, sf):
+        docs = text.token_count(_t(spark, sf, "documents"))
+        return text.pack_sequential(
+            docs, "n_tokens", 512, part_cols=("source",), order_cols=("doc_id",)
+        ).select("doc_id", "source", "pack_id")
+
+    q["q_text_pack_sequential"] = _pack
+
     # ---- decontamination (train docs sharing a 4-gram with the
     # benchmark slice doc_id % 20 == 0) ----
     def _decontaminate(spark, sf):
@@ -894,6 +917,35 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)
                     ELSE 0.0 END AS rep_score
         FROM sh
+    """
+    # mirrors the operator's exact IEEE op order:
+    # ((n_sens/N) * (n_lab/N)) / (n/N)
+    o["q_demv_reweighing"] = """
+        WITH census AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        ), w AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   ((CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                       / SUM(n) OVER ())
+                    * (CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                       / SUM(n) OVER ()))
+                   / (CAST(n AS DOUBLE) / SUM(n) OVER ()) AS weight
+            FROM census
+        )
+        SELECT o.o_orderkey, w.weight
+        FROM orders o JOIN w USING (o_orderpriority, o_orderstatus)
+    """
+    o["q_text_pack_sequential"] = f"""
+        WITH sized AS (
+            SELECT doc_id, source, CAST(len({_toks}) AS INTEGER) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                          / 512) AS INTEGER) AS pack_id
+        FROM sized
     """
     o["q_sim_label_centroids"] = """
         WITH pe AS (

@@ -443,3 +443,46 @@ class DEMV:
             )
             for t in self._targets
         ]
+
+
+def reweighing(
+    df: DataFrame,
+    sensitive: Sequence[str],
+    label: str,
+    out: str = "weight",
+) -> DataFrame:
+    """Kamiran–Calders reweighing: the instance-weight alternative to
+    resampling — every row gets w = (P(S=s)·P(y=l)) / P(S=s, y=l),
+    i.e. the group's expected/observed frequency ratio, so a weighted
+    learner sees a statistically independent (S, y) distribution. The
+    classic pre-processing debiaser next to DEMV's resampling, and the
+    engine-side hook for reduction methods (every MLlib classifier
+    here takes ``weightCol``).
+
+    Plan: ONE census scan (groupBy sensitive × label), marginals as
+    window sums over the tiny census, broadcast-join the |groups|-row
+    weight map back — the base table is scanned twice total (census +
+    join), never shuffled on data rows.
+    """
+    keys = [*sensitive, label]
+    census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    w_sens = Window.partitionBy(*sensitive)
+    w_lab = Window.partitionBy(label)
+    w_all = Window.partitionBy()
+    weights = census.select(
+        *keys,
+        (
+            (F.sum("__n").over(w_sens) / F.sum("__n").over(w_all))
+            * (F.sum("__n").over(w_lab) / F.sum("__n").over(w_all))
+            / (F.col("__n") / F.sum("__n").over(w_all))
+        ).alias(out),
+    )
+    spark = df.sparkSession
+    tgt = F.broadcast(weights.withColumnsRenamed({k: f"__t_{k}" for k in keys}))
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(tgt[f"__t_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(tgt, on=cond, how="inner").drop(
+        *[f"__t_{k}" for k in keys]
+    ).select(*df.columns, out)

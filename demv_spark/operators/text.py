@@ -276,3 +276,34 @@ def repetition_score(
         F.lit(1.0) - F.size(F.array_distinct(sh)) / total,
     ).otherwise(F.lit(0.0))
     return df.withColumn(out, score)
+
+
+def pack_sequential(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    part_cols: tuple = ("source",),
+    order_cols: tuple = ("doc_id",),
+    out: str = "pack_id",
+) -> DataFrame:
+    """Sequential-fill packing: assign items (docs/chunks) to fixed-
+    capacity packs by running token count — the shard/context-window
+    packing primitive. Item i goes to pack floor(start_offset /
+    capacity) where start_offset is the cumulative size of everything
+    before it in (part, order); a pack can overflow by at most one
+    item (greedy fill, deterministic, no state).
+
+    One window per partition key — pack assignment never shuffles item
+    payloads twice. Partition by a real grouping column (source,
+    shard, language); a single global partition would serialize the
+    cumsum.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    start = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn(out, F.floor(start / F.lit(capacity)).cast("int"))

@@ -176,3 +176,25 @@ def test_fit_from_merged_census_matches_direct_fit(spark):
     got = {(r["s"], r["y"]): r["n"] for r in out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n")).collect()}
     want = {(t["s"], t["y"]): t["target"] for t in incr._targets}
     assert got == want
+
+
+def test_reweighing_restores_independence(spark):
+    from demv_spark.operators.balancer import reweighing
+
+    # skewed (s, y): s=1 overwhelmingly y=1
+    rows = (
+        [(1, 1)] * 60 + [(1, 0)] * 10 + [(0, 1)] * 30 + [(0, 0)] * 100
+    )
+    df = spark.createDataFrame([(s, y, i) for i, (s, y) in enumerate(rows)], ["s", "y", "i"])
+    out = reweighing(df, ["s"], "y")
+    assert out.count() == 200
+    # weighted group mass = expected mass under independence:
+    # sum_w(s,y) = n * w = n_s * n_y / N
+    got = {
+        (r["s"], r["y"]): r["m"]
+        for r in out.groupBy("s", "y").agg(F.sum("weight").alias("m")).collect()
+    }
+    n_s = {1: 70, 0: 130}
+    n_y = {1: 90, 0: 110}
+    for (s, y), m in got.items():
+        assert abs(m - n_s[s] * n_y[y] / 200) < 1e-9

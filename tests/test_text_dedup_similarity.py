@@ -293,3 +293,16 @@ def test_label_centroids(spark):
     got = {(r["label"], r["pos"]): r["mean_v"] for r in similarity.label_centroids(df).collect()}
     assert got[(0, 0)] == 2.0 and got[(0, 1)] == 3.0
     assert got[(1, 0)] == 10.0 and got[(1, 1)] == 20.0
+
+
+def test_pack_sequential(spark):
+    rows = [
+        (1, "a", 300), (2, "a", 300), (3, "a", 300),  # cum starts 0,300,600
+        (4, "b", 600),                                 # own partition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    got = {r["doc_id"]: r["pack_id"] for r in text.pack_sequential(
+        df, "n_tokens", 512, part_cols=("source",), order_cols=("doc_id",)).collect()}
+    assert got[1] == 0 and got[2] == 0  # starts 0 and 300 -> pack 0
+    assert got[3] == 1                  # start 600 -> pack 1
+    assert got[4] == 0                  # fresh partition
