@@ -522,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _true_pos().cast("double").alias("y"),
         )
         clf = build_classifier("logistic", "y", "__features", n_classes=2)
+        # contract query checks the CV plumbing, not convergence —
+        # cap iterations so the gate isn't dominated by model fit
+        clf = clf.setMaxIter(15)
         return out_of_fold_predictions(tbl, ["f1", "f2", "f3"], "y", clf, k=3)
 
     q["q_ml_out_of_fold"] = _oof_predictions
