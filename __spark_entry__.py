@@ -303,6 +303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_pack_sequential"] = _pack
 
+    # the fused one-job corpus hygiene pass
+    q["q_text_corpus_clean"] = lambda spark, sf: text.corpus_clean(
+        _t(spark, sf, "documents"), min_tokens=20, min_quality=0.45,
+        max_repetition=0.3, langs=("en", "und"),
+    ).select(
+        "doc_id", "n_tokens", "quality", "lang_pred", "rep_score",
+        "is_dup", "keep", "reasons",
+    )
+
     # ---- decontamination (train docs sharing a 4-gram with the
     # benchmark slice doc_id % 20 == 0) ----
     def _decontaminate(spark, sf):
@@ -965,6 +974,52 @@ def oracle_sql() -> dict[str, str]:
 
     _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
     o["q_text_fingerprint"] = f"SELECT doc_id, {_fp} AS fp FROM documents"
+
+    o["q_text_corpus_clean"] = rf"""
+        WITH sig AS (
+            SELECT doc_id,
+                   CAST(len({_toks}) AS INTEGER) AS n_tokens,
+                   ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) AS quality,
+                   len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
+                   len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
+                   len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,
+                   len(list_filter({_toks}, t -> list_contains(['le','la','les','et','est','une','que','des'], t))) AS h_fr,
+                   list_transform(range(1, GREATEST(len({_toks}) - 1, 0) + 1),
+                                  i -> array_to_string(({_toks})[i:i+1], ' ')) AS sh,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY {_fp} ORDER BY doc_id) > 1
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, n_tokens, quality,
+                   CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                        WHEN h_es >= h_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CASE WHEN len(sh) > 0
+                        THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                        ELSE 0.0 END AS rep_score,
+                   is_dup
+            FROM sig
+        )
+        SELECT doc_id, n_tokens, quality, lang_pred, rep_score, is_dup,
+               COALESCE(array_to_string(flatten([
+                   CASE WHEN n_tokens < 20 THEN ['too_short'] ELSE [] END,
+                   CASE WHEN n_tokens > 100000 THEN ['too_long'] ELSE [] END,
+                   CASE WHEN quality < 0.45 THEN ['low_quality'] ELSE [] END,
+                   CASE WHEN rep_score > 0.3 THEN ['repetitive'] ELSE [] END,
+                   CASE WHEN lang_pred NOT IN ('en', 'und') THEN ['bad_lang'] ELSE [] END,
+                   CASE WHEN is_dup = 1 THEN ['duplicate'] ELSE [] END
+               ]), ','), '') AS reasons,
+               CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+                         AND quality >= 0.45 AND rep_score <= 0.3
+                         AND lang_pred IN ('en', 'und') AND is_dup = 0
+                    THEN 1 ELSE 0 END AS keep
+        FROM feat
+    """
 
     o["q_dedup_exact"] = f"""
         SELECT doc_id FROM (

@@ -13,7 +13,7 @@ every operator renders to DuckDB SQL for the oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # tiny per-language stopword marker sets for the n-gram/stopword
 # heuristic (public common stopwords)
@@ -307,3 +307,62 @@ def pack_sequential(
     )
     start = F.sum(size_col).over(w) - F.col(size_col)
     return df.withColumn(out, F.floor(start / F.lit(capacity)).cast("int"))
+
+
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+    max_repetition: float = 0.5,
+    langs: tuple = ("en",),
+    rep_n: int = 2,
+) -> DataFrame:
+    """The fused corpus-hygiene pass: length, quality, language,
+    repetition, and exact-duplicate checks in ONE job — each filter
+    alone is a map-only expression, so composing them costs one scan
+    plus a single fingerprint shuffle for the dup check (the
+    reference-pipeline shape: N separate filter tools each re-reading
+    the corpus is the anti-pattern at 100 TB).
+
+    Adds per-doc signal columns, ``keep`` (all checks pass; duplicates
+    keep their min-id representative), and ``reasons`` — a ','-joined
+    list of failed checks, '' when clean. Thresholds are the standard
+    pre-training defaults, all overridable.
+    """
+    from demv_spark.operators.dedup import shingles
+
+    sh = shingles(text_col, rep_n)
+    rep = F.when(
+        F.size(sh) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh),
+    ).otherwise(F.lit(0.0))
+    signals = lang_id(
+        quality_score(token_count(df, text_col), text_col), text_col
+    ).withColumn("rep_score", rep)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), _WS, " ")
+    w = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy(id_col)
+    signals = signals.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_quality", F.col("quality") < min_quality),
+        ("repetitive", F.col("rep_score") > max_repetition),
+        ("bad_lang", ~F.col("lang_pred").isin(*langs)),
+        ("duplicate", F.col("is_dup") == 1),
+    ]
+    reasons = F.concat(
+        *[
+            F.when(cond, F.array(F.lit(name))).otherwise(
+                F.array().cast("array<string>")
+            )
+            for name, cond in checks
+        ]
+    )
+    return signals.withColumn("reasons", F.array_join(reasons, ",")).withColumn(
+        "keep", (F.col("reasons") == "").cast("int")
+    )

@@ -306,3 +306,20 @@ def test_pack_sequential(spark):
     assert got[1] == 0 and got[2] == 0  # starts 0 and 300 -> pack 0
     assert got[3] == 1                  # start 600 -> pack 1
     assert got[4] == 0                  # fresh partition
+
+
+def test_corpus_clean_reasons(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps on running through fields today always"),
+        (2, "the quick brown fox jumps over the lazy dog and keeps on running through fields today always"),  # dup of 1
+        (3, "tiny"),                                     # too_short
+        (4, "spam spam " * 20),                          # repetitive (+maybe und)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.corpus_clean(df, min_tokens=5, min_quality=0.0, max_repetition=0.5,
+                            langs=("en", "und"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["keep"] == 1 and got[1]["reasons"] == ""
+    assert got[2]["keep"] == 0 and "duplicate" in got[2]["reasons"]
+    assert got[3]["keep"] == 0 and "too_short" in got[3]["reasons"]
+    assert got[4]["keep"] == 0 and "repetitive" in got[4]["reasons"]
