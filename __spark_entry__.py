@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_label_centroids"] = lambda spark, sf: similarity.label_centroids(
         _t(spark, sf, "embeddings")
     )
+    q["q_sim_nearest_centroid"] = lambda spark, sf: similarity.nearest_centroid_classify(
+        _t(spark, sf, "embeddings")
+    )
 
     # Kamiran–Calders reweighing: the instance-weight debiaser
     def _reweighing(spark, sf):
@@ -970,6 +973,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
                    / COUNT(v) AS mean_v
         FROM pe GROUP BY 1, 2
+    """
+    o["q_sim_nearest_centroid"] = """
+        WITH pe AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT label AS cand, pos,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(v) AS mean_v
+            FROM pe GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT pe.vec_id, pe.label AS label_true, c.cand,
+                   CAST(SUM(CAST(2.0 * CAST(pe.v AS DOUBLE) * c.mean_v
+                                 - c.mean_v * c.mean_v AS DECIMAL(28,6))) AS DOUBLE) AS score
+            FROM pe JOIN cents c USING (pos)
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT label_true, cand AS label_pred FROM (
+                SELECT label_true, cand, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cand) AS rk
+                FROM scored) WHERE rk = 1
+        )
+        SELECT label_true, label_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
     """
 
     _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"

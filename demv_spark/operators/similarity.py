@@ -383,3 +383,54 @@ def label_centroids(
     return pe.groupBy(label_col, "pos").agg(
         stable_avg(F.col("v").cast("double")).alias("mean_v")
     )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification census: assign every vector to
+    its closest per-label centroid (squared-Euclidean) and return the
+    (label_true, label_pred, n) confusion table — the zero-parameter
+    embedding-quality probe.
+
+    argmax_c −|v−c|² = argmax_c (2·v·c − |c|²), so per (vector,
+    candidate) one sum of 2·v_i·c_i − c_i² suffices; each term is cast
+    to DECIMAL before summing, which makes the score exact and
+    order-independent — the argmax (ties → smallest label) is then
+    bit-reproducible in any SQL engine, MLlib not required.
+
+    Plan: centroids (tiny: |labels|·dim rows) broadcast onto the
+    posexploded vectors; groupBy (id, candidate) partial-aggregates
+    map-side so the shuffle carries n·|labels| scalar rows; a
+    row_number window picks the winner; final census is a tiny
+    aggregate.
+    """
+    cents = label_centroids(df, vec_col, label_col).withColumnsRenamed(
+        {label_col: "__cand"}
+    )
+    pe = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label_true"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    term = (
+        F.lit(2.0) * F.col("v").cast("double") * F.col("mean_v")
+        - F.col("mean_v") * F.col("mean_v")
+    ).cast("decimal(28,6)")
+    scored = (
+        pe.join(F.broadcast(cents), "pos")
+        .groupBy(id_col, "label_true", "__cand")
+        .agg(F.sum(term).cast("double").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("__cand"))
+    pred = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("label_true", F.col("__cand").alias("label_pred"))
+    )
+    return pred.groupBy("label_true", "label_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -323,3 +323,20 @@ def test_corpus_clean_reasons(spark):
     assert got[2]["keep"] == 0 and "duplicate" in got[2]["reasons"]
     assert got[3]["keep"] == 0 and "too_short" in got[3]["reasons"]
     assert got[4]["keep"] == 0 and "repetitive" in got[4]["reasons"]
+
+
+def test_nearest_centroid_classify_separated_clusters(spark):
+    import random
+
+    random.seed(5)
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        center = [0.0, 0.0, 0.0]
+        center[lab] = 10.0
+        rows.append((i, [c + random.uniform(-0.5, 0.5) for c in center], lab))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cm = {(r["label_true"], r["label_pred"]): r["n"]
+          for r in similarity.nearest_centroid_classify(df).collect()}
+    # perfectly separated clusters -> diagonal confusion matrix
+    assert cm == {(0, 0): 20, (1, 1): 20, (2, 2): 20}
