@@ -159,3 +159,47 @@ def session_window_rollup(
             "n_events",
         )
     )
+
+
+def census_maintainer(
+    stream: DataFrame,
+    sensitive: Sequence[str],
+    label: str,
+    sink_table: str,
+    trigger_available_now: bool = True,
+):
+    """Incremental global-census maintenance: each micro-batch's
+    (sensitive…, label) census delta is merged into ``sink_table`` by
+    per-key sum (group counts are a commutative monoid — see
+    counting.merge_census), so the table always holds the exact
+    census of everything ingested. ``DEMV.fit_from_census(spark.table
+    (sink_table))`` then re-fits balancing targets after any append
+    without touching the corpus — the streaming closure of the
+    incremental-balancing path.
+
+    One streaming aggregation (the batch census) + a tiny
+    foreachBatch merge of |groups| rows per trigger. Returns the
+    StreamingQuery.
+    """
+    from demv_spark.functions.counting import group_census, merge_census
+
+    keys = [*sensitive, label]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = group_census(batch_df, keys)
+        if spark.catalog.tableExists(sink_table):
+            merged = merge_census([spark.table(sink_table), delta], keys)
+            # the census is |groups| rows — materialize on the driver
+            # so the overwrite doesn't read the table it replaces
+            rows = merged.collect()
+            spark.createDataFrame(rows, merged.schema).write.mode(
+                "overwrite"
+            ).saveAsTable(sink_table)
+        else:
+            delta.write.mode("overwrite").saveAsTable(sink_table)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(merge)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -94,3 +94,30 @@ def test_session_window_rollup_batch(spark, events_dir):
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == batch.count()
     assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_census_maintainer_incremental_refit(spark, events_dir):
+    from demv_spark.functions.counting import group_census
+    from demv_spark.operators.balancer import DEMV
+
+    stream = _stream(spark, events_dir).withColumn(
+        "s", (F.col("user_id") % 2).cast("int")
+    ).withColumn("y", (F.col("value") > 50).cast("int"))
+    spark.sql("DROP TABLE IF EXISTS census_sink")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/census_sink", ignore_errors=True)
+    q = monitor.census_maintainer(stream, ["s"], "y", sink_table="census_sink")
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(events_dir).withColumn(
+        "s", (F.col("user_id") % 2).cast("int")
+    ).withColumn("y", (F.col("value") > 50).cast("int"))
+    expected = {(r["s"], r["y"]): r["n"] for r in group_census(batch, ["s", "y"]).collect()}
+    got = {(r["s"], r["y"]): r["n"] for r in spark.table("census_sink").collect()}
+    assert got == expected
+
+    # the maintained census drives the same fit as a full scan
+    direct = DEMV(["s"], label="y").fit(batch)
+    incr = DEMV(["s"], label="y").fit_from_census(spark.table("census_sink"))
+    key = lambda t: (t["s"], t["y"])
+    assert sorted(direct._targets, key=key) == sorted(incr._targets, key=key)
