@@ -861,9 +861,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT doc_id,
-               ROUND(0.4 * LEAST(1.0, n_chars / 500.0)
-                   + 0.3 * (1.0 - LEAST(1.0, punct / n_chars * 10.0))
-                   + 0.3 * (1.0 - LEAST(1.0, ABS(alpha / n_tok - 5.0) / 5.0)), 6) AS quality
+               CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE ROUND(0.4 * LEAST(1.0, n_chars / 500.0)
+                        + 0.3 * (1.0 - LEAST(1.0, punct / n_chars * 10.0))
+                        + 0.3 * (1.0 - LEAST(1.0, ABS(alpha / n_tok - 5.0) / 5.0)), 6)
+               END AS quality
         FROM f
     """
     o["q_text_lang_id"] = rf"""
@@ -887,9 +889,10 @@ def oracle_sql() -> dict[str, str]:
         WITH f AS (
             SELECT source, lang,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
                    ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                        + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) AS quality
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) END AS quality
             FROM documents
         )
         SELECT source, lang, COUNT(*) AS n_docs,
@@ -1011,9 +1014,10 @@ def oracle_sql() -> dict[str, str]:
         WITH sig AS (
             SELECT doc_id,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
                    ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                        + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) AS quality,
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) END AS quality,
                    len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
                    len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
                    len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,

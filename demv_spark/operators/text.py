@@ -81,7 +81,10 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
         F.lit(1.0), F.abs(alpha / n_tok - F.lit(5.0)) / F.lit(5.0)
     )
     q = F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * wordlen_score
-    return df.withColumn(out, F.round(q, 6))
+    # empty text would divide by zero (ANSI mode raises) → score 0.0
+    return df.withColumn(
+        out, F.when(n_chars > 0, F.round(q, 6)).otherwise(F.lit(0.0))
+    )
 
 
 def lang_id(

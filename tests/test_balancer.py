@@ -198,3 +198,27 @@ def test_reweighing_restores_independence(spark):
     n_y = {1: 90, 0: 110}
     for (s, y), m in got.items():
         assert abs(m - n_s[s] * n_y[y] / 200) < 1e-9
+
+
+def test_reweighing_null_sensitive_key(spark):
+    from demv_spark.operators.balancer import reweighing
+
+    rows = [(None, 1, 1), (None, 0, 2), (1, 1, 3), (1, 0, 4), (0, 1, 5)]
+    df = spark.createDataFrame(rows, "s int, y int, i int")
+    out = reweighing(df, ["s"], "y")
+    # null-safe join: NULL-keyed rows keep their weights, none dropped
+    assert out.count() == 5
+    assert out.filter(F.col("weight").isNull()).count() == 0
+
+
+def test_merge_census_deletion_path(spark):
+    from demv_spark.functions.counting import group_census, merge_census
+
+    df = spark.createDataFrame([(1, 1)] * 10 + [(0, 1)] * 5, ["s", "y"])
+    full = group_census(df, ["s", "y"])
+    # delete the (0,1) shard by merging its negated census
+    neg = group_census(df.filter("s = 0"), ["s", "y"]).withColumn(
+        "n", -F.col("n")
+    )
+    merged = {(r["s"], r["y"]): r["n"] for r in merge_census([full, neg], ["s", "y"]).collect()}
+    assert merged == {(1, 1): 10, (0, 1): 0}

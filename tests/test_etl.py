@@ -111,3 +111,11 @@ def test_json_extract(spark):
     )
     got = {r["id"]: r["k"] for r in etl.json_extract(df, "props", "$.k", out="k", cast="int").collect()}
     assert got == {1: 7, 2: None, 3: None}
+
+
+def test_stratified_sample_full_fraction(spark):
+    from demv_spark.operators.etl import stratified_sample
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "g"])
+    out = stratified_sample(df, ["g"], 1.0, ["id"])
+    assert out.count() == 30

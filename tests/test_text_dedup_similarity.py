@@ -340,3 +340,10 @@ def test_nearest_centroid_classify_separated_clusters(spark):
           for r in similarity.nearest_centroid_classify(df).collect()}
     # perfectly separated clusters -> diagonal confusion matrix
     assert cm == {(0, 0): 20, (1, 1): 20, (2, 2): 20}
+
+
+def test_corpus_clean_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "x y z")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.corpus_clean(df, min_tokens=2, min_quality=0.0,
+                                                     langs=("en", "und")).collect()}
+    assert got[1]["keep"] == 0 and "too_short" in got[1]["reasons"]
