@@ -374,13 +374,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_near_dup"] = lambda spark, sf: similarity.embedding_near_dup(
         _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, band_bits=4
     )
-    # Arrow/BLAS top-k (rows-only: float summation order differs from
-    # SQL, but ranks agree with brute force — tested in tests/)
+    # Arrow/BLAS top-k: cos_sim floats sum in GEMM order (not SQL
+    # order) so the score column can't hash-match — but the RANKS can:
+    # both sides tie-break (cos desc, neighbor_id asc) and ulp-level
+    # float differences cannot reorder well-separated similarities.
+    # Projecting ranks upgrades this path from rows-only to oracled.
     q["q_sim_cosine_topk_arrow"] = lambda spark, sf: similarity.cosine_topk_arrow(
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
         _t(spark, sf, "embeddings"),
         k=10,
-    )
+    ).select("query_id", "neighbor_id", "rank")
     # IVF ANN (KMeans cells + probe): rows-only — KMeans is iterative,
     # not SQL-expressible; recall vs brute force is tested in tests/
     q["q_sim_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
@@ -1184,6 +1187,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cos_sim, rank FROM (
             SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+    o["q_sim_cosine_topk_arrow"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
+                        ELSE {_dot.format(a='qe', b='ce')} / ({_norm.format(a='qe')} * {_norm.format(a='ce')})
+                   END AS cos_sim
+            FROM c CROSS JOIN q WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
             FROM scored
         ) WHERE rank <= 10
