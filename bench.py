@@ -26,12 +26,17 @@ HEADLINE = [
     "q_metric_fairness_suite",
     "q_metric_avg_odds_diff",
     "q_demv_rebalance_uniform",
+    "q_demv_reweighing",
     "q_etl_zscore",
     "q_etl_quantile_label",
+    "q_etl_stratified_sample",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    "q_dedup_decontaminate",
     "q_sim_cosine_topk",
+    "q_sim_nearest_centroid",
     "q_text_quality",
+    "q_text_corpus_clean",
     "q_events_hourly",
     "q_stream_sessionize",
     "q_postprocess_equalize",
