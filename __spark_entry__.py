@@ -392,6 +392,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10, n_lists=16, n_probe=8,
     )
 
+    # ---- multimodal plumbing (synthesized deterministic media) ----
+    def _media(spark, sf):
+        from demv_spark.operators.multimodal import synthesize_media
+
+        return synthesize_media(
+            _t(spark, sf, "orders").select("o_orderkey").filter(
+                F.col("o_orderkey") < 2000
+            ),
+            "o_orderkey",
+        )
+
+    def _media_resize(spark, sf):
+        from demv_spark.operators.multimodal import resize_plan
+
+        return resize_plan(_media(spark, sf), max_side=56).select(
+            "media_id", "width", "height", "scale", "target_width", "target_height"
+        )
+
+    q["q_media_resize_plan"] = _media_resize
+
+    def _media_frames(spark, sf):
+        from demv_spark.operators.multimodal import frame_sample_plan
+
+        vids = _media(spark, sf).withColumn(
+            "duration_ms", (F.pmod(F.col("media_id"), 9000) + 1000).cast("int")
+        )
+        return frame_sample_plan(vids, every_ms=1000, max_frames=8)
+
+    q["q_media_frame_sample"] = _media_frames
+
+    # feature extraction exercises the Arrow mapInPandas decode stub —
+    # python-side hashing, no SQL twin → rows-only
+    def _media_features(spark, sf):
+        from demv_spark.operators.multimodal import extract_features
+
+        return extract_features(_media(spark, sf), dim=8).select(
+            "media_id", "feat_dim"
+        )
+
+    q["q_media_features"] = _media_features
+
     # stateful streaming drift monitor, batch-twin form (rows-only:
     # CUSUM state transition is the non-SQL custom operator)
     def _drift(spark, sf):
@@ -1390,6 +1431,37 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS ns
           FROM orders
         ) WHERE rn <= CEIL(ns * 0.1)
+    """
+
+    _sql_media = """
+        SELECT o_orderkey AS media_id,
+               CAST(o_orderkey % 64 + 16 AS INTEGER) AS width,
+               CAST(o_orderkey % 48 + 16 AS INTEGER) AS height
+        FROM orders WHERE o_orderkey < 2000
+    """
+    o["q_media_resize_plan"] = f"""
+        WITH m AS ({_sql_media}),
+        s AS (
+            SELECT media_id, width, height,
+                   LEAST(CAST(56 AS DOUBLE) / width,
+                         CAST(56 AS DOUBLE) / height, 1.0) AS scale
+            FROM m
+        )
+        SELECT media_id, width, height, scale,
+               CAST(CEIL(width * scale) AS INTEGER) AS target_width,
+               CAST(CEIL(height * scale) AS INTEGER) AS target_height
+        FROM s
+    """
+    o["q_media_frame_sample"] = f"""
+        WITH m AS ({_sql_media}),
+        v AS (
+            SELECT media_id,
+                   LEAST(CAST(FLOOR(CAST(media_id % 9000 + 1000 AS DOUBLE) / 1000) AS INTEGER) + 1, 8) AS n_frames
+            FROM m
+        )
+        SELECT media_id, 'image' AS kind,
+               CAST(UNNEST(range(0, n_frames)) * 1000 AS INTEGER) AS frame_ts_ms
+        FROM v
     """
 
     o["q_ml_fold_sizes"] = """
