@@ -248,8 +248,14 @@ def average_odds_difference(
         # sum of per-class truth counts within g IS the partition size
         .withColumn("n_g", F.sum("cnt_true").over(Window.partitionBy("g")))
     )
-    tpr = F.col("tp") / F.col("cnt_true")
-    fpr = (F.col("cnt_pred") - F.col("tp")) / (F.col("n_g") - F.col("cnt_true"))
+    # guarded division: a prediction-only class (cnt_true == 0) or a
+    # single-truth-class partition (n_g == cnt_true) yields NULL, per
+    # the docstring — unguarded division raises under ANSI mode
+    tpr = F.when(F.col("cnt_true") > 0, F.col("tp") / F.col("cnt_true"))
+    fpr = F.when(
+        F.col("n_g") > F.col("cnt_true"),
+        (F.col("cnt_pred") - F.col("tp")) / (F.col("n_g") - F.col("cnt_true")),
+    )
     per = per.select("g", "cls", tpr.alias("tpr"), fpr.alias("fpr"))
     # ≤2 rows per class (g=0/1): align sides with a max(when) pivot —
     # a missing side stays NULL, matching full-outer-join semantics

@@ -166,7 +166,11 @@ def targets_from_census(
     corpus. ``census_rows`` is any iterable of row-likes with the
     sensitive columns, the label column, and ``n``.
     """
-    census_rows = list(census_rows)
+    # drop empty groups: merge_census's deletion path (negated counts)
+    # legitimately yields n == 0 rows, and a zero-size group needs no
+    # target (the reference loop never sees an empty slice either —
+    # helpers.py:8-9 skips them)
+    census_rows = [r for r in census_rows if r["n"] != 0]
     total = sum(r["n"] for r in census_rows)
     sens_marginal: dict[tuple, int] = {}
     label_marginal: dict[object, int] = {}

@@ -85,8 +85,11 @@ def ngram_jaccard_pairs(
          the window's partitioning (no new exchange), sorted ids
       4. pair explosion from each posting list (array combinations,
          ≤ max_df(max_df−1)/2 per shingle) → groupBy(pair) count =
-         intersection size. Residual hot shingles are bounded by
-         max_df, so no skew risk here by construction.
+         intersection size. Hot shingles are bounded by max_df, so the
+         per-row array is bounded by construction. When max_df is None
+         (uncapped) this path is unsafe — a 100k-doc shingle would put
+         ~5e9 structs in one row — so the pair source falls back to a
+         streamed self-equi-join with AQE skew handling.
       5. |A∪B| = |A|+|B|−|A∩B| from per-doc capped-shingle counts;
          filter jaccard >= threshold
     Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
@@ -100,28 +103,43 @@ def ngram_jaccard_pairs(
             F.col("__df") <= max_df
         )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    postings = (
-        sh.groupBy("sh")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    k = F.size("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), k - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, k - i),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
-                ),
-            ),
+    if max_df is not None:
+        # posting-list pair explosion: a shingle's pairs materialize
+        # as ONE array of ≤ max_df(max_df−1)/2 structs — safe ONLY
+        # because df is capped
+        postings = (
+            sh.groupBy("sh")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-    )
-    pairs = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        k = F.size("ids")
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("ids"), i + 1, k - i),
+                    lambda j: F.struct(
+                        F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            postings.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # uncapped df: a hot shingle's pair set must NOT collapse into
+        # one array value (df=100k → ~5e9 structs in a single row) —
+        # stream the pairs through a self-equi-join instead and let
+        # AQE's skew-join split the hot keys
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")

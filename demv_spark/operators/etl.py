@@ -237,8 +237,8 @@ def stratified_sample(
     stratum exceeds a task's memory at your scale.
 
     SQL twin: QUALIFY ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
-    portable_hash(key || ':' || seed), key) <= CEIL(COUNT(*) OVER
-    (PARTITION BY strata) * fraction).
+    portable_hash(concat_ws('|', key..., seed)), key) <= CEIL(COUNT(*)
+    OVER (PARTITION BY strata) * fraction).
     """
     from demv_spark.functions.compat import portable_hash
 

@@ -220,13 +220,21 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     )
 
 
+def normalized_fingerprint(col: Column | str) -> Column:
+    """md5 of whitespace/case-normalized text — THE content-identity
+    expression (fingerprint, exact dedup, corpus_clean's dup window
+    all share it, so normalization can never diverge between them).
+    SQL: md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), _WS, " ")
+    return F.md5(norm.cast("binary"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     """Deterministic content fingerprint: md5 of the whitespace- and
     case-normalized text. Identical in Spark (F.md5) and DuckDB (md5)
-    → exact-dedup key that survives formatting noise.
-    SQL: md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), _WS, " ")
-    return df.withColumn(out, F.md5(norm.cast("binary")))
+    → exact-dedup key that survives formatting noise."""
+    return df.withColumn(out, normalized_fingerprint(text_col))
 
 
 def corpus_profile(
@@ -335,18 +343,13 @@ def corpus_clean(
     list of failed checks, '' when clean. Thresholds are the standard
     pre-training defaults, all overridable.
     """
-    from demv_spark.operators.dedup import shingles
-
-    sh = shingles(text_col, rep_n)
-    rep = F.when(
-        F.size(sh) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh),
-    ).otherwise(F.lit(0.0))
-    signals = lang_id(
-        quality_score(token_count(df, text_col), text_col), text_col
-    ).withColumn("rep_score", rep)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), _WS, " ")
-    w = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy(id_col)
+    signals = repetition_score(
+        lang_id(quality_score(token_count(df, text_col), text_col), text_col),
+        text_col,
+        n=rep_n,
+        out="rep_score",
+    )
+    w = Window.partitionBy(normalized_fingerprint(text_col)).orderBy(id_col)
     signals = signals.withColumn(
         "is_dup", (F.row_number().over(w) > 1).cast("int")
     )

@@ -178,15 +178,23 @@ def census_maintainer(
     incremental-balancing path.
 
     One streaming aggregation (the batch census) + a tiny
-    foreachBatch merge of |groups| rows per trigger. Returns the
-    StreamingQuery.
+    foreachBatch merge of |groups| rows per trigger. foreachBatch is
+    at-least-once, so the merge is made idempotent: the last applied
+    batch_id is stored in ``<sink_table>__meta`` and replayed batches
+    (failure between sink commit and checkpoint commit) are skipped.
+    Returns the StreamingQuery.
     """
     from demv_spark.functions.counting import group_census, merge_census
 
     keys = [*sensitive, label]
+    meta_table = f"{sink_table}__meta"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if spark.catalog.tableExists(meta_table):
+            applied = spark.table(meta_table).collect()[0]["last_batch_id"]
+            if batch_id <= applied:
+                return  # replayed batch — already merged
         delta = group_census(batch_df, keys)
         if spark.catalog.tableExists(sink_table):
             merged = merge_census([spark.table(sink_table), delta], keys)
@@ -198,6 +206,9 @@ def census_maintainer(
             ).saveAsTable(sink_table)
         else:
             delta.write.mode("overwrite").saveAsTable(sink_table)
+        spark.createDataFrame(
+            [(batch_id,)], "last_batch_id long"
+        ).write.mode("overwrite").saveAsTable(meta_table)
 
     writer = stream.writeStream.outputMode("append").foreachBatch(merge)
     if trigger_available_now:

@@ -222,3 +222,14 @@ def test_merge_census_deletion_path(spark):
     )
     merged = {(r["s"], r["y"]): r["n"] for r in merge_census([full, neg], ["s", "y"]).collect()}
     assert merged == {(1, 1): 10, (0, 1): 0}
+
+
+def test_fit_from_census_with_zero_count_groups(spark):
+    from demv_spark.functions.counting import group_census, merge_census
+
+    df = spark.createDataFrame([(1, 1)] * 10 + [(0, 1)] * 5, ["s", "y"])
+    full = group_census(df, ["s", "y"])
+    neg = group_census(df.filter("s = 0"), ["s", "y"]).withColumn("n", -F.col("n"))
+    merged = merge_census([full, neg], ["s", "y"])  # contains an n=0 row
+    d = DEMV(["s"], label="y").fit_from_census(merged)  # must not crash
+    assert all(t["n"] > 0 for t in d._targets)

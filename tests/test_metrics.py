@@ -141,3 +141,15 @@ def test_fairness_by_group_multi_sensitive(df):
     assert {tuple([r["sens"], r["y_true"]]) for r in out} == {
         (0, 0), (0, 1), (1, 0), (1, 1)
     }
+
+
+def test_avg_odds_single_class_partition_yields_null(spark):
+    from demv_spark.functions import metrics as M
+
+    # g=0's truth labels are all 'A' (n_g == cnt_true for A) and 'B'
+    # appears only as a prediction — both divisions must yield NULL,
+    # not raise under ANSI mode
+    rows = [(0, "A", "B"), (0, "A", "A"), (1, "A", "A"), (1, "B", "B")]
+    df = spark.createDataFrame(rows, ["g", "yt", "yp"])
+    out = M.average_odds_difference(df, F.col("g") == 1, "yt", "yp").collect()
+    assert len(out) == 2  # classes A and B — no ArithmeticException
