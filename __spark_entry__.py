@@ -528,6 +528,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
+    # rollup cascade identity: daily census derived FROM the hourly
+    # census (sum of sums) must equal the daily census from raw — the
+    # multi-tier OLAP rollup pattern where coarser tiers never re-read
+    # events; oracled against the direct daily aggregation
+    def _daily_cascade(spark, sf):
+        from demv_spark.streaming.monitor import cascade_rollup
+
+        hourly = (
+            _t(spark, sf, "events")
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        daily = cascade_rollup(hourly, "bucket", "day", ["event_type"])
+        return daily.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"), "event_type", "n"
+        )
+
+    q["q_events_daily_cascade"] = _daily_cascade
+
     # ---- streaming operators, batch-symmetric form ----
     def _stream_census(spark, sf):
         from demv_spark.streaming.monitor import windowed_group_census
@@ -1252,6 +1271,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_events_hourly"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """
+    o["q_events_daily_cascade"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
     """

@@ -214,3 +214,26 @@ def census_maintainer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cascade_rollup(
+    fine: DataFrame,
+    bucket_col: str,
+    coarse_unit: str,
+    group_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Multi-resolution rollup cascade: re-aggregate a fine-grained
+    census (e.g. hourly) into a coarser one (e.g. daily) WITHOUT
+    touching raw events — counts are a commutative monoid, so
+    rollup(rollup(raw, hour), day) == rollup(raw, day) exactly. At
+    scale this is how dashboard hierarchies are maintained: each tier
+    reads the tier below (|buckets| rows), never the event stream.
+    """
+    return (
+        fine.groupBy(
+            F.date_trunc(coarse_unit, F.col(bucket_col)).alias(bucket_col),
+            *group_cols,
+        )
+        .agg(F.sum(count_col).alias(count_col))
+    )

@@ -104,8 +104,10 @@ def test_census_maintainer_incremental_refit(spark, events_dir):
         "s", (F.col("user_id") % 2).cast("int")
     ).withColumn("y", (F.col("value") > 50).cast("int"))
     spark.sql("DROP TABLE IF EXISTS census_sink")
+    spark.sql("DROP TABLE IF EXISTS census_sink__meta")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/census_sink", ignore_errors=True)
+    shutil.rmtree(f"{warehouse}/census_sink__meta", ignore_errors=True)
     q = monitor.census_maintainer(stream, ["s"], "y", sink_table="census_sink")
     q.awaitTermination(120)
 
