@@ -547,6 +547,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_daily_cascade"] = _daily_cascade
 
+    # mergeable HLL distinct sketches (rows-only: Datasketches state
+    # has no DuckDB twin; the merge identity — weekly-from-daily ==
+    # weekly-from-raw EXACTLY — is asserted in tests/)
+    def _distinct_sketch(spark, sf):
+        from demv_spark.functions.counting import distinct_sketch_rollup
+
+        out = distinct_sketch_rollup(
+            _t(spark, sf, "events"), "user_id", F.date_trunc("day", F.col("ts"))
+        )
+        return out.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+            F.col("estimate").cast("long").alias("approx_users"),
+        )
+
+    q["q_count_distinct_sketch"] = _distinct_sketch
+
     # ---- streaming operators, batch-symmetric form ----
     def _stream_census(spark, sf):
         from demv_spark.streaming.monitor import windowed_group_census

@@ -119,3 +119,40 @@ def merge_census(
     for c in censuses[1:]:
         out = out.unionByName(c)
     return out.groupBy(*keys).agg(F.sum(count_col).alias(count_col))
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: Column | str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches per bucket (Datasketches HLL):
+    (bucket, sketch, estimate). The 100 TB distinct pattern — exact
+    COUNT(DISTINCT) needs a full shuffle of the values per re-ask,
+    while HLL sketches aggregate map-side into ~2^lgk bytes, persist
+    next to the census, and re-merge to any coarser grain without
+    touching raw data (see merge_distinct_sketches).
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    bucket_expr: Column,
+) -> DataFrame:
+    """Re-merge per-bucket HLL sketches to a coarser grain (the sketch
+    twin of merge_census/cascade_rollup): HLL union is associative and
+    commutative, so estimate(union(daily)) == estimate(weekly-from-raw)
+    EXACTLY — not just approximately — because both sides hold the
+    identical sketch state."""
+    return (
+        sketches.groupBy(bucket_expr.alias("bucket"))
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )

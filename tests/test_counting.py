@@ -56,3 +56,34 @@ def test_group_weights_frozen_marginals(spark):
     assert abs(r["w_exp"] - w_exp) < 1e-12
     assert abs(r["w_obs"] - w_obs) < 1e-12
     assert r["disparity"] == round(w_exp / w_obs, 1)
+
+
+def test_distinct_sketch_merge_identity(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.functions.counting import (
+        distinct_sketch_rollup,
+        merge_distinct_sketches,
+    )
+    from demv_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    daily = distinct_sketch_rollup(ev, "user_id", F.date_trunc("day", F.col("ts")))
+    weekly_merged = merge_distinct_sketches(
+        daily, F.date_trunc("week", F.col("bucket"))
+    )
+    weekly_direct = distinct_sketch_rollup(
+        ev, "user_id", F.date_trunc("week", F.col("ts"))
+    )
+    m = {r["bucket"]: r["estimate"] for r in weekly_merged.collect()}
+    d = {r["bucket"]: r["estimate"] for r in weekly_direct.collect()}
+    # HLL union is associative: merged state == direct state EXACTLY
+    assert m == d
+    exact = {
+        r["bucket"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("week", F.col("ts")).alias("bucket"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(m[k] - n) / n < 0.05
