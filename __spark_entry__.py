@@ -500,6 +500,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_smote_census"] = _demv_smote_census
 
+    def _demv_adasyn_census(spark, sf):
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+            F.col("o_totalprice").alias("f1"),
+            (F.col("o_custkey") % 100).cast("double").alias("f2"),
+        )
+        out = DEMV(
+            ["s"], label="y", round_level=1, strategy="adasyn", seed=42
+        ).fit_transform(tbl)
+        return out.groupBy("s", "y").agg(F.count(F.lit(1)).alias("n_out"))
+
+    q["q_demv_adasyn_census"] = _demv_adasyn_census
+
     # multi-valued sensitive attribute (5 priority classes × binary
     # label, y correlated with s): the reference hardcodes binary
     # {0,1} sensitive values (helpers.py:74,85) — the Spark census
@@ -1359,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_demv_smote_census"] = o["q_demv_rebalance_census"]
+    o["q_demv_adasyn_census"] = o["q_demv_rebalance_census"]
     o["q_demv_rebalance_census_multi"] = """
         WITH pred AS (
           SELECT o_orderpriority AS s,
