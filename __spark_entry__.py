@@ -325,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_decontaminate"] = _decontaminate
 
+    # ---- column profiling (data-quality rollup, one fused agg) ----
+    q["q_etl_profile_columns"] = lambda spark, sf: etl.profile_columns(
+        _t(spark, sf, "customer"), ["c_acctbal", "c_mktsegment", "c_nationkey"]
+    )
+
     # ---- deterministic stratified sampling ----
     q["q_etl_stratified_sample"] = lambda spark, sf: etl.stratified_sample(
         _t(spark, sf, "orders").select(
@@ -1475,6 +1480,44 @@ def oracle_sql() -> dict[str, str]:
         train AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 20 != 0)
         SELECT doc_id, COUNT(*) AS n_hits
         FROM train JOIN bench USING (sh) GROUP BY 1
+    """
+    o["q_etl_profile_columns"] = """
+        WITH w AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(c_acctbal IS NULL AS BIGINT)) AS b_null,
+                   COUNT(DISTINCT c_acctbal) AS b_dist,
+                   CAST(MIN(c_acctbal) AS VARCHAR) AS b_min,
+                   CAST(MAX(c_acctbal) AS VARCHAR) AS b_max,
+                   SUM(CAST(c_mktsegment IS NULL AS BIGINT)) AS s_null,
+                   COUNT(DISTINCT c_mktsegment) AS s_dist,
+                   CAST(MIN(c_mktsegment) AS VARCHAR) AS s_min,
+                   CAST(MAX(c_mktsegment) AS VARCHAR) AS s_max,
+                   SUM(CAST(c_nationkey IS NULL AS BIGINT)) AS k_null,
+                   COUNT(DISTINCT c_nationkey) AS k_dist,
+                   CAST(MIN(c_nationkey) AS VARCHAR) AS k_min,
+                   CAST(MAX(c_nationkey) AS VARCHAR) AS k_max
+            FROM customer
+        )
+        SELECT 'c_acctbal' AS "column", m.metric,
+               CASE m.metric WHEN 'n' THEN CAST(n AS VARCHAR)
+                    WHEN 'n_null' THEN CAST(b_null AS VARCHAR)
+                    WHEN 'n_distinct' THEN CAST(b_dist AS VARCHAR)
+                    WHEN 'min' THEN b_min ELSE b_max END AS value
+        FROM w, (VALUES ('n'), ('n_null'), ('n_distinct'), ('min'), ('max')) m(metric)
+        UNION ALL
+        SELECT 'c_mktsegment', m.metric,
+               CASE m.metric WHEN 'n' THEN CAST(n AS VARCHAR)
+                    WHEN 'n_null' THEN CAST(s_null AS VARCHAR)
+                    WHEN 'n_distinct' THEN CAST(s_dist AS VARCHAR)
+                    WHEN 'min' THEN s_min ELSE s_max END
+        FROM w, (VALUES ('n'), ('n_null'), ('n_distinct'), ('min'), ('max')) m(metric)
+        UNION ALL
+        SELECT 'c_nationkey', m.metric,
+               CASE m.metric WHEN 'n' THEN CAST(n AS VARCHAR)
+                    WHEN 'n_null' THEN CAST(k_null AS VARCHAR)
+                    WHEN 'n_distinct' THEN CAST(k_dist AS VARCHAR)
+                    WHEN 'min' THEN k_min ELSE k_max END
+        FROM w, (VALUES ('n'), ('n_null'), ('n_distinct'), ('min'), ('max')) m(metric)
     """
     o["q_etl_stratified_sample"] = """
         SELECT o_orderkey, o_orderpriority, o_totalprice FROM (

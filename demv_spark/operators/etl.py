@@ -268,3 +268,44 @@ def json_extract(
     if cast:
         c = c.cast(cast)
     return df.withColumn(out, c)
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Data-quality column profile in long form: one row per
+    (column, metric) with metrics n, n_null, n_distinct, min, max —
+    the ingest-validation staple. ONE fused aggregate pass: all
+    metrics for all columns compute in a single partial+final hash
+    aggregation (a per-column loop of .agg() calls would scan once per
+    column). Values are rendered as strings so heterogeneous column
+    types share one result schema.
+
+    exact_distinct=False swaps count_distinct for HLL
+    approx_count_distinct — at corpus scale exact distinct per column
+    is a full shuffle each, the approximate form stays map-side.
+    """
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
+            distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        for m in ("n", "n_null", "n_distinct", "min", "max"):
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(m).alias("metric"),
+                    F.col(f"{c}__{m}").cast("string").alias("value"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.column", "p.metric", "p.value"
+    )

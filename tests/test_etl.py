@@ -119,3 +119,19 @@ def test_stratified_sample_full_fraction(spark):
     df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "g"])
     out = stratified_sample(df, ["g"], 1.0, ["id"])
     assert out.count() == 30
+
+
+def test_profile_columns(spark):
+    from demv_spark.operators.etl import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["x", "s"]
+    )
+    got = {(r["column"], r["metric"]): r["value"]
+           for r in profile_columns(df, ["x", "s"]).collect()}
+    assert got[("x", "n")] == "3"
+    assert got[("x", "n_null")] == "0"
+    assert got[("x", "n_distinct")] == "2"
+    assert got[("x", "min")] == "1" and got[("x", "max")] == "2"
+    assert got[("s", "n_null")] == "1"
+    assert got[("s", "n_distinct")] == "2"
