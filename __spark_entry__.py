@@ -376,8 +376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"),
         k=10,
     )
+    # threshold 0.45: the synthetic embeddings have no planted dups
+    # (max pairwise cosine ≈ 0.51), so a 0.9 cutoff returned 0 rows —
+    # a vacuous check; 0.45 yields a stable nonempty candidate set
     q["q_sim_near_dup"] = lambda spark, sf: similarity.embedding_near_dup(
-        _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, band_bits=4
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.45, n_planes=16, band_bits=4
     )
     # Arrow/BLAS top-k: cos_sim floats sum in GEMM order (not SQL
     # order) so the score column can't hash-match — but the RANKS can:
