@@ -135,3 +135,28 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert back.count() == orders.filter("o_orderstatus = 'F'").count()
     # partition filter appears as such in the scan, not a data filter
     assert "PartitionFilters" in explain_str(back, "formatted")
+
+
+def test_read_csv_semicolon(spark, tmp_path):
+    from demv_spark.sources.readers import read_csv_semicolon
+
+    p = str(tmp_path / "wine.csv")
+    with open(p, "w") as f:
+        f.write("a;b;c\n1;2.5;x\n3;4.5;y\n")
+    df = read_csv_semicolon(spark, p)
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+    assert df.filter(F.col("a") == 1).collect()[0]["b"] == 2.5
+
+
+def test_write_metrics_csv(spark, tmp_path):
+    import csv
+
+    from demv_spark.ml.evaluation import write_metrics_csv
+
+    df = spark.createDataFrame([(0, 0.9), (1, 0.8)], ["fold", "acc"])
+    p = str(tmp_path / "metrics.csv")
+    write_metrics_csv(df, p)
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    assert {r["fold"]: float(r["acc"]) for r in rows} == {"0": 0.9, "1": 0.8}
