@@ -569,6 +569,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_daily_cascade"] = _daily_cascade
 
+    # as-of join (Spark has no native one): every click event gets the
+    # value of the user's latest purchase at-or-before its timestamp —
+    # implemented as the union+last_value carry (one shuffle, no range
+    # join); oracled against DuckDB's native ASOF LEFT JOIN
+    def _asof(spark, sf):
+        from demv_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("purchase_value"))
+        )
+        out = asof_join(
+            clicks, purchases, ts_col="ts", by=["user_id"],
+            value_cols=["purchase_value"],
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("purchase_value_asof"),
+        )
+
+    q["q_events_asof_join"] = _asof
+
     # mergeable HLL distinct sketches (rows-only: Datasketches state
     # has no DuckDB twin; the merge identity — weekly-from-daily ==
     # weekly-from-raw EXACTLY — is asserted in tests/)
@@ -1311,6 +1339,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    """
+    o["q_events_asof_join"] = """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               p.purchase_value AS purchase_value_asof
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """
     o["q_events_daily_cascade"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

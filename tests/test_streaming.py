@@ -123,3 +123,22 @@ def test_census_maintainer_incremental_refit(spark, events_dir):
     incr = DEMV(["s"], label="y").fit_from_census(spark.table("census_sink"))
     key = lambda t: (t["s"], t["y"])
     assert sorted(direct._targets, key=key) == sorted(incr._targets, key=key)
+
+
+def test_asof_join_backward_semantics(spark):
+    from demv_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 2, 3)], ["event_id", "u", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 9, "b"), (3, 1, "c")], ["u", "ts", "v"]
+    )
+    out = asof_join(left, right, ts_col="ts", by=["u"], value_cols=["v"])
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    # latest right at-or-before each left ts; no prior row -> NULL
+    assert got == {1: "a", 2: "b", 3: None}
+    # inclusive boundary: right at ts == left ts matches
+    left2 = spark.createDataFrame([(9, 1, 4)], ["event_id", "u", "ts"])
+    got2 = asof_join(left2, right, "ts", ["u"], ["v"]).collect()[0]["v_asof"]
+    assert got2 == "a"
