@@ -325,6 +325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_decontaminate"] = _decontaminate
 
+    # ---- z-order clustering key (write-side layout for skipping) ----
+    q["q_etl_zorder_key"] = lambda spark, sf: etl.zorder_key(
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_partkey").bitwiseAND(F.lit(1023)).alias("d1"),
+            F.col("l_suppkey").bitwiseAND(F.lit(1023)).alias("d2"),
+        ),
+        ["d1", "d2"],
+        bits=10,
+    )
+
     # ---- column profiling (data-quality rollup, one fused agg) ----
     q["q_etl_profile_columns"] = lambda spark, sf: etl.profile_columns(
         _t(spark, sf, "customer"), ["c_acctbal", "c_mktsegment", "c_nationkey"]
@@ -1525,6 +1536,18 @@ def oracle_sql() -> dict[str, str]:
         train AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 20 != 0)
         SELECT doc_id, COUNT(*) AS n_hits
         FROM train JOIN bench USING (sh) GROUP BY 1
+    """
+    _z_terms = " | ".join(
+        f"(((d{j+1} >> {i}) & 1) << {i * 2 + j})" for i in range(10) for j in range(2)
+    )
+    o["q_etl_zorder_key"] = f"""
+        SELECT l_orderkey, l_linenumber, d1, d2,
+               CAST({_z_terms} AS BIGINT) AS zorder
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_partkey & 1023 AS d1, l_suppkey & 1023 AS d2
+            FROM lineitem
+        )
     """
     o["q_etl_profile_columns"] = """
         WITH w AS (

@@ -309,3 +309,28 @@ def profile_columns(
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.column", "p.metric", "p.value"
     )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16, out: str = "zorder"
+) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the low ``bits``
+    bits of each (non-negative integer) column so that sorting by the
+    key co-locates rows that are close in EVERY dimension — the
+    write-side layout trick behind multi-dimensional data skipping
+    (sort by zorder before a partitioned/bucketed write, and min/max
+    footer stats prune on all participating columns, not just the
+    leading sort key).
+
+    Pure bitwise column arithmetic (shiftleft/and/or chain unrolled at
+    plan-build time), identical in any engine with integer bit ops —
+    oracle-exact. Columns must be >= 0 and < 2^bits for a faithful
+    key; clamp or bucket upstream otherwise.
+    """
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return df.withColumn(out, z)

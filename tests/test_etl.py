@@ -135,3 +135,27 @@ def test_profile_columns(spark):
     assert got[("x", "min")] == "1" and got[("x", "max")] == "2"
     assert got[("s", "n_null")] == "1"
     assert got[("s", "n_distinct")] == "2"
+
+
+def test_zorder_key_interleaves(spark):
+    from demv_spark.operators.etl import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    z = zorder_key(df, ["x", "y"], bits=3).collect()[0]["zorder"]
+    # interleave x into even positions, y into odd: x=101, y=011
+    # bits (LSB→MSB): x0=1,y0=1,x1=0,y1=1,x2=1,y2=0 -> 0b011011 = 27
+    assert z == 0b011011
+
+
+def test_zorder_locality(spark):
+    from demv_spark.operators.etl import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = {(r["x"], r["y"]): r["zorder"] for r in zorder_key(df, ["x", "y"], bits=3).collect()}
+    # all keys distinct (bijective on the grid)
+    assert len(set(out.values())) == 64
+    # neighbors in both dims map closer than distant points on average
+    near = abs(out[(0, 0)] - out[(1, 1)])
+    far = abs(out[(0, 0)] - out[(7, 7)])
+    assert near < far
