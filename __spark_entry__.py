@@ -297,6 +297,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_reweighing"] = _reweighing
 
+    # the two debiasers composed: fairness evaluated UNDER the
+    # reweighing weights, no resample materialized — weighted stat
+    # parity over (priority-group, status-label) must come out ~0 by
+    # construction; all weighted sums decimal-stable for the oracle
+    def _weighted_suite(spark, sf):
+        from demv_spark.operators.balancer import reweighing
+
+        w = reweighing(
+            _t(spark, sf, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+            ),
+            ["o_orderpriority"],
+            "o_orderstatus",
+        )
+        return M.weighted_fairness_suite(
+            w.withColumn("y_true", F.col("o_orderstatus"))
+            .withColumn("y_pred", F.when(_pred_pos(), "F").otherwise("O")),
+            _unpriv(), _pred_pos(), _true_pos(), "y_true", "y_pred", "weight",
+        )
+
+    q["q_metric_weighted_suite"] = _weighted_suite
+
     # sequential-fill packing of documents into 512-token shards
     def _pack(spark, sf):
         docs = text.token_count(_t(spark, sf, "documents"))
@@ -1093,6 +1115,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT o.o_orderkey, w.weight
         FROM orders o JOIN w USING (o_orderpriority, o_orderstatus)
+    """
+    _wc = (
+        "CAST(SUM(CAST(CASE WHEN {p} THEN weight ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    o["q_metric_weighted_suite"] = f"""
+        WITH census AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        ), wmap AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   ((CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                       / SUM(n) OVER ())
+                    * (CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                       / SUM(n) OVER ()))
+                   / (CAST(n AS DOUBLE) / SUM(n) OVER ()) AS weight
+            FROM census
+        ), t AS (
+            SELECT o.*, w.weight, o.o_orderstatus AS y_true,
+                   CASE WHEN {_SQL_PRED} THEN 'F' ELSE 'O' END AS y_pred
+            FROM orders o JOIN wmap w USING (o_orderpriority, o_orderstatus)
+        ), c AS (
+            SELECT {_wc.format(p=f"{_SQL_UNPRIV} AND {_SQL_PRED}")} AS up,
+                   {_wc.format(p=_SQL_UNPRIV)} AS u,
+                   {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND {_SQL_PRED}")} AS pp,
+                   {_wc.format(p=f"NOT ({_SQL_UNPRIV})")} AS p,
+                   {_wc.format(p=f"{_SQL_UNPRIV} AND {_SQL_PRED} AND {_SQL_TRUE}")} AS u_pp_tp,
+                   {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND {_SQL_TRUE}")} AS p_pp_tp,
+                   {_wc.format(p=f"{_SQL_UNPRIV} AND NOT ({_SQL_PRED})")} AS u_pn,
+                   {_wc.format(p=f"{_SQL_UNPRIV} AND {_SQL_PRED} AND NOT ({_SQL_TRUE})")} AS u_pp_tn,
+                   {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND NOT ({_SQL_PRED})")} AS p_pn,
+                   {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND NOT ({_SQL_TRUE})")} AS p_pp_tn,
+                   {_wc.format(p="y_true = y_pred")} AS n_match,
+                   CAST(SUM(CAST(weight AS DECIMAL(28,6))) AS DOUBLE) AS n
+            FROM t
+        )
+        SELECT (up/u) - (pp/p) AS stat_par,
+               CASE WHEN (pp/p) = 0 THEN 0.0
+                    WHEN (up/u) = 0 THEN (up/u)/(pp/p)
+                    ELSE LEAST((up/u)/(pp/p), (pp/p)/(up/u)) END AS disp_imp,
+               GREATEST(
+                   ABS(CASE WHEN up = 0 THEN 0.0 ELSE u_pp_tp/up END
+                     - CASE WHEN pp = 0 THEN 0.0 ELSE p_pp_tp/pp END),
+                   ABS(CASE WHEN u_pn = 0 THEN 0.0 ELSE u_pp_tn/u_pn END
+                     - CASE WHEN p_pn = 0 THEN 0.0 ELSE p_pp_tn/p_pn END)
+               ) AS eq_odds,
+               n_match/n AS acc
+        FROM c
     """
     o["q_text_pack_sequential"] = f"""
         WITH sized AS (

@@ -392,3 +392,65 @@ def fairness_by_group(
         di.alias("disp_imp"),
         F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
     )
+
+
+def weighted_fairness_suite(
+    df: DataFrame,
+    unpriv: Column,
+    pred_pos: Column,
+    true_pos: Column,
+    y_true: str,
+    y_pred: str,
+    weight_col: str,
+) -> DataFrame:
+    """fairness_suite over INSTANCE WEIGHTS: every count becomes a
+    weighted mass, so fairness can be evaluated under a reweighing
+    (balancer.reweighing) — or any importance weighting — WITHOUT
+    materializing a resampled table. Same single-job plan; weighted
+    sums go through decimal-stable summation so the result stays
+    hash-reproducible across engines.
+
+    Sanity property: on reweighed data with pred = label, stat_par is
+    0 (the weights make (sensitive, label) independent by
+    construction).
+    """
+    from demv_spark.functions.compat import stable_sum
+
+    g, ng = unpriv, ~unpriv
+    w = F.col(weight_col)
+
+    def wcnt(pred: Column) -> Column:
+        return stable_sum(F.when(pred, w).otherwise(F.lit(0.0)))
+
+    match = F.when(F.col(y_true) == F.col(y_pred), w).otherwise(F.lit(0.0))
+    agg = df.agg(
+        wcnt(g & pred_pos).alias("up"),
+        wcnt(g).alias("u"),
+        wcnt(ng & pred_pos).alias("pp"),
+        wcnt(ng).alias("p"),
+        wcnt(g & pred_pos & true_pos).alias("u_pp_tp"),
+        wcnt(ng & pred_pos & true_pos).alias("p_pp_tp"),
+        wcnt(g & ~pred_pos).alias("u_pn"),
+        wcnt(g & pred_pos & ~true_pos).alias("u_pp_tn"),
+        wcnt(ng & ~pred_pos).alias("p_pn"),
+        wcnt(ng & pred_pos & ~true_pos).alias("p_pp_tn"),
+        stable_sum(match).alias("n_match"),
+        stable_sum(w).alias("n"),
+    )
+    u_rate = F.col("up") / F.col("u")
+    p_rate = F.col("pp") / F.col("p")
+    di = (
+        F.when(p_rate == 0, F.lit(0.0))
+        .when(u_rate == 0, u_rate / p_rate)
+        .otherwise(F.least(u_rate / p_rate, p_rate / u_rate))
+    )
+    tpr_u = _guard(F.col("u_pp_tp"), F.col("up"))
+    tpr_p = _guard(F.col("p_pp_tp"), F.col("pp"))
+    fpr_u = _guard(F.col("u_pp_tn"), F.col("u_pn"))
+    fpr_p = _guard(F.col("p_pp_tn"), F.col("p_pn"))
+    return agg.select(
+        (u_rate - p_rate).alias("stat_par"),
+        di.alias("disp_imp"),
+        F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
+        (F.col("n_match") / F.col("n")).alias("acc"),
+    )

@@ -153,3 +153,23 @@ def test_avg_odds_single_class_partition_yields_null(spark):
     df = spark.createDataFrame(rows, ["g", "yt", "yp"])
     out = M.average_odds_difference(df, F.col("g") == 1, "yt", "yp").collect()
     assert len(out) == 2  # classes A and B — no ArithmeticException
+
+
+def test_weighted_suite_reweighing_zeroes_stat_parity(spark):
+    from demv_spark.functions.metrics import weighted_fairness_suite
+    from demv_spark.operators.balancer import reweighing
+
+    # skewed (s, y); reweighing restores independence, so weighted
+    # stat parity with pred == label must vanish
+    rows = [(1, 1)] * 60 + [(1, 0)] * 10 + [(0, 1)] * 30 + [(0, 0)] * 100
+    df = spark.createDataFrame(
+        [(s, y, i) for i, (s, y) in enumerate(rows)], ["s", "y", "i"]
+    )
+    w = reweighing(df, ["s"], "y")
+    out = weighted_fairness_suite(
+        w.withColumn("y_true", F.col("y")).withColumn("y_pred", F.col("y")),
+        F.col("s") == 1, F.col("y") == 1, F.col("y") == 1,
+        "y_true", "y_pred", "weight",
+    ).collect()[0]
+    assert abs(out["stat_par"]) < 1e-6
+    assert out["acc"] == pytest.approx(1.0)
