@@ -630,6 +630,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_asof_join"] = _asof
 
+    def _asof_fwd(spark, sf):
+        from demv_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("purchase_value"))
+        )
+        out = asof_join(
+            clicks, purchases, ts_col="ts", by=["user_id"],
+            value_cols=["purchase_value"], direction="forward",
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("purchase_value_asof"),
+        )
+
+    q["q_events_asof_forward"] = _asof_fwd
+
     # mergeable HLL distinct sketches (rows-only: Datasketches state
     # has no DuckDB twin; the merge identity — weekly-from-daily ==
     # weekly-from-raw EXACTLY — is asserted in tests/)
@@ -1433,6 +1457,20 @@ def oracle_sql() -> dict[str, str]:
                p.purchase_value AS purchase_value_asof
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+    o["q_events_asof_forward"] = """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               p.purchase_value AS purchase_value_asof
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
     """
     o["q_events_daily_cascade"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

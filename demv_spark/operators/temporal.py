@@ -27,21 +27,28 @@ def asof_join(
     by: Sequence[str],
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row gains the ``value_cols`` of
-    the LATEST right row with ``right.ts <= left.ts`` within the same
-    ``by`` keys (NULL when no prior right row exists).
+    """As-of join: every left row gains the ``value_cols`` of the
+    nearest right row within the same ``by`` keys — the LATEST with
+    ``right.ts <= left.ts`` (direction='backward', default) or the
+    EARLIEST with ``right.ts >= left.ts`` ('forward'); NULL when no
+    such right row exists.
 
     Equivalent to DuckDB ``ASOF LEFT JOIN ... ON by AND l.ts >= r.ts``
-    (the oracle). Right rows should be unique per (by, ts) — pre-
-    aggregate otherwise, or the carried value at a tied timestamp is
-    engine-dependent.
+    (backward) / ``l.ts <= r.ts`` (forward) — the oracle. Right rows
+    should be unique per (by, ts) — pre-aggregate otherwise, or the
+    carried value at a tied timestamp is engine-dependent.
 
     Plan: union of the two tagged sides → window over (by) ordered by
-    (ts, side asc: right rows sort before left at equal ts, making the
-    match inclusive) → filter back to left rows. One exchange on the
-    key columns; no join operator, no range explosion.
+    (ts, side) with the side tiebreak placing right rows on the
+    matching side of equal timestamps (inclusive boundary) → carry the
+    right payload with last/first(ignoreNulls) over the trailing/
+    leading frame → filter back to left rows. One exchange on the key
+    columns; no join operator, no range explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     lcols = [c for c in left.columns]
     tagged_l = left.select(
         *lcols,
@@ -57,19 +64,25 @@ def asof_join(
         *[F.col(v).alias(f"__rv_{v}") for v in value_cols],
     )
     u = tagged_l.unionByName(tagged_r)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right (side 0) sorts before left at equal ts → inclusive
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        # right sorts after left at equal ts → inclusive looking ahead
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col), F.desc("__side"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)
     carried = u.select(
         *lcols,
         "__side",
-        *[
-            F.last(F.col(f"__rv_{v}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
+        *[carry(F.col(f"__rv_{v}")).alias(f"{v}{suffix}") for v in value_cols],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")

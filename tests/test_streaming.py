@@ -142,3 +142,22 @@ def test_asof_join_backward_semantics(spark):
     left2 = spark.createDataFrame([(9, 1, 4)], ["event_id", "u", "ts"])
     got2 = asof_join(left2, right, "ts", ["u"], ["v"]).collect()[0]["v_asof"]
     assert got2 == "a"
+
+
+def test_asof_join_forward_direction(spark):
+    from demv_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 2, 3)], ["event_id", "u", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 9, "b"), (3, 1, "c")], ["u", "ts", "v"]
+    )
+    out = asof_join(left, right, "ts", ["u"], ["v"], direction="forward")
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    # earliest right at-or-after each left ts
+    assert got == {1: "b", 2: None, 3: None}
+    # inclusive boundary at equal ts
+    left2 = spark.createDataFrame([(9, 1, 9)], ["event_id", "u", "ts"])
+    got2 = asof_join(left2, right, "ts", ["u"], ["v"], direction="forward").collect()[0]["v_asof"]
+    assert got2 == "b"
