@@ -286,10 +286,11 @@ def profile_columns(
     is a full shuffle each, the approximate form stays map-side.
     """
     distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
-    aggs = []
+    # ONE shared row count — a per-column copy would update len(cols)
+    # identical accumulators per input row
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
             distinct(F.col(c)).alias(f"{c}__n_distinct"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
@@ -299,11 +300,12 @@ def profile_columns(
     pairs = []
     for c in cols:
         for m in ("n", "n_null", "n_distinct", "min", "max"):
+            src = "__n" if m == "n" else f"{c}__{m}"
             pairs.append(
                 F.struct(
                     F.lit(c).alias("column"),
                     F.lit(m).alias("metric"),
-                    F.col(f"{c}__{m}").cast("string").alias("value"),
+                    F.col(src).cast("string").alias("value"),
                 )
             )
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select(
@@ -327,8 +329,15 @@ def zorder_key(
     oracle-exact. Columns must be >= 0 and < 2^bits for a faithful
     key; clamp or bucket upstream otherwise.
     """
-    z = F.lit(0).cast("long")
     n = len(cols)
+    if bits * n > 63:
+        # JVM shift amounts wrap mod 64 SILENTLY — positions past bit
+        # 63 would alias onto the low interleave bits and corrupt keys
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds the 63 usable bits of "
+            f"a signed long; lower bits (e.g. {63 // n}) or drop columns"
+        )
+    z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
             bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))

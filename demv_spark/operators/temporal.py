@@ -50,10 +50,19 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
     lcols = [c for c in left.columns]
+    # the right payload travels as ONE struct: non-null whenever a
+    # right row exists, even if every value field is NULL — so a
+    # matched-but-NULL value stays NULL (ignoreNulls on bare columns
+    # would skip past the match to an older row), and with several
+    # value_cols all values come from the SAME matched row
+    rv_struct = F.struct(*[F.col(v).alias(v) for v in value_cols])
+    rv_type = "struct<" + ",".join(
+        f"{v}:{right.schema[v].dataType.simpleString()}" for v in value_cols
+    ) + ">"
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__rv_{v}") for v in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     tagged_r = right.select(
         *[
@@ -61,28 +70,39 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__rv_{v}") for v in value_cols],
+        rv_struct.alias("__rv"),
     )
     u = tagged_l.unionByName(tagged_r)
     if direction == "backward":
         # right (side 0) sorts before left at equal ts → inclusive
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts_col), F.col("__side"))
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)
+        order = [F.col(ts_col).asc(), F.col("__side").asc()]
     else:
-        # right sorts after left at equal ts → inclusive looking ahead
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(ts_col), F.desc("__side"))
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)
+        # same growing-frame shape, reversed time: in DESC ts order the
+        # nearest at-or-after right row is the last one seen; right
+        # still sorts before left at equal ts for the inclusive bound.
+        # (A (0, unboundedFollowing) frame would be O(n²) per key —
+        # Spark re-evaluates shrinking frames from scratch per row.)
+        order = [F.col(ts_col).desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     carried = u.select(
         *lcols,
         "__side",
-        *[carry(F.col(f"__rv_{v}")).alias(f"{v}{suffix}") for v in value_cols],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rv_m"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    # ASOF equality semantics: NULL never matches — a NULL by-key or
+    # NULL ts on the left yields NULL values (the window groups NULL
+    # keys together, which an equi-join would not)
+    null_left = F.col(ts_col).isNull()
+    for k in by:
+        null_left = null_left | F.col(k).isNull()
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[
+            F.when(~null_left, F.col(f"__rv_m.{v}")).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )

@@ -161,3 +161,23 @@ def test_asof_join_forward_direction(spark):
     left2 = spark.createDataFrame([(9, 1, 9)], ["event_id", "u", "ts"])
     got2 = asof_join(left2, right, "ts", ["u"], ["v"], direction="forward").collect()[0]["v_asof"]
     assert got2 == "b"
+
+
+def test_asof_join_null_semantics(spark):
+    from demv_spark.operators.temporal import asof_join
+
+    # matched right row with a NULL value must stay NULL (no skipping
+    # to an older row), and NULL by-keys must never match (ASOF
+    # equality semantics)
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, None, 5)], "event_id int, u int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 9, None), (None, 3, "x")], "u int, ts int, v string"
+    )
+    for direction, expect1 in (("backward", None), ("forward", None)):
+        out = asof_join(left, right, "ts", ["u"], ["v"], direction=direction)
+        got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+        if direction == "backward":
+            assert got[1] is None, "matched ts=9 row's NULL must not be skipped"
+        assert got[2] is None, "NULL by-key must not match"
