@@ -347,3 +347,17 @@ def test_corpus_clean_empty_text(spark):
     got = {r["doc_id"]: r for r in text.corpus_clean(df, min_tokens=2, min_quality=0.0,
                                                      langs=("en", "und")).collect()}
     assert got[1]["keep"] == 0 and "too_short" in got[1]["reasons"]
+
+
+def test_ngram_jaccard_uncapped_matches_capped(docs):
+    # with no shingle over the cap, the uncapped (self-join) and
+    # capped (posting-list) paths must produce identical pairs
+    capped = {
+        (r["id_a"], r["id_b"], r["inter"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_df=100).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["inter"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_df=None).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
