@@ -337,6 +337,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_dup", "keep", "reasons",
     )
 
+    # end-to-end training-data pipeline in ONE lazy plan: hygiene pass
+    # → keep survivors → 8-token chunks → sequential 128-token packs
+    # per source — the composition the engine exists for, oracled as a
+    # single SQL chain
+    def _pipeline_e2e(spark, sf):
+        docs = _t(spark, sf, "documents")
+        kept = (
+            text.corpus_clean(
+                docs, min_tokens=20, min_quality=0.45,
+                max_repetition=0.3, langs=("en", "und"),
+            )
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "text", "source")
+        )
+        chunks = text.chunk_tokens(kept, n=8).join(
+            kept.select("doc_id", "source"), "doc_id"
+        )
+        sized = chunks.withColumn("n_tokens", F.size(text.tokens("chunk")))
+        packed = text.pack_sequential(
+            sized, "n_tokens", 128,
+            part_cols=("source",), order_cols=("doc_id", "chunk_pos"),
+        )
+        return packed.select("doc_id", "chunk_pos", "source", "pack_id")
+
+    q["q_text_pipeline_e2e"] = _pipeline_e2e
+
     # ---- decontamination (train docs sharing a 4-gram with the
     # benchmark slice doc_id % 20 == 0) ----
     def _decontaminate(spark, sf):
@@ -1243,8 +1269,13 @@ def oracle_sql() -> dict[str, str]:
     _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
     o["q_text_fingerprint"] = f"SELECT doc_id, {_fp} AS fp FROM documents"
 
-    o["q_text_corpus_clean"] = rf"""
-        WITH sig AS (
+    # shared by q_text_corpus_clean and the end-to-end pipeline oracle
+    _clean_keep = (
+        "n_tokens >= 20 AND n_tokens <= 100000 AND quality >= 0.45 "
+        "AND rep_score <= 0.3 AND lang_pred IN ('en', 'und') AND is_dup = 0"
+    )
+    _clean_ctes = rf"""
+        sig AS (
             SELECT doc_id,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
@@ -1274,6 +1305,9 @@ def oracle_sql() -> dict[str, str]:
                    is_dup
             FROM sig
         )
+    """
+    o["q_text_corpus_clean"] = f"""
+        WITH {_clean_ctes}
         SELECT doc_id, n_tokens, quality, lang_pred, rep_score, is_dup,
                COALESCE(array_to_string(flatten([
                    CASE WHEN n_tokens < 20 THEN ['too_short'] ELSE [] END,
@@ -1283,11 +1317,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lang_pred NOT IN ('en', 'und') THEN ['bad_lang'] ELSE [] END,
                    CASE WHEN is_dup = 1 THEN ['duplicate'] ELSE [] END
                ]), ','), '') AS reasons,
-               CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
-                         AND quality >= 0.45 AND rep_score <= 0.3
-                         AND lang_pred IN ('en', 'und') AND is_dup = 0
-                    THEN 1 ELSE 0 END AS keep
+               CASE WHEN {_clean_keep} THEN 1 ELSE 0 END AS keep
         FROM feat
+    """
+
+    o["q_text_pipeline_e2e"] = rf"""
+        WITH {_clean_ctes},
+        kept AS (
+            SELECT d.doc_id, d.text, d.source
+            FROM documents d JOIN feat USING (doc_id)
+            WHERE {_clean_keep}
+        ),
+        toks AS (
+            SELECT doc_id, source, {_toks} AS t FROM kept
+        ),
+        pos AS (
+            SELECT doc_id, source, t,
+                   UNNEST(range(0, CAST(CEIL(len(t)/8.0) AS BIGINT))) AS i
+            FROM toks
+        ),
+        chunked AS (
+            SELECT doc_id, source, CAST(i AS INTEGER) AS chunk_pos,
+                   CAST(LEAST(8, len(t) - i*8) AS INTEGER) AS n_tokens
+            FROM pos
+        )
+        SELECT doc_id, chunk_pos, source,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id, chunk_pos
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                    / 128) AS INTEGER) AS pack_id
+        FROM chunked
     """
 
     o["q_dedup_exact"] = f"""
