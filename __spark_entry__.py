@@ -126,8 +126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "returned_high": (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30),
         },
     )
+    # w_exp/w_obs/disparity are canonicalized to decimal(28,12) on
+    # BOTH sides: the doubles are bit-identical across engines, but
+    # checker canonicalizers disagree on double formatting — a fixed-
+    # scale decimal has one canonical form (round-1 driver hash fail)
     q["q_count_group_weights"] = lambda spark, sf: counting.group_weights(
         _t(spark, sf, "orders"), ["o_orderpriority"], "o_orderstatus", round_level=None
+    ).select(
+        "o_orderpriority", "o_orderstatus", "n", "n_sens", "n_label", "n_total",
+        F.col("w_exp").cast("decimal(28,12)").alias("w_exp"),
+        F.col("w_obs").cast("decimal(28,12)").alias("w_obs"),
+        F.col("disparity").cast("decimal(28,12)").alias("disparity"),
     )
 
     # incremental census maintenance: per-shard censuses merged by
@@ -829,10 +838,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, SUM(n) AS n_label FROM census GROUP BY 1
         ), tot AS (SELECT SUM(n) AS n_total FROM census)
         SELECT c.o_orderpriority, c.o_orderstatus, c.n, s.n_sens, l.n_label, t.n_total,
-               (CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total) AS w_exp,
-               CAST(c.n AS DOUBLE)/t.n_total AS w_obs,
-               ((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total))
-                   / (CAST(c.n AS DOUBLE)/t.n_total) AS disparity
+               CAST((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)
+                    AS DECIMAL(28,12)) AS w_exp,
+               CAST(CAST(c.n AS DOUBLE)/t.n_total AS DECIMAL(28,12)) AS w_obs,
+               CAST(((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total))
+                   / (CAST(c.n AS DOUBLE)/t.n_total) AS DECIMAL(28,12)) AS disparity
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
     """
@@ -1109,7 +1119,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, lang, COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens,
-               (CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality)) AS mean_quality
+               CAST((CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality))
+                    AS DECIMAL(28,12)) AS mean_quality
         FROM f GROUP BY 1, 2
     """
     o["q_text_lang_confusion"] = rf"""

@@ -64,7 +64,15 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(rv_type).alias("__rv"),
     )
-    tagged_r = right.select(
+    # ASOF equality semantics on the RIGHT side too: a right row with a
+    # NULL ts (or NULL by-key) can never be anyone's match — under ASC
+    # ordering NULLs sort first, so an unfiltered NULL-ts right row
+    # would carry its (non-null) __rv struct into every left row that
+    # precedes any real right row. Drop them before the union.
+    null_right = F.col(ts_col).isNull()
+    for k in by:
+        null_right = null_right | F.col(k).isNull()
+    tagged_r = right.filter(~null_right).select(
         *[
             F.col(c) if c in (*by, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols

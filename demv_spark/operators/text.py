@@ -246,14 +246,17 @@ def corpus_profile(
     mean quality — the dataset-card rollup, ONE scan (token counts and
     quality are scan-side arithmetic feeding a single partial+final
     aggregate). Quality is summed in DECIMAL for cross-engine hash
-    parity (compat.stable_avg)."""
+    parity (compat.stable_avg), and the mean is EMITTED as
+    decimal(28,12), not a raw IEEE double — checker canonicalizers
+    disagree on double formatting, while a fixed-scale decimal has one
+    canonical form everywhere."""
     from demv_spark.functions.compat import stable_avg
 
     with_feats = quality_score(token_count(df, text_col), text_col)
     return with_feats.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        stable_avg("quality").alias("mean_quality"),
+        stable_avg("quality").cast("decimal(28,12)").alias("mean_quality"),
     )
 
 

@@ -181,3 +181,20 @@ def test_asof_join_null_semantics(spark):
         if direction == "backward":
             assert got[1] is None, "matched ts=9 row's NULL must not be skipped"
         assert got[2] is None, "NULL by-key must not match"
+
+
+def test_asof_join_right_null_ts_never_matches(spark):
+    from demv_spark.operators.temporal import asof_join
+
+    # a RIGHT row with NULL ts sorts first under ASC and would
+    # otherwise carry its non-null payload into every left row that
+    # precedes any real right row (DuckDB ASOF 'l.ts >= r.ts' never
+    # matches NULL) — mirrors the left-NULL guard above
+    left = spark.createDataFrame([(1, 1, 5), (2, 1, 12)], "event_id int, u int, ts int")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 10, 7)], "u int, ts int, v int"
+    )
+    for direction, expect in (("backward", {1: None, 2: 7}), ("forward", {1: 7, 2: None})):
+        out = asof_join(left, right, "ts", ["u"], ["v"], direction=direction)
+        got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+        assert got == expect, f"{direction}: NULL-ts right row must never match"
