@@ -207,13 +207,32 @@ def targets_from_census(
     return out
 
 
+# ~rows a single ranking task should own before the two-phase salted
+# rank takes over (a group-partitioned window sorts each group in ONE
+# task; fairness groups are few-and-huge by construction, so at scale
+# an unsalted rank serializes a whole demographic group)
+AUTO_SALT_GROUP_ROWS = 4_000_000
+
+
+def resolve_auto_salt(
+    group_sizes: Sequence[int], group_rows: int = AUTO_SALT_GROUP_ROWS
+) -> int | None:
+    """Salting decision from a group-size census: None while every
+    group fits one ranking task, else enough buckets that no bucket
+    exceeds ``group_rows``."""
+    biggest = max(group_sizes, default=0)
+    if biggest <= group_rows:
+        return None
+    return -(-biggest // group_rows)  # ceil
+
+
 def rebalance(
     df: DataFrame,
     sensitive: Sequence[str],
     label: str,
     targets: list[dict],
     seed: int = 42,
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = "auto",
 ) -> DataFrame:
     """One-pass exact resample to per-group target sizes.
 
@@ -221,13 +240,18 @@ def rebalance(
     ``rand(seed)`` within each group; exactly ``target`` whole-row
     copies survive per group (D3/D4 closed form).
 
-    ``skew_salt=None``: rank with one window partitioned by the group
-    key (one task per group — fine when no group exceeds a task).
-    ``skew_salt=k``: two-phase skew-safe global rank — rows are ranked
+    ``skew_salt="auto"`` (default): decide from the census already in
+    ``targets`` — groups are guaranteed-skewed in fairness workloads,
+    so the salted path switches on by itself past
+    ``AUTO_SALT_GROUP_ROWS``. ``skew_salt=None``: force the single
+    window per group key (one task per group). ``skew_salt=k``:
+    force the two-phase skew-safe global rank — rows are ranked
     within (salt, group) partitions and offset by exact per-salt
     prefix counts, so a giant group spreads over k tasks.
     """
     keys = [*sensitive, label]
+    if skew_salt == "auto":
+        skew_salt = resolve_auto_salt([t["n"] for t in targets])
     joined = _join_targets(df, keys, targets)
 
     if skew_salt:
@@ -340,8 +364,8 @@ class DEMV:
         forces that many buckets; None forces the single-window path.
     """
 
-    # ~rows a single ranking task should own before the two-phase
-    # salted rank takes over (window sort of one group = one task)
+    # mirrors the module-level AUTO_SALT_GROUP_ROWS as a class
+    # attribute so tests can lower the cutoff per-instance
     AUTO_SALT_GROUP_ROWS = 4_000_000
 
     def __init__(
@@ -399,10 +423,9 @@ class DEMV:
     def _resolve_salt(self) -> int | None:
         if self.skew_salt != "auto":
             return self.skew_salt
-        biggest = max((t["n"] for t in self._targets), default=0)
-        if biggest <= self.AUTO_SALT_GROUP_ROWS:
-            return None
-        return -(-biggest // self.AUTO_SALT_GROUP_ROWS)  # ceil
+        return resolve_auto_salt(
+            [t["n"] for t in self._targets], self.AUTO_SALT_GROUP_ROWS
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.strategy == "uniform":

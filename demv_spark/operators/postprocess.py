@@ -36,16 +36,107 @@ def equalize_positive_rates(
     rate: float,
     out: str = "prediction_adj",
     tiebreak: Sequence[str] = (),
+    skew_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Set each group's positive rate to exactly ``rate``: rank scores
     within each group, mark the top ceil(rate·n) positive. Pass
     ``tiebreak`` columns for a total order when scores can tie
-    (determinism/oracle contract). One window pass per group
-    partition; skewed groups can reuse the balancer's salted rank if
-    ever needed."""
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col(score_col).desc(), *[F.col(t) for t in tiebreak]
-    )
+    (determinism/oracle contract).
+
+    Fairness groups are few-and-huge by construction, so the naive
+    plan — ONE window task ranking a whole group — serializes a whole
+    demographic at scale. ``skew_buckets="auto"`` (default) runs a
+    cheap group-size census first (one aggregate over the group
+    columns; pass an int or None to skip the extra scan) and, past
+    ``balancer.AUTO_SALT_GROUP_ROWS`` rows in the largest group,
+    switches to the range-bucketed exact rank: per-group approximate
+    score quantiles split each group into score-range buckets, rows
+    rank within (group, bucket), and exact per-bucket prefix counts
+    restore the global rank — same output bit-for-bit (equal scores
+    never straddle a bucket, so the tiebreak order is preserved), but
+    no task ever owns more than ~one bucket of a group."""
+    from demv_spark.operators import balancer as _balancer
+
+    if skew_buckets == "auto":
+        sizes = [
+            r["__gn"]
+            for r in df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn")).collect()
+        ]
+        # module-attr lookup (not a default arg) so tests can lower it
+        skew_buckets = _balancer.resolve_auto_salt(
+            sizes, _balancer.AUTO_SALT_GROUP_ROWS
+        )
+
     n = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    rn = F.row_number().over(w)
-    return df.withColumn(out, (rn <= F.ceil(n * F.lit(rate))).cast("int"))
+    if not skew_buckets or skew_buckets <= 1:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(score_col).desc(), *[F.col(t) for t in tiebreak]
+        )
+        rn = F.row_number().over(w)
+        return df.withColumn(out, (rn <= F.ceil(n * F.lit(rate))).cast("int"))
+
+    ranked = _ranked_by_score_bucketed(
+        df, list(group_cols), score_col, list(tiebreak), int(skew_buckets)
+    )
+    return ranked.withColumn(
+        out, (F.col("__rn") <= F.ceil(n * F.lit(rate))).cast("int")
+    ).drop("__rn")
+
+
+def _ranked_by_score_bucketed(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    tiebreak: list[str],
+    buckets: int,
+) -> DataFrame:
+    """Exact per-group rank by (score DESC, tiebreak) without a
+    per-group total order: range-partition each group by its own
+    approximate score quantiles, rank locally, then add exact prefix
+    counts. Unlike the balancer's random-salt rank (valid only for a
+    random order), the buckets here are ALIGNED with the sort order,
+    so local-rank + offset reproduces the global rank exactly. The
+    quantile cuts only balance the buckets — any cuts give the exact
+    result, because equal scores always share a bucket (strict
+    comparison) and bucket index is monotone in score."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts = df.groupBy(*group_cols).agg(
+        F.percentile_approx(score_col, fracs, 10_000).alias("__cuts")
+    )
+    s = F.col(score_col)
+    # bucket 0 = highest scores (count of cuts strictly above the
+    # score), monotone non-increasing in score; NULL scores — which
+    # sort last under DESC — get the dedicated final bucket
+    bucket = (
+        F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(buckets))
+        .otherwise(F.size(F.filter("__cuts", lambda c: c > s)))
+    )
+    local = (
+        df.join(F.broadcast(cuts), group_cols)
+        .withColumn("__b", bucket)
+        .drop("__cuts")
+        .withColumn(
+            "__lrn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "__b").orderBy(
+                    s.desc(), *[F.col(t) for t in tiebreak]
+                )
+            ),
+        )
+    )
+    bucket_counts = local.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).drop("__bn")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn("__rn", F.col("__lrn") + F.col("__off"))
+        .drop("__b", "__lrn", "__off")
+    )

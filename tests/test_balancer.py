@@ -124,6 +124,34 @@ def test_skew_salt_same_group_sizes(spark):
     assert a == b
 
 
+def test_auto_salt_engages_on_skewed_census(spark):
+    from demv_spark.operators.balancer import resolve_auto_salt
+
+    # decision function: below the cutoff -> unsalted; above -> enough
+    # buckets that none exceeds the cutoff
+    assert resolve_auto_salt([100, 200], 1000) is None
+    assert resolve_auto_salt([5000, 10], 1000) == 5
+    assert resolve_auto_salt([], 1000) is None
+
+    # a DEMV with a lowered per-instance cutoff picks the salted path
+    # on a skewed fixture and still hits the exact group targets
+    df = _fixture_df(spark, n=500)
+    d = DEMV(["s1", "s2"], label="y", seed=4)
+    d.AUTO_SALT_GROUP_ROWS = 40
+    d.fit(df)
+    assert d._resolve_salt() is not None and d._resolve_salt() >= 2
+    out = d.transform(df)
+    got = {
+        (r["s1"], r["s2"], r["y"]): r["count"]
+        for r in out.groupBy("s1", "s2", "y").count().collect()
+    }
+    want = {
+        tuple(t[k] for k in ("s1", "s2", "y")): t["target"] for t in d._targets
+        if t["target"] > 0
+    }
+    assert got == want
+
+
 def test_get_iters_and_disparities(spark):
     df = _fixture_df(spark)
     d = DEMV(["s1", "s2"], label="y")

@@ -112,6 +112,51 @@ def test_equalize_positive_rates(spark):
     assert all(r["count"] == 3 for r in pos)
 
 
+def test_equalize_bucketed_rank_exact(spark):
+    # skewed groups + tied scores + NULL scores: the range-bucketed
+    # rank must reproduce the single-window plan bit-for-bit
+    rows = [(i, "big", float((i * 7) % 50), ) for i in range(900)]
+    rows += [(1000 + i, "small", float(i % 5), ) for i in range(60)]
+    rows += [(2000, "big", None), (2001, "small", None)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    plain = equalize_positive_rates(
+        df, ["g"], "score", rate=0.25, tiebreak=["id"], skew_buckets=None
+    )
+    bucketed = equalize_positive_rates(
+        df, ["g"], "score", rate=0.25, tiebreak=["id"], skew_buckets=7
+    )
+    a = {r["id"]: r["prediction_adj"] for r in plain.collect()}
+    b = {r["id"]: r["prediction_adj"] for r in bucketed.collect()}
+    assert a == b
+    # NULL scores sort last and never go positive at rate 0.25
+    assert a[2000] == 0 and a[2001] == 0
+
+
+def test_equalize_auto_picks_bucketed_path(spark, monkeypatch):
+    from demv_spark.operators import balancer as balancer_mod
+    from demv_spark.operators import postprocess as pp
+
+    rows = [(i, i % 2, float(i % 97)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g int, score double")
+    # lower the cutoff so the 200-row groups count as "skewed"
+    monkeypatch.setattr(balancer_mod, "AUTO_SALT_GROUP_ROWS", 50)
+    called = {}
+    orig = pp._ranked_by_score_bucketed
+
+    def spy(*args, **kw):
+        called["buckets"] = args[-1]
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pp, "_ranked_by_score_bucketed", spy)
+    auto = pp.equalize_positive_rates(df, ["g"], "score", rate=0.5, tiebreak=["id"])
+    got = {r["id"]: r["prediction_adj"] for r in auto.collect()}
+    assert called["buckets"] == 4  # ceil(200 / 50)
+    plain = pp.equalize_positive_rates(
+        df, ["g"], "score", rate=0.5, tiebreak=["id"], skew_buckets=None
+    )
+    assert got == {r["id"]: r["prediction_adj"] for r in plain.collect()}
+
+
 def test_majority_baseline_oof(spark):
     from demv_spark.ml.evaluation import majority_baseline_oof
 
