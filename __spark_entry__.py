@@ -807,6 +807,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dataset_recipe"] = _dataset_recipe
 
+    # ---- exponentiated-gradient weight dynamics (E8) ----
+    # the EG reduction's λ-multiplier game over the (s, y) census with
+    # the constant-prediction best response: every iteration's best
+    # response, group losses and multipliers are pure census
+    # arithmetic, re-derived independently by a DuckDB recursive-CTE
+    # walk (the same oracle pattern as the rebalance fixed point). The
+    # MLlib-backed EG (ml/eg.py ExponentiatedGradientBGL) swaps the
+    # best response for a weightCol classifier — tolerance-tested in
+    # tests/ against the reference's published EG rows.
+    def _eg_census(spark, sf):
+        from demv_spark.ml.eg import eg_bounded_loss_dynamics
+
+        # s and y both derive from price so the groups' majority labels
+        # OPPOSE (s=1 ⇒ y=1, s=0 mostly y=0): the best response then
+        # oscillates as the multipliers grow — a trajectory that
+        # actually exercises the game, not a fixed point from step 0
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") > 150000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 100000).cast("int").alias("y"),
+        )
+        out = eg_bounded_loss_dynamics(
+            tbl, "s", "y", bound=0.1, eta=1.0, iters=8
+        )
+        return out.select(
+            "t", "c",
+            F.col("loss0").cast("decimal(28,12)").alias("loss0"),
+            F.col("loss1").cast("decimal(28,12)").alias("loss1"),
+            F.col("lam0").cast("decimal(28,12)").alias("lam0"),
+            F.col("lam1").cast("decimal(28,12)").alias("lam1"),
+        )
+
+    q["q_demv_eg_census"] = _eg_census
+
     # ---- CSV readers S1/S3 under a value-hash oracle ----
     # materialize tiny CSV twins of nation/region (config-scale: 25+5
     # rows, fixed size at every SF) from the parquet originals, then
@@ -1970,6 +2003,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER) AS seg_house,
                CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS seg_mach
         FROM customer WHERE c_acctbal IS NOT NULL
+    """
+
+    # EG weight dynamics: re-derive the multiplier game's full
+    # trajectory with a recursive CTE over the (s, y) census — every
+    # op is +, ·, /, max in the SAME order as ml/eg.py, so doubles
+    # match bit-for-bit before the final decimal canonicalization
+    _eg_v1 = "((1 + lam0/p0)*n01 + (1 + lam1/p1)*n11)"
+    _eg_v0 = "((1 + lam0/p0)*n00 + (1 + lam1/p1)*n10)"
+    _eg_c = f"CASE WHEN {_eg_v1} >= {_eg_v0} THEN 1 ELSE 0 END"
+    _eg_loss0 = (
+        f"CASE WHEN {_eg_c} = 1 THEN CAST(n00 AS DOUBLE)/n0"
+        f" ELSE CAST(n01 AS DOUBLE)/n0 END"
+    )
+    _eg_loss1 = (
+        f"CASE WHEN {_eg_c} = 1 THEN CAST(n10 AS DOUBLE)/n1"
+        f" ELSE CAST(n11 AS DOUBLE)/n1 END"
+    )
+
+    def _eg_next(lam, loss):
+        return (
+            f"{lam} * GREATEST(CAST(0.0 AS DOUBLE), "
+            f"1 + CAST(1.0 AS DOUBLE)*({loss} - CAST(0.1 AS DOUBLE)))"
+        )
+
+    o["q_demv_eg_census"] = f"""
+        WITH RECURSIVE cells AS (
+            SELECT COUNT(*) FILTER (WHERE NOT s AND NOT y) AS n00,
+                   COUNT(*) FILTER (WHERE NOT s AND y) AS n01,
+                   COUNT(*) FILTER (WHERE s AND NOT y) AS n10,
+                   COUNT(*) FILTER (WHERE s AND y) AS n11
+            FROM (SELECT o_totalprice > 150000 AS s,
+                         o_totalprice > 100000 AS y FROM orders)
+        ),
+        base AS (
+            SELECT n00, n01, n10, n11, n00 + n01 AS n0, n10 + n11 AS n1,
+                   CAST(n00 + n01 AS DOUBLE) / (n00 + n01 + n10 + n11) AS p0,
+                   CAST(n10 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11) AS p1
+            FROM cells
+        ),
+        walk AS (
+            SELECT 0 AS t, CAST(1.0 AS DOUBLE) AS lam0, CAST(1.0 AS DOUBLE) AS lam1
+            UNION ALL
+            SELECT t + 1,
+                   {_eg_next("lam0", _eg_loss0)},
+                   {_eg_next("lam1", _eg_loss1)}
+            FROM walk, base WHERE t < 7
+        )
+        SELECT t, {_eg_c} AS c,
+               CAST({_eg_loss0} AS DECIMAL(28,12)) AS loss0,
+               CAST({_eg_loss1} AS DECIMAL(28,12)) AS loss1,
+               CAST(lam0 AS DECIMAL(28,12)) AS lam0,
+               CAST(lam1 AS DECIMAL(28,12)) AS lam1
+        FROM walk, base
     """
 
     # S1/S3 CSV readers: the roundtrip through the no-header and

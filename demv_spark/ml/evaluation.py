@@ -22,10 +22,10 @@ binary-only → multiclass falls back to RandomForest; LinearSVC gets
 OneVsRest for multiclass; MLP needs explicit layer sizes. Metric
 parity with the reference is tolerance-based, never bitwise.
 
-Fairlearn ExponentiatedGradient/GridSearch (E8) are third-party
-reduction *algorithms*, not engine operators — out of scope; the
-engine-side hook they need (instance-weight column + reweighed
-refits) exists via `weightCol` on every MLlib classifier here.
+The fairlearn ExponentiatedGradient reduction (E8) is implemented
+Spark-natively in ml/eg.py (weightCol best responses + multiplicative
+multiplier updates over the bounded-group-loss constraint); GridSearch
+remains out of scope (a λ-grid sweep of the same machinery).
 """
 
 from __future__ import annotations
