@@ -501,10 +501,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feature extraction exercises the Arrow mapInPandas decode stub —
     # python-side hashing, no SQL twin → rows-only
     def _media_features(spark, sf):
-        from demv_spark.operators.multimodal import extract_features
+        # REAL decode: synthesize genuine PNG payloads (zlib deflate,
+        # scanline filter cycling id%5) from the config-scale nation
+        # ids, decode them back with the stdlib codec, and emit decoded
+        # geometry + exact per-channel means — all re-derived in SQL by
+        # the oracle (integer pixel sums over a generate_series grid)
+        from demv_spark.operators.multimodal import (
+            extract_features,
+            synthesize_media_real,
+        )
 
-        return extract_features(_media(spark, sf), dim=8).select(
-            "media_id", "feat_dim"
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey")
+        return extract_features(media, dim=8, real_codecs=True).select(
+            "media_id", "kind", "decoded_width", "decoded_height", "channels",
+            F.col("mean_r").cast("decimal(28,12)").alias("mean_r"),
+            F.col("mean_g").cast("decimal(28,12)").alias("mean_g"),
+            F.col("mean_b").cast("decimal(28,12)").alias("mean_b"),
         )
 
     q["q_media_features"] = _media_features
@@ -967,10 +980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_zero_one_loss_by_group", "q_metric_fairness_suite",
         "q_metric_fairness_by_group", "q_metric_confusion_matrix",
         "q_metric_confusion_norm", "q_metric_avg_odds_diff",
-        # ETL kit core
-        "q_etl_binarize", "q_etl_recode_map", "q_etl_bucketize",
+        # ETL kit core (binarize demoted — trivial threshold, r1-green,
+        # builder-gated — to make room for the real-decode media row)
+        "q_etl_recode_map", "q_etl_bucketize",
         "q_etl_one_hot", "q_etl_label_encode", "q_etl_zscore",
         "q_etl_quantile_label", "q_etl_union_provenance",
+        # multimodal: REAL PNG decode verified against a SQL grid oracle
+        "q_media_features",
         # windowed / streaming-shaped rollups (W1)
         "q_events_hourly", "q_events_daily_cascade",
         "q_stream_window_census", "q_stream_sessionize",
@@ -1977,6 +1993,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id, 'image' AS kind,
                CAST(UNNEST(range(0, n_frames)) * 1000 AS INTEGER) AS frame_ts_ms
         FROM v
+    """
+
+    # real-decode media: re-derive decoded dims + channel means from
+    # the synthesize_media_real closed form (pixel = (id*7 + c*13)%200
+    # + (x+y)%50): integer grid sums, one IEEE division — bit-exact
+    o["q_media_features"] = """
+        WITH m AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+                   CAST(n_nationkey % 64 + 16 AS INT) AS w,
+                   CAST(n_nationkey % 48 + 16 AS INT) AS h
+            FROM nation
+        ),
+        g AS (
+            SELECT m.media_id, m.w, m.h,
+                   SUM((x.i + y.i) % 50) AS grad_sum
+            FROM m, LATERAL (SELECT UNNEST(range(m.w)) AS i) x,
+                    LATERAL (SELECT UNNEST(range(m.h)) AS i) y
+            GROUP BY 1, 2, 3
+        )
+        SELECT media_id, 'image' AS kind,
+               w AS decoded_width, h AS decoded_height, 3 AS channels,
+               CAST(CAST(((media_id*7) % 200) * w * h + grad_sum AS DOUBLE)
+                    / (w*h) AS DECIMAL(28,12)) AS mean_r,
+               CAST(CAST(((media_id*7 + 13) % 200) * w * h + grad_sum AS DOUBLE)
+                    / (w*h) AS DECIMAL(28,12)) AS mean_g,
+               CAST(CAST(((media_id*7 + 26) % 200) * w * h + grad_sum AS DOUBLE)
+                    / (w*h) AS DECIMAL(28,12)) AS mean_b
+        FROM g
     """
 
     o["q_ml_fold_sizes"] = """

@@ -1,0 +1,92 @@
+"""Real media codecs (media_codecs.py) + the real-decode pipeline path
+(multimodal.extract_features(real_codecs=True), audio_features):
+encode→decode roundtrips across every PNG scanline filter, BMP/PPM/WAV,
+and the Spark end-to-end on genuine encoded payloads."""
+
+import numpy as np
+import pytest
+
+from demv_spark.operators import media_codecs as C
+from demv_spark.operators.multimodal import (
+    audio_features,
+    extract_features,
+    synthesize_media_real,
+)
+
+
+def _pattern(h, w, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    arr = _pattern(13, 17, 3, seed=filter_type)
+    out = C.decode_png(C.encode_png(arr, filter_type=filter_type))
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_roundtrip_channel_counts(ch):
+    arr = _pattern(9, 5, ch, seed=ch)
+    out = C.decode_png(C.encode_png(arr, filter_type=4))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_bmp_roundtrip_odd_width_padding():
+    arr = _pattern(7, 5, 3, seed=1)  # 15-byte rows -> 16 with pad
+    out = C.decode_bmp(C.encode_bmp(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_ppm_roundtrip():
+    arr = _pattern(6, 11, 3, seed=2)
+    out = C.decode_ppm(C.encode_ppm(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_wav_roundtrip():
+    samples = (np.arange(4000, dtype=np.int64) * 37 % 4096 - 2048).astype("<i2")
+    out, rate = C.decode_wav(C.encode_wav(samples, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out[:, 0], samples)
+
+
+def test_decode_image_sniffs_formats():
+    arr = _pattern(4, 4, 3, seed=3)
+    for enc in (C.encode_png, C.encode_bmp, C.encode_ppm):
+        np.testing.assert_array_equal(C.decode_image(enc(arr)), arr)
+    with pytest.raises(NotImplementedError):
+        C.decode_image(b"\x00\x01junkbytes")
+
+
+def test_real_extract_features_decodes_true_dimensions(spark):
+    ids = spark.range(1, 26).withColumnRenamed("id", "media_id")
+    media = synthesize_media_real(ids, "media_id")
+    feats = {r["media_id"]: r for r in
+             extract_features(media, dim=8, real_codecs=True).collect()}
+    assert len(feats) == 25
+    for mid, r in feats.items():
+        w, h = mid % 64 + 16, mid % 48 + 16
+        assert (r["decoded_width"], r["decoded_height"], r["channels"]) == (w, h, 3)
+        # closed-form channel mean: base_c + mean((x+y) % 50) over grid
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad_sum = int(((xx + yy) % 50).sum())
+        for c, col in enumerate(["mean_r", "mean_g", "mean_b"]):
+            base = (mid * 7 + c * 13) % 200
+            assert r[col] == (base * w * h + grad_sum) / (w * h)
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_audio_features_real_wav(spark):
+    ids = spark.range(1, 6).withColumnRenamed("id", "media_id")
+    media = synthesize_media_real(ids, "media_id", kind="audio")
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    for mid, r in out.items():
+        dur_ms = mid % 9000 + 1000
+        assert r["n_samples"] == 8000 * dur_ms // 1000
+        assert r["sample_rate"] == 8000
+        i = np.arange(r["n_samples"], dtype=np.int64)
+        samples = (mid * 31 + i * 17) % 2048 - 1024
+        assert r["mean_amp"] == int(samples.sum()) / len(samples)

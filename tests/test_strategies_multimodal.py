@@ -55,11 +55,14 @@ def test_media_pipeline_end_to_end(spark):
         assert again[r["media_id"]] == r["feature"]
 
 
-def test_media_real_codecs_is_explicit_stub(spark):
+def test_media_real_codecs_rejects_unrecognized_format(spark):
+    # the fake-format payloads (sha2 blobs) are NOT decodable media;
+    # the real path must fail loudly at the stub boundary, not emit
+    # garbage features (real decode is covered in test_media_codecs)
     base = spark.range(0, 3).withColumnRenamed("id", "media_id")
     media = multimodal.synthesize_media(base, "media_id")
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, real_codecs=True)
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        multimodal.extract_features(media, real_codecs=True).collect()
 
 
 def test_resize_and_frame_sample_plans(spark):
