@@ -853,6 +853,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_eg_census"] = _eg_census
 
+    # λ-grid twin (reference GridSearch, generatemetrics.py:120-123):
+    # same census game, fixed cartesian λ ladder, deterministic
+    # feasible-argmin selection — oracle re-derives grid + selection
+    def _grid_census(spark, sf):
+        from demv_spark.ml.eg import grid_bounded_loss_census
+
+        tbl = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") > 150000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 100000).cast("int").alias("y"),
+        )
+        out = grid_bounded_loss_census(
+            tbl, "s", "y", bound=0.1, grid_size=5, lambda_max=2.0
+        )
+        return out.select(
+            "g",
+            F.col("lam0").cast("decimal(28,12)").alias("lam0"),
+            F.col("lam1").cast("decimal(28,12)").alias("lam1"),
+            "c",
+            F.col("loss0").cast("decimal(28,12)").alias("loss0"),
+            F.col("loss1").cast("decimal(28,12)").alias("loss1"),
+            F.col("err").cast("decimal(28,12)").alias("err"),
+            "feasible", "selected",
+        )
+
+    q["q_demv_grid_census"] = _grid_census
+
     # ---- CSV readers S1/S3 under a value-hash oracle ----
     # materialize tiny CSV twins of nation/region (config-scale: 25+5
     # rows, fixed size at every SF) from the parquet originals, then
@@ -964,7 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_demv_rebalance_census", "q_demv_smote_census",
         "q_demv_adasyn_census", "q_demv_rebalance_census_multi",
         "q_demv_rebalance_uniform", "q_demv_reweighing",
-        "q_metric_weighted_suite", "q_demv_eg_census",
+        "q_metric_weighted_suite", "q_demv_eg_census", "q_demv_grid_census",
         # temporal / post-processing / ML harness
         "q_events_asof_join", "q_events_asof_forward",
         "q_postprocess_equalize", "q_ml_fold_sizes", "q_ml_oof_majority",
@@ -980,9 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_zero_one_loss_by_group", "q_metric_fairness_suite",
         "q_metric_fairness_by_group", "q_metric_confusion_matrix",
         "q_metric_confusion_norm", "q_metric_avg_odds_diff",
-        # ETL kit core (binarize demoted — trivial threshold, r1-green,
-        # builder-gated — to make room for the real-decode media row)
-        "q_etl_recode_map", "q_etl_bucketize",
+        # ETL kit core (binarize + recode demoted — trivial r1-green
+        # builder-gated maps — making room for media + grid-search rows)
+        "q_etl_bucketize",
         "q_etl_one_hot", "q_etl_label_encode", "q_etl_zscore",
         "q_etl_quantile_label", "q_etl_union_provenance",
         # multimodal: REAL PNG decode verified against a SQL grid oracle
@@ -2100,6 +2126,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(lam0 AS DECIMAL(28,12)) AS lam0,
                CAST(lam1 AS DECIMAL(28,12)) AS lam1
         FROM walk, base
+    """
+
+    # GridSearch λ-grid: same cells/base CTEs + census expressions,
+    # grid from generate_series (step mirrors python's
+    # lambda_max/(grid_size-1) division then i·step product), selection
+    # = feasible-first argmin by (err, g) — one window rank
+    _eg_err = (
+        f"CASE WHEN {_eg_c} = 1 THEN CAST(n00 + n10 AS DOUBLE)/(n0 + n1)"
+        f" ELSE CAST(n01 + n11 AS DOUBLE)/(n0 + n1) END"
+    )
+    o["q_demv_grid_census"] = f"""
+        WITH cells AS (
+            SELECT COUNT(*) FILTER (WHERE NOT s AND NOT y) AS n00,
+                   COUNT(*) FILTER (WHERE NOT s AND y) AS n01,
+                   COUNT(*) FILTER (WHERE s AND NOT y) AS n10,
+                   COUNT(*) FILTER (WHERE s AND y) AS n11
+            FROM (SELECT o_totalprice > 150000 AS s,
+                         o_totalprice > 100000 AS y FROM orders)
+        ),
+        base AS (
+            SELECT n00, n01, n10, n11, n00 + n01 AS n0, n10 + n11 AS n1,
+                   CAST(n00 + n01 AS DOUBLE) / (n00 + n01 + n10 + n11) AS p0,
+                   CAST(n10 + n11 AS DOUBLE) / (n00 + n01 + n10 + n11) AS p1
+            FROM cells
+        ),
+        grid AS (
+            SELECT CAST(i AS INT) AS g,
+                   (i // 5) * (CAST(2.0 AS DOUBLE) / 4) AS lam0,
+                   (i % 5) * (CAST(2.0 AS DOUBLE) / 4) AS lam1
+            FROM range(25) t(i)
+        ),
+        scored AS (
+            SELECT g, lam0, lam1, {_eg_c} AS c,
+                   {_eg_loss0} AS loss0, {_eg_loss1} AS loss1,
+                   {_eg_err} AS err,
+                   GREATEST({_eg_loss0}, {_eg_loss1})
+                     <= CAST(0.1 AS DOUBLE) AS feasible
+            FROM grid, base
+        ),
+        flagged AS (
+            SELECT *, MAX(CASE WHEN feasible THEN 1 ELSE 0 END) OVER () AS any_feas
+            FROM scored
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY
+                       CASE WHEN feasible THEN 0 ELSE 1 END,
+                       CASE WHEN any_feas = 1
+                            THEN err ELSE GREATEST(loss0, loss1) END,
+                       g) AS rn
+            FROM flagged
+        )
+        SELECT g,
+               CAST(lam0 AS DECIMAL(28,12)) AS lam0,
+               CAST(lam1 AS DECIMAL(28,12)) AS lam1,
+               c,
+               CAST(loss0 AS DECIMAL(28,12)) AS loss0,
+               CAST(loss1 AS DECIMAL(28,12)) AS loss1,
+               CAST(err AS DECIMAL(28,12)) AS err,
+               feasible, rn = 1 AS selected
+        FROM ranked
     """
 
     # S1/S3 CSV readers: the roundtrip through the no-header and

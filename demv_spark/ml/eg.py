@@ -218,3 +218,192 @@ class ExponentiatedGradientBGL:
         """Largest per-group loss at the last iteration — the
         constraint the reduction is bounding."""
         return max(self.trajectory_[-1]["losses"].values())
+
+
+def grid_bounded_loss_census(
+    df: DataFrame,
+    sensitive: str,
+    label: str,
+    bound: float = 0.1,
+    grid_size: int = 5,
+    lambda_max: float = 2.0,
+) -> DataFrame:
+    """GridSearch weight sweep over the (s, y) census with the
+    constant-prediction best response — the λ-grid twin of
+    ``eg_bounded_loss_dynamics`` (reference: fairlearn GridSearch with
+    BoundedGroupLoss, generatemetrics.py:120-123). One row per grid
+    point: (g, lam0, lam1, c, loss0, loss1, err, feasible, selected).
+
+    Selection is deterministic: among feasible points (max group loss
+    ≤ bound) the lowest overall error wins, ties to the lowest grid
+    index; with no feasible point, the smallest max group loss wins.
+    Every op is +, ·, /, max and comparisons — mirrored textually in
+    the DuckDB oracle (a generate_series cross grid + window argmin).
+    """
+    cells = {
+        (r["s"], r["y"]): r["n"]
+        for r in df.select(
+            F.col(sensitive).cast("int").alias("s"),
+            F.col(label).cast("int").alias("y"),
+        )
+        .groupBy("s", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n00 = cells.get((0, 0), 0)
+    n01 = cells.get((0, 1), 0)
+    n10 = cells.get((1, 0), 0)
+    n11 = cells.get((1, 1), 0)
+    n0, n1 = n00 + n01, n10 + n11
+    if n0 == 0 or n1 == 0:
+        raise ValueError("grid_bounded_loss_census needs both sensitive groups")
+    total = n0 + n1
+    p0, p1 = n0 / total, n1 / total
+
+    step = lambda_max / (grid_size - 1)
+    rows = []
+    for g in range(grid_size * grid_size):
+        i0, i1 = g // grid_size, g % grid_size
+        lam0, lam1 = i0 * step, i1 * step
+        v1 = (1 + lam0 / p0) * n01 + (1 + lam1 / p1) * n11
+        v0 = (1 + lam0 / p0) * n00 + (1 + lam1 / p1) * n10
+        c = 1 if v1 >= v0 else 0
+        loss0 = (n00 if c == 1 else n01) / n0
+        loss1 = (n10 if c == 1 else n11) / n1
+        err = ((n00 + n10) if c == 1 else (n01 + n11)) / total
+        feasible = max(loss0, loss1) <= bound
+        rows.append((g, lam0, lam1, c, loss0, loss1, err, feasible))
+
+    feas = [r for r in rows if r[7]]
+    if feas:
+        best = min(feas, key=lambda r: (r[6], r[0]))[0]
+    else:
+        best = min(rows, key=lambda r: (max(r[4], r[5]), r[0]))[0]
+    out = [r + (r[0] == best,) for r in rows]
+    return df.sparkSession.createDataFrame(
+        out,
+        "g int, lam0 double, lam1 double, c int, loss0 double, "
+        "loss1 double, err double, feasible boolean, selected boolean",
+    )
+
+
+class GridSearchBGL:
+    """Grid-search reduction with a bounded-group-loss (zero-one)
+    constraint — the engine-native stand-in for the reference's
+    fairlearn ``GridSearch(pipeline, BoundedGroupLoss(ZeroOneLoss(),
+    0.1))`` (generatemetrics.py:120-123). Same weight machinery as
+    ``ExponentiatedGradientBGL`` (w = 1 + λ_g/p_g via broadcast join,
+    MLlib ``weightCol``), but the λ vectors come from a fixed cartesian
+    ladder instead of adaptive multiplicative updates, and ONE fitted
+    model is selected instead of an ensemble.
+
+    Selection rule (deterministic, documented divergence from
+    fairlearn's Lagrangian tradeoff pick): lowest training error among
+    grid points whose max per-group training loss meets the bound;
+    if none qualifies, the smallest max group loss.
+    """
+
+    def __init__(
+        self,
+        classifier_factory: Callable[[], object],
+        sensitive: Sequence[str],
+        label: str,
+        bound: float = 0.1,
+        grid_size: int = 5,
+        lambda_max: float = 2.0,
+        seed: int = 2,
+    ):
+        self.classifier_factory = classifier_factory
+        self.sensitive = list(sensitive)
+        self.label = label
+        self.bound = bound
+        self.grid_size = grid_size
+        self.lambda_max = lambda_max
+        self.seed = seed
+        self.models_: list = []
+        self.grid_: list[dict] = []
+        self.best_idx_: int | None = None
+
+    def _lambda_grid(self, groups: list[tuple]) -> list[dict]:
+        if self.grid_size ** len(groups) > 10_000 or len(groups) > 4:
+            raise ValueError(
+                "cartesian λ grid explodes beyond 4 groups; pass fewer "
+                "sensitive groups or use ExponentiatedGradientBGL"
+            )
+        step = self.lambda_max / (self.grid_size - 1)
+        grids: list[dict] = [{}]
+        for g in groups:
+            grids = [
+                {**base, g: i * step}
+                for base in grids
+                for i in range(self.grid_size)
+            ]
+        return grids
+
+    def fit(self, df: DataFrame, feature_cols: Sequence[str]) -> "GridSearchBGL":
+        from demv_spark.ml.evaluation import _pipeline
+
+        df = df.cache()
+        census = (
+            df.groupBy(*self.sensitive).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(r["n"] for r in census)
+        groups = [tuple(r[k] for k in self.sensitive) for r in census]
+        probs = {g: r["n"] / total for g, r in zip(groups, census)}
+
+        self.models_ = []
+        self.grid_ = []
+        for idx, lams in enumerate(self._lambda_grid(groups)):
+            wrows = [
+                {
+                    **{k: g[i] for i, k in enumerate(self.sensitive)},
+                    "__eg_w": 1 + lams[g] / probs[g],
+                }
+                for g in groups
+            ]
+            wmap = F.broadcast(df.sparkSession.createDataFrame(wrows))
+            clf = self.classifier_factory()
+            if hasattr(clf, "setWeightCol"):
+                clf = clf.setWeightCol("__eg_w")
+            model = _pipeline(feature_cols, self.label, clf).fit(
+                df.join(wmap, self.sensitive)
+            )
+            self.models_.append(model)
+
+            pred = model.transform(df)
+            stats = {
+                tuple(r[k] for k in self.sensitive): (r["wrong"], r["n"])
+                for r in pred.groupBy(*self.sensitive)
+                .agg(
+                    F.sum(
+                        (F.col("prediction") != F.col(self.label)).cast("int")
+                    ).alias("wrong"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            }
+            losses = {g: w / n for g, (w, n) in stats.items()}
+            err = sum(w for w, _ in stats.values()) / total
+            self.grid_.append(
+                {"idx": idx, "lams": dict(lams), "losses": losses, "err": err}
+            )
+
+        feasible = [
+            r for r in self.grid_ if max(r["losses"].values()) <= self.bound
+        ]
+        pool = feasible or self.grid_
+        key = (
+            (lambda r: (r["err"], r["idx"]))
+            if feasible
+            else (lambda r: (max(r["losses"].values()), r["idx"]))
+        )
+        self.best_idx_ = min(pool, key=key)["idx"]
+        return self
+
+    def predict(self, df: DataFrame, out: str = "prediction") -> DataFrame:
+        if self.best_idx_ is None:
+            raise ValueError("fit first")
+        pred = self.models_[self.best_idx_].transform(df)
+        if out != "prediction":
+            pred = pred.withColumnRenamed("prediction", out)
+        return pred

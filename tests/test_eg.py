@@ -121,3 +121,62 @@ def test_eg_bgl_matches_reference_behavior(biased):
     acc_base = base_pred.filter(F.col("prediction") == F.col("y")).count() / 2000
     acc_eg = eg_pred.filter(F.col("prediction") == F.col("y")).count() / 2000
     assert acc_eg >= acc_base - 0.05
+
+
+def test_grid_census_infeasible_picks_min_max_loss(spark):
+    # group 0: 3 of 4 labeled 0; group 1: 4 of 4 labeled 1 — no
+    # constant prediction meets bound 0.1, so selection falls back to
+    # the smallest max group loss (c=1 rows: max=0.75) at lowest g
+    rows = [(0, 0)] * 3 + [(0, 1)] + [(1, 1)] * 4
+    df = spark.createDataFrame(rows, "s int, y int")
+    from demv_spark.ml.eg import grid_bounded_loss_census
+
+    out = grid_bounded_loss_census(
+        df, "s", "y", bound=0.1, grid_size=3, lambda_max=2.0
+    ).collect()
+    assert len(out) == 9
+    assert not any(r["feasible"] for r in out)
+    by_g = {r["g"]: r for r in out}
+    # λ=(0,0): votes v1 = 1·1 + 1·4 = 5 ≥ v0 = 3 → c=1
+    assert by_g[0]["c"] == 1 and by_g[0]["loss0"] == pytest.approx(0.75)
+    # λ=(2,0): w0 = 5 → v0 = 15 > v1 = 9 → c=0, group1 loss = 1
+    assert by_g[6]["c"] == 0 and by_g[6]["loss1"] == 1.0
+    selected = [r for r in out if r["selected"]]
+    assert len(selected) == 1 and selected[0]["g"] == 0
+
+
+def test_grid_census_feasible_picks_min_err(spark):
+    # both groups overwhelmingly y=1: c=1 is feasible at every grid
+    # point; equal errs tie-break to the lowest grid index
+    rows = [(0, 1)] * 19 + [(0, 0)] + [(1, 1)] * 20
+    df = spark.createDataFrame(rows, "s int, y int")
+    from demv_spark.ml.eg import grid_bounded_loss_census
+
+    out = grid_bounded_loss_census(
+        df, "s", "y", bound=0.1, grid_size=3, lambda_max=2.0
+    ).collect()
+    assert all(r["feasible"] and r["c"] == 1 for r in out)
+    assert [r["g"] for r in out if r["selected"]] == [0]
+    assert all(r["err"] == pytest.approx(1 / 40) for r in out)
+
+
+@pytest.mark.slow
+def test_grid_search_bgl_selects_by_rule(biased):
+    from demv_spark.ml.eg import GridSearchBGL
+
+    feats = [f"f{i}" for i in range(5)]
+    factory = lambda: E.build_classifier("logistic", "y", "__features", 2)
+    gs = GridSearchBGL(
+        factory, ["s0"], "y", bound=0.3, grid_size=3, lambda_max=2.0
+    ).fit(biased, feats)
+    # two groups (s0 ∈ {0,1}) × grid_size 3 → 3² cartesian λ points
+    assert len(gs.grid_) == 9 and len(gs.models_) == 9
+    # selection rule holds against the recorded grid trajectory
+    feasible = [r for r in gs.grid_ if max(r["losses"].values()) <= 0.3]
+    if feasible:
+        expect = min(feasible, key=lambda r: (r["err"], r["idx"]))["idx"]
+    else:
+        expect = min(gs.grid_, key=lambda r: (max(r["losses"].values()), r["idx"]))["idx"]
+    assert gs.best_idx_ == expect
+    pred = gs.predict(biased)
+    assert pred.filter(F.col("prediction").isNotNull()).count() == 2000
