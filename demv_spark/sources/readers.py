@@ -77,21 +77,51 @@ def read_excel(
     spark: SparkSession, path: str, na_values: Sequence[str] = ("?",)
 ) -> DataFrame:
     """S4 — Excel scan with NA sentinel (crime loader,
-    getdataset.py:167). Spark has no native Excel source; the loader
-    goes through pandas (driver-side — Excel inputs are config-scale,
-    never data-scale) and promotes to a DataFrame. Gated behind an
-    import-try: raises a clear error when no Excel engine is
-    installed in the environment."""
+    getdataset.py:167). Spark has no native Excel source; Excel inputs
+    are config-scale (one ~2k-row workbook), never data-scale, so the
+    parse happens driver-side and promotes to a DataFrame. The pandas
+    engine is used when installed; otherwise the zero-dep SpreadsheetML
+    parser (sources/xlsx.py — stdlib zipfile + ElementTree) reads the
+    workbook natively, so S4 works in any environment."""
     try:
         import pandas as pd
 
-        pdf = pd.read_excel(path, na_values=list(na_values))
-    except ImportError as e:  # openpyxl/xlrd missing
-        raise NotImplementedError(
-            "Excel reading requires a pandas Excel engine (openpyxl); "
-            "not available in this environment"
-        ) from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pd.read_excel(path, na_values=list(na_values)))
+    except ImportError:  # openpyxl/xlrd missing → stdlib parser
+        pass
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from demv_spark.sources.xlsx import read_excel_table
+
+    header, data = read_excel_table(path, na_values=na_values)
+    # pandas-like per-column promotion: bool < int < float < string
+    fields, converters = [], []
+    for ci, name in enumerate(header):
+        vals = [row[ci] for row in data if row[ci] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            t, conv = BooleanType(), bool
+        elif vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            t, conv = LongType(), int
+        elif vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            t, conv = DoubleType(), float
+        else:
+            t, conv = StringType(), str
+        fields.append(StructField(name, t, True))
+        converters.append(conv)
+    typed = [
+        tuple(None if v is None else conv(v) for v, conv in zip(row, converters))
+        for row in data
+    ]
+    return spark.createDataFrame(typed, StructType(fields))
 
 
 def config_lookup(
