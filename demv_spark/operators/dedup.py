@@ -590,3 +590,125 @@ def simhash_portable(
         lambda s, c: s * 2 + F.when(c * 2 > n_tok, F.lit(1)).otherwise(F.lit(0)),
     )
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (hi, lo) pairs, self-loops and
+    NULL endpoints dropped."""
+    hi = F.greatest("src", "dst")
+    lo = F.least("src", "dst")
+    return (
+        edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(hi.alias("src"), lo.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node connects its strictly-larger
+    neighbors to its minimum neighborhood label min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return _canonical_edges(
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient edges toward the smaller endpoint; each
+    node links its smaller neighbors (and itself) to the minimum."""
+    directed = edges  # already canonical (src > dst): neighbors below src
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = (
+        directed.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = m.select(F.col("src"), F.col("m").alias("dst"))
+    return _canonical_edges(linked.union(self_link))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph → duplicate
+    clusters labeled by their minimum member id.
+
+    The last step of a real corpus-dedup pipeline: LSH/Jaccard pair
+    generation yields EDGES (a~b, b~c), but dedup must drop whole
+    transitive groups, so pairs have to be closed into components
+    before a canonical representative can be kept per group.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-based CC algorithm. Each round is two
+    groupBy+join passes keyed on node id; the edge set converges to a
+    star per component (every member → component min) in O(log n)
+    rounds regardless of component diameter, unlike naive min-label
+    flooding which needs O(diameter) rounds. Duplicate clusters in
+    practice are shallow, so 3-5 rounds close sf-scale graphs; the
+    log bound is what makes the same plan safe on a 100 TB pair set.
+    Per round the lineage is truncated with an eager localCheckpoint
+    — without it the iterated plan grows exponentially and Catalyst
+    re-optimizes the whole history each round. Convergence is
+    detected by an order-insensitive (count, xor of pair-hashes)
+    checksum — two longs collected per round, no full comparison
+    shuffle.
+
+    Returns (doc_id, cluster_id) for every node that appears in
+    ``pairs``; cluster_id = min doc id of the component. Reference
+    analogue: none (the reference dedups nothing); this extends
+    SURVEY §2 dedup family D with the grouping step.
+    """
+    edges = _canonical_edges(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0).cast("long")
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"duplicate_clusters: no convergence in {max_iter} rounds")
+
+    # at the fixpoint every canonical edge is (member, root)
+    members = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    roots = edges.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id")).distinct()
+    return members.union(roots)
+
+
+def canonical_filter(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every duplicate-cluster member except the canonical
+    (minimum-id) representative. Left-anti join on the id — docs
+    that never appeared in a candidate pair pass through untouched.
+    The non-canonical id list is the only thing shuffled; the corpus
+    itself streams through one hash join (broadcast when the dupe
+    list is small, which it usually is)."""
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")
