@@ -437,6 +437,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_simhash_portable"] = lambda spark, sf: dedup.simhash_portable(
         _t(spark, sf, "documents")
     )
+    # first-wins duplicate verdicts over the portable pair set — the
+    # batch twin of streaming_dedup_maintainer's per-batch rule
+    q["q_dedup_first_wins"] = lambda spark, sf: dedup.first_wins_matches(
+        dedup.minhash_lsh_pairs_portable(
+            _t(spark, sf, "documents"), num_hashes=32, bands=8, shingle_n=3
+        ),
+        threshold=0.5,
+    )
 
     # ---- similarity search ----
     q["q_sim_cosine_topk"] = lambda spark, sf: similarity.cosine_topk_bruteforce(
@@ -1679,6 +1687,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, ov / 32.0 AS est_jaccard FROM ov
+    """
+    # first-wins verdicts: filter the SAME portable pair set at the
+    # threshold, then per rejected doc keep the smallest matching id
+    o["q_dedup_first_wins"] = f"""
+        WITH {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT p.id_a, p.id_b,
+                   SUM(CASE WHEN sa.min_h = sb.min_h THEN 1 ELSE 0 END) AS ov
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.id_a
+            JOIN sigs sb ON sb.doc_id = p.id_b AND sb.h_idx = sa.h_idx
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT id_a, id_b, ov / 32.0 AS est_jaccard FROM ov
+            WHERE ov / 32.0 >= 0.5
+        )
+        SELECT id_b AS doc_id, MIN(id_a) AS dup_of,
+               arg_min(est_jaccard, id_a) AS est_jaccard
+        FROM scored GROUP BY id_b
     """
     # connected components over the SAME portable-LSH pair set: the
     # recursive closure propagates every reachable label, then each

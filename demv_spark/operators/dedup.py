@@ -250,6 +250,37 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+def lsh_band_buckets(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature table: the signature
+    splits into ``bands`` slices of num_hashes/bands rows, bucket =
+    one integer hash over the slice (fixed-width longs, no strings).
+    Map-only explode, bands rows per doc — the joinable form of the
+    LSH index, shared by the batch self-join and the streaming
+    incremental index."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows_per_band + j + 1)
+                          for j in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -264,7 +295,6 @@ def minhash_lsh_pairs(
     equi-join on (band, bucket) — never all-pairs. Returns distinct
     (id_a, id_b) candidates with estimated jaccard (signature overlap)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # signatures feed BOTH sides of the self-join; as a pure map plan
     # they would be recomputed twice (no shuffle to reuse) — persist
     # the tiny (id, 32×long) table instead. At warehouse scale this
@@ -275,23 +305,7 @@ def minhash_lsh_pairs(
     # other — exclude them from candidate generation
     sentinel = (1 << 63) - 1
     sig = sig.filter(F.element_at("sig", 1) != sentinel)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    # band bucket = one integer hash over the band's
-                    # signature slice (fixed-width longs, no strings)
-                    F.xxhash64(
-                        *[F.element_at("sig", b * rows_per_band + j + 1)
-                          for j in range(rows_per_band)]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = lsh_band_buckets(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
     # dedup candidates on bare id pairs (ints), NOT on rows carrying
     # two signature arrays — then broadcast the tiny signature table
     # back for the overlap estimate
@@ -712,3 +726,28 @@ def canonical_filter(
         F.col("doc_id").alias(id_col)
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+def first_wins_matches(
+    scored_pairs: DataFrame,
+    threshold: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    est: str = "est_jaccard",
+) -> DataFrame:
+    """First-wins duplicate verdicts from scored candidate pairs:
+    each doc that clears ``threshold`` against any smaller id is
+    rejected, attributed to its SMALLEST matching id (deterministic).
+    The batch twin of the streaming maintainer's per-batch rule
+    (streaming/dedup_stream.py) — one filter + one min_by aggregate,
+    shuffle keyed on the rejected id only."""
+    return (
+        scored_pairs.filter(F.col(est) >= threshold)
+        .groupBy(F.col(id_b).alias("doc_id"))
+        .agg(F.min_by(F.struct(id_a, est), id_a).alias("m"))
+        .select(
+            "doc_id",
+            F.col(f"m.{id_a}").alias("dup_of"),
+            F.col(f"m.{est}").alias("est_jaccard"),
+        )
+    )

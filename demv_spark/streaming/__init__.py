@@ -1,3 +1,4 @@
+from demv_spark.streaming.dedup_stream import streaming_dedup_maintainer
 from demv_spark.streaming.monitor import (
     disparity_monitor,
     event_rate_monitor,
@@ -11,5 +12,6 @@ __all__ = [
     "event_rate_monitor",
     "running_drift_monitor",
     "session_window_rollup",
+    "streaming_dedup_maintainer",
     "windowed_group_census",
 ]

@@ -1,0 +1,152 @@
+"""Streaming incremental near-dup dedup — first-wins against an
+accumulating MinHash/LSH index.
+
+The batch dedup family (operators/dedup.py) answers "which docs in
+THIS corpus duplicate each other"; an ingestion pipeline needs the
+online form: as documents arrive, is each one a near-dup of anything
+already accepted? This module maintains that index as three tables:
+
+  <prefix>_sigs     (doc_id, sig array<long>)   accepted signatures
+  <prefix>_bands    (doc_id, band, bucket)      joinable LSH index
+  <prefix>_matches  (doc_id, dup_of, est_jaccard) rejected docs
+  <prefix>__meta    (last_batch_id)             replay guard
+
+Per micro-batch: signatures + band buckets are map-only over the
+batch; candidates come from ONE equi-join of the batch's bands
+against the persisted band index (shuffle keyed on (band, bucket) —
+never all-pairs); survivors append to the index, rejects to the
+matches table. At warehouse scale the bands table is what you'd
+bucket/cluster BY (band, bucket) so the per-batch join prunes to
+matching buckets instead of scanning the whole index.
+
+First-wins semantics (deterministic): a batch doc is a duplicate iff
+its estimated jaccard clears ``threshold`` against (a) any indexed
+doc, or (b) any smaller-id doc in the SAME batch — (b) regardless of
+that doc's own verdict, so a within-batch chain a~b~c rejects both b
+and c even when a~c don't collide; both would be dropped by the
+batch pipeline too (duplicate_clusters closes the same chain). The
+single-batch run therefore equals the batch rule "reject every doc
+that pairs with a smaller id", which tests assert directly.
+
+foreachBatch is at-least-once; the merge is idempotent via the
+``__meta`` batch-id guard (same pattern as monitor.census_maintainer,
+which documents the failure window).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from demv_spark.operators.dedup import (
+    first_wins_matches,
+    lsh_band_buckets,
+    minhash_signatures,
+)
+
+_SENTINEL = (1 << 63) - 1
+
+
+def _est_jaccard(cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+    """Signature-overlap estimate for (id_a, id_b) candidates; the
+    signature tables are batch-or-index sized, joined on bare ids."""
+    cand = (
+        cand.join(sig_a.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_b.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    )
+    overlap = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    n_hashes = F.size("sig_a")
+    return cand.select(
+        "id_a", "id_b", (overlap / n_hashes).alias("est_jaccard")
+    )
+
+
+def streaming_dedup_maintainer(
+    stream: DataFrame,
+    index_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    trigger_available_now: bool = True,
+):
+    """Start the incremental dedup stream; returns the
+    StreamingQuery. ``stream`` must carry (id_col, text_col); ids are
+    assumed globally unique and monotone-ish with arrival (first-wins
+    breaks ties by id within a batch).
+
+    Docs too short to shingle (< shingle_n tokens) carry the sentinel
+    signature: they are accepted into ``_sigs`` (they can never be
+    near-dup candidates) but kept out of the band index so they don't
+    spuriously collide with each other."""
+    sigs_table = f"{index_prefix}_sigs"
+    bands_table = f"{index_prefix}_bands"
+    matches_table = f"{index_prefix}_matches"
+    meta_table = f"{index_prefix}__meta"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(meta_table):
+            applied = spark.table(meta_table).collect()[0]["last_batch_id"]
+            if batch_id <= applied:
+                return  # replayed batch — already merged
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sig = minhash_signatures(
+            batch_df, "text", "doc_id", num_hashes, shingle_n
+        ).persist()
+        hashable = sig.filter(F.element_at("sig", 1) != F.lit(_SENTINEL))
+        banded = lsh_band_buckets(hashable, num_hashes, bands).persist()
+
+        # (a) against the accepted index
+        vs_index = spark.createDataFrame([], "id_a long, id_b long")
+        if spark.catalog.tableExists(bands_table):
+            vs_index = (
+                spark.table(bands_table)
+                .withColumnRenamed("doc_id", "id_a")
+                .join(banded.withColumnRenamed("doc_id", "id_b"), ["band", "bucket"])
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            vs_index = _est_jaccard(vs_index, spark.table(sigs_table), hashable)
+        else:
+            vs_index = vs_index.withColumn("est_jaccard", F.lit(0.0))
+
+        # (b) within the batch, oriented smaller-id ← larger-id
+        in_batch = (
+            banded.withColumnRenamed("doc_id", "id_a")
+            .join(banded.withColumnRenamed("doc_id", "id_b"), ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        in_batch = _est_jaccard(in_batch, hashable, hashable)
+
+        # deterministic verdict: the smallest matching id wins —
+        # the SAME rule as the batch twin (dedup.first_wins_matches)
+        hits = first_wins_matches(vs_index.unionByName(in_batch), threshold)
+        rejected = hits.select("doc_id")
+        accepted_sigs = sig.join(rejected, "doc_id", "left_anti")
+        accepted_bands = banded.join(rejected, "doc_id", "left_anti")
+
+        hits.write.mode("append").saveAsTable(matches_table)
+        accepted_sigs.write.mode("append").saveAsTable(sigs_table)
+        accepted_bands.write.mode("append").saveAsTable(bands_table)
+        spark.createDataFrame(
+            [(batch_id,)], "last_batch_id long"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+        sig.unpersist()
+        banded.unpersist()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(merge)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,159 @@
+"""Streaming incremental dedup: first-wins index maintenance across
+micro-batches, batch/stream symmetry, and replay idempotence."""
+
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators import dedup
+from demv_spark.streaming.dedup_stream import streaming_dedup_maintainer
+
+PREFIX = "t_dedupstream"
+
+
+def _drop_index(spark, prefix=PREFIX):
+    for suffix in ("_sigs", "_bands", "_matches", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+@pytest.fixture()
+def index(spark):
+    _drop_index(spark)
+    yield PREFIX
+    _drop_index(spark)
+
+
+def _run(spark, docs_dir, index_prefix, **kw):
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = streaming_dedup_maintainer(stream, index_prefix, **kw)
+    q.awaitTermination(120)
+
+
+def test_cross_batch_planted_dups(spark, index):
+    d = tempfile.mkdtemp(prefix="demv_dstream_")
+    try:
+        texts = [
+            (i, f"unique document number {i} with several distinct tokens inside it")
+            for i in range(10)
+        ]
+        batch1 = spark.createDataFrame(texts, "doc_id long, text string")
+        batch1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+        # 10..14 duplicate 0..4 exactly; 15..19 fresh
+        batch2 = spark.createDataFrame(
+            [(i + 10, texts[i][1]) for i in range(5)]
+            + [(i, f"completely fresh text number {i} nothing like the others")
+               for i in range(15, 20)],
+            "doc_id long, text string",
+        )
+        batch2.coalesce(1).write.mode("append").parquet(d)
+
+        _run(spark, d, index)
+
+        matches = {
+            r["doc_id"]: r["dup_of"]
+            for r in spark.table(f"{index}_matches").collect()
+        }
+        assert matches == {10: 0, 11: 1, 12: 2, 13: 3, 14: 4}
+        accepted = {r["doc_id"] for r in spark.table(f"{index}_sigs").collect()}
+        assert accepted == set(range(10)) | set(range(15, 20))
+        # exact duplicates estimate jaccard 1.0
+        ests = [r["est_jaccard"] for r in spark.table(f"{index}_matches").collect()]
+        assert all(e == 1.0 for e in ests)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_batch_equals_batch_rule(spark, index):
+    """One micro-batch must reject exactly the docs that pair with a
+    smaller id at/above threshold in the batch pipeline."""
+    d = tempfile.mkdtemp(prefix="demv_dstream_")
+    try:
+        rows = [(i, "the quick brown fox jumps over the lazy dog variant " + str(i % 4))
+                for i in range(24)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        docs.coalesce(1).write.mode("append").parquet(d)
+        _run(spark, d, index, threshold=0.7)
+
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+        expect_rejected = {
+            r["id_b"]
+            for r in pairs.filter(F.col("est_jaccard") >= 0.7).collect()
+        }
+        got_rejected = {
+            r["doc_id"] for r in spark.table(f"{index}_matches").collect()
+        }
+        assert got_rejected == expect_rejected
+        accepted = {r["doc_id"] for r in spark.table(f"{index}_sigs").collect()}
+        assert accepted == set(range(24)) - expect_rejected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_short_docs_accepted_but_not_banded(spark, index):
+    d = tempfile.mkdtemp(prefix="demv_dstream_")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "tiny"), (2, "tiny"), (3, "a long enough document with many tokens here")],
+            "doc_id long, text string",
+        )
+        docs.coalesce(1).write.mode("append").parquet(d)
+        _run(spark, d, index)
+        accepted = {r["doc_id"] for r in spark.table(f"{index}_sigs").collect()}
+        assert accepted == {1, 2, 3}  # short docs never near-dup candidates
+        banded = {r["doc_id"] for r in spark.table(f"{index}_bands").collect()}
+        assert banded == {3}
+        assert spark.table(f"{index}_matches").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replayed_batch_is_skipped(spark, index):
+    """foreachBatch replay (same batch_id) must not double-append."""
+    from demv_spark.streaming import dedup_stream as ds
+
+    docs = spark.createDataFrame(
+        [(1, "some sufficiently long document text for shingling")],
+        "doc_id long, text string",
+    )
+    # drive the merge closure directly, as the engine would on replay
+    captured = {}
+
+    def fake_start():
+        raise AssertionError("not used")
+
+    # build the closure via the public API without starting a stream
+    class _FakeWriter:
+        def __init__(self):
+            self.fn = None
+
+        def outputMode(self, _):
+            return self
+
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def trigger(self, **_):
+            return self
+
+        def start(self):
+            return None
+
+    class _FakeStream:
+        writeStream = _FakeWriter()
+
+    streaming_dedup_maintainer(_FakeStream(), PREFIX)
+    merge = captured["fn"]
+    merge(docs, 0)
+    n1 = spark.table(f"{PREFIX}_sigs").count()
+    merge(docs, 0)  # replay
+    assert spark.table(f"{PREFIX}_sigs").count() == n1
