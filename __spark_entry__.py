@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from demv_spark.functions import counting, metrics as M
-from demv_spark.operators import dedup, etl, similarity, text
+from demv_spark.operators import corpus, dedup, etl, similarity, text
 from demv_spark.operators.balancer import DEMV
 
 
@@ -407,6 +407,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fraction=0.1,
         key_cols=["o_orderkey"],
         seed=42,
+    )
+
+    # ---- corpus mixture construction (data mixing) ----
+    _MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+    def _mixture(spark, sf):
+        return corpus.mixture_sample(
+            _t(spark, sf, "documents"),
+            "source",
+            _MIX,
+            key_cols=["doc_id"],
+            unit_col="n_chars",
+        ).select("doc_id", "source", "n_chars")
+
+    q["q_corpus_mixture"] = _mixture
+    q["q_corpus_mixture_report"] = lambda spark, sf: corpus.mixture_report(
+        _mixture(spark, sf), "source", "n_chars"
     )
 
     # ---- dedup ----
@@ -1033,8 +1050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trivial r1-green builder-gated maps — making room for media,
         # grid-search, and duplicate-cluster rows)
         "q_etl_bucketize",
-        "q_etl_one_hot", "q_etl_label_encode", "q_etl_zscore",
+        "q_etl_label_encode", "q_etl_zscore",
         "q_etl_quantile_label",
+        # corpus data-mixing sampler (r2 addition; one_hot demoted —
+        # its r1 driver row is already green)
+        "q_corpus_mixture",
         # multimodal: REAL PNG decode verified against a SQL grid oracle
         "q_media_features",
         # windowed / streaming-shaped rollups (W1)
@@ -2074,6 +2094,41 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS ns
           FROM orders
         ) WHERE rn <= CEIL(ns * 0.1)
+    """
+
+    # mixture_sample's exclusive-running-sum admission rule, with the
+    # same FLOOR-on-double budget arithmetic as the Spark plan
+    _mix_scoped = """
+        scoped AS (
+            SELECT d.doc_id, d.source, d.n_chars, w.wt
+            FROM documents d
+            JOIN (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) w(grp, wt)
+              ON d.source = w.grp
+        ),
+        avail AS (SELECT source, wt, SUM(n_chars) AS avail FROM scoped GROUP BY 1, 2),
+        n AS (SELECT MIN(CAST(FLOOR(avail / wt) AS BIGINT)) AS n FROM avail),
+        admitted AS (
+            SELECT s.doc_id, s.source, s.n_chars,
+                   CAST(FLOOR(s.wt * n.n) AS BIGINT) AS target,
+                   COALESCE(SUM(s.n_chars) OVER (
+                       PARTITION BY s.source
+                       ORDER BY CAST(concat('0x', substr(md5(concat_ws('|', s.doc_id, '42')), 1, 15)) AS BIGINT),
+                                s.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM scoped s CROSS JOIN n
+        )
+    """
+    o["q_corpus_mixture"] = f"""
+        WITH {_mix_scoped}
+        SELECT doc_id, source, n_chars FROM admitted WHERE before < target
+    """
+    o["q_corpus_mixture_report"] = f"""
+        WITH {_mix_scoped},
+        mix AS (SELECT doc_id, source, n_chars FROM admitted WHERE before < target),
+        per AS (SELECT source, SUM(n_chars) AS units FROM mix GROUP BY 1)
+        SELECT source, units,
+               CAST(CAST(units AS DOUBLE) / SUM(units) OVER () AS DECIMAL(28,12)) AS share
+        FROM per
     """
 
     _sql_media = """

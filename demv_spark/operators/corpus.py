@@ -1,0 +1,121 @@
+"""Corpus mixture construction — the "data mixing" step of a
+training-data pipeline.
+
+A pretraining corpus is assembled from heterogeneous sources with
+TARGET proportions (e.g. 60% web, 30% code, 10% books), usually in
+token units, not document counts. The reference has no analogue (its
+datasets are single tables); this operator family generalizes its
+stratified resampling idea (demv.py's group-balancing loop) from
+"equalize groups" to "hit an arbitrary target mixture".
+
+Everything is deterministic and engine-portable: document selection
+order is the md5-based portable hash (functions/compat.py), so the
+mixture is a pure function of the data — reproducible across engines,
+partitionings, and retries, and verifiable against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from demv_spark.functions.compat import portable_hash
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    proportions: Mapping[str, float],
+    key_cols: Sequence[str],
+    unit_col: str | None = None,
+    total: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic mixture sample: pick rows so that group ``g``
+    contributes ``floor(proportions[g] * N)`` units of the result.
+
+    ``unit_col`` is the budget unit — None counts rows; a column name
+    (token/char counts) budgets by its per-row value, the shape real
+    data-mixing runs in. ``total`` fixes the overall budget N in
+    units; None takes the LARGEST feasible N, i.e. ``min_g
+    floor(avail_g / w_g)`` — the point where the scarcest group is
+    exhausted (groups with weight 0 or absent from ``proportions``
+    are dropped and don't constrain N).
+
+    Within each group, rows are taken in portable-hash order until the
+    group's unit budget is filled: a row enters while the EXCLUSIVE
+    running unit sum is still below target, so the group may overshoot
+    by at most one row (never undershoots while rows remain) — in row
+    units this reduces to exactly ``row_number <= target``.
+
+    Plan shape: one tiny per-group census (partial agg, no raw-row
+    shuffle), the global N as a 1-row aggregate broadcast back via
+    cross join, then ONE rank window per group over the filtered
+    corpus. The census/N subtree never touches row data, so at 100 TB
+    the cost is the same single shuffle a stratified sample pays.
+    Skew note: a giant group still ranks in one window task — same
+    hazard and same remedy (pre-split hot groups) as
+    ``etl.stratified_sample``.
+
+    SQL twin (DuckDB): see ``__spark_entry__.oracle_sql
+    ()['q_corpus_mixture']`` — VALUES-table weights, FLOOR arithmetic
+    on doubles, and the same exclusive running-sum admission rule.
+    """
+    weights = {k: float(v) for k, v in proportions.items() if v > 0}
+    if not weights:
+        raise ValueError("proportions must contain at least one positive weight")
+
+    unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
+    w_expr = None
+    for g, w in weights.items():
+        cond = F.col(group_col) == F.lit(g)
+        w_expr = F.when(cond, F.lit(w)) if w_expr is None else w_expr.when(cond, F.lit(w))
+
+    scoped = df.filter(F.col(group_col).isin(list(weights))).withColumn("__w", w_expr)
+
+    # tiny census: per-group available units → the feasible budget N
+    avail = scoped.groupBy(group_col, "__w").agg(F.sum(unit).alias("__avail"))
+    if total is None:
+        n_row = avail.select(
+            F.min(F.floor(F.col("__avail") / F.col("__w"))).alias("__N")
+        )
+    else:
+        n_row = avail.select(F.lit(int(total)).cast("long").alias("__N")).limit(1)
+
+    h = portable_hash(
+        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
+    taken = (
+        scoped.crossJoin(F.broadcast(n_row))
+        .withColumn("__target", F.floor(F.col("__w") * F.col("__N")))
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .filter(F.col("__before") < F.col("__target"))
+    )
+    return taken.drop("__w", "__N", "__target", "__before")
+
+
+def mixture_report(
+    df: DataFrame, group_col: str, unit_col: str | None = None
+) -> DataFrame:
+    """Achieved mixture of a corpus: per-group unit totals and their
+    share of the whole, as exact decimal ratios (the verification
+    half of mixture_sample — run it on the output to audit the mix).
+    Columns: group_col, units, share decimal(28,12)."""
+    unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
+    per = df.groupBy(group_col).agg(F.sum(unit).alias("units"))
+    return per.select(
+        group_col,
+        "units",
+        (F.col("units") / F.sum("units").over(Window.partitionBy()))
+        .cast("decimal(28,12)")
+        .alias("share"),
+    )

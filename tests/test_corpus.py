@@ -1,0 +1,91 @@
+"""Mixture sampler invariants: budget arithmetic, admission rule,
+determinism under repartitioning, and the report's exact shares."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _unit_totals(df, unit_col):
+    rows = df.groupBy("source").agg(F.sum(unit_col).alias("u")).collect()
+    return {r["source"]: r["u"] for r in rows}
+
+
+def test_unit_budgets_hit_within_one_row(spark, docs):
+    out = corpus.mixture_sample(
+        docs, "source", MIX, key_cols=["doc_id"], unit_col="n_chars"
+    )
+    avail = _unit_totals(docs.filter(F.col("source").isin(list(MIX))), "n_chars")
+    n = min(int(avail[g] / w) for g, w in MIX.items())
+    got = _unit_totals(out, "n_chars")
+    max_chars = (
+        docs.filter(F.col("source").isin(list(MIX)))
+        .agg(F.max("n_chars"))
+        .collect()[0][0]
+    )
+    for g, w in MIX.items():
+        target = int(w * n)
+        # admission while exclusive running sum < target: never more
+        # than one row past target, never under while rows remained
+        assert target <= got[g] < target + max_chars
+    assert set(got) == set(MIX)
+
+
+def test_row_mode_is_exact(spark, docs):
+    out = corpus.mixture_sample(docs, "source", MIX, key_cols=["doc_id"])
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = min(int(avail[g] / w) for g, w in MIX.items())
+    assert counts == {g: int(w * n) for g, w in MIX.items()}
+
+
+def test_fixed_total_budget(spark, docs):
+    out = corpus.mixture_sample(
+        docs, "source", MIX, key_cols=["doc_id"], total=40
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"src0": 20, "src1": 12, "src2": 8}
+
+
+def test_deterministic_across_partitioning(spark, docs):
+    a = corpus.mixture_sample(docs, "source", MIX, key_cols=["doc_id"])
+    b = corpus.mixture_sample(
+        docs.repartition(7, "lang"), "source", MIX, key_cols=["doc_id"]
+    )
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b
+
+
+def test_zero_weight_groups_dropped(spark, docs):
+    out = corpus.mixture_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, key_cols=["doc_id"]
+    )
+    assert {r["source"] for r in out.select("source").distinct().collect()} == {"src0"}
+    with pytest.raises(ValueError):
+        corpus.mixture_sample(docs, "source", {"src0": 0.0}, key_cols=["doc_id"])
+
+
+def test_report_shares_sum_to_one(spark, docs):
+    out = corpus.mixture_sample(
+        docs, "source", MIX, key_cols=["doc_id"], unit_col="n_chars"
+    )
+    rep = corpus.mixture_report(out, "source", "n_chars").collect()
+    total = sum(r["share"] for r in rep)
+    assert abs(float(total) - 1.0) < 1e-9
+    # achieved mix tracks the target within the one-row overshoot
+    shares = {r["source"]: float(r["share"]) for r in rep}
+    for g, w in MIX.items():
+        assert abs(shares[g] - w) < 0.05
