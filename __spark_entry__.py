@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.line_dedup(docs, min_docs=3).select("doc_id", "clean_text")
 
     q["q_text_line_dedup"] = _line_dedup
+    q["q_text_cf_score"] = lambda spark, sf: text.corpus_frequency_score(
+        _t(spark, sf, "documents")
+    )
+    q["q_text_tfidf_keywords"] = lambda spark, sf: text.tfidf_keywords(
+        _t(spark, sf, "documents"), k=5
+    )
     q["q_text_top_tokens"] = lambda spark, sf: text.top_tokens(
         _t(spark, sf, "documents"), k=20
     )
@@ -2016,6 +2022,35 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY 1)
         SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
         FROM documents d LEFT JOIN reass r USING (doc_id)
+    """
+    o["q_text_cf_score"] = f"""
+        WITH tok AS (SELECT doc_id, UNNEST({_toks}) AS token FROM documents),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        ctf AS (SELECT token, COUNT(*) AS tok_n FROM t GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM t)
+        SELECT t.doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(c.tok_n) AS BIGINT) AS sum_tf,
+               CAST(CAST(SUM(c.tok_n) AS DOUBLE) / CAST(COUNT(*) * tot.total AS DOUBLE)
+                    AS DECIMAL(28,12)) AS cf_score
+        FROM t JOIN ctf c USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id, tot.total
+    """
+    o["q_text_tfidf_keywords"] = f"""
+        WITH tok AS (SELECT doc_id, UNNEST({_toks}) AS token FROM documents),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        ptf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df_docs FROM ptf GROUP BY 1),
+        ranked AS (
+            SELECT p.doc_id, p.token, p.tf, d.df_docs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY CAST(p.tf AS DOUBLE) / d.df_docs DESC, p.token
+                   ) AS rnk
+            FROM ptf p JOIN dfreq d USING (token)
+        )
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(df_docs AS BIGINT) AS df_docs, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5
     """
     o["q_text_top_tokens"] = f"""
         WITH tok AS (SELECT UNNEST({_toks}) AS token FROM documents)

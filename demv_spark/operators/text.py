@@ -220,6 +220,94 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     )
 
 
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics: per token, total occurrences
+    (``tf``) and document frequency (``df_docs``). One explode + one
+    aggregation keyed on (doc, token) then token — the (doc, token)
+    pre-aggregate acts as the map-side combine for df_docs, so the
+    token shuffle carries distinct doc-token rows, not raw
+    occurrences. Stopword-grade hot tokens skew the token key; AQE
+    skew handling splits them (the per-(doc,token) step already capped
+    each key's rows at n_docs)."""
+    t = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = t.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("token").agg(
+        F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("df_docs")
+    )
+
+
+def corpus_frequency_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean corpus token frequency — the integer-exact
+    stand-in for LM-perplexity quality filtering (CCNet-style): fluent
+    text is built from common tokens, gibberish from rare ones. Score
+    = sum_t count(t) / (n_tok · total_tokens), every term an exact
+    long, ONE IEEE division at the end, emitted as decimal(28,12) for
+    cross-engine hash parity. Docs with no tokens drop out.
+
+    Plan: explode → token-count aggregate → join occurrences back on
+    token → per-doc aggregate. The token join is the hot-key hazard
+    (stopwords); AQE skew-join splits it, and the frequency table is
+    vocabulary-sized — broadcast it when your vocabulary fits.
+    Columns: id_col, n_tok, sum_tf, cf_score."""
+    t = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    ctf = t.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = t.select(F.count(F.lit(1)).alias("total"))
+    return (
+        t.join(ctf, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, "total")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("tok_n").alias("sum_tf"))
+        .select(
+            id_col,
+            "n_tok",
+            "sum_tf",
+            (F.col("sum_tf") / (F.col("n_tok") * F.col("total")))
+            .cast("decimal(28,12)")
+            .alias("cf_score"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k distinguishing tokens per document, ranked by tf/df — the
+    log-free tf-idf order (log is monotone, so the RANKING is the
+    classic tf·idf ranking, without a transcendental the oracle can't
+    reproduce bit-for-bit). Ties break on token asc for a total order.
+
+    Plan: per-(doc, token) counts, token-level document frequencies,
+    one equi-join on token, one per-doc row_number window. Columns:
+    id_col, token, tf, df_docs, rnk."""
+    t = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = t.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    ranked = per_doc.join(dfreq, "token").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                (F.col("tf") / F.col("df_docs")).desc(), "token"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        id_col, "token", "tf", "df_docs", "rnk"
+    )
+
+
 def normalized_fingerprint(col: Column | str) -> Column:
     """md5 of whitespace/case-normalized text — THE content-identity
     expression (fingerprint, exact dedup, corpus_clean's dup window

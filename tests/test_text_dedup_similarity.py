@@ -361,3 +361,43 @@ def test_ngram_jaccard_uncapped_matches_capped(docs):
         for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1, max_df=None).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_token_frequencies(docs):
+    freq = {r["token"]: (r["tf"], r["df_docs"])
+            for r in text.token_frequencies(docs).collect()}
+    # "the" occurs twice in each of docs 1-4 → tf=8, df=4
+    assert freq["the"] == (8, 4)
+    assert freq["sleepy"] == (1, 1)
+
+
+def test_corpus_frequency_score_brute(docs):
+    rows = text.corpus_frequency_score(docs).collect()
+    # brute-force expectation in python
+    import collections
+    toks = {i: t.lower().split() for i, t in DOCS}
+    ctf = collections.Counter(w for ws in toks.values() for w in ws)
+    total = sum(ctf.values())
+    for r in rows:
+        ws = toks[r["doc_id"]]
+        assert r["n_tok"] == len(ws)
+        assert r["sum_tf"] == sum(ctf[w] for w in ws)
+        expect = sum(ctf[w] for w in ws) / (len(ws) * total)
+        assert math.isclose(float(r["cf_score"]), expect, rel_tol=1e-9)
+    # common-token docs (1-4 share frequent words) score above the outliers
+    scores = {r["doc_id"]: float(r["cf_score"]) for r in rows}
+    assert scores[1] > scores[5] and scores[1] > scores[6]
+
+
+def test_tfidf_keywords_ranks_distinguishing_tokens(docs):
+    kw = text.tfidf_keywords(docs, k=3).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    assert all([r["rnk"] for r in sorted(v, key=lambda x: x["rnk"])] ==
+               list(range(1, len(v) + 1)) for v in by_doc.values())
+    # doc 4's unique word outranks its shared words
+    assert by_doc[4][0]["token"] == "sleepy"
+    # doc-5 keywords are all df=1 (fully distinguishing)
+    assert all(r["df_docs"] == 1 for r in by_doc[5])
