@@ -270,6 +270,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.line_dedup(docs, min_docs=3).select("doc_id", "clean_text")
 
     q["q_text_line_dedup"] = _line_dedup
+    # PII scrub: plant synthetic emails/IPs/phones from customer rows
+    # so the patterns actually fire, then redact and count
+    def _pii_redact(spark, sf):
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        synth = cust.select(
+            "c_custkey",
+            F.concat(
+                F.lit("contact "),
+                F.regexp_replace("c_name", "#", ""),
+                F.lit("@example.com from 10.0."),
+                (F.col("c_custkey") % 250).cast("string"),
+                F.lit(".7 or +1 555-867-"),
+                (F.lit(1000) + F.col("c_custkey") % 9000).cast("string"),
+            ).alias("text"),
+        )
+        return text.redact_pii(synth).select(
+            "c_custkey", "email_n", "ip_n", "phone_n", "text_redacted"
+        )
+
+    q["q_text_pii_redact"] = _pii_redact
+    q["q_text_gopher_rules"] = lambda spark, sf: text.gopher_rules(
+        _t(spark, sf, "documents")
+    )
     q["q_text_cf_score"] = lambda spark, sf: text.corpus_frequency_score(
         _t(spark, sf, "documents")
     )
@@ -2022,6 +2045,52 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY 1)
         SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
         FROM documents d LEFT JOIN reass r USING (doc_id)
+    """
+    o["q_text_pii_redact"] = r"""
+        WITH synth AS (
+            SELECT c_custkey,
+                   'contact ' || replace(c_name, '#', '') || '@example.com from 10.0.'
+                   || CAST(c_custkey % 250 AS VARCHAR) || '.7 or +1 555-867-'
+                   || CAST(1000 + c_custkey % 9000 AS VARCHAR) AS text
+            FROM customer
+        )
+        SELECT c_custkey,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_n,
+               len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_n,
+               len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS phone_n,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_redacted
+        FROM synth
+    """
+    o["q_text_gopher_rules"] = f"""
+        WITH t AS (
+            SELECT doc_id, text, list_filter({_toks}, x -> x != '') AS tk
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS INTEGER) AS n_words,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS n_chars_nospace,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha_words,
+                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INTEGER) AS symbols,
+                   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                        s -> list_contains(tk, s))) AS INTEGER) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_words, n_chars_nospace, alpha_words, symbols, stop_hits,
+               (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+               (3 * n_words <= n_chars_nospace AND n_chars_nospace <= 10 * n_words) AS flag_mean_word_len,
+               (10 * symbols < n_words) AS flag_symbol_ratio,
+               (5 * alpha_words >= 4 * n_words) AS flag_alpha_words,
+               (stop_hits >= 2) AS flag_stop_words,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (3 * n_words <= n_chars_nospace AND n_chars_nospace <= 10 * n_words)
+                AND (10 * symbols < n_words)
+                AND (5 * alpha_words >= 4 * n_words)
+                AND (stop_hits >= 2)) AS keep
+        FROM c
     """
     o["q_text_cf_score"] = f"""
         WITH tok AS (SELECT doc_id, UNNEST({_toks}) AS token FROM documents),

@@ -308,6 +308,85 @@ def tfidf_keywords(
     )
 
 
+# PII patterns shared by redact_pii and its oracle — restricted to
+# the regex subset Java (Spark) and RE2 (DuckDB) interpret
+# identically: character classes, bounded repeats, \b; no
+# lookaround, no backreferences. Order matters: emails first (they
+# contain dots/digits the narrower patterns could nibble at).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple = ("email", "ip", "phone"),
+    out: str = "text_redacted",
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped runs with ``<KIND>`` tokens
+    and count the hits per kind — the pre-training scrub pass. Pure
+    ``regexp_replace``/``regexp_count`` column expressions, applied in
+    PII_PATTERNS order so overlapping matches resolve identically in
+    Spark and the DuckDB oracle. Adds ``{kind}_n`` counts (exact ints,
+    counted on the ORIGINAL text) and the redacted text column."""
+    cols = [df[c] for c in df.columns]
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"{k}_n")
+        for k in kinds
+    ]
+    red = F.col(text_col)
+    for k in kinds:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return df.select(*cols, *counts, red.alias(out))
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition-free quality gates (Rae et
+    al. 2021, public) as ONE fused scan: per doc, exact integer
+    counters and boolean rule flags, plus the conjunction ``keep``.
+
+    Every threshold is evaluated in cross-multiplied INTEGER
+    arithmetic (e.g. mean word length in [3,10] ⇔ 3·words ≤ chars ≤
+    10·words), so the flags are bit-stable across engines — no float
+    ratio ever materializes. Rules: word count in [50, 100000], mean
+    word length in [3, 10], symbol(#/…)-to-word ratio < 0.1, ≥80% of
+    words contain a letter, ≥2 canonical English stop words present.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n_words = F.size(toks)
+    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    stops = F.array([F.lit(s) for s in
+                     ("the", "be", "to", "of", "and", "that", "have", "with")])
+    stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(toks, s)))
+    flags = {
+        "flag_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "flag_mean_word_len": (3 * n_words <= n_chars) & (n_chars <= 10 * n_words),
+        "flag_symbol_ratio": 10 * symbols < n_words,
+        "flag_alpha_words": 5 * alpha_words >= 4 * n_words,
+        "flag_stop_words": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_nospace"),
+        alpha_words.alias("alpha_words"),
+        symbols.alias("symbols"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(k) for k, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def normalized_fingerprint(col: Column | str) -> Column:
     """md5 of whitespace/case-normalized text — THE content-identity
     expression (fingerprint, exact dedup, corpus_clean's dup window

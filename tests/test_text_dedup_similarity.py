@@ -401,3 +401,33 @@ def test_tfidf_keywords_ranks_distinguishing_tokens(docs):
     assert by_doc[4][0]["token"] == "sleepy"
     # doc-5 keywords are all df=1 (fully distinguishing)
     assert all(r["df_docs"] == 1 for r in by_doc[5])
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.co or call +1 555-867-5309 from 10.0.42.7 ok"),
+         (2, "nothing sensitive here at all")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert (got[1]["email_n"], got[1]["ip_n"], got[1]["phone_n"]) == (1, 1, 1)
+    assert got[1]["text_redacted"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert (got[2]["email_n"], got[2]["ip_n"], got[2]["phone_n"]) == (0, 0, 0)
+    assert got[2]["text_redacted"] == got[2]["text"]
+
+
+def test_gopher_rules_flags(spark):
+    long_good = " ".join(
+        "the quick brown fox and that dog have fun with code".split() * 6
+    )  # 66 words, all alpha, stopwords present
+    short = "tiny doc"
+    symbols = " ".join(["####"] * 60)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[1]["n_words"] == 66 and got[1]["flag_stop_words"]
+    assert got[2]["keep"] is False and not got[2]["flag_word_count"]
+    assert got[3]["keep"] is False
+    assert not got[3]["flag_alpha_words"] and not got[3]["flag_symbol_ratio"]
