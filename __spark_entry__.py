@@ -756,6 +756,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_asof_forward"] = _asof_fwd
 
+    # bucketed point-in-interval join (DuckDB IEJoin is the oracle)
+    def _interval_join(spark, sf):
+        from demv_spark.operators.temporal import interval_join
+
+        ev = _t(spark, sf, "events")
+        iv = ev.filter(F.col("event_id") % 97 == 0).select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL '30 minutes'")).alias("e"),
+        )
+        pts = ev.select("user_id", "event_id", "ts")
+        return interval_join(
+            pts, iv, "ts", "s", "e", by=["user_id"], bucket="15 minutes"
+        ).select("user_id", "event_id", "iv_id")
+
+    q["q_events_interval_join"] = _interval_join
+
     # mergeable HLL distinct sketches (rows-only: Datasketches state
     # has no DuckDB twin; the merge identity — weekly-from-daily ==
     # weekly-from-raw EXACTLY — is asserted in tests/)
@@ -1890,6 +1908,16 @@ def oracle_sql() -> dict[str, str]:
                p.purchase_value AS purchase_value_asof
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts <= p.ts
+    """
+    o["q_events_interval_join"] = """
+        WITH iv AS (
+            SELECT user_id, event_id AS iv_id, ts AS s,
+                   ts + INTERVAL '30 minutes' AS e
+            FROM events WHERE event_id % 97 = 0
+        )
+        SELECT p.user_id, p.event_id, iv.iv_id
+        FROM events p JOIN iv ON p.user_id = iv.user_id
+                             AND p.ts BETWEEN iv.s AND iv.e
     """
     o["q_events_daily_cascade"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

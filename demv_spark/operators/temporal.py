@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def asof_join(
@@ -113,4 +113,72 @@ def asof_join(
             F.when(~null_left, F.col(f"__rv_m.{v}")).alias(f"{v}{suffix}")
             for v in value_cols
         ],
+    )
+
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'15 minutes' → 900. Fixed-width units only (no months/years —
+    a tumbling bucket must have constant span)."""
+    n, unit = spec.strip().split()
+    if unit.lower() not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported bucket unit: {unit!r}")
+    return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval join: every ``points`` row pairs with every
+    ``intervals`` row (same ``by`` keys) whose closed range
+    [start_col, end_col] contains its timestamp — telemetry
+    enrichment ("which deploy/session/incident window was this event
+    in"). Equivalent to ``p JOIN i ON by AND p.ts BETWEEN i.s AND
+    i.e`` — the DuckDB IEJoin oracle.
+
+    Spark plans that predicate as a broadcast-nested-loop (or worse,
+    a cartesian) — O(|P|·|I|) per key. The scalable form here is
+    time-bucketing: each interval EXPLODES to the tumbling ``bucket``
+    windows it overlaps, each point maps to its single bucket, and
+    the pair meets in an ordinary equi-join on (by…, bucket) — the
+    point's bucket is unique and occurs once in the interval's bucket
+    list, so every matching pair joins EXACTLY once and no distinct
+    is needed. One hash shuffle, AQE-splittable, no range explosion.
+
+    Choose ``bucket`` near the typical interval span: cost per
+    interval is ceil(span/bucket)+1 join rows. NULL timestamps,
+    NULL/inverted ranges, and NULL by-keys never match (join-key
+    equality drops them, matching SQL BETWEEN/equality semantics).
+    Interval columns keep their names — rename upstream on collision.
+    """
+    width = _interval_seconds(bucket)
+
+    def _b(col: str) -> Column:
+        # bucket index = floor(epoch / width); session tz is UTC
+        # (session.py) so NTZ→epoch is monotone and DST-free
+        return F.floor(F.col(col).cast("timestamp").cast("long") / F.lit(width))
+
+    p_bucket = _b(ts_col)
+    i_buckets = F.sequence(_b(start_col), _b(end_col))
+    p = points.withColumn("__b", p_bucket)
+    i = (
+        intervals.filter(F.col(start_col) <= F.col(end_col))
+        .withColumn("__b", F.explode(i_buckets))
+    )
+    keys = [*by, "__b"]
+    return (
+        p.join(i, keys)
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__b")
     )

@@ -198,3 +198,62 @@ def test_asof_join_right_null_ts_never_matches(spark):
         out = asof_join(left, right, "ts", ["u"], ["v"], direction=direction)
         got = {r["event_id"]: r["v_asof"] for r in out.collect()}
         assert got == expect, f"{direction}: NULL-ts right row must never match"
+
+
+def _ts(s):
+    import datetime
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_interval_join_matches_between_semantics(spark):
+    from demv_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00")),
+         (2, "u", _ts("2024-01-01 10:29:59")),
+         (3, "u", _ts("2024-01-01 10:30:00")),   # closed end: still in
+         (4, "u", _ts("2024-01-01 10:30:01")),   # just out
+         (5, "v", _ts("2024-01-01 10:10:00")),   # other key
+         (6, None, _ts("2024-01-01 10:10:00")),  # NULL key never matches
+         (7, "u", None)],                        # NULL ts never matches
+        "event_id long, user_id string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("u", 100, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00")),
+         ("u", 101, _ts("2024-01-01 10:29:00"), _ts("2024-01-01 10:29:00")),  # 1-sec
+         ("u", 102, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 10:00:00"))],  # inverted
+        "user_id string, iv_id long, s timestamp, e timestamp",
+    )
+    out = interval_join(pts, iv, "ts", "s", "e", by=["user_id"], bucket="5 minutes")
+    got = sorted((r["event_id"], r["iv_id"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (3, 100)]
+
+
+def test_interval_join_spanning_many_buckets(spark):
+    from demv_spark.operators.temporal import interval_join
+
+    # one long interval over many tiny buckets: every point matches once
+    pts = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01 0{h}:{m:02d}:00"))
+         for i, (h, m) in enumerate([(0, 5), (1, 30), (2, 59), (3, 0)])],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(9, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 03:00:00"))],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    out = interval_join(pts, iv, "ts", "s", "e", bucket="1 minute")
+    rows = out.collect()
+    assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3]
+    assert len(rows) == 4  # exactly-once despite 181 exploded buckets
+
+
+def test_interval_join_bad_bucket_unit(spark):
+    from demv_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))],
+                                "event_id long, ts timestamp")
+    with pytest.raises(ValueError, match="unsupported bucket unit"):
+        interval_join(pts, pts.select("event_id", F.col("ts").alias("s"),
+                                      F.col("ts").alias("e")),
+                      "ts", "s", "e", bucket="2 months")
