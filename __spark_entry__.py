@@ -32,6 +32,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _fx(col: str, scale: int = 12):
+    """Scaled-BIGINT canonicalization of a double output column:
+    ``floor(x · 10^scale)`` as a 64-bit integer. Integers have exactly
+    one canonical form in any checker, unlike DOUBLE (shortest-repr
+    formatting differs per engine) or DECIMAL (trailing-zero / scale
+    rendering differs per engine — the round-2 hash-fail family).
+    The doubles themselves are bit-identical across engines (decimal-
+    stable sums + single IEEE ops), so floor of the same product is
+    the same integer. Scale per column: 12 for ratios/means in
+    [~-10, 10]; smaller for values bounded only by table size so
+    ``x·10^scale`` stays far below 2^63 (ADVICE.md round 2)."""
+    return F.floor(F.col(col) * F.lit(float(10**scale))).alias(col)
+
+
+def _fx_sql(expr: str, alias: str, scale: int = 12) -> str:
+    """DuckDB rendering of ``_fx`` — identical double product, floor,
+    BIGINT."""
+    return f"CAST(FLOOR(({expr}) * 1e{scale}) AS BIGINT) AS {alias}"
+
+
 # ---- shared predicate fixtures (orders-as-predictions scenario) ----
 # The fairness metrics need (group condition, prediction, truth); we
 # derive a deterministic classification scenario from the TPC-H-ish
@@ -126,17 +146,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "returned_high": (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30),
         },
     )
-    # w_exp/w_obs/disparity are canonicalized to decimal(28,12) on
-    # BOTH sides: the doubles are bit-identical across engines, but
-    # checker canonicalizers disagree on double formatting — a fixed-
-    # scale decimal has one canonical form (round-1 driver hash fail)
+    # w_exp/w_obs/disparity are canonicalized to scaled BIGINT on BOTH
+    # sides (_fx): the doubles are bit-identical across engines, but
+    # checker canonicalizers disagree on both double formatting
+    # (round-1 fail) and decimal rendering (round-2 fail) — an integer
+    # has one canonical form everywhere. disparity is bounded only by
+    # table size (≤ N when a group has 1 row) → scale 6 keeps the
+    # product far below 2^63 at any realistic SF
     q["q_count_group_weights"] = lambda spark, sf: counting.group_weights(
         _t(spark, sf, "orders"), ["o_orderpriority"], "o_orderstatus", round_level=None
     ).select(
         "o_orderpriority", "o_orderstatus", "n", "n_sens", "n_label", "n_total",
-        F.col("w_exp").cast("decimal(28,12)").alias("w_exp"),
-        F.col("w_obs").cast("decimal(28,12)").alias("w_obs"),
-        F.col("disparity").cast("decimal(28,12)").alias("disparity"),
+        _fx("w_exp"),
+        _fx("w_obs"),
+        _fx("disparity", 6),
     )
 
     # incremental census maintenance: per-shard censuses merged by
@@ -295,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_text_cf_score"] = lambda spark, sf: text.corpus_frequency_score(
         _t(spark, sf, "documents")
-    )
+    ).select("doc_id", "n_tok", "sum_tf", _fx("cf_score"))
     q["q_text_tfidf_keywords"] = lambda spark, sf: text.tfidf_keywords(
         _t(spark, sf, "documents"), k=5
     )
@@ -304,7 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q_text_corpus_profile"] = lambda spark, sf: text.corpus_profile(
         _t(spark, sf, "documents")
-    )
+    ).select("source", "lang", "n_docs", "total_tokens", _fx("mean_quality"))
     q["q_text_lang_confusion"] = lambda spark, sf: text.lang_confusion(
         _t(spark, sf, "documents")
     )
@@ -453,7 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_corpus_mixture"] = _mixture
     q["q_corpus_mixture_report"] = lambda spark, sf: corpus.mixture_report(
         _mixture(spark, sf), "source", "n_chars"
-    )
+    ).select("source", "units", _fx("share"))
 
     # ---- dedup ----
     q["q_dedup_exact"] = lambda spark, sf: dedup.exact_dedup(
@@ -569,9 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synthesize_media_real(ids, "n_nationkey")
         return extract_features(media, dim=8, real_codecs=True).select(
             "media_id", "kind", "decoded_width", "decoded_height", "channels",
-            F.col("mean_r").cast("decimal(28,12)").alias("mean_r"),
-            F.col("mean_g").cast("decimal(28,12)").alias("mean_g"),
-            F.col("mean_b").cast("decimal(28,12)").alias("mean_b"),
+            _fx("mean_r"), _fx("mean_g"), _fx("mean_b"),
         )
 
     q["q_media_features"] = _media_features
@@ -917,10 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(
             "t", "c",
-            F.col("loss0").cast("decimal(28,12)").alias("loss0"),
-            F.col("loss1").cast("decimal(28,12)").alias("loss1"),
-            F.col("lam0").cast("decimal(28,12)").alias("lam0"),
-            F.col("lam1").cast("decimal(28,12)").alias("lam1"),
+            _fx("loss0"), _fx("loss1"), _fx("lam0"), _fx("lam1"),
         )
 
     q["q_demv_eg_census"] = _eg_census
@@ -940,12 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(
             "g",
-            F.col("lam0").cast("decimal(28,12)").alias("lam0"),
-            F.col("lam1").cast("decimal(28,12)").alias("lam1"),
+            _fx("lam0"), _fx("lam1"),
             "c",
-            F.col("loss0").cast("decimal(28,12)").alias("loss0"),
-            F.col("loss1").cast("decimal(28,12)").alias("loss1"),
-            F.col("err").cast("decimal(28,12)").alias("err"),
+            _fx("loss0"), _fx("loss1"), _fx("err"),
             "feasible", "selected",
         )
 
@@ -1133,7 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
         "FROM orders GROUP BY 1, 2"
     )
-    o["q_count_group_weights"] = """
+    o["q_count_group_weights"] = f"""
         WITH census AS (
             SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
             FROM orders GROUP BY 1, 2
@@ -1143,11 +1158,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, SUM(n) AS n_label FROM census GROUP BY 1
         ), tot AS (SELECT SUM(n) AS n_total FROM census)
         SELECT c.o_orderpriority, c.o_orderstatus, c.n, s.n_sens, l.n_label, t.n_total,
-               CAST((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)
-                    AS DECIMAL(28,12)) AS w_exp,
-               CAST(CAST(c.n AS DOUBLE)/t.n_total AS DECIMAL(28,12)) AS w_obs,
-               CAST(((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total))
-                   / (CAST(c.n AS DOUBLE)/t.n_total) AS DECIMAL(28,12)) AS disparity
+               {_fx_sql("(CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)", "w_exp")},
+               {_fx_sql("CAST(c.n AS DOUBLE)/t.n_total", "w_obs")},
+               {_fx_sql("((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)) / (CAST(c.n AS DOUBLE)/t.n_total)", "disparity", 6)}
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
     """
@@ -1424,8 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, lang, COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens,
-               CAST((CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality))
-                    AS DECIMAL(28,12)) AS mean_quality
+               {_fx_sql("CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality)", "mean_quality")}
         FROM f GROUP BY 1, 2
     """
     o["q_text_lang_confusion"] = rf"""
@@ -2127,8 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         tot AS (SELECT COUNT(*) AS total FROM t)
         SELECT t.doc_id, COUNT(*) AS n_tok,
                CAST(SUM(c.tok_n) AS BIGINT) AS sum_tf,
-               CAST(CAST(SUM(c.tok_n) AS DOUBLE) / CAST(COUNT(*) * tot.total AS DOUBLE)
-                    AS DECIMAL(28,12)) AS cf_score
+               {_fx_sql("CAST(SUM(c.tok_n) AS DOUBLE) / CAST(COUNT(*) * tot.total AS DOUBLE)", "cf_score")}
         FROM t JOIN ctf c USING (token) CROSS JOIN tot
         GROUP BY t.doc_id, tot.total
     """
@@ -2259,7 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         mix AS (SELECT doc_id, source, n_chars FROM admitted WHERE before < target),
         per AS (SELECT source, SUM(n_chars) AS units FROM mix GROUP BY 1)
         SELECT source, units,
-               CAST(CAST(units AS DOUBLE) / SUM(units) OVER () AS DECIMAL(28,12)) AS share
+               {_fx_sql("CAST(units AS DOUBLE) / SUM(units) OVER ()", "share")}
         FROM per
     """
 
@@ -2297,7 +2308,7 @@ def oracle_sql() -> dict[str, str]:
     # real-decode media: re-derive decoded dims + channel means from
     # the synthesize_media_real closed form (pixel = (id*7 + c*13)%200
     # + (x+y)%50): integer grid sums, one IEEE division — bit-exact
-    o["q_media_features"] = """
+    o["q_media_features"] = f"""
         WITH m AS (
             SELECT CAST(n_nationkey AS BIGINT) AS media_id,
                    CAST(n_nationkey % 64 + 16 AS INT) AS w,
@@ -2313,12 +2324,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT media_id, 'image' AS kind,
                w AS decoded_width, h AS decoded_height, 3 AS channels,
-               CAST(CAST(((media_id*7) % 200) * w * h + grad_sum AS DOUBLE)
-                    / (w*h) AS DECIMAL(28,12)) AS mean_r,
-               CAST(CAST(((media_id*7 + 13) % 200) * w * h + grad_sum AS DOUBLE)
-                    / (w*h) AS DECIMAL(28,12)) AS mean_g,
-               CAST(CAST(((media_id*7 + 26) % 200) * w * h + grad_sum AS DOUBLE)
-                    / (w*h) AS DECIMAL(28,12)) AS mean_b
+               {_fx_sql("CAST(((media_id*7) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_r")},
+               {_fx_sql("CAST(((media_id*7 + 13) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_g")},
+               {_fx_sql("CAST(((media_id*7 + 26) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_b")}
         FROM g
     """
 
@@ -2394,10 +2402,10 @@ def oracle_sql() -> dict[str, str]:
             FROM walk, base WHERE t < 7
         )
         SELECT t, {_eg_c} AS c,
-               CAST({_eg_loss0} AS DECIMAL(28,12)) AS loss0,
-               CAST({_eg_loss1} AS DECIMAL(28,12)) AS loss1,
-               CAST(lam0 AS DECIMAL(28,12)) AS lam0,
-               CAST(lam1 AS DECIMAL(28,12)) AS lam1
+               {_fx_sql(_eg_loss0, "loss0")},
+               {_fx_sql(_eg_loss1, "loss1")},
+               {_fx_sql("lam0", "lam0")},
+               {_fx_sql("lam1", "lam1")}
         FROM walk, base
     """
 
@@ -2452,12 +2460,12 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
         )
         SELECT g,
-               CAST(lam0 AS DECIMAL(28,12)) AS lam0,
-               CAST(lam1 AS DECIMAL(28,12)) AS lam1,
+               {_fx_sql("lam0", "lam0")},
+               {_fx_sql("lam1", "lam1")},
                c,
-               CAST(loss0 AS DECIMAL(28,12)) AS loss0,
-               CAST(loss1 AS DECIMAL(28,12)) AS loss1,
-               CAST(err AS DECIMAL(28,12)) AS err,
+               {_fx_sql("loss0", "loss0")},
+               {_fx_sql("loss1", "loss1")},
+               {_fx_sql("err", "err")},
                feasible, rn = 1 AS selected
         FROM ranked
     """

@@ -107,15 +107,14 @@ def mixture_report(
     df: DataFrame, group_col: str, unit_col: str | None = None
 ) -> DataFrame:
     """Achieved mixture of a corpus: per-group unit totals and their
-    share of the whole, as exact decimal ratios (the verification
-    half of mixture_sample — run it on the output to audit the mix).
-    Columns: group_col, units, share decimal(28,12)."""
+    share of the whole (one exact-integer division per group — the
+    verification half of mixture_sample; run it on the output to
+    audit the mix). Columns: group_col, units, share double."""
     unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
     per = df.groupBy(group_col).agg(F.sum(unit).alias("units"))
     return per.select(
         group_col,
         "units",
         (F.col("units") / F.sum("units").over(Window.partitionBy()))
-        .cast("decimal(28,12)")
         .alias("share"),
     )

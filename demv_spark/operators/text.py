@@ -248,8 +248,8 @@ def corpus_frequency_score(
     stand-in for LM-perplexity quality filtering (CCNet-style): fluent
     text is built from common tokens, gibberish from rare ones. Score
     = sum_t count(t) / (n_tok · total_tokens), every term an exact
-    long, ONE IEEE division at the end, emitted as decimal(28,12) for
-    cross-engine hash parity. Docs with no tokens drop out.
+    long, ONE IEEE division at the end — a bit-reproducible double in
+    any engine. Docs with no tokens drop out.
 
     Plan: explode → token-count aggregate → join occurrences back on
     token → per-doc aggregate. The token join is the hot-key hazard
@@ -272,7 +272,6 @@ def corpus_frequency_score(
             "n_tok",
             "sum_tf",
             (F.col("sum_tf") / (F.col("n_tok") * F.col("total")))
-            .cast("decimal(28,12)")
             .alias("cf_score"),
         )
     )
@@ -413,17 +412,15 @@ def corpus_profile(
     mean quality — the dataset-card rollup, ONE scan (token counts and
     quality are scan-side arithmetic feeding a single partial+final
     aggregate). Quality is summed in DECIMAL for cross-engine hash
-    parity (compat.stable_avg), and the mean is EMITTED as
-    decimal(28,12), not a raw IEEE double — checker canonicalizers
-    disagree on double formatting, while a fixed-scale decimal has one
-    canonical form everywhere."""
+    parity (compat.stable_avg: exact, order-independent sum, one
+    deterministic rounding back to double)."""
     from demv_spark.functions.compat import stable_avg
 
     with_feats = quality_score(token_count(df, text_col), text_col)
     return with_feats.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        stable_avg("quality").cast("decimal(28,12)").alias("mean_quality"),
+        stable_avg("quality").alias("mean_quality"),
     )
 
 
