@@ -913,6 +913,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dataset_recipe"] = _dataset_recipe
 
+    # ---- concrete reference dataset recipes (getdataset.py:9-545)
+    # run on synthesized raw tables of the loaders' exact input shape
+    # (the original CSVs aren't redistributable; the driver oracle
+    # re-derives the full recipe chain in SQL over the same synth) ----
+    def _cmc_raw(spark, sf):
+        o = _t(spark, sf, "orders")
+        k, c = F.col("o_orderkey"), F.col("o_custkey")
+        return o.select(
+            (c % 35 + 15).cast("int").alias("wife_age"),
+            (k % 50).cast("int").alias("wife_edu"),
+            (k % 4 + 1).cast("int").alias("hus_edu"),
+            (c % 8).cast("int").alias("num_child"),
+            (k % 2).cast("int").alias("wife_religion"),
+            (c % 2).cast("int").alias("wife_work"),
+            (k % 4 + 1).cast("int").alias("hus_occ"),
+            (c % 4 + 1).cast("int").alias("living"),
+            (k % 2).cast("int").alias("media"),
+            (k % 3 + 1).cast("int").alias("contr_use"),
+            F.col("o_orderkey"),
+        )
+
+    def _dataset_cmc(spark, sf):
+        from demv_spark.sources.recipes import cmc
+
+        return cmc(_cmc_raw(spark, sf), n_features=3)
+
+    q["q_dataset_cmc"] = _dataset_cmc
+
+    def _adult_raw(spark, sf):
+        o = _t(spark, sf, "orders")
+        k, c = F.col("o_orderkey"), F.col("o_custkey")
+        return o.select(
+            (c % 90 + 5).cast("int").alias("age"),
+            F.when(k % 2 == 0, " Private").otherwise(" Self-emp").alias("workclass"),
+            F.col("o_totalprice").alias("fnlwgt"),
+            F.when(k % 3 == 0, " Bachelors")
+            .when(k % 3 == 1, " HS-grad")
+            .otherwise(" Masters")
+            .alias("education"),
+            (k % 16).cast("int").alias("education-num"),
+            F.when(k % 2 == 0, " Married-civ-spouse")
+            .otherwise(" Never-married")
+            .alias("marital-status"),
+            F.when(k % 3 == 0, " Tech-support")
+            .when(k % 3 == 1, " Sales")
+            .otherwise(" Craft-repair")
+            .alias("occupation"),
+            F.when(c % 2 == 0, " Husband").otherwise(" Not-in-family").alias("relationship"),
+            F.when(c % 3 == 0, " Black")
+            .when(c % 3 == 1, " White")
+            .otherwise(" Asian-Pac-Islander")
+            .alias("race"),
+            F.when(k % 2 == 0, " Male").otherwise(" Female").alias("sex"),
+            (k % 5000).cast("int").alias("capital-gain"),
+            (c % 2000).cast("int").alias("capital-loss"),
+            (k % 99 + 1).cast("int").alias("hours-per-week"),
+            F.when(k % 7 == 0, " ?")
+            .when(k % 2 == 0, " United-States")
+            .otherwise(" Mexico")
+            .alias("native-country"),
+            F.when(k % 2 == 1, " >50K").otherwise(" <=50K").alias("income"),
+            F.col("o_orderkey"),
+        )
+
+    def _dataset_adult(spark, sf):
+        from demv_spark.sources.recipes import adult
+
+        return adult(_adult_raw(spark, sf))
+
+    q["q_dataset_adult"] = _dataset_adult
+
+    def _dataset_wine(spark, sf):
+        from demv_spark.sources.recipes import wine
+
+        p, s = _t(spark, sf, "part"), _t(spark, sf, "supplier")
+        red = p.select(
+            (F.col("p_partkey") % 14).cast("double").alias("alcohol"),
+            (F.col("p_partkey") % 7 + 3).cast("int").alias("quality"),
+            (F.col("p_retailprice") / 1000).alias("density"),
+            F.col("p_partkey").alias("pkey"),
+        )
+        white = s.select(
+            (F.col("s_suppkey") % 14).cast("double").alias("alcohol"),
+            (F.col("s_suppkey") % 7 + 3).cast("int").alias("quality"),
+            (F.col("s_acctbal") / 5000).alias("density"),
+            (F.col("s_suppkey") + 10_000_000).alias("pkey"),
+        )
+        return wine(red, white, n_features=3)
+
+    q["q_dataset_wine"] = _dataset_wine
+
+    def _law_raw(spark, sf):
+        o = _t(spark, sf, "orders")
+        k, c = F.col("o_orderkey"), F.col("o_custkey")
+        return o.select(
+            F.when(k % 2 == 0, "NO").otherwise("YES").alias("Dropout"),
+            F.when(k % 3 == 0, "female").otherwise("male").alias("gender"),
+            F.when(c % 3 == 0, F.lit(7.0))
+            .when(c % 3 == 1, F.lit(1.0))
+            .otherwise(F.lit(3.0))
+            .alias("race"),
+            (F.col("o_totalprice") + k / F.lit(1e6)).alias("gpa"),
+            (c % 80 + 18).cast("int").alias("age"),
+            F.when(k % 97 == 0, F.lit(None).cast("double"))
+            .otherwise((k % 41).cast("double"))
+            .alias("lsat"),
+            F.col("o_orderkey"),
+        )
+
+    def _dataset_law(spark, sf):
+        from demv_spark.sources.recipes import law
+
+        return law(_law_raw(spark, sf), n_features=3)
+
+    q["q_dataset_law"] = _dataset_law
+
+    # multiclass blackbox post-processor (utils.py:362-369) — quota
+    # assignment over a 3-class price prediction per priority group
+    def _postprocess_multiclass(spark, sf):
+        from demv_spark.operators.postprocess import multiclass_quota_adjust
+
+        tbl = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_totalprice") < 100000, 0)
+            .when(F.col("o_totalprice") < 200000, 1)
+            .otherwise(2)
+            .alias("pred"),
+        )
+        return multiclass_quota_adjust(
+            tbl, ["o_orderpriority"], "pred", ["pred", "o_orderkey"]
+        ).select("o_orderkey", "o_orderpriority", "pred", "prediction_adj")
+
+    q["q_postprocess_multiclass"] = _postprocess_multiclass
+
     # ---- exponentiated-gradient weight dynamics (E8) ----
     # the EG reduction's λ-multiplier game over the (s, y) census with
     # the constant-prediction best response: every iteration's best
@@ -2354,6 +2489,162 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER) AS seg_house,
                CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS seg_mach
         FROM customer WHERE c_acctbal IS NOT NULL
+    """
+
+    # concrete dataset recipes: the oracle re-derives every recipe
+    # step (filter → recode → bin → one-hot → encode) in SQL over the
+    # same synthesized raw shape
+    o["q_dataset_cmc"] = """
+        SELECT CAST(o_custkey % 35 + 15 AS INT) AS wife_age,
+               CAST(o_orderkey % 50 >= 33 AS INT) AS wife_edu,
+               CAST(o_orderkey % 4 + 1 AS INT) AS hus_edu,
+               CAST(o_custkey % 8 AS INT) AS num_child,
+               CAST(o_orderkey % 2 AS INT) AS wife_religion,
+               CAST(o_custkey % 2 AS INT) AS wife_work,
+               CAST(o_orderkey % 4 + 1 AS INT) AS hus_occ,
+               CAST(o_custkey % 4 + 1 AS INT) AS living,
+               CAST(o_orderkey % 2 AS INT) AS media,
+               CAST(o_orderkey % 3 + 1 AS INT) AS contr_use,
+               o_orderkey
+        FROM orders
+    """
+    o["q_dataset_adult"] = """
+        WITH raw AS (
+            SELECT CAST(o_custkey % 90 + 5 AS INT) AS age,
+                   CASE WHEN o_orderkey % 3 = 0 THEN ' Bachelors'
+                        WHEN o_orderkey % 3 = 1 THEN ' HS-grad'
+                        ELSE ' Masters' END AS education,
+                   CASE WHEN o_orderkey % 2 = 0 THEN ' Married-civ-spouse'
+                        ELSE ' Never-married' END AS marital,
+                   CASE WHEN o_orderkey % 3 = 0 THEN ' Tech-support'
+                        WHEN o_orderkey % 3 = 1 THEN ' Sales'
+                        ELSE ' Craft-repair' END AS occupation,
+                   CASE WHEN o_custkey % 2 = 0 THEN ' Husband'
+                        ELSE ' Not-in-family' END AS relationship,
+                   CASE WHEN o_custkey % 3 = 0 THEN ' Black'
+                        WHEN o_custkey % 3 = 1 THEN ' White'
+                        ELSE ' Asian-Pac-Islander' END AS race,
+                   CASE WHEN o_orderkey % 2 = 0 THEN ' Male'
+                        ELSE ' Female' END AS sex,
+                   CAST(o_orderkey % 99 + 1 AS INT) AS hours_pw,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'Not known'
+                        WHEN o_orderkey % 2 = 0 THEN ' United-States'
+                        ELSE ' Mexico' END AS country,
+                   CAST(o_orderkey % 2 = 1 AS INT) AS income,
+                   o_orderkey
+            FROM orders
+        ),
+        f AS (SELECT * FROM raw WHERE race IN (' Black', ' White'))
+        SELECT CAST(education = ' Bachelors' AS INT) AS "Bachelors",
+               CAST(education = ' HS-grad' AS INT) AS " HS-grad",
+               CAST(education = ' Masters' AS INT) AS " Masters",
+               CAST(marital = ' Married-civ-spouse' AS INT) AS " Married-civ-spouse",
+               CAST(marital = ' Never-married' AS INT) AS " Never-married",
+               CAST(occupation = ' Craft-repair' AS INT) AS " Craft-repair",
+               CAST(occupation = ' Sales' AS INT) AS " Sales",
+               CAST(occupation = ' Tech-support' AS INT) AS " Tech-support",
+               CAST(relationship = ' Husband' AS INT) AS " Husband",
+               CAST(relationship = ' Not-in-family' AS INT) AS " Not-in-family",
+               CAST(country = ' Mexico' AS INT) AS " Mexico",
+               CAST(country = ' United-States' AS INT) AS " United-States",
+               CAST(country = 'Not known' AS INT) AS "Not known",
+               CAST(age > 0 AND age <= 9 AS INT) AS "age<10",
+               CAST(age > 9 AND age <= 19 AS INT) AS "age between 10 and 20",
+               CAST(age > 19 AND age <= 29 AS INT) AS "age between 20 and 30",
+               CAST(age > 29 AND age <= 39 AS INT) AS "age between 30 and 40",
+               CAST(age > 39 AND age <= 49 AS INT) AS "age between 40 and 50",
+               CAST(age > 49 AND age <= 59 AS INT) AS "age between 50 and 60",
+               CAST(age > 59 AND age <= 69 AS INT) AS "age between 60 and 70",
+               CAST(age > 69 AND age <= 99 AS INT) AS "age>70",
+               CAST(hours_pw > 0 AND hours_pw <= 9 AS INT) AS "hours",
+               CAST(hours_pw > 9 AND hours_pw <= 19 AS INT) AS "hours between 10 and 20",
+               CAST(hours_pw > 19 AND hours_pw <= 29 AS INT) AS "hours between 20 and 30",
+               CAST(hours_pw > 29 AND hours_pw <= 39 AS INT) AS "hours between 30 and 40",
+               CAST(hours_pw > 39 AND hours_pw <= 49 AS INT) AS "hour between 40 and 50",
+               CAST(hours_pw > 49 AND hours_pw <= 99 AS INT) AS "hour>70",
+               income,
+               CAST(sex = ' Male' AS INT) AS sex,
+               CAST(race = ' White' AS INT) AS race,
+               o_orderkey
+        FROM f
+    """
+    o["q_dataset_wine"] = """
+        WITH u AS (
+            SELECT CAST(p_partkey % 14 AS DOUBLE) AS alcohol,
+                   CAST(p_partkey % 7 + 3 AS INT) AS quality,
+                   p_retailprice / 1000 AS density,
+                   p_partkey AS pkey, 0 AS type
+            FROM part
+            UNION ALL
+            SELECT CAST(s_suppkey % 14 AS DOUBLE),
+                   CAST(s_suppkey % 7 + 3 AS INT),
+                   s_acctbal / 5000, s_suppkey + 10000000, 1
+            FROM supplier
+        )
+        SELECT CASE WHEN alcohol <= 10 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE) END AS alcohol,
+               quality,
+               CAST(density >= 1.1 AS INT) AS density,
+               pkey, type
+        FROM u WHERE quality NOT IN (3, 8, 9)
+    """
+    o["q_dataset_law"] = """
+        WITH raw AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'NO' ELSE 'YES' END AS dropout_s,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'female' ELSE 'male' END AS gender_s,
+                   CASE WHEN o_custkey % 3 = 0 THEN 7.0
+                        WHEN o_custkey % 3 = 1 THEN 1.0
+                        ELSE 3.0 END AS race_raw,
+                   o_totalprice + (o_orderkey / 1e6) AS gpa_raw,
+                   CAST(o_custkey % 80 + 18 AS INT) AS age_raw,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 41 AS DOUBLE) END AS lsat,
+                   o_orderkey
+            FROM orders
+        ),
+        f AS (SELECT * FROM raw WHERE lsat IS NOT NULL)
+        SELECT CAST(CASE WHEN dropout_s = 'NO' THEN 0 ELSE 1 END AS INT) AS "Dropout",
+               CAST(CASE WHEN gender_s = 'female' THEN 1 ELSE 0 END AS INT) AS gender,
+               CASE WHEN race_raw = 7.0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE) END AS race,
+               CAST(age_raw >= 61 AS INT) AS age,
+               lsat, o_orderkey,
+               CAST(NTILE(3) OVER (ORDER BY gpa_raw) - 1 AS INT) AS gpa
+        FROM f
+    """
+    # multiclass quota post-processor: boundary table re-derived with
+    # the same exact-integer arithmetic, assignment via the rank ≤
+    # boundary min-class join
+    o["q_postprocess_multiclass"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_totalprice < 100000 THEN 0
+                        WHEN o_totalprice < 200000 THEN 1
+                        ELSE 2 END AS pred
+            FROM orders
+        ),
+        pooled AS (
+            SELECT pred AS cls,
+                   SUM(COUNT(*)) OVER (ORDER BY pred
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM base GROUP BY pred
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM base),
+        sizes AS (SELECT o_orderpriority, COUNT(*) AS gn FROM base GROUP BY 1),
+        bounds AS (
+            SELECT s.o_orderpriority, p.cls, (p.cum * s.gn) // t.n AS b
+            FROM sizes s CROSS JOIN pooled p CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderpriority ORDER BY pred, o_orderkey) AS rn
+            FROM base
+        )
+        SELECT r.o_orderkey, r.o_orderpriority, r.pred,
+               CAST(MIN(b.cls) AS INT) AS prediction_adj
+        FROM ranked r
+        JOIN bounds b ON r.o_orderpriority = b.o_orderpriority AND r.rn <= b.b
+        GROUP BY r.o_orderkey, r.o_orderpriority, r.pred
     """
 
     # EG weight dynamics: re-derive the multiplier game's full

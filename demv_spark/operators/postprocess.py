@@ -83,6 +83,85 @@ def equalize_positive_rates(
     ).drop("__rn")
 
 
+def multiclass_quota_adjust(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pred_col: str,
+    order_cols: Sequence[str],
+    out: str = "prediction_adj",
+) -> DataFrame:
+    """Multiclass post-processing balancer — the engine's twin of the
+    reference's ``blackbox`` adjuster (utils.py:362-369: the external
+    `balancers` MulticlassBalancer over a combined sensitive column).
+    That package solves an LP for a *randomized* per-(group, class)
+    reassignment; the engine-native re-expression is the deterministic
+    per-class quota assignment with the same shape: every group's
+    adjusted class distribution is forced to the pooled prediction
+    distribution (statistical parity across all classes), assignments
+    chosen by a deterministic within-group order instead of
+    randomization so the operator is reproducible and SQL-oracle-able.
+
+    Mechanics: pooled census of ``pred_col`` → cumulative class counts
+    cum_c; per group of size n_g the class-c rank boundary is
+    ``b_{g,c} = (cum_c · n_g) div N`` — *integer* arithmetic, so the
+    boundaries are exact, monotone, engine-portable, and b_last = n_g.
+    Rows rank within their group by ``order_cols`` (must be a total
+    order; include original ``pred_col`` first to keep assignments
+    maximally aligned with the classifier's own classes) and take the
+    smallest class whose boundary covers their rank.
+
+    Plan: one pooled aggregate + one group census (both tiny) build a
+    per-group boundary ARRAY, broadcast and resolved by a map-side
+    array scan — no per-row join fan-out (a rank≤boundary non-equi
+    join would multiply rows by matching classes before re-collapsing;
+    the array filter does the same selection inside codegen). The only
+    big-data op is the per-group ranking window — one shuffle. Groups
+    here are demographic slices (few, huge): past ~4M rows/group use
+    the range-bucketed exact-rank pattern (_ranked_by_score_bucketed)
+    to keep any one task from owning a whole group.
+    """
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    # pooled class census is config-scale (#classes rows): collect it,
+    # fold to cumulative counts driver-side
+    census = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(pred_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    classes, cums, acc = [], [], 0
+    for cls, n in census:
+        acc += n
+        classes.append(cls)
+        cums.append(acc)
+    n_total = acc
+    sizes = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn"))
+    # per-(group, class) boundary array: (cum_c · n_g) div N — exact
+    # BIGINT arithmetic, monotone, and b_last = n_g by construction
+    bounds = sizes.withColumn(
+        "__bounds",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(cls).alias("cls"),
+                    F.expr(f"({cum}L * __gn) div {n_total}L").alias("b"),
+                )
+                for cls, cum in zip(classes, cums)
+            ]
+        ),
+    ).drop("__gn")
+    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    rn = F.col("__rn")
+    pick = F.element_at(
+        F.filter(F.col("__bounds"), lambda x: rn <= x["b"]), 1
+    )["cls"]
+    return (
+        ranked.join(F.broadcast(bounds), gcols)
+        .withColumn(out, pick)
+        .drop("__rn", "__bounds")
+    )
+
+
 def _ranked_by_score_bucketed(
     df: DataFrame,
     group_cols: list[str],

@@ -68,6 +68,13 @@ def read_csv_noheader(
     return df.toDF(*names)
 
 
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S2 — header CSV with schema inference (getdataset.py:128,282,
+    327). Loaders that read with ``index_col=0`` drop the first column
+    themselves (sources/recipes.py)."""
+    return spark.read.csv(path, header=True, inferSchema=True, **options)
+
+
 def read_csv_semicolon(spark: SparkSession, path: str, **options) -> DataFrame:
     """S3 — ';'-delimited CSV (wine loader, getdataset.py:495-497)."""
     return spark.read.csv(path, header=True, inferSchema=True, sep=";", **options)

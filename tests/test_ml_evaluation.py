@@ -170,3 +170,52 @@ def test_majority_baseline_oof(spark):
     folds1 = {r["id"]: r["fold"] for r in out.collect()}
     out2 = majority_baseline_oof(df, "y", key_cols=["id"], k=5, seed=2)
     assert folds1 == {r["id"]: r["fold"] for r in out2.collect()}
+
+
+def test_multiclass_quota_adjust_equalizes_class_shares(spark):
+    from demv_spark.operators.postprocess import multiclass_quota_adjust
+
+    # group a: all predicted 0; group b: all predicted 2 — pooled
+    # distribution is 50/50, so each group must end up half 0, half 2
+    rows = [(i, "a", 0) for i in range(100)] + [(i, "b", 2) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "g", "pred"])
+    out = multiclass_quota_adjust(df, ["g"], "pred", ["pred", "id"])
+    census = {
+        (r["g"], r["prediction_adj"]): r["n"]
+        for r in out.groupBy("g", "prediction_adj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert census == {("a", 0): 50, ("a", 2): 50, ("b", 0): 50, ("b", 2): 50}
+
+
+def test_multiclass_quota_adjust_boundaries_and_determinism(spark):
+    from demv_spark.operators.postprocess import multiclass_quota_adjust
+
+    # pooled: 30 of class 0, 60 of 1, 30 of 2 out of 120 → shares
+    # 1/4, 1/2, 1/4; group sizes 40 and 80 → quotas (10,20,10), (20,40,20)
+    rows = (
+        [(i, "a", 0) for i in range(30)]
+        + [(100 + i, "a", 1) for i in range(10)]
+        + [(200 + i, "b", 1) for i in range(50)]
+        + [(300 + i, "b", 2) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, ["id", "g", "pred"])
+    out = multiclass_quota_adjust(df, ["g"], "pred", ["pred", "id"])
+    census = {
+        (r["g"], r["prediction_adj"]): r["n"]
+        for r in out.groupBy("g", "prediction_adj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert census == {
+        ("a", 0): 10, ("a", 1): 20, ("a", 2): 10,
+        ("b", 0): 20, ("b", 1): 40, ("b", 2): 20,
+    }
+    # deterministic: same input → same per-row assignment
+    a = {r["id"]: r["prediction_adj"] for r in out.collect()}
+    b = {
+        r["id"]: r["prediction_adj"]
+        for r in multiclass_quota_adjust(df, ["g"], "pred", ["pred", "id"]).collect()
+    }
+    assert a == b
