@@ -5,7 +5,9 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
 Each query is forced with a full collect (the driver-comparable
-shape); value = total wall seconds across headline queries.
+shape) and timed REPS times; the per-query number is the MEDIAN run
+(single shots in this sandbox swing up to ~3x on identical plans —
+VERDICT r2 "Performance" adjudication); value = total of medians.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -40,6 +43,9 @@ HEADLINE = [
     "q_events_hourly",
     "q_stream_sessionize",
     "q_postprocess_equalize",
+    # round-3 additions: concrete recipe pipeline + multiclass quota
+    "q_dataset_adult",
+    "q_postprocess_multiclass",
 ]
 
 
@@ -72,12 +78,20 @@ def main() -> None:
                 qs[name](spark, warm_dir).collect()
             except Exception:
                 pass  # warm-up is best-effort; the timed run will report
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = len(qs[name](spark, sf_dir).collect())
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: median {timings[name]}s of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -316,6 +316,87 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def ivf_topk_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with CALLER-SUPPLIED centroids — the engine-portable
+    twin of ``ivf_topk`` (same cell/probe/re-rank machinery, KMeans
+    swapped for a fixed centroid table), exactly like the portable-md5
+    minhash twins of the xxhash64 sketches: with deterministic
+    centroids every step — cosine cell assignment (max cos, tie →
+    lowest cell), n_probe cell probing, in-cell exact re-rank — is a
+    pure SQL-expressible function of the data, so the whole IVF
+    ALGORITHM gets a value-hash oracle while the KMeans variant keeps
+    its recall tests. Seed centroids with any deterministic rule (the
+    driver query uses the first ``n_lists`` corpus vectors — FAISS-
+    style sample seeding) or ship KMeans centers from a prior fit.
+
+    Scale shape: centroids are literal arrays folded into codegen, so
+    CELL ASSIGNMENT IS A PURE MAP — no shuffle, no join, unlike a
+    centroid-table join which would shuffle the corpus. Probing ranks
+    the same literal array per query (map), and only the candidate
+    join + per-query top-k shuffle."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cell, vec in centroids
+        ]
+    )
+    # per-vector scores against every centroid, in codegen; argmax by
+    # struct comparison: (cos, -cell) max == highest cos, lowest cell
+    def _scores(v):
+        return F.transform(
+            cent,
+            lambda c: F.struct(
+                cosine(v, c["cv"]).alias("s"), (-c["cell"]).alias("negcell")
+            ),
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("__cell", -F.array_max(_scores(F.col("cv")))["negcell"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn(
+        "__probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        _scores(F.col("qv")),
+                        lambda s: F.struct(
+                            (-s["s"]).alias("negs"), (-s["negcell"]).alias("cell")
+                        ),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probed = q.select("query_id", "qv", F.explode("__probes").alias("__cell"))
+    scored = (
+        c.join(F.broadcast(probed), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

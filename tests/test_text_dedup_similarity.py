@@ -431,3 +431,25 @@ def test_gopher_rules_flags(spark):
     assert got[2]["keep"] is False and not got[2]["flag_word_count"]
     assert got[3]["keep"] is False
     assert not got[3]["flag_alpha_words"] and not got[3]["flag_symbol_ratio"]
+
+
+def test_ivf_topk_fixed_recall_and_full_probe_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(
+            emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        )
+    ]
+    exact = similarity.cosine_topk_bruteforce(queries, emb, k=5)
+    approx = similarity.ivf_topk_fixed(queries, emb, cents, k=5, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+    # probing EVERY cell degenerates to exact brute force — the
+    # IVF invariant that pins the cell/probe machinery correct
+    full = similarity.ivf_topk_fixed(queries, emb, cents, k=5, n_probe=len(cents))
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    x = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert f == x
