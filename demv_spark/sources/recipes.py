@@ -45,7 +45,9 @@ def _dummies(df: DataFrame, col: str, values=None) -> DataFrame:
     """pd.get_dummies twin: bare category-named indicator columns,
     original column dropped. With ``values=None`` the observed domain
     is enumerated (sorted, one tiny distinct per column — config-
-    scale, like the pandas call itself)."""
+    scale, like the pandas call itself); recipes with several
+    categorical columns discover every domain in ONE aggregate via
+    ``_observed_domains`` instead."""
     if values is None:
         values = sorted(
             r[0] for r in df.select(col).distinct().collect() if r[0] is not None
@@ -54,6 +56,29 @@ def _dummies(df: DataFrame, col: str, values=None) -> DataFrame:
     for v in values:
         out = out.withColumn(str(v), (F.col(col) == F.lit(v)).cast("int"))
     return out.drop(col)
+
+
+def _observed_domains(df: DataFrame, cols: list[str]) -> dict[str, list]:
+    """Every needed column domain from ONE fused collect_set aggregate
+    (config-scale result). A per-column ``distinct`` would re-scan the
+    recipe lineage once per column — the adult recipe's 8 encoded
+    columns cost 8 extra scans + shuffles that way; this is 1 scan."""
+    row = df.agg(
+        *[F.collect_set(F.col(c)).alias(str(i)) for i, c in enumerate(cols)]
+    ).first()
+    return {c: sorted(row[str(i)]) for i, c in enumerate(cols)}
+
+
+def _encode_lex(df: DataFrame, col: str, domain: list) -> DataFrame:
+    """Lexicographic label encode (sklearn LabelEncoder/OrdinalEncoder
+    parity — both sort categories) as a pure CASE chain over a known
+    domain: stays in codegen, no distinct, no join — the recipe-side
+    twin of etl.label_encode (which discovers its own domain)."""
+    expr = None
+    for i, v in enumerate(domain):
+        cond = F.col(col) == F.lit(v)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return df.withColumn(col, expr.cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -102,16 +127,16 @@ def adult(raw: DataFrame) -> DataFrame:
         "hours-per-week", "workclass", "fnlwgt", "capital-gain",
         "capital-loss", "age", "education-num",
     )
-    for c in ("education", "marital-status", "occupation", "relationship",
-              "native-country"):
-        out = _dummies(out, c)
+    cat_cols = ["education", "marital-status", "occupation", "relationship",
+                "native-country"]
+    enc_cols = ["income", "sex", "race"]
+    doms = _observed_domains(out, cat_cols + enc_cols)
+    for c in cat_cols:
+        out = _dummies(out, c, doms[c])
     out = _dummies(out, "age_class", ADULT_AGE_LABELS)
     out = _dummies(out, "hour-per-week-class", ADULT_HOUR_LABELS)
-    out = etl.label_encode(out, "income", out="__inc")
-    out = out.drop("income").withColumnRenamed("__inc", "income")
-    for c in ("sex", "race"):
-        out = etl.label_encode(out, c, out=f"__{c}")
-        out = out.drop(c).withColumnRenamed(f"__{c}", c)
+    for c in enc_cols:
+        out = _encode_lex(out, c, doms[c])
     return out.withColumnsRenamed({" Bachelors": "Bachelors", "hour<10": "hours"})
 
 
@@ -301,9 +326,9 @@ def obesity(raw: DataFrame, n_features: int = 2) -> DataFrame:
     22; 3-feature variant binarizes the (already-encoded) MTRANS code
     at 3 (getdataset.py:412-416)."""
     out = raw.drop("NObeyesdad", "weight_cat", "yhat", "a")
+    doms = _observed_domains(out, OBESITY_ENCODE)
     for c in OBESITY_ENCODE:
-        out = etl.label_encode(out, c, out=f"__{c}")
-        out = out.drop(c).withColumnRenamed(f"__{c}", c)
+        out = _encode_lex(out, c, doms[c])
     out = etl.recode_map(
         out, "y",
         {"Normal_Weight": 0, "Overweight_Level_I": 1,

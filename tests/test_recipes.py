@@ -269,3 +269,64 @@ def test_load_drug_real_file(spark):
     from pyspark.sql.types import StringType
 
     assert not [f for f in df.schema.fields if isinstance(f.dataType, StringType)]
+
+
+@needs_ref_data
+def test_load_adult_real_file(spark):
+    df = R.load_adult(spark, f"{REF_DATA}/adult.data")
+    # race filter keeps only Black/White rows of the 32561
+    n = df.count()
+    assert 28000 < n < 32561
+    assert "Bachelors" in df.columns and "hours" in df.columns
+    doms = df.select(
+        F.collect_set("sex").alias("s"),
+        F.collect_set("race").alias("r"),
+        F.collect_set("income").alias("i"),
+    ).first()
+    assert sorted(doms["s"]) == [0, 1]
+    assert sorted(doms["r"]) == [0, 1]
+    assert sorted(doms["i"]) == [0, 1]
+    # every declared pd.cut label is a column even if unobserved
+    for lab in R.ADULT_AGE_LABELS[1:]:
+        assert lab in df.columns
+
+
+@needs_ref_data
+def test_load_park_real_file(spark):
+    df = R.load_park(spark, f"{REF_DATA}/park.csv", n_features=3)
+    assert {r["age"] for r in df.select("age").distinct().collect()} == {0, 1}
+    assert {r["score_cut"] for r in df.select("score_cut").distinct().collect()} <= {0, 1, 2}
+    assert {r["PPE"] for r in df.select("PPE").distinct().collect()} == {0, 1}
+    for gone in ("subject#", "motor_UPDRS", "total_UPDRS", "test_time"):
+        assert gone not in df.columns
+
+
+@needs_ref_data
+def test_load_crime_real_file(spark):
+    df = R.load_crime(spark, f"{REF_DATA}/crime_data_normalized.xlsx")
+    assert df.count() == 1994            # UCI communities-and-crime rows
+    assert "ViolentCrimesClass" in df.columns
+    assert "ViolentCrimesPerPop" not in df.columns
+    census = {
+        r["ViolentCrimesClass"]: r["n"]
+        for r in df.groupBy("ViolentCrimesClass")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # cascade semantics on REAL (z-scored, right-skewed) data: the
+    # in-place loop re-captures earlier assignments whose value ≤ a
+    # later quantile (e.g. the 0-class lands inside a later bucket —
+    # getdataset.py:173-180 as written; the exact loop replay is
+    # pinned by test_crime_cascade_matches_reference_loop), so only
+    # structure is asserted here: classes are i·100, top class
+    # present, quintile-ish masses
+    assert set(census) <= {0.0, 100.0, 200.0, 300.0, 400.0, 500.0}
+    assert 500.0 in census
+    assert sum(census.values()) == 1994
+    assert all(n >= 0.15 * 1994 for c, n in census.items() if c in (200.0, 300.0))
+    assert {r["black_people"] for r in df.select("black_people").distinct().collect()} == {0, 1}
+    # no remaining NA anywhere (NA columns dropped)
+    n_null = df.select(
+        sum(F.sum(F.col(c).isNull().cast("long")) for c in df.columns).alias("n")
+    ).first()["n"]
+    assert n_null == 0
