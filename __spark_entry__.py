@@ -1047,6 +1047,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dataset_law"] = _dataset_law
 
+    # remaining SQL-expressible recipes (german/compas: passthrough +
+    # 3-feature binarize; drug: recode + string-drop; obesity: fused
+    # domain encode). park (seeded sampling) and crime (percentile
+    # interpolation) stay pytest + real-file verified.
+    def _dataset_german(spark, sf):
+        from demv_spark.sources.recipes import german
+
+        c = F.col("c_custkey")
+        raw = _t(spark, sf, "customer").select(
+            (c % 2).cast("int").alias("credit"),
+            (c % 3 == 0).cast("int").alias("sex"),
+            (c % 60 + 18).cast("int").alias("age"),
+            (c % 5).cast("int").alias("investment_as_income_percentage"),
+            F.col("c_acctbal").alias("f1"),
+            F.col("c_custkey"),
+        )
+        return german(raw, n_features=3)
+
+    q["q_dataset_german"] = _dataset_german
+
+    def _dataset_compas(spark, sf):
+        from demv_spark.sources.recipes import compas
+
+        c = F.col("c_custkey")
+        raw = _t(spark, sf, "customer").select(
+            (c % 2).cast("int").alias("two_year_recid"),
+            (c % 2).cast("int").alias("sex"),
+            (c % 3).cast("int").alias("race"),
+            (c % 70 + 18).cast("int").alias("age"),
+            F.col("c_custkey"),
+        )
+        return compas(raw, n_features=3)
+
+    q["q_dataset_compas"] = _dataset_compas
+
+    def _dataset_drug(spark, sf):
+        from demv_spark.sources.recipes import drug
+
+        c = F.col("c_custkey")
+        raw = _t(spark, sf, "customer").select(
+            F.when(c % 2 == 0, F.lit(0.48246)).otherwise(F.lit(-0.48246)).alias("gender"),
+            F.when(c % 3 == 0, "white").otherwise("non-white").alias("race"),
+            F.when(c % 3 == 0, "never")
+            .when(c % 3 == 1, "not last year")
+            .otherwise("last year")
+            .alias("y"),
+            ((c % 50).cast("double") / 10 - 2.5).alias("age"),
+            F.col("c_name").alias("name"),
+            F.lit("d").alias("yhat"),
+            F.lit("d").alias("a"),
+            F.col("c_custkey"),
+        )
+        return drug(raw, n_features=3)
+
+    q["q_dataset_drug"] = _dataset_drug
+
+    def _dataset_obesity(spark, sf):
+        from demv_spark.sources.recipes import obesity
+
+        c = F.col("c_custkey")
+        raw = _t(spark, sf, "customer").select(
+            F.when(c % 2 == 0, "Male").otherwise("Female").alias("Gender"),
+            F.when(c % 3 == 0, "yes").otherwise("no").alias(
+                "family_history_with_overweight"
+            ),
+            F.when(c % 2 == 0, "yes").otherwise("no").alias("FAVC"),
+            F.when(c % 4 == 0, "Always")
+            .when(c % 4 == 1, "Frequently")
+            .when(c % 4 == 2, "Sometimes")
+            .otherwise("no")
+            .alias("CAEC"),
+            F.when(c % 5 == 0, "yes").otherwise("no").alias("SMOKE"),
+            F.when(c % 7 == 0, "yes").otherwise("no").alias("SCC"),
+            F.when(c % 3 == 0, "Frequently")
+            .when(c % 3 == 1, "Sometimes")
+            .otherwise("no")
+            .alias("CALC"),
+            F.when(c % 4 == 0, "Automobile")
+            .when(c % 4 == 1, "Bike")
+            .when(c % 4 == 2, "Public_Transportation")
+            .otherwise("Walking")
+            .alias("MTRANS"),
+            F.when(c % 5 == 0, "Normal_Weight")
+            .when(c % 5 == 1, "Overweight_Level_I")
+            .when(c % 5 == 2, "Overweight_Level_II")
+            .when(c % 5 == 3, "Obesity_Type_I")
+            .otherwise("Insufficient_Weight")
+            .alias("y"),
+            (c % 60 + 10).cast("double").alias("Age"),
+            F.lit("d").alias("NObeyesdad"),
+            F.lit("d").alias("weight_cat"),
+            F.lit("d").alias("yhat"),
+            F.lit("d").alias("a"),
+            F.col("c_custkey"),
+        )
+        return obesity(raw, n_features=3)
+
+    q["q_dataset_obesity"] = _dataset_obesity
+
     # multiclass blackbox post-processor (utils.py:362-369) — quota
     # assignment over a 3-class price prediction per priority group
     def _postprocess_multiclass(spark, sf):
@@ -2681,6 +2780,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(3) OVER (ORDER BY gpa_raw) - 1 AS INT) AS gpa
         FROM f
     """
+    o["q_dataset_german"] = """
+        SELECT CAST(c_custkey % 2 AS INT) AS credit,
+               CAST(c_custkey % 3 = 0 AS INT) AS sex,
+               CAST(c_custkey % 60 + 18 AS INT) AS age,
+               CAST(c_custkey % 5 >= 3 AS INT) AS investment_as_income_percentage,
+               c_acctbal AS f1,
+               c_custkey
+        FROM customer
+    """
+    o["q_dataset_compas"] = """
+        SELECT CAST(c_custkey % 2 AS INT) AS two_year_recid,
+               CAST(c_custkey % 2 AS INT) AS sex,
+               CAST(c_custkey % 3 AS INT) AS race,
+               CAST(c_custkey % 70 + 18 >= 50 AS INT) AS age,
+               c_custkey
+        FROM customer
+    """
+    o["q_dataset_drug"] = """
+        SELECT CAST(CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS gender,
+               CAST(c_custkey % 3 = 0 AS INT) AS race,
+               CAST(c_custkey % 3 AS INT) AS y,
+               CAST(c_custkey % 50 >= 25 AS INT) AS age,
+               c_custkey
+        FROM customer
+    """
+    # obesity: lexicographic encodes collapse to modular arithmetic on
+    # the synthesized domains (e.g. CAEC's sorted domain {Always,
+    # Frequently, Sometimes, no} maps c%4 to itself — uppercase sorts
+    # before lowercase)
+    o["q_dataset_obesity"] = """
+        SELECT CAST(c_custkey % 2 = 0 AS INT) AS "Gender",
+               CAST(c_custkey % 3 = 0 AS INT) AS family_history_with_overweight,
+               CAST(c_custkey % 2 = 0 AS INT) AS "FAVC",
+               CAST(c_custkey % 4 AS INT) AS "CAEC",
+               CAST(c_custkey % 5 = 0 AS INT) AS "SMOKE",
+               CAST(c_custkey % 7 = 0 AS INT) AS "SCC",
+               CAST(c_custkey % 3 AS INT) AS "CALC",
+               CAST(c_custkey % 4 >= 3 AS INT) AS "MTRANS",
+               CAST(c_custkey % 5 AS INT) AS y,
+               CAST(c_custkey % 60 >= 12 AS INT) AS "Age",
+               c_custkey
+        FROM customer
+    """
+
     # multiclass quota post-processor: boundary table re-derived with
     # the same exact-integer arithmetic, assignment via the rank ≤
     # boundary min-class join
@@ -2849,10 +2992,57 @@ def oracle_sql() -> dict[str, str]:
         WHERE len({_toks}) >= 3
     """
 
-    # q_dedup_minhash_lsh, q_dedup_simhash, q_sim_near_dup,
-    # q_demv_rebalance_uniform, q_demv_rebalance_smote: intentionally
-    # no SQL oracle (xxhash64 sketches / seeded sampling are not
-    # SQL-expressible) → driver rows-only check; invariants in tests/.
-    # The minhash/LSH/simhash ALGORITHMS are nonetheless fully oracled
-    # via the portable-hash variants above (q_dedup_*_portable).
+    # SRP-LSH near-dup: the hyperplanes are DETERMINISTIC literals
+    # (seeded LCG + Box-Muller, similarity._hyperplanes), so the whole
+    # pipeline — plane dots → sign bits → banded buckets → pair join →
+    # exact cosine filter — is re-derived in SQL with the same plane
+    # constants (repr round-trips every double exactly)
+    from demv_spark.operators.similarity import _hyperplanes
+
+    _planes = _hyperplanes(64, 16, 7)
+
+    def _pl(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    _sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"j -> CAST(embedding[j] AS DOUBLE) * ({_pl(p)})[j])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes)
+    )
+    o["q_sim_near_dup"] = f"""
+        WITH s AS (
+            SELECT vec_id AS id, embedding,
+                   CAST({_sig_terms} AS BIGINT) AS sig
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT id, embedding, band, (sig >> (band * 4)) & 15 AS chunk
+            FROM s, (VALUES (0), (1), (2), (3)) b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+                         AND a.id < b.id
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   {_cos.format(a='sa.embedding', b='sb.embedding')} AS cos_sim
+            FROM cand
+            JOIN s sa ON cand.id_a = sa.id
+            JOIN s sb ON cand.id_b = sb.id
+        )
+        SELECT id_a, id_b, cos_sim FROM scored
+        WHERE cos_sim >= CAST(0.45 AS DOUBLE)
+    """
+
+    # q_dedup_minhash_lsh, q_dedup_simhash, q_demv_rebalance_uniform,
+    # q_demv_rebalance_smote, q_sim_ivf_topk, q_stream_drift_monitor,
+    # q_count_distinct_sketch, q_ml_out_of_fold: intentionally no SQL
+    # oracle (xxhash64 sketches / seeded sampling / iterative KMeans /
+    # stateful CUSUM / MLlib fits are not SQL-expressible) → driver
+    # rows-only check; invariants in tests/. Every such ALGORITHM has
+    # an oracled twin above (portable-hash sketches, census rebalance
+    # fixed points, fixed-centroid IVF, majority-baseline CV).
     return o

@@ -134,3 +134,71 @@ def test_stratified_sample_single_window_exchange(orders):
     # second exchange is read_table's under-split round-robin spread
     assert s["n_exchanges"] <= 2
     assert len(s["read_schemas"]) == 1
+
+
+def test_adult_recipe_one_exchange_two_scans(spark):
+    """The full adult recipe (filter + 2 binnings + 7 dummy blocks +
+    3 encodes) must stay ONE fused domain-discovery aggregate plus one
+    main pass — per-column distincts would re-scan the lineage 8x."""
+    from demv_spark.sources import recipes as R
+
+    orders = read_table(spark, SF, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = orders.select(
+        (c % 90 + 5).cast("int").alias("age"),
+        F.lit(" Private").alias("workclass"),
+        F.col("o_totalprice").alias("fnlwgt"),
+        F.when(k % 2 == 0, " Bachelors").otherwise(" HS-grad").alias("education"),
+        (k % 16).cast("int").alias("education-num"),
+        F.when(k % 2 == 0, " Married").otherwise(" Single").alias("marital-status"),
+        F.lit(" Sales").alias("occupation"),
+        F.lit(" Husband").alias("relationship"),
+        F.when(c % 2 == 0, " Black").otherwise(" White").alias("race"),
+        F.when(k % 2 == 0, " Male").otherwise(" Female").alias("sex"),
+        F.lit(0).alias("capital-gain"), F.lit(0).alias("capital-loss"),
+        (k % 99 + 1).cast("int").alias("hours-per-week"),
+        F.lit(" Cuba").alias("native-country"),
+        F.when(k % 2 == 1, " >50K").otherwise(" <=50K").alias("income"),
+    )
+    s = plan_stats(R.adult(raw))
+    assert len(s["read_schemas"]) <= 2
+    assert s["n_exchanges"] <= 1
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"]
+
+
+def test_multiclass_quota_plan_broadcast_one_window(spark):
+    """Quota assignment: boundary arrays broadcast, ONE ranking window
+    — no per-row non-equi join fan-out, no sort-merge join."""
+    from demv_spark.operators.postprocess import multiclass_quota_adjust
+
+    orders = read_table(spark, SF, "orders")
+    tbl = orders.select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("int").alias("pred"),
+    )
+    s = plan_stats(
+        multiclass_quota_adjust(tbl, ["o_orderpriority"], "pred", ["pred", "o_orderkey"])
+    )
+    assert s["n_broadcasts"] >= 1
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"]
+
+
+def test_ivf_fixed_assignment_is_map_side(spark):
+    """Fixed-centroid IVF: cell assignment must be a codegen map over
+    literal centroid arrays — the corpus is never shuffled to meet a
+    centroid table; the only join is the broadcast candidate probe."""
+    from demv_spark.operators import similarity as sim
+
+    emb = read_table(spark, SF, "embeddings")
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect())
+    ]
+    s = plan_stats(
+        sim.ivf_topk_fixed(emb.filter(F.col("vec_id") < 3), emb, cents, k=5, n_probe=2)
+    )
+    assert s["n_broadcasts"] >= 1
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"]
