@@ -478,12 +478,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _mixture(spark, sf), "source", "n_chars"
     ).select("source", "units", _fx("share"))
 
+    # multi-epoch mix: src0 wants 60% of the corpus budget but holds
+    # ~1/3 of it → upsampled past 1 epoch; src2 is subsampled — the
+    # real pretraining-mix shape, with the 3-epoch repeat guard
+    q["q_corpus_mixture_epochs"] = lambda spark, sf: corpus.mixture_sample_epochs(
+        _t(spark, sf, "documents"),
+        "source",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        key_cols=["doc_id"],
+        unit_col="n_chars",
+        max_epochs=3.0,
+    ).select("doc_id", "source", "n_chars", "epoch")
+
     # ---- dedup ----
     q["q_dedup_exact"] = lambda spark, sf: dedup.exact_dedup(
         _t(spark, sf, "documents")
     ).select("doc_id")
     q["q_dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), n=2, threshold=0.1, max_df=50
+    )
+    # asymmetric containment: catches doc-inside-doc pairs whose
+    # Jaccard is near zero (|A| << |B|)
+    q["q_dedup_ngram_containment"] = lambda spark, sf: dedup.ngram_containment_pairs(
+        _t(spark, sf, "documents"), n=2, threshold=0.5, max_df=50
     )
     # hash-sketch families use Spark xxhash64 (no DuckDB twin) →
     # rows-only driver checks; invariants covered in tests/
@@ -1965,6 +1982,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
     """
 
+    o["q_dedup_ngram_containment"] = rf"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh_all AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                               i -> array_to_string(t[i:i+1], ' ')))) AS sh
+            FROM toks
+        ),
+        rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 50),
+        sh AS (SELECT sh_all.doc_id, sh_all.sh FROM sh_all JOIN rare USING (sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / sa.sz AS cont_a,
+               CAST(inter AS DOUBLE) / sb.sz AS cont_b
+        FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+                   JOIN sizes sb ON pairs.id_b = sb.doc_id
+        WHERE GREATEST(CAST(inter AS DOUBLE) / sa.sz,
+                       CAST(inter AS DOUBLE) / sb.sz) >= 0.5
+    """
+
     # ---- portable-hash sketch oracles ----
     # The (a_i, b_i) seed table and band-combine powers come from the
     # SAME Python helpers the Spark operators use — one source of
@@ -2575,6 +2617,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, units,
                {_fx_sql("CAST(units AS DOUBLE) / SUM(units) OVER ()", "share")}
         FROM per
+    """
+
+    # multi-epoch mixture: same census/admission arithmetic, copies =
+    # full epochs (integer div) + hash-prefix remainder, epochs from
+    # UNNEST(range(copies))
+    _hash_doc = (
+        "CAST(concat('0x', substr(md5(concat_ws('|', s.doc_id, '42')), 1, 15)) AS BIGINT)"
+    )
+    o["q_corpus_mixture_epochs"] = f"""
+        WITH scoped AS (
+            SELECT d.doc_id, d.source, d.n_chars, w.wt
+            FROM documents d
+            JOIN (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)) w(grp, wt)
+              ON d.source = w.grp
+        ),
+        avail AS (SELECT source, wt, SUM(n_chars) AS avail FROM scoped GROUP BY 1, 2),
+        n AS (SELECT SUM(avail) AS n FROM avail),
+        budgets AS (
+            SELECT source, avail,
+                   LEAST(CAST(FLOOR(wt * n.n) AS BIGINT),
+                         CAST(FLOOR(avail * 3.0) AS BIGINT)) AS target
+            FROM avail CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT s.doc_id, s.source, s.n_chars, b.avail, b.target,
+                   COALESCE(SUM(s.n_chars) OVER (
+                       PARTITION BY s.source
+                       ORDER BY {_hash_doc}, s.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM scoped s JOIN budgets b USING (source)
+        ),
+        copied AS (
+            SELECT doc_id, source, n_chars,
+                   (target // avail)
+                   + CASE WHEN before < target - (target // avail) * avail
+                          THEN 1 ELSE 0 END AS copies
+            FROM ranked
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(UNNEST(range(CAST(copies AS BIGINT))) AS BIGINT) AS epoch
+        FROM copied WHERE copies > 0
     """
 
     _sql_media = """

@@ -103,6 +103,90 @@ def mixture_sample(
     return taken.drop("__w", "__N", "__target", "__before")
 
 
+def mixture_sample_epochs(
+    df: DataFrame,
+    group_col: str,
+    proportions: Mapping[str, float],
+    key_cols: Sequence[str],
+    unit_col: str | None = None,
+    total: int | None = None,
+    max_epochs: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Mixture construction WITH upsampling — the multi-epoch variant
+    of ``mixture_sample`` for the real pretraining-mix shape where
+    small high-quality sources are repeated (>1 epochs) while huge
+    sources are subsampled (<1 epoch), Llama/Pile-style.
+
+    Group ``g``'s unit target is ``floor(w_g · N)`` where ``N``
+    defaults to the corpus's own total units (re-mix at constant
+    size); a target above the group's available units replicates:
+    every row gets ``target div avail`` full-epoch copies, and the
+    portable-hash-prefix rows (the same exclusive-running-sum
+    admission rule as mixture_sample) get one more. ``max_epochs``
+    caps ``target ≤ floor(avail · max_epochs)`` — the standard
+    "never repeat a source more than k times" guard. Output adds an
+    ``epoch`` column (0-based copy index) so downstream shuffles or
+    pack steps can interleave copies instead of clustering them.
+
+    Plan: the same tiny census + broadcast as mixture_sample, one
+    rank window per group, then ``explode(sequence(0, copies−1))`` —
+    duplication happens AFTER the window, so the shuffle carries each
+    row once regardless of epoch count. All budget arithmetic is
+    exact BIGINT (targets divide integer units), hence the DuckDB
+    oracle reproduces it bit-for-bit."""
+    weights = {k: float(v) for k, v in proportions.items() if v > 0}
+    if not weights:
+        raise ValueError("proportions must contain at least one positive weight")
+
+    unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
+    w_expr = None
+    for g, w in weights.items():
+        cond = F.col(group_col) == F.lit(g)
+        w_expr = F.when(cond, F.lit(w)) if w_expr is None else w_expr.when(cond, F.lit(w))
+
+    scoped = df.filter(F.col(group_col).isin(list(weights))).withColumn("__w", w_expr)
+    avail = scoped.groupBy(group_col, "__w").agg(F.sum(unit).alias("__avail"))
+    if total is None:
+        n_row = avail.select(F.sum("__avail").alias("__N"))
+    else:
+        n_row = avail.select(F.lit(int(total)).cast("long").alias("__N")).limit(1)
+
+    target = F.floor(F.col("__w") * F.col("__N"))
+    if max_epochs is not None:
+        target = F.least(target, F.floor(F.col("__avail") * F.lit(float(max_epochs))))
+    budgets = avail.crossJoin(F.broadcast(n_row)).select(
+        group_col,
+        F.col("__avail"),
+        target.alias("__target"),
+    )
+
+    h = portable_hash(
+        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
+    full = F.expr("__target div __avail")
+    remainder = F.col("__target") - full * F.col("__avail")
+    copies = (
+        full
+        + (F.col("__before") < remainder).cast("long")
+    )
+    out = (
+        scoped.join(F.broadcast(budgets), [group_col])
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__copies") - 1)))
+    )
+    return out.drop("__w", "__avail", "__target", "__before", "__copies")
+
+
 def mixture_report(
     df: DataFrame, group_col: str, unit_col: str | None = None
 ) -> DataFrame:

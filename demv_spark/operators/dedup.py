@@ -153,6 +153,36 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT —
+    ``max(|A∩B|/|A|, |A∩B|/|B|)`` — which Jaccard structurally
+    misses: a document quoted whole inside a much larger one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0. This is the
+    doc-inside-doc detector (boilerplate wrappers, quote-and-expand
+    spam, prompt-in-completion leaks); same inverted-index plan as
+    ``ngram_jaccard_pairs`` (one shingle shuffle, df-capped pair
+    explosion — see that docstring for the 100 TB analysis), only the
+    final ratio differs. Returns (id_a, id_b, inter, size_a, size_b,
+    cont_a, cont_b) with id_a < id_b, where cont_a = inter/size_a is
+    the fraction of A contained in B; filter keeps
+    ``max(cont_a, cont_b) >= threshold``."""
+    base = ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold=0.0, max_df=max_df
+    ).drop("jaccard")
+    return (
+        base.withColumn("cont_a", F.col("inter") / F.col("size_a"))
+        .withColumn("cont_b", F.col("inter") / F.col("size_b"))
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -89,3 +89,65 @@ def test_report_shares_sum_to_one(spark, docs):
     shares = {r["source"]: float(r["share"]) for r in rep}
     for g, w in MIX.items():
         assert abs(shares[g] - w) < 0.05
+
+
+def test_mixture_epochs_upsamples_to_exact_targets(spark):
+    from demv_spark.operators.corpus import mixture_sample_epochs
+
+    rows = [(f"{g}-{i}", g) for g in ("a", "b", "c") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    # N = 30 rows; targets: a=15 (1.5 epochs), b=9, c=6
+    out = mixture_sample_epochs(
+        df, "src", {"a": 0.5, "b": 0.3, "c": 0.2}, key_cols=["id"]
+    )
+    census = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert census == {"a": 15, "b": 9, "c": 6}
+    # group a: every row appears at least once (full epoch) and
+    # exactly 5 rows twice
+    per_row = [
+        r["k"]
+        for r in out.filter(F.col("src") == "a")
+        .groupBy("id").agg(F.count(F.lit(1)).alias("k")).collect()
+    ]
+    assert sorted(per_row) == [1] * 5 + [2] * 5
+    # epoch ids are dense per copy count
+    eps = {
+        r["epoch"]
+        for r in out.filter(F.col("src") == "a").select("epoch").collect()
+    }
+    assert eps == {0, 1}
+
+
+def test_mixture_epochs_max_epochs_cap(spark):
+    from demv_spark.operators.corpus import mixture_sample_epochs
+
+    rows = [("a0", "a")] + [(f"b{i}", "b") for i in range(9)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    # a wants 0.5*10 = 5 copies of its single row; cap at 2 epochs
+    out = mixture_sample_epochs(
+        df, "src", {"a": 0.5, "b": 0.5}, key_cols=["id"], max_epochs=2.0
+    )
+    census = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert census == {"a": 2, "b": 5}
+
+
+def test_mixture_epochs_deterministic(spark, docs):
+    from demv_spark.operators.corpus import mixture_sample_epochs
+
+    kw = dict(
+        group_col="source",
+        proportions={"src0": 0.6, "src1": 0.4},
+        key_cols=["doc_id"],
+        unit_col="n_chars",
+        max_epochs=4.0,
+    )
+    a = mixture_sample_epochs(docs, **kw).collect()
+    b = mixture_sample_epochs(docs.repartition(7), **kw).collect()
+    key = lambda r: (r["doc_id"], r["epoch"])
+    assert sorted(map(key, a)) == sorted(map(key, b))

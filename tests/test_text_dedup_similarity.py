@@ -453,3 +453,22 @@ def test_ivf_topk_fixed_recall_and_full_probe_exact(spark):
     f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
     x = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
     assert f == x
+
+
+def test_ngram_containment_catches_doc_inside_doc(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated content here now")],
+        ["doc_id", "text"],
+    )
+    out = dedup.ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # every 3-gram of the small doc is inside the big one
+    assert r["cont_a"] == pytest.approx(1.0)
+    # and Jaccard would have missed it
+    jac = r["inter"] / (r["size_a"] + r["size_b"] - r["inter"])
+    assert jac < 0.1
+    assert not [p for p in pairs if 3 in p]
