@@ -35,6 +35,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def group_condition(unpriv_group) -> Column:
+    """The reference's unprivileged-group dict → conjunctive predicate
+    (utils.py:24 renders ``{'sex': 0, 'race': 0}`` to the pandas query
+    string ``'sex==0 & race==0'``; here it compiles to the Column
+    conjunction). Pairs with ``sources.recipes.FAIRNESS[...]['unpriv']``
+    so a loader config drives the metric suite directly:
+
+        cond = group_condition(FAIRNESS['cmc']['unpriv'][2])
+        fairness_suite(preds, cond, ...)
+    """
+    cond = None
+    for k, v in unpriv_group.items():
+        c = F.col(k) == F.lit(v)
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        raise ValueError("unpriv_group must contain at least one column")
+    return cond
+
+
 def _cnt(pred: Column) -> Column:
     """COUNT(*) FILTER (WHERE pred) as a double (ratio-ready)."""
     return F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("double")

@@ -173,3 +173,15 @@ def test_weighted_suite_reweighing_zeroes_stat_parity(spark):
     ).collect()[0]
     assert abs(out["stat_par"]) < 1e-6
     assert out["acc"] == pytest.approx(1.0)
+
+
+def test_group_condition_conjunction(spark):
+    from demv_spark.functions.metrics import group_condition
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], ["sex", "race"]
+    )
+    got = df.filter(group_condition({"sex": 0, "race": 0})).collect()
+    assert [(r["sex"], r["race"]) for r in got] == [(0, 0)]
+    with pytest.raises(ValueError):
+        group_condition({})
