@@ -148,6 +148,46 @@ def run_metrics(
     )
 
 
+def generate_cm(
+    df: DataFrame,
+    unpriv_group: Mapping,
+    label: str,
+    pdf_path: str,
+    classifier: str = "logistic",
+    debias_method: str | None = None,
+    k: int = 10,
+    seed: int = 2,
+) -> DataFrame:
+    """EP3 twin (confusionmatrix.py:147-238 ``generatecm``): optional
+    whole-table DEMV debias, out-of-fold predictions over k folds,
+    unprivileged/privileged split by the group dict, row-normalized
+    confusion matrices rendered to the two-panel PDF (ml/cm_pdf.py).
+    Returns the out-of-fold prediction table (predictions stay
+    attached through transform — no positional writeback join)."""
+    from demv_spark.ml.cm_pdf import write_confusion_matrix_pdf
+
+    sensitive = list(unpriv_group)
+    features = _feature_cols(df, label)
+    n_classes = df.select(label).distinct().count()
+    clf = E.build_classifier(classifier, label, "__features", n_classes, seed)
+
+    base = df
+    if debias_method in DEMV_STRATEGIES:
+        # reference debiases the WHOLE dataset before the CV prediction
+        # pass in generatecm (confusionmatrix.py:160-165)
+        from demv_spark.operators.balancer import DEMV
+
+        base = DEMV(
+            sensitive, label=label, strategy=debias_method, seed=seed
+        ).fit_transform(df)
+
+    preds = E.out_of_fold_predictions(base, features, label, clf, k=k, seed=seed)
+    write_confusion_matrix_pdf(
+        preds, group_condition(unpriv_group), "y_true", "prediction", pdf_path
+    )
+    return preds
+
+
 def report(per_fold: DataFrame) -> DataFrame:
     """mean ± std over folds — the reference's print_metrics /
     prepareplots rollup (utils.py:330-358)."""

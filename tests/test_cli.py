@@ -58,3 +58,13 @@ def test_cli_main_real_cmc(tmp_path, spark):
     ])
     text = open(out).read()
     assert "stat_par" in text and "mean" in text
+
+
+def test_generate_cm_writes_pdf(biased, tmp_path):
+    out = str(tmp_path / "cm.pdf")
+    preds = cli.generate_cm(
+        biased, {"s0": 1}, "y", out, k=3, debias_method="uniform"
+    )
+    assert "prediction" in preds.columns and "y_true" in preds.columns
+    data = open(out, "rb").read()
+    assert data.startswith(b"%PDF") and b"(Unprivileged group)" in data
