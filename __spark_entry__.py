@@ -632,6 +632,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_features"] = _media_features
 
+    # REAL WAV decode twin of q_media_features: synthesize genuine
+    # 16-bit PCM payloads from nation ids, decode with the stdlib
+    # parser, emit exact summary features. mean_amp and rms are exact
+    # cross-engine: sample sums and sums-of-squares are integers below
+    # 2^53, so float64 accumulation is exact in ANY order, and the
+    # final division/sqrt are single IEEE ops
+    def _media_audio(spark, sf):
+        from demv_spark.operators.multimodal import (
+            audio_features,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="audio")
+        return audio_features(media).select(
+            "media_id", "n_samples", "sample_rate",
+            _fx("mean_amp"), _fx("rms"),
+        )
+
+    q["q_media_audio_features"] = _media_audio
+
     # stateful streaming drift monitor, batch-twin form (rows-only:
     # CUSUM state transition is the non-SQL custom operator)
     def _drift(spark, sf):
@@ -1396,8 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_corpus_profile", "q_text_cf_score",
         "q_text_tfidf_keywords", "q_text_pii_redact",
         "q_text_gopher_rules", "q_corpus_mixture_report",
-        # multimodal: real decode + the two plan queries
-        "q_media_features", "q_media_resize_plan", "q_media_frame_sample",
+        # multimodal: BOTH real decode paths (PNG pixels, PCM audio) +
+        # the resize plan; frame_sample stays builder-gated
+        "q_media_features", "q_media_audio_features", "q_media_resize_plan",
         # streaming representative
         "q_stream_sessionize",
     ]
@@ -2714,6 +2736,29 @@ def oracle_sql() -> dict[str, str]:
                {_fx_sql("CAST(((media_id*7 + 13) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_g")},
                {_fx_sql("CAST(((media_id*7 + 26) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_b")}
         FROM g
+    """
+
+    o["q_media_audio_features"] = f"""
+        WITH m AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+                   CAST(n_nationkey % 9000 + 1000 AS BIGINT) AS dur_ms
+            FROM nation
+        ),
+        s AS (SELECT media_id, (8000 * dur_ms) // 1000 AS n_samples FROM m),
+        samp AS (
+            SELECT s.media_id, s.n_samples,
+                   ((s.media_id * 31 + i.i * 17) % 2048) - 1024 AS v
+            FROM s, LATERAL (SELECT UNNEST(range(s.n_samples)) AS i) i(i)
+        ),
+        agg AS (
+            SELECT media_id, n_samples, SUM(v) AS sv, SUM(v * v) AS svv
+            FROM samp GROUP BY 1, 2
+        )
+        SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+               8000 AS sample_rate,
+               {_fx_sql("CAST(sv AS DOUBLE) / n_samples", "mean_amp")},
+               {_fx_sql("SQRT(CAST(svv AS DOUBLE) / n_samples)", "rms")}
+        FROM agg
     """
 
     o["q_ml_fold_sizes"] = """
