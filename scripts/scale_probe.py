@@ -1,0 +1,132 @@
+"""Scale probe: measure headline operators at 1x and Kx synthetic
+scale-ups of the sf0.1 testdata and report the wall-clock growth
+ratio vs the linear ideal.
+
+The 100 TB claims in PERFORMANCE.md are plan-shape arguments
+(bounded pair explosion, broadcast dims, salted ranks); this probe
+backs them with measurements: an operator whose cost curve is linear
+in rows should show time(Kx)/time(1x) ≈ K on a fixed-core machine —
+superlinear growth exposes a hidden all-pairs/skew hazard. Inputs are
+scaled IN MEMORY (crossJoin with spark.range(K), ids offset per
+replica so keys stay distinct and group/bucket structure is
+preserved), so the probe needs no extra testdata.
+
+Usage: python scripts/scale_probe.py [K] [--sf DIR]   (default K=8)
+Prints one JSON line per probe: {op, rows_1x, sec_1x, rows_kx,
+sec_kx, ratio, linear_ideal}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from demv_spark.session import get_spark
+
+
+def scaled(df, k: int, id_cols: dict[str, int]):
+    """K replicas with per-replica id offsets (group values untouched
+    so census/bucket structure is preserved)."""
+    rep = df.crossJoin(F.broadcast(df.sparkSession.range(k).select(F.col("id").alias("__rep"))))
+    for c, span in id_cols.items():
+        rep = rep.withColumn(c, F.col(c) + F.col("__rep") * F.lit(span))
+    return rep.drop("__rep")
+
+
+def probe(name, fn, df1, dfk):
+    t0 = time.time()
+    n1 = fn(df1)
+    s1 = time.time() - t0
+    t0 = time.time()
+    nk = fn(dfk)
+    sk = time.time() - t0
+    return {
+        "op": name,
+        "rows_1x": n1,
+        "sec_1x": round(s1, 2),
+        "rows_kx": nk,
+        "sec_kx": round(sk, 2),
+        "ratio": round(sk / s1, 2) if s1 > 0 else None,
+    }
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
+    sf = "/root/testdata/sf0.1"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a.split("=", 1)[1]
+
+    from demv_spark.operators import dedup, text
+    from demv_spark.operators.balancer import DEMV
+    from demv_spark.operators.postprocess import multiclass_quota_adjust
+    from demv_spark.sources.readers import read_table
+
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf, "documents").cache()
+    orders = read_table(spark, sf, "orders").cache()
+    docs.count(), orders.count()
+    docs_k = scaled(docs, k, {"doc_id": 10_000_000}).cache()
+    orders_k = scaled(orders, k, {"o_orderkey": 100_000_000}).cache()
+    docs_k.count(), orders_k.count()
+
+    def run_exact(d):
+        return dedup.exact_dedup(d).count()
+
+    def run_lsh(d):
+        return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=16).count()
+
+    def run_jaccard(d):
+        return dedup.ngram_jaccard_pairs(d, n=2, threshold=0.1, max_df=50).count()
+
+    def run_clean(d):
+        return text.corpus_clean(
+            d, min_tokens=20, min_quality=0.45, max_repetition=0.3,
+            langs=("en", "und"),
+        ).count()
+
+    def run_rebalance(o):
+        tbl = o.select(
+            (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+            "o_orderkey",
+        )
+        return DEMV(["s"], label="y", round_level=1, seed=42).fit_transform(tbl).count()
+
+    def run_quota(o):
+        tbl = o.select(
+            "o_orderkey", "o_orderpriority",
+            F.when(F.col("o_totalprice") < 100000, 0)
+            .when(F.col("o_totalprice") < 200000, 1).otherwise(2).alias("pred"),
+        )
+        return multiclass_quota_adjust(
+            tbl, ["o_orderpriority"], "pred", ["pred", "o_orderkey"]
+        ).count()
+
+    probes = [
+        ("exact_dedup", run_exact, docs, docs_k),
+        ("minhash_lsh_pairs", run_lsh, docs, docs_k),
+        ("ngram_jaccard_pairs", run_jaccard, docs, docs_k),
+        ("corpus_clean", run_clean, docs, docs_k),
+        ("demv_rebalance", run_rebalance, orders, orders_k),
+        ("multiclass_quota", run_quota, orders, orders_k),
+    ]
+    for name, fn, d1, dk in probes:
+        fn(d1)  # warm the plan shape (codegen) before timing
+        r = probe(name, fn, d1, dk)
+        r["k"] = k
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
