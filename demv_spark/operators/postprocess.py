@@ -89,6 +89,7 @@ def multiclass_quota_adjust(
     pred_col: str,
     order_cols: Sequence[str],
     out: str = "prediction_adj",
+    skew_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Multiclass post-processing balancer — the engine's twin of the
     reference's ``blackbox`` adjuster (utils.py:362-369: the external
@@ -115,10 +116,19 @@ def multiclass_quota_adjust(
     array scan — no per-row join fan-out (a rank≤boundary non-equi
     join would multiply rows by matching classes before re-collapsing;
     the array filter does the same selection inside codegen). The only
-    big-data op is the per-group ranking window — one shuffle. Groups
-    here are demographic slices (few, huge): past ~4M rows/group use
-    the range-bucketed exact-rank pattern (_ranked_by_score_bucketed)
-    to keep any one task from owning a whole group.
+    big-data op is the per-group ranking window — one shuffle.
+
+    Skew: groups here are demographic slices (few, huge), so the
+    naive per-group window serializes a whole demographic into one
+    task. ``skew_buckets="auto"`` (default, same census-driven trigger
+    as ``equalize_positive_rates``) decomposes the rank when the
+    biggest group exceeds ``balancer.AUTO_SALT_GROUP_ROWS`` AND
+    ``order_cols`` is the canonical ``[pred_col, numeric_key]`` shape:
+    the global rank is the per-(group, pred-class) prefix count (from
+    a tiny census window) plus a range-bucketed exact rank on the key
+    within each (group, class) slice — bit-identical output, but no
+    task ever owns more than ~one bucket of one class of one group.
+    Other ``order_cols`` shapes keep the plain window.
     """
     gcols = list(group_cols)
     ocols = list(order_cols)
@@ -149,8 +159,52 @@ def multiclass_quota_adjust(
             ]
         ),
     ).drop("__gn")
-    w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    from demv_spark.operators import balancer as _balancer
+    from pyspark.sql.types import NumericType
+
+    can_decompose = (
+        len(ocols) == 2
+        and ocols[0] == pred_col
+        and isinstance(df.schema[ocols[1]].dataType, NumericType)
+    )
+    if skew_buckets == "auto":
+        group_rows = [
+            r["__gn"]
+            for r in df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn")).collect()
+        ]
+        skew_buckets = (
+            _balancer.resolve_auto_salt(group_rows, _balancer.AUTO_SALT_GROUP_ROWS)
+            if can_decompose
+            else None
+        )
+
+    if not skew_buckets or skew_buckets <= 1:
+        w = Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in ocols])
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+    else:
+        # decomposed exact rank: global rank = prefix count of earlier
+        # pred classes within the group (tiny census window) + local
+        # bucketed rank on the key within (group, class)
+        key = ocols[1]
+        class_counts = df.groupBy(*gcols, pred_col).agg(
+            F.count(F.lit(1)).alias("__cn")
+        )
+        w_prefix = (
+            Window.partitionBy(*gcols)
+            .orderBy(pred_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefixes = class_counts.withColumn(
+            "__off", F.coalesce(F.sum("__cn").over(w_prefix), F.lit(0))
+        ).drop("__cn")
+        local = _ranked_by_score_bucketed(
+            df, [*gcols, pred_col], key, [], int(skew_buckets), ascending=True
+        )
+        ranked = (
+            local.join(F.broadcast(prefixes), [*gcols, pred_col])
+            .withColumn("__rn", F.col("__rn") + F.col("__off"))
+            .drop("__off")
+        )
     rn = F.col("__rn")
     pick = F.element_at(
         F.filter(F.col("__bounds"), lambda x: rn <= x["b"]), 1
@@ -168,8 +222,9 @@ def _ranked_by_score_bucketed(
     score_col: str,
     tiebreak: list[str],
     buckets: int,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Exact per-group rank by (score DESC, tiebreak) without a
+    """Exact per-group rank by (score DESC|ASC, tiebreak) without a
     per-group total order: range-partition each group by its own
     approximate score quantiles, rank locally, then add exact prefix
     counts. Unlike the balancer's random-salt rank (valid only for a
@@ -177,19 +232,29 @@ def _ranked_by_score_bucketed(
     so local-rank + offset reproduces the global rank exactly. The
     quantile cuts only balance the buckets — any cuts give the exact
     result, because equal scores always share a bucket (strict
-    comparison) and bucket index is monotone in score."""
+    comparison) and bucket index is monotone in the sort order."""
     fracs = [i / buckets for i in range(1, buckets)]
     cuts = df.groupBy(*group_cols).agg(
         F.percentile_approx(score_col, fracs, 10_000).alias("__cuts")
     )
     s = F.col(score_col)
-    # bucket 0 = highest scores (count of cuts strictly above the
-    # score), monotone non-increasing in score; NULL scores — which
-    # sort last under DESC — get the dedicated final bucket
-    bucket = (
-        F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(buckets))
-        .otherwise(F.size(F.filter("__cuts", lambda c: c > s)))
-    )
+    if ascending:
+        # bucket index = cuts strictly below the score; NULLs sort
+        # FIRST under ASC → dedicated leading bucket
+        bucket = (
+            F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(-1))
+            .otherwise(F.size(F.filter("__cuts", lambda c: c < s)))
+        )
+        order = [s.asc(), *[F.col(t) for t in tiebreak]]
+    else:
+        # bucket 0 = highest scores (count of cuts strictly above the
+        # score), monotone non-increasing in score; NULL scores — which
+        # sort last under DESC — get the dedicated final bucket
+        bucket = (
+            F.when(s.isNull() | F.col("__cuts").isNull(), F.lit(buckets))
+            .otherwise(F.size(F.filter("__cuts", lambda c: c > s)))
+        )
+        order = [s.desc(), *[F.col(t) for t in tiebreak]]
     local = (
         df.join(F.broadcast(cuts), group_cols)
         .withColumn("__b", bucket)
@@ -197,9 +262,7 @@ def _ranked_by_score_bucketed(
         .withColumn(
             "__lrn",
             F.row_number().over(
-                Window.partitionBy(*group_cols, "__b").orderBy(
-                    s.desc(), *[F.col(t) for t in tiebreak]
-                )
+                Window.partitionBy(*group_cols, "__b").orderBy(*order)
             ),
         )
     )

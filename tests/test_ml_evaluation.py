@@ -219,3 +219,44 @@ def test_multiclass_quota_adjust_boundaries_and_determinism(spark):
         for r in multiclass_quota_adjust(df, ["g"], "pred", ["pred", "id"]).collect()
     }
     assert a == b
+
+
+def test_multiclass_quota_skew_path_matches_plain(spark, monkeypatch):
+    from demv_spark.operators import balancer as bal
+    from demv_spark.operators import postprocess as pp
+
+    monkeypatch.setattr(bal, "AUTO_SALT_GROUP_ROWS", 50)
+    rows = [(i, "a" if i % 3 else "b", (i * 7) % 4) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g", "pred"])
+
+    called = {}
+    orig = pp._ranked_by_score_bucketed
+
+    def spy(*args, **kw):
+        called["hit"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pp, "_ranked_by_score_bucketed", spy)
+    auto = pp.multiclass_quota_adjust(df, ["g"], "pred", ["pred", "id"])
+    assert called.get("hit"), "auto skew path should trigger past the threshold"
+    plain = pp.multiclass_quota_adjust(
+        df, ["g"], "pred", ["pred", "id"], skew_buckets=None
+    )
+    a = {r["id"]: r["prediction_adj"] for r in auto.collect()}
+    b = {r["id"]: r["prediction_adj"] for r in plain.collect()}
+    assert a == b
+
+
+def test_multiclass_quota_auto_skips_non_canonical_order(spark, monkeypatch):
+    from demv_spark.operators import balancer as bal
+    from demv_spark.operators import postprocess as pp
+
+    monkeypatch.setattr(bal, "AUTO_SALT_GROUP_ROWS", 10)
+    df = spark.createDataFrame(
+        [(i, "g", i % 2, f"k{i}") for i in range(40)],
+        ["id", "g", "pred", "skey"],
+    )
+    # string key -> not the canonical [pred, numeric] shape: plain
+    # window, no decomposition attempted
+    out = pp.multiclass_quota_adjust(df, ["g"], "pred", ["pred", "skey"])
+    assert out.count() == 40
