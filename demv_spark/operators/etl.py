@@ -86,6 +86,65 @@ def quantile_bucketize(
     return df.withColumn(out or f"{col}_q", F.ntile(n_buckets).over(w))
 
 
+def quantile_bucketize_bucketed(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    out: str | None = None,
+    tiebreak: Sequence[str] = (),
+    range_buckets: int = 64,
+) -> DataFrame:
+    """EXACT NTILE without the global single-task sort — the scale
+    path for exact quantile labeling (quantile_bucketize's plain
+    NTILE puts the whole table through ONE ranking task; the GK
+    approx path gives up exactness). Range-partition by approximate
+    percentile cuts, rank locally per range bucket, restore the
+    global rank from exact per-bucket prefix counts (the same
+    aligned-bucket decomposition as the post-processors' salted
+    rank — any cuts give the exact result because equal values share
+    a bucket and bucket index is monotone), then NTILE arithmetically:
+    Spark's ntile(n) assigns row r of N to ``(r−1)·n div N + 1``.
+    Bit-identical to quantile_bucketize (equivalence-tested); NULL
+    values are not supported (matching the loaders, which bucketize
+    after dropna)."""
+    out = out or f"{col}_q"
+    s = F.col(col)
+    fracs = [i / range_buckets for i in range(1, range_buckets)]
+    cuts = df.agg(F.percentile_approx(col, fracs, 10_000).alias("__cuts"))
+    local = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("__b", F.size(F.filter("__cuts", lambda c: c < s)))
+        .drop("__cuts")
+        .withColumn(
+            "__lrn",
+            F.row_number().over(
+                Window.partitionBy("__b").orderBy(
+                    s.asc(), *[F.col(t) for t in tiebreak]
+                )
+            ),
+        )
+    )
+    bucket_counts = local.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucket_counts.withColumn(
+            "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+        )
+        .withColumn("__N", F.sum("__bn").over(Window.partitionBy()))
+        .drop("__bn")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST(((__lrn + __off - 1) * {int(n_buckets)}L) div __N AS INT) + 1"
+            ),
+        )
+        .drop("__b", "__lrn", "__off", "__N")
+    )
+
+
 def approx_quantile_bucketize(
     df: DataFrame, col: str, n_buckets: int, out: str | None = None, rel_err: float = 1e-4
 ) -> DataFrame:

@@ -159,3 +159,25 @@ def test_zorder_locality(spark):
     near = abs(out[(0, 0)] - out[(1, 1)])
     far = abs(out[(0, 0)] - out[(7, 7)])
     assert near < far
+
+
+def test_quantile_bucketize_bucketed_matches_ntile(spark):
+    from demv_spark.operators import etl
+
+    # duplicates + a skewed distribution: the decomposed plan must
+    # reproduce plain NTILE bit-for-bit (incl. Spark's first-buckets-
+    # get-the-extra-row sizing)
+    rows = [(i, float((i * 13) % 40)) for i in range(1009)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    plain = etl.quantile_bucketize(df, "v", 7, out="q", tiebreak=["id"])
+    fast = etl.quantile_bucketize_bucketed(
+        df, "v", 7, out="q", tiebreak=["id"], range_buckets=5
+    )
+    a = {r["id"]: r["q"] for r in plain.collect()}
+    b = {r["id"]: r["q"] for r in fast.collect()}
+    assert a == b
+    sizes = sorted(
+        r["n"]
+        for r in fast.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [144] * 6 + [145] and len(a) == 1009
