@@ -162,11 +162,19 @@ def approx_quantile_bucketize(
 
 
 def quantile_label(
-    df: DataFrame, col: str, n_classes: int, out: str = "y", tiebreak: Sequence[str] = ()
+    df: DataFrame,
+    col: str,
+    n_classes: int,
+    out: str = "y",
+    tiebreak: Sequence[str] = (),
+    bucketed: bool = False,
 ) -> DataFrame:
     """F6 — quantile-based multiclass label construction
-    (getdataset.py:173-180): class = quantile bucket − 1."""
-    q = quantile_bucketize(df, col, n_classes, out="__q", tiebreak=tiebreak)
+    (getdataset.py:173-180): class = quantile bucket − 1.
+    ``bucketed=True`` routes through the range-bucketed exact NTILE
+    (same labels, no single-task global sort — the 100 TB path)."""
+    fn = quantile_bucketize_bucketed if bucketed else quantile_bucketize
+    q = fn(df, col, n_classes, out="__q", tiebreak=tiebreak)
     return q.withColumn(out, (F.col("__q") - 1).cast("int")).drop("__q")
 
 

@@ -1,3 +1,8 @@
-from demv_spark.sources.readers import read_csv_noheader, read_csv_semicolon, read_table
+from demv_spark.sources.readers import (
+    read_csv,
+    read_csv_noheader,
+    read_csv_semicolon,
+    read_table,
+)
 
-__all__ = ["read_table", "read_csv_noheader", "read_csv_semicolon"]
+__all__ = ["read_table", "read_csv", "read_csv_noheader", "read_csv_semicolon"]

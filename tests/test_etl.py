@@ -181,3 +181,15 @@ def test_quantile_bucketize_bucketed_matches_ntile(spark):
         for r in fast.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [144] * 6 + [145] and len(a) == 1009
+
+
+def test_quantile_label_bucketed_matches_plain(spark):
+    from demv_spark.operators import etl
+
+    rows = [(i, float((i * 31) % 200)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    a = {r["id"]: r["y"] for r in
+         etl.quantile_label(df, "v", 5, tiebreak=["id"]).collect()}
+    b = {r["id"]: r["y"] for r in
+         etl.quantile_label(df, "v", 5, tiebreak=["id"], bucketed=True).collect()}
+    assert a == b and set(a.values()) == {0, 1, 2, 3, 4}
