@@ -113,6 +113,23 @@ def main():
             tbl, ["o_orderpriority"], "pred", ["pred", "o_orderkey"]
         ).count()
 
+    from demv_spark.operators import etl
+
+    # aggregate over the computed bucket so Catalyst cannot prune the
+    # ranking work away (count() alone would)
+    def run_ntile_plain(o):
+        return int(
+            etl.quantile_bucketize(o, "o_totalprice", 10, tiebreak=["o_orderkey"])
+            .agg(F.sum("o_totalprice_q")).collect()[0][0]
+        )
+
+    def run_ntile_bucketed(o):
+        return int(
+            etl.quantile_bucketize_bucketed(
+                o, "o_totalprice", 10, tiebreak=["o_orderkey"]
+            ).agg(F.sum("o_totalprice_q")).collect()[0][0]
+        )
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
         ("minhash_lsh_pairs", run_lsh, docs, docs_k),
@@ -120,6 +137,8 @@ def main():
         ("corpus_clean", run_clean, docs, docs_k),
         ("demv_rebalance", run_rebalance, orders, orders_k),
         ("multiclass_quota", run_quota, orders, orders_k),
+        ("ntile_plain_single_task", run_ntile_plain, orders, orders_k),
+        ("ntile_range_bucketed", run_ntile_bucketed, orders, orders_k),
     ]
     for name, fn, d1, dk in probes:
         fn(d1)  # warm the plan shape (codegen) before timing
