@@ -211,6 +211,13 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser.add_argument("--classifier", default="logistic")
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--out", help="metrics CSV path")
+    parser.add_argument(
+        "--sensitive",
+        action="append",
+        help="explicit sensitive feature(s) — the loaders' "
+        "sensitivefeature branch; repeatable, validated against the "
+        "dataset's sfs table",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark("demv-spark-cli")
@@ -223,10 +230,15 @@ def main(argv: Sequence[str] | None = None) -> None:
         df = loader(spark, args.path, n_features=args.n_features)
 
     cfg = R.FAIRNESS[args.dataset]
+    unpriv_group = (
+        R.unpriv_for(args.dataset, args.sensitive)
+        if args.sensitive
+        else cfg["unpriv"][args.n_features]
+    )
     per_fold = run_metrics(
         df,
         args.method,
-        cfg["unpriv"][args.n_features],
+        unpriv_group,
         cfg["label"],
         cfg["positive_label"],
         classifier=args.classifier,

@@ -395,57 +395,87 @@ def wine(red: DataFrame, white: DataFrame, n_features: int = 2) -> DataFrame:
 # dispatch table (the sfs dict + numberoffeatures branches)
 # ---------------------------------------------------------------------------
 
+def unpriv_for(dataset: str, features: list[str]) -> dict[str, Any]:
+    """The loaders' ``sensitivefeature`` custom-selection branch
+    (e.g. getdataset.py:60-69): build the unprivileged-group dict for
+    an arbitrary subset of the dataset's sensitive features, raising
+    on unknown names exactly like the reference. Features whose
+    unprivileged value presumes a threshold binarization (the third
+    ``sfs`` entry of most loaders) require running the recipe with
+    ``n_features=3`` so the column is binarized first."""
+    sfs = FAIRNESS[dataset]["sfs"]
+    out = {}
+    for f in features:
+        if f not in sfs:
+            raise ValueError(
+                f"Sensitive feature {f!r} not found in dataset {dataset!r}; "
+                f"available: {sorted(sfs)}"
+            )
+        out[f] = sfs[f]
+    return out
+
+
 FAIRNESS: dict[str, dict[str, Any]] = {
     "adult": {                                  # getdataset.py:55-82
         "label": "income", "positive_label": 1,
+        "sfs": {'sex': 0, 'race': 0, 'Bachelors': 0},
         "unpriv": {1: {"sex": 0}, 2: {"sex": 0, "race": 0},
                    3: {"sex": 0, "race": 0, "Bachelors": 0}},
     },
     "cmc": {                                    # getdataset.py:87-122
         "label": "contr_use", "positive_label": 2,
+        "sfs": {'wife_religion': 1, 'wife_work': 1, 'wife_edu': 0},
         "unpriv": {1: {"wife_religion": 1},
                    2: {"wife_religion": 1, "wife_work": 1},
                    3: {"wife_religion": 1, "wife_work": 1, "wife_edu": 0}},
     },
     "compas": {                                 # getdataset.py:129-158
         "label": "two_year_recid", "positive_label": 1,
+        "sfs": {'sex': 0, 'race': 0, 'age': 0},
         "unpriv": {1: {"sex": 0}, 2: {"sex": 0, "race": 0},
                    3: {"sex": 0, "race": 0, "age": 0}},
     },
     "crime": {                                  # getdataset.py:188-220
         "label": "ViolentCrimesClass", "positive_label": 100,
+        "sfs": {'black_people': 1, 'hisp_people': 1, 'MedRent': 1},
         "unpriv": {1: {"black_people": 1},
                    2: {"black_people": 1, "hisp_people": 1},
                    3: {"black_people": 1, "hisp_people": 1, "MedRent": 1}},
     },
     "drug": {                                   # getdataset.py:242-276
         "label": "y", "positive_label": 0,
+        "sfs": {'race': 1, 'gender': 0, 'age': 1},
         "unpriv": {1: {"race": 1}, 2: {"race": 1, "gender": 0},
                    3: {"race": 1, "gender": 0, "age": 1}},
     },
     "german": {                                 # getdataset.py:288-326
         "label": "credit", "positive_label": 1,
+        "sfs": {'sex': 0, 'age': 0, 'investment_as_income_percentage': 0},
         "unpriv": {1: {"sex": 0}, 2: {"sex": 0, "age": 0},
                    3: {"sex": 0, "age": 0,
                        "investment_as_income_percentage": 0}},
     },
     "law": {                                    # getdataset.py:356-375
         "label": "gpa", "positive_label": 2,
+        "sfs": {'race': 1, 'gender': 1, 'age': 0},
         "unpriv": {1: {"race": 1}, 2: {"race": 1, "gender": 1},
                    3: {"race": 1, "gender": 1, "age": 0}},
     },
     "obesity": {                                # getdataset.py:404-436
         "label": "y", "positive_label": 0,
+        "sfs": {'Gender': 1, 'Age': 1, 'MTRANS': 1},
         "unpriv": {1: {"Gender": 1}, 2: {"Gender": 1, "Age": 1},
                    3: {"Gender": 1, "Age": 1, "MTRANS": 1}},
     },
     "park": {                                   # getdataset.py:456-488
         "label": "score_cut", "positive_label": 0,
+        "sfs": {'age': 1, 'sex': 0, 'PPE': 0},
         "unpriv": {1: {"age": 1}, 2: {"age": 1, "sex": 0},
                    3: {"age": 1, "sex": 0, "PPE": 0}},
     },
     "wine": {                                   # getdataset.py:504-538
         "label": "quality", "positive_label": 6,
+        "sfs": {'alcohol': 0, 'type': 1, 'density': 0},
         "unpriv": {1: {"alcohol": 0}, 2: {"alcohol": 0, "type": 1},
                    3: {"alcohol": 0, "type": 1, "density": 0}},
     },

@@ -330,3 +330,17 @@ def test_load_crime_real_file(spark):
         sum(F.sum(F.col(c).isNull().cast("long")) for c in df.columns).alias("n")
     ).first()["n"]
     assert n_null == 0
+
+
+def test_unpriv_for_matches_reference_sfs():
+    # sfs tables mirror each loader's custom sensitivefeature branch
+    assert R.unpriv_for("cmc", ["wife_work"]) == {"wife_work": 1}
+    assert R.unpriv_for("adult", ["sex", "Bachelors"]) == {"sex": 0, "Bachelors": 0}
+    assert R.unpriv_for("wine", ["density"]) == {"density": 0}
+    with pytest.raises(ValueError):
+        R.unpriv_for("german", ["not_a_feature"])
+    # every per-n default is consistent with the sfs table
+    for name, cfg in R.FAIRNESS.items():
+        for grp in cfg["unpriv"].values():
+            for col, val in grp.items():
+                assert cfg["sfs"][col] == val, (name, col)
