@@ -539,3 +539,123 @@ def corpus_clean(
     return signals.withColumn("reasons", F.array_join(reasons, ",")).withColumn(
         "keep", (F.col("reasons") == "").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed vocabulary learning + subword tokenization
+# ---------------------------------------------------------------------------
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_word_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge list from the corpus — the
+    real tokenizer-training step of an LLM data pipeline (Sennrich
+    et al. 2016 `learn_bpe`), structured the way BPE actually
+    distributes: the algorithm only ever consumes WORD FREQUENCIES,
+    so the single corpus-sized operation is one word-census aggregate
+    (explode → groupBy → count, the same shuffle as token_frequencies)
+    and the merge loop runs driver-side over the vocabulary-sized
+    census — at 100 TB the census is |unique words|, not |corpus|.
+
+    Words are split to characters plus a terminal '</w>' marker;
+    each iteration merges the most frequent adjacent symbol pair
+    (ties broken lexicographically for determinism — a pure function
+    of the corpus, reproducible across partitionings). Returns the
+    ordered merge list for ``bpe_tokenize``."""
+    from collections import Counter
+
+    census = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_word_freq)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + ("</w>",): r["n"] for r in census
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for seq, n in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == best_n)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for seq, n in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge list: whitespace words → subword
+    arrays, applying merges in rank order per word. Runs as an
+    Arrow-batched ``mapInPandas`` kernel (iterative per-word pair
+    merging is genuinely imperative — the documented exception to the
+    no-Python policy) with a per-batch word cache, so each DISTINCT
+    word in a batch is encoded once regardless of frequency. The
+    merge table is closure-captured (vocabulary-scale, broadcast with
+    the task)."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # build a FRESH StructType: StructType.add mutates in place, which
+    # would corrupt the input DataFrame's resolved schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, ArrayType(StringType()))]
+    )
+
+    def encode_word(w: str) -> list[str]:
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            best_rank, best_i = None, None
+            for i, pair in enumerate(zip(seq, seq[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        return seq
+
+    def run(it):
+        for pdf in it:
+            cache: dict[str, list[str]] = {}
+            col = []
+            for text in pdf[text_col]:
+                toks = []
+                for w in (text or "").lower().strip().split():
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    toks.extend(cache[w])
+                col.append(toks)
+            pdf = pdf.copy()
+            pdf[out] = pd.Series(col, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

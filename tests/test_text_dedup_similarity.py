@@ -472,3 +472,40 @@ def test_ngram_containment_catches_doc_inside_doc(spark):
     jac = r["inter"] / (r["size_a"] + r["size_b"] - r["inter"])
     assert jac < 0.1
     assert not [p for p in pairs if 3 in p]
+
+
+def test_learn_bpe_textbook_merges(spark):
+    # Sennrich et al.'s classic example: (low x5, lower x2, newest x6,
+    # widest x3) — first merges are e+s, es+t, est+</w>, l+o, lo+w
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = text.learn_bpe(df, n_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")
+    ]
+    # deterministic under repartitioning (census is order-independent)
+    df2 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus.split())], ["doc_id", "text"]
+    ).repartition(7)
+    assert text.learn_bpe(df2, n_merges=5) == merges
+
+
+def test_bpe_tokenize_applies_merges_and_roundtrips(spark):
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = text.learn_bpe(train, n_merges=5)
+    docs = spark.createDataFrame(
+        [(1, "low newest"), (2, "unseen lower")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in text.bpe_tokenize(docs, merges).collect()}
+    assert got[1] == ["low", "</w>", "n", "e", "w", "est</w>"]
+    # unseen words fall back to finer subwords; concatenation minus
+    # the </w> markers reconstructs the original words exactly
+    for doc_id, txt in ((1, "low newest"), (2, "unseen lower")):
+        rebuilt = "".join(got[doc_id]).replace("</w>", " ").strip()
+        assert rebuilt == txt
