@@ -39,3 +39,15 @@ def test_all_queries_run_and_have_columns(spark):
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert len(df.collect()) > 0
+
+
+def test_window_slots_are_all_oracled():
+    """Round-3 policy: the driver value-checks the FIRST 50 queries();
+    a rows-only query in the window burns a slot that can never turn
+    green (CORRECTNESS_r02's no_oracle row) — every slot must carry an
+    oracle."""
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    window = qs[:50]
+    missing = [name for name in window if name not in oracles]
+    assert not missing, f"window slots without oracles: {missing}"
