@@ -4,8 +4,11 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as
 (spark, sf_dir) → DataFrame; ``oracle_sql()`` gives the DuckDB-
 equivalent ANSI SQL. Column aliases match pairwise; float aggregates
-go through exact-decimal sums (demv_spark.functions.compat) so value
-hashes are bit-identical across engines.
+go through exact-decimal sums (demv_spark.functions.compat) so the
+underlying doubles are bit-identical across engines, and float OUTPUT
+columns are canonicalized to scaled BIGINT (``_fx``/``_fx_sql``) so
+the checker sees one canonical form regardless of how it renders
+doubles or decimals.
 
 Query naming: q_<area>_<operator>.
 """
