@@ -899,6 +899,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_sessionize"] = _sessionize
 
+    # ordered first-touch funnel over the event stream: click →
+    # signup → purchase, each step strictly after the user's first
+    # qualifying time for the previous one
+    def _funnel(spark, sf):
+        from demv_spark.streaming.monitor import funnel_counts
+
+        return funnel_counts(
+            _t(spark, sf, "events"), ["click", "signup", "purchase"]
+        )
+
+    q["q_events_funnel"] = _funnel
+
     # ---- ML evaluation harness ----
     def _fold_sizes(spark, sf):
         from demv_spark.ml.evaluation import assign_folds
@@ -2739,6 +2751,28 @@ def oracle_sql() -> dict[str, str]:
                {_fx_sql("CAST(((media_id*7 + 13) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_g")},
                {_fx_sql("CAST(((media_id*7 + 26) % 200) * w * h + grad_sum AS DOUBLE) / (w*h)", "mean_b")}
         FROM g
+    """
+
+    o["q_events_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'click' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'signup' AND e.ts > s1.t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        )
+        SELECT 1 AS stage, 'click' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'signup', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
     """
 
     o["q_media_audio_features"] = f"""

@@ -237,3 +237,53 @@ def cascade_rollup(
         )
         .agg(F.sum(count_col).alias(count_col))
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``steps``, how
+    many users performed those event types in temporal order (each
+    step strictly after their FIRST qualifying time for the previous
+    step — the standard first-touch funnel semantics).
+
+    Plan: stage i is one equi-join on the user key between the step's
+    events and the stage-(i−1) user table followed by a min-timestamp
+    aggregate — user tables only shrink down the funnel, and every
+    join/aggregate shares the user-key partitioning, so Catalyst
+    plans one shuffle per stage and AQE converts late stages to
+    broadcast joins as they collapse. The output unions one count row
+    per stage; stage subplans share lineage (cache the events table
+    when funnels are long). Fully SQL-expressible → DuckDB oracle.
+    Columns: stage (1-based), step, n_users."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    spark = df.sparkSession
+    stage_rows = []
+    cur = None
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == F.lit(step)).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if cur is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(cur, "__u")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        stage_rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+    out = stage_rows[0]
+    for s in stage_rows[1:]:
+        out = out.unionByName(s)
+    return out

@@ -257,3 +257,27 @@ def test_interval_join_bad_bucket_unit(spark):
         interval_join(pts, pts.select("event_id", F.col("ts").alias("s"),
                                       F.col("ts").alias("e")),
                       "ts", "s", "e", bucket="2 months")
+
+
+def test_funnel_counts_ordered_semantics(spark):
+    from datetime import datetime
+
+    from demv_spark.streaming.monitor import funnel_counts
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes the funnel in order
+        (1, "click", t(0)), (1, "signup", t(5)), (1, "purchase", t(9)),
+        # u2 signs up BEFORE clicking -> stops at stage 1
+        (2, "signup", t(1)), (2, "click", t(2)),
+        # u3 clicks then purchases (no signup) -> stage 1 only
+        (3, "click", t(0)), (3, "purchase", t(4)),
+        # u4 never clicks -> not even stage 1
+        (4, "signup", t(0)), (4, "purchase", t(1)),
+        # u5: click, signup, but purchase BEFORE signup -> stage 2
+        (5, "click", t(0)), (5, "purchase", t(1)), (5, "signup", t(2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["stage"]: (r["step"], r["n_users"])
+           for r in funnel_counts(df, ["click", "signup", "purchase"]).collect()}
+    assert got == {1: ("click", 4), 2: ("signup", 2), 3: ("purchase", 1)}
