@@ -102,11 +102,16 @@ def quantile_bucketize_bucketed(
     global rank from exact per-bucket prefix counts (the same
     aligned-bucket decomposition as the post-processors' salted
     rank — any cuts give the exact result because equal values share
-    a bucket and bucket index is monotone), then NTILE arithmetically:
-    Spark's ntile(n) assigns row r of N to ``(r−1)·n div N + 1``.
-    Bit-identical to quantile_bucketize (equivalence-tested); NULL
-    values are not supported (matching the loaders, which bucketize
-    after dropna)."""
+    a bucket and bucket index is monotone), then NTILE arithmetically
+    with SQL-standard remainder semantics: with ``bs = N div n`` and
+    ``rem = N mod n``, the first ``rem`` buckets hold ``bs+1`` rows,
+    the rest ``bs`` — so row r maps to ``(r−1) div (bs+1) + 1`` while
+    ``r ≤ (bs+1)·rem``, else ``rem + (r − (bs+1)·rem − 1) div bs + 1``
+    (NOT the even-spread ``(r−1)·n div N + 1``, which diverges from
+    Spark's ntile whenever N mod n ≥ 2 — ADVICE round 3).
+    Bit-identical to quantile_bucketize (equivalence-tested incl.
+    remainder ≥ 2); NULL values are not supported (matching the
+    loaders, which bucketize after dropna)."""
     out = out or f"{col}_q"
     s = F.col(col)
     fracs = [i / range_buckets for i in range(1, range_buckets)]
@@ -133,14 +138,16 @@ def quantile_bucketize_bucketed(
         .withColumn("__N", F.sum("__bn").over(Window.partitionBy()))
         .drop("__bn")
     )
+    n = int(n_buckets)
+    ntile_expr = (
+        f"CAST(CASE WHEN (__lrn + __off) <= ((__N div {n}) + 1) * (__N % {n}) "
+        f"THEN (__lrn + __off - 1) div ((__N div {n}) + 1) "
+        f"ELSE (__N % {n}) + (__lrn + __off - 1 - ((__N div {n}) + 1) * (__N % {n})) div (__N div {n}) "
+        f"END AS INT) + 1"
+    )
     return (
         local.join(F.broadcast(offsets), "__b")
-        .withColumn(
-            out,
-            F.expr(
-                f"CAST(((__lrn + __off - 1) * {int(n_buckets)}L) div __N AS INT) + 1"
-            ),
-        )
+        .withColumn(out, F.expr(ntile_expr))
         .drop("__b", "__lrn", "__off", "__N")
     )
 

@@ -183,6 +183,25 @@ def test_quantile_bucketize_bucketed_matches_ntile(spark):
     assert sizes == [144] * 6 + [145] and len(a) == 1009
 
 
+def test_quantile_bucketize_bucketed_remainder_semantics(spark):
+    from demv_spark.operators import etl
+
+    # N mod n >= 2 is where SQL NTILE (first rem buckets get the extra
+    # row) diverges from the even-spread formula (r-1)*n div N + 1 —
+    # the ADVICE round-3 bug class. Cover rem=2 (N=10,n=4), rem=5
+    # (N=1013,n=7), and N < n (every row its own bucket).
+    for n_rows, n_buckets in [(10, 4), (1013, 7), (3, 5)]:
+        rows = [(i, float((i * 17) % 50)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        plain = etl.quantile_bucketize(df, "v", n_buckets, out="q", tiebreak=["id"])
+        fast = etl.quantile_bucketize_bucketed(
+            df, "v", n_buckets, out="q", tiebreak=["id"], range_buckets=4
+        )
+        a = {r["id"]: r["q"] for r in plain.collect()}
+        b = {r["id"]: r["q"] for r in fast.collect()}
+        assert a == b, f"N={n_rows} n={n_buckets}"
+
+
 def test_quantile_label_bucketed_matches_plain(spark):
     from demv_spark.operators import etl
 
