@@ -743,6 +743,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_adasyn_census"] = _demv_adasyn_census
 
+    # row-level SMOTE verification (planted parity, VERDICT r3 item
+    # 6): plant every original exactly on the line f2 = 3·f1 + 7 with
+    # integer-valued doubles (all products exact), so every SMOTE
+    # interpolant x + gap·(nbr − x) must stay on the line to float
+    # precision (re-association error ≤ ~1e-12, tolerance 1e-9) and
+    # inside its group's original [min,max] f1 range (gap ∈ [0,1)).
+    # Violation counts are provably 0 and n_out is the fixed-point
+    # walk — all integer-exact, so the synthetic ROWS themselves are
+    # now driver-constrained, not just the census sizes.
+    def _demv_smote_rowcheck(spark, sf):
+        base = (
+            _t(spark, sf, "orders")
+            .select(
+                (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+                (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+                (F.col("o_orderkey") % 997).cast("double").alias("f1"),
+            )
+            .withColumn("f2", F.col("f1") * 3.0 + 7.0)
+        )
+        out = DEMV(
+            ["s"], label="y", round_level=1, strategy="smote", seed=42
+        ).fit_transform(base)
+        rng = base.groupBy("s", "y").agg(
+            F.min("f1").alias("lo"), F.max("f1").alias("hi")
+        )
+        return (
+            out.join(F.broadcast(rng), ["s", "y"])
+            .groupBy("s", "y")
+            .agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.sum(
+                    (
+                        F.abs(F.col("f2") - (F.col("f1") * 3.0 + 7.0)) > 1e-9
+                    ).cast("long")
+                ).alias("n_off_line"),
+                F.sum(
+                    ((F.col("f1") < F.col("lo")) | (F.col("f1") > F.col("hi")))
+                    .cast("long")
+                ).alias("n_out_of_range"),
+            )
+        )
+
+    q["q_demv_smote_rowcheck"] = _demv_smote_rowcheck
+
     # multi-valued sensitive attribute (5 priority classes × binary
     # label, y correlated with s): the reference hardcodes binary
     # {0,1} sensitive values (helpers.py:74,85) — the Spark census
@@ -1205,6 +1249,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dataset_obesity"] = _dataset_obesity
 
+    # park (getdataset.py:442-493): the F9 seeded-relabel recipe made
+    # oracle-able by routing the 200-row selection through the md5
+    # portable rank (relabel_key_cols) — same idiom as mixture_sample.
+    # Emit only integer columns (key, binarized age, sex, relabeled
+    # class, binarized PPE): zero float emission.
+    def _park_raw(spark, sf):
+        o = _t(spark, sf, "orders")
+        k, c = F.col("o_orderkey"), F.col("o_custkey")
+        return o.select(
+            (k % 42).cast("int").alias("subject#"),
+            F.lit("d").alias("a"),
+            F.lit("d").alias("y"),
+            F.lit("d").alias("yhat"),
+            (k % 100).cast("double").alias("motor_UPDRS"),
+            (c % 100).cast("double").alias("total_UPDRS"),
+            (k % 200).cast("double").alias("test_time"),
+            (c % 60 + 30).cast("int").alias("age"),
+            (k % 2).cast("int").alias("sex"),
+            F.when(k % 3 == 0, "Mild")
+            .when(k % 3 == 1, "Moderate")
+            .otherwise("Severe")
+            .alias("score_cut"),
+            ((k % 100).cast("double") / 400).alias("PPE"),
+            F.col("o_orderkey"),
+        )
+
+    def _dataset_park(spark, sf):
+        from demv_spark.sources.recipes import park
+
+        return park(
+            _park_raw(spark, sf), n_features=3, relabel_key_cols=["o_orderkey"]
+        ).select("o_orderkey", "age", "sex", "score_cut", "PPE")
+
+    q["q_dataset_park"] = _dataset_park
+
+    # crime (getdataset.py:165-224): drop ids + any-null cols, z-score
+    # everything, cascading-quantile class, fixed-threshold race/rent
+    # binarization. Integer raw values keep the DECIMAL stable sums
+    # exact; the emit is integer-only (class multiples of 100 + three
+    # 0/1 flags) so the hash never sees a derived double.
+    def _crime_raw(spark, sf):
+        o = _t(spark, sf, "orders")
+        k, c = F.col("o_orderkey"), F.col("o_custkey")
+        return o.select(
+            (k % 50).cast("int").alias("state"),
+            (k % 10).cast("int").alias("county"),
+            (k % 7).cast("int").alias("community"),
+            F.concat(F.lit("c"), k.cast("string")).alias("communityname"),
+            (k % 5).cast("int").alias("fold"),
+            (c % 9).cast("double").alias("OtherPerCap"),
+            F.when(k % 13 == 0, F.lit(None).cast("double"))
+            .otherwise((k % 17).cast("double"))
+            .alias("LemasSwornFT"),
+            (k % 97).cast("double").alias("ViolentCrimesPerPop"),
+            (c % 89).cast("double").alias("racepctblack"),
+            (c % 83).cast("double").alias("racePctHisp"),
+            (k % 79).cast("double").alias("MedRent"),
+            (c % 71).cast("double").alias("householdsize"),
+        )
+
+    def _dataset_crime(spark, sf):
+        from demv_spark.sources.recipes import crime
+
+        return crime(_crime_raw(spark, sf), n_features=3).select(
+            F.col("ViolentCrimesClass").cast("int").alias("crime_class"),
+            "black_people",
+            "hisp_people",
+            "MedRent",
+        )
+
+    q["q_dataset_crime"] = _dataset_crime
+
     # multiclass blackbox post-processor (utils.py:362-369) — quota
     # assignment over a 3-class price prediction per priority group
     def _postprocess_multiclass(spark, sf):
@@ -1394,47 +1510,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first slots, with one representative per remaining family. The
     # long tail (text micro-queries, extra ETL, rows-only sketches)
     # stays implemented + builder-gated but outside the window.
-    # Round-3 rotation (VERDICT r2 items 2/6/7): every slot is ORACLED
-    # — zero rows-only entries burning slots — and every oracled query
-    # that had never held a driver row is now in-window (text micro-
-    # queries, mixture report, first-wins dedup, the whole similarity
-    # family, media plans, interval join), alongside the round-3
-    # additions (concrete dataset recipes, multiclass post-processor,
-    # fixed-centroid IVF). Rotated OUT: q_demv_rebalance_uniform
-    # (structurally no_oracle; its size contract is green via
-    # q_demv_rebalance_census) and double-proven r1+r2 greens
-    # (scalar metric variants, ETL kit maps, hourly/daily rollups) —
-    # all still builder-gated via scripts/check_oracle.py.
+    # Round-4 rotation (VERDICT r3 items 1-4, 6): the three-round
+    # hash-fail family stays in-window with the exact-integer emission
+    # fix; rotated IN are the 4 remaining dataset recipes that never
+    # held a driver row (german/compas/drug/obesity — oracles green
+    # since r3), the two recipes that never had an oracle at all
+    # (park via the portable-md5 relabel rank, crime via
+    # quantile_cont), and the row-level SMOTE planted-parity check.
+    # Rotated OUT to make room: 7 triple-green (r1+r2+r3) rows —
+    # count census/conditional/merge, reweighing, exact dedup, ngram
+    # jaccard, stat parity — all still builder-gated via
+    # scripts/check_oracle.py.
     window = [
-        # counting core (scaled-BIGINT weights fix in-window)
-        "q_count_group_census", "q_count_conditional",
-        "q_count_group_weights", "q_count_census_merge",
+        # counting core: the round-4 exact-integer emission fix
+        "q_count_group_weights",
         # DEMV flagship: rebalance fixed points, all strategies + EG/grid
         "q_demv_rebalance_census", "q_demv_smote_census",
-        "q_demv_adasyn_census", "q_demv_rebalance_census_multi",
-        "q_demv_reweighing", "q_metric_weighted_suite",
+        "q_demv_adasyn_census", "q_demv_smote_rowcheck",
+        "q_demv_rebalance_census_multi",
+        "q_metric_weighted_suite",
         "q_demv_eg_census", "q_demv_grid_census",
         # temporal / post-processing / ML harness
         "q_events_asof_join", "q_events_asof_forward",
         "q_events_interval_join",
         "q_postprocess_equalize", "q_postprocess_multiclass",
         "q_ml_fold_sizes", "q_ml_oof_majority",
-        # declarative + concrete dataset recipes, readers
+        # declarative + ALL 10 concrete dataset recipes, readers
         "q_dataset_recipe", "q_read_csv_recipe",
         "q_dataset_cmc", "q_dataset_adult", "q_dataset_wine",
-        "q_dataset_law",
+        "q_dataset_law", "q_dataset_german", "q_dataset_compas",
+        "q_dataset_drug", "q_dataset_obesity", "q_dataset_park",
+        "q_dataset_crime",
         # dedup: portable sketches, parity, clusters, first-wins
         "q_dedup_minhash_portable", "q_dedup_lsh_portable",
         "q_dedup_simhash_portable", "q_dedup_lsh_planted_parity",
-        "q_dedup_clusters", "q_dedup_exact", "q_dedup_ngram_jaccard",
-        "q_dedup_decontaminate", "q_dedup_first_wins",
-        # similarity family — first driver rows (r2 item 6)
+        "q_dedup_clusters", "q_dedup_decontaminate",
+        "q_dedup_first_wins",
+        # similarity family
         "q_sim_cosine_topk", "q_sim_cosine_topk_arrow",
         "q_sim_ivf_topk_fixed",
-        # fairness metric representatives (rest double-proven r1+r2)
-        "q_metric_stat_parity", "q_metric_fairness_suite",
-        "q_metric_avg_odds_diff",
-        # text / corpus (decimal fixes + first-ever rows)
+        # fairness metric representatives (rest triple-proven)
+        "q_metric_fairness_suite", "q_metric_avg_odds_diff",
+        # text / corpus (exact-integer emission fixes in-window)
         "q_text_corpus_profile", "q_text_cf_score",
         "q_text_tfidf_keywords", "q_text_pii_redact",
         "q_text_gopher_rules", "q_corpus_mixture_report",
@@ -2388,6 +2505,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_demv_smote_census"] = o["q_demv_rebalance_census"]
     o["q_demv_adasyn_census"] = o["q_demv_rebalance_census"]
+    # row-level planted parity: output sizes from the same walk; the
+    # on-line and in-range violation counts are 0 by the interpolation
+    # invariants (see the query comment)
+    o["q_demv_smote_rowcheck"] = o["q_demv_rebalance_census"].replace(
+        "AS BIGINT) AS n_out\n",
+        "AS BIGINT) AS n_out,\n"
+        "               CAST(0 AS BIGINT) AS n_off_line,\n"
+        "               CAST(0 AS BIGINT) AS n_out_of_range\n",
+    )
     o["q_demv_rebalance_census_multi"] = """
         WITH pred AS (
           SELECT o_orderpriority AS s,
@@ -2990,6 +3116,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(c_custkey % 60 >= 12 AS INT) AS "Age",
                c_custkey
         FROM customer
+    """
+
+    # park: binarizations collapse to modular comparisons on the
+    # synthesized domains (age≥65 ⇔ c%60≥35; PPE=(k%100)/400≥0.14 ⇔
+    # k%100≥56 — exact because /400 is monotone and 56/400 rounds to
+    # the same double as the 0.14 literal); the 200-row relabel is the
+    # same md5-rank window as the mixture oracle
+    o["q_dataset_park"] = """
+        WITH b AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 60 >= 35 AS INT) AS age,
+                   CAST(o_orderkey % 2 AS INT) AS sex,
+                   CAST(o_orderkey % 3 AS INT) AS score0,
+                   CAST(o_orderkey % 100 >= 56 AS INT) AS "PPE"
+            FROM orders
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY (age = 1 AND sex = 1 AND score0 = 1)
+                ORDER BY CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, '42')), 1, 15)) AS BIGINT),
+                         o_orderkey
+            ) AS rn FROM b
+        )
+        SELECT o_orderkey, age, sex,
+               CAST(CASE WHEN age = 1 AND sex = 1 AND score0 = 1 AND rn <= 200
+                    THEN 0 ELSE score0 END AS INT) AS score_cut,
+               "PPE"
+        FROM r
+    """
+
+    # crime: the z-score stable-sum formula is the proven
+    # q_etl_zscore oracle per column; quantile_cont = Spark's exact
+    # percentile() (both lower + frac·(upper−lower) over p·(N−1));
+    # the cascade is the reference's sequential in-place fold,
+    # expressed as 6 nested CASEs
+    _casc = "zv"
+    for _i in range(6):
+        _casc = (
+            f"(CASE WHEN ({_casc}) <= q[{_i + 1}] "
+            f"THEN {float(_i * 100)} ELSE ({_casc}) END)"
+        )
+    o["q_dataset_crime"] = f"""
+        WITH raw AS (
+            SELECT CAST(o_orderkey % 97 AS DOUBLE) AS v,
+                   CAST(o_custkey % 89 AS DOUBLE) AS b,
+                   CAST(o_custkey % 83 AS DOUBLE) AS h,
+                   CAST(o_orderkey % 79 AS DOUBLE) AS m
+            FROM orders
+        ),
+        s AS (
+            SELECT CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(v*v AS DECIMAL(28,6))) AS DOUBLE) AS svv,
+                   CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+                   CAST(SUM(CAST(b*b AS DECIMAL(28,6))) AS DOUBLE) AS sbb,
+                   CAST(SUM(CAST(h AS DECIMAL(28,6))) AS DOUBLE) AS sh,
+                   CAST(SUM(CAST(h*h AS DECIMAL(28,6))) AS DOUBLE) AS shh,
+                   CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+                   CAST(SUM(CAST(m*m AS DECIMAL(28,6))) AS DOUBLE) AS smm,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM raw
+        ),
+        z AS (
+            SELECT (v - sv/n) / SQRT((svv - n*(sv/n)*(sv/n)) / (n - 1.0)) AS zv,
+                   (b - sb/n) / SQRT((sbb - n*(sb/n)*(sb/n)) / (n - 1.0)) AS zb,
+                   (h - sh/n) / SQRT((shh - n*(sh/n)*(sh/n)) / (n - 1.0)) AS zh,
+                   (m - sm/n) / SQRT((smm - n*(sm/n)*(sm/n)) / (n - 1.0)) AS zm
+            FROM raw, s
+        ),
+        qs AS (
+            SELECT quantile_cont(zv, [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS q FROM z
+        )
+        SELECT CAST({_casc} AS INT) AS crime_class,
+               CAST(zb > -0.45 AS INT) AS black_people,
+               CAST(zh > -0.4 AS INT) AS hisp_people,
+               CAST(zm >= CAST(0.1 AS DOUBLE) AS INT) AS "MedRent"
+        FROM z CROSS JOIN qs
     """
 
     # multiclass quota post-processor: boundary table re-derived with

@@ -277,11 +277,34 @@ def random_relabel(
     new_value,
     n: int,
     seed: int = 42,
+    key_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """F9 — park-style noise injection (getdataset.py:451-452): pick n
     random rows matching `pred`, set their label. One pass: rank
-    matching rows by rand(seed), flip where rank <= n."""
-    w = Window.partitionBy(pred.cast("int")).orderBy(F.rand(seed))
+    matching rows, flip where rank <= n.
+
+    With ``key_cols`` the rank is the engine-portable md5 hash of
+    (key…, seed) — the same seeded-selection idiom as
+    ``stratified_sample`` / ``mixture_sample``, reproducible in any
+    SQL engine (and the oracle-able path). Without keys it falls back
+    to ``rand(seed)``, which is Spark-internal (partitioning-
+    dependent, no SQL twin). The selection set is n rows either way.
+    The ranking window partitions on the predicate, so all matching
+    rows rank in one task — census-scale n by construction (the
+    reference flips 200 rows); for a huge match set use
+    stratified_sample-style pre-splitting instead."""
+    if key_cols:
+        from demv_spark.functions.compat import portable_hash
+
+        order = [
+            portable_hash(
+                F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+            ),
+            *[F.col(c) for c in key_cols],
+        ]
+    else:
+        order = [F.rand(seed)]
+    w = Window.partitionBy(pred.cast("int")).orderBy(*order)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     flipped = F.when(pred & (F.col("__rn") <= n), F.lit(new_value)).otherwise(F.col(label))
     return ranked.withColumn(label, flipped).drop("__rn")

@@ -345,13 +345,21 @@ def obesity(raw: DataFrame, n_features: int = 2) -> DataFrame:
 # park — getdataset.py:441-493
 # ---------------------------------------------------------------------------
 
-def park(raw: DataFrame, n_features: int = 2, seed: int = 42) -> DataFrame:
+def park(
+    raw: DataFrame,
+    n_features: int = 2,
+    seed: int = 42,
+    relabel_key_cols: list[str] | None = None,
+) -> DataFrame:
     """Parkinson's telemonitoring recipe (getdataset.py:443-452): drop
     ids and regression targets, binarize age at 65, integer-code the
     severity label, then inject label noise — 200 random rows from the
     (age=1, sex=1, score_cut=1) group are relabeled to 0
     (getdataset.py:451-452; unseeded there, seeded here for
-    reproducibility); 3-feature variant binarizes PPE at 0.14."""
+    reproducibility); 3-feature variant binarizes PPE at 0.14.
+    ``relabel_key_cols`` routes the 200-row selection through the
+    portable md5 rank (engine-reproducible; the oracle-able path)
+    instead of rand(seed)."""
     out = raw.drop("subject#", "a", "y", "yhat", "motor_UPDRS",
                    "total_UPDRS", "test_time")
     out = etl.binarize(out, "age", 65)
@@ -361,7 +369,7 @@ def park(raw: DataFrame, n_features: int = 2, seed: int = 42) -> DataFrame:
     out = etl.random_relabel(
         out,
         (F.col("age") == 1) & (F.col("sex") == 1) & (F.col("score_cut") == 1),
-        "score_cut", 0, n=200, seed=seed,
+        "score_cut", 0, n=200, seed=seed, key_cols=relabel_key_cols,
     )
     if n_features >= 3:
         out = etl.binarize(out, "PPE", 0.14)
