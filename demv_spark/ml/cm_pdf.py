@@ -129,11 +129,22 @@ def write_confusion_matrix_pdf(
     the two-panel PDF. Returns the class list used."""
     from demv_spark.functions.metrics import confusion_matrix_normalized
 
+    # one None-aware, numeric-aware key for BOTH the per-side and the
+    # combined sort: numeric labels order numerically (2 before 10,
+    # matching the reference's class order), None last, and the two
+    # sorts can never disagree on axis order (ADVICE r3)
+    def _class_key(v):
+        return (
+            v is None,
+            not isinstance(v, (int, float)),
+            v if isinstance(v, (int, float)) else str(v),
+        )
+
     def collect_cm(part):
         rows = confusion_matrix_normalized(part, y_true, y_pred).collect()
         classes = sorted(
             {r[y_true] for r in rows} | {r[y_pred] for r in rows},
-            key=lambda v: (v is None, str(v)),
+            key=_class_key,
         )
         idx = {c: i for i, c in enumerate(classes)}
         m = [[0.0] * len(classes) for _ in classes]
@@ -143,7 +154,7 @@ def write_confusion_matrix_pdf(
 
     cls_u, cm_u = collect_cm(df.filter(unpriv))
     cls_p, cm_p = collect_cm(df.filter(~unpriv))
-    classes = sorted(set(cls_u) | set(cls_p), key=str)
+    classes = sorted(set(cls_u) | set(cls_p), key=_class_key)
 
     def realign(cls, m):
         idx = {c: i for i, c in enumerate(cls)}

@@ -144,7 +144,21 @@ def multiclass_quota_adjust(
         classes.append(cls)
         cums.append(acc)
     n_total = acc
-    sizes = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn"))
+    # group census collected ONCE: it feeds both the broadcast bounds
+    # table and the auto-salt decision below — the previous second
+    # groupBy cost an extra full scan+shuffle of the big table
+    # (ADVICE r3). Group-count-sized by construction, same driver
+    # contract as the auto-salt collect always had.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    size_rows = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn")).collect()
+    sizes = df.sparkSession.createDataFrame(
+        size_rows,
+        StructType(
+            [df.schema[c] for c in gcols]
+            + [StructField("__gn", LongType(), False)]
+        ),
+    )
     # per-(group, class) boundary array: (cum_c · n_g) div N — exact
     # BIGINT arithmetic, monotone, and b_last = n_g by construction
     bounds = sizes.withColumn(
@@ -168,10 +182,7 @@ def multiclass_quota_adjust(
         and isinstance(df.schema[ocols[1]].dataType, NumericType)
     )
     if skew_buckets == "auto":
-        group_rows = [
-            r["__gn"]
-            for r in df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn")).collect()
-        ]
+        group_rows = [r["__gn"] for r in size_rows]
         skew_buckets = (
             _balancer.resolve_auto_salt(group_rows, _balancer.AUTO_SALT_GROUP_ROWS)
             if can_decompose

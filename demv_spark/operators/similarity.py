@@ -97,6 +97,7 @@ def cosine_topk_arrow(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy matmul — the vectorized
     scale path for the embedding hot loop.
@@ -126,7 +127,21 @@ def cosine_topk_arrow(
                 "use cosine_topk_bruteforce for non-integer ids"
             )
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # Fail fast instead of OOMing the driver when the "bounded query
+    # set" assumption is violated (VERDICT r3 item 7): |Q| rows and
+    # the |Q|×dim float64 matrix must fit the driver AND every
+    # executor (the kernel closes over it). 100k queries × 1k dims ≈
+    # 800 MB — already past sensible; route bigger sets through the
+    # LSH/IVF paths or chunk the query set. limit(cap+1) bounds the
+    # collect itself (no extra count job, no unbounded pull).
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_arrow: query set exceeds the "
+            f"max_query_rows={max_query_rows} driver-materialization "
+            "cap; chunk the queries or use ivf_topk/lsh for large "
+            "query sets"
+        )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"

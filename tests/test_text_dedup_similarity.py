@@ -492,6 +492,41 @@ def test_learn_bpe_textbook_merges(spark):
     assert text.learn_bpe(df2, n_merges=5) == merges
 
 
+def test_learn_bpe_max_vocab_caps_census(spark):
+    # the driver census is bounded by max_vocab: with 4 distinct words
+    # and max_vocab=2, only the top-2 by frequency (newest x6, low x5)
+    # feed the merge loop — the driver never sees the tail
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = text.learn_bpe(df, n_merges=3, max_vocab=2)
+    # pair counts from {newest:6, low:5} only: (e,s)=(s,t)=(t,</w>)=
+    # (n,e)=(w,e)=(e,w)=6 — lexicographic min first; 'es' then chains
+    assert merges[0] == ("e", "s")
+    # uncapped run differs once the tail matters, capped is stable
+    assert merges == text.learn_bpe(df, n_merges=3, max_vocab=2)
+    # cap at the tie boundary is deterministic (lexicographic)
+    m3a = text.learn_bpe(df, n_merges=2, max_vocab=3)
+    m3b = text.learn_bpe(df.repartition(5), n_merges=2, max_vocab=3)
+    assert m3a == m3b
+
+
+def test_cosine_topk_arrow_query_cap(spark):
+    import pytest as _pytest
+
+    from demv_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        similarity.cosine_topk_arrow(vecs, vecs, k=2, max_query_rows=4)
+    # under the cap: unchanged behavior
+    out = similarity.cosine_topk_arrow(vecs, vecs, k=2, max_query_rows=100)
+    assert out.count() == 16
+
+
 def test_bpe_tokenize_applies_merges_and_roundtrips(spark):
     corpus = " ".join(
         ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
