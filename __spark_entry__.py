@@ -1797,8 +1797,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q_etl_zscore"] = """
         WITH s AS (
-            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
                    CAST(COUNT(c_acctbal) AS DOUBLE) AS n
             FROM customer
         )
@@ -1837,9 +1837,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                CASE WHEN n_chars = 0 THEN 0.0
-                    ELSE ROUND(0.4 * LEAST(1.0, n_chars / 500.0)
+                    ELSE FLOOR((0.4 * LEAST(1.0, n_chars / 500.0)
                         + 0.3 * (1.0 - LEAST(1.0, punct / n_chars * 10.0))
-                        + 0.3 * (1.0 - LEAST(1.0, ABS(alpha / n_tok - 5.0) / 5.0)), 6)
+                        + 0.3 * (1.0 - LEAST(1.0, ABS(alpha / n_tok - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6
                END AS quality
         FROM f
     """
@@ -1865,14 +1865,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                   ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                   FLOOR((0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                        + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) END AS quality
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality
             FROM documents
         )
         SELECT source, lang, COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens,
-               SUM(CAST(ROUND(quality * 1e6, 0) AS BIGINT)) AS sum_q6
+               SUM(CAST(FLOOR(quality * 1e6 + 0.5) AS BIGINT)) AS sum_q6
         FROM f GROUP BY 1, 2
     """
     o["q_text_lang_confusion"] = rf"""
@@ -1930,7 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o JOIN w USING (o_orderpriority, o_orderstatus)
     """
     _wc = (
-        "CAST(SUM(CAST(CASE WHEN {p} THEN weight ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)"
+        "CAST(CAST(SUM(CAST(CASE WHEN {p} THEN weight ELSE 0.0 END AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
     )
     o["q_metric_weighted_suite"] = f"""
         WITH census AS (
@@ -1960,7 +1960,7 @@ def oracle_sql() -> dict[str, str]:
                    {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND NOT ({_SQL_PRED})")} AS p_pn,
                    {_wc.format(p=f"NOT ({_SQL_UNPRIV}) AND {_SQL_PRED} AND NOT ({_SQL_TRUE})")} AS p_pp_tn,
                    {_wc.format(p="y_true = y_pred")} AS n_match,
-                   CAST(SUM(CAST(weight AS DECIMAL(28,6))) AS DOUBLE) AS n
+                   CAST(CAST(SUM(CAST(weight AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS n
             FROM t
         )
         SELECT (up/u) - (pp/p) AS stat_par,
@@ -1995,7 +1995,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         )
         SELECT label, pos,
-               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(v) AS mean_v
         FROM pe GROUP BY 1, 2
     """
@@ -2008,14 +2008,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         cents AS (
             SELECT label AS cand, pos,
-                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
                        / COUNT(v) AS mean_v
             FROM pe GROUP BY 1, 2
         ),
         scored AS (
             SELECT pe.vec_id, pe.label AS label_true, c.cand,
-                   CAST(SUM(CAST(2.0 * CAST(pe.v AS DOUBLE) * c.mean_v
-                                 - c.mean_v * c.mean_v AS DECIMAL(28,6))) AS DOUBLE) AS score
+                   CAST(CAST(SUM(CAST(2.0 * CAST(pe.v AS DOUBLE) * c.mean_v
+                                 - c.mean_v * c.mean_v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS score
             FROM pe JOIN cents c USING (pos)
             GROUP BY 1, 2, 3
         ),
@@ -2042,9 +2042,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                   ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                   FLOOR((0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                        + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0)), 6) END AS quality,
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality,
                    len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
                    len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
                    len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,
@@ -2473,6 +2473,14 @@ def oracle_sql() -> dict[str, str]:
     # step per iteration, direction = sign(w_exp·total − n0)) and take
     # the first size whose rounded disparity is 1, capped at stop.
     # Verified equivalent to balancer._simulate_target at sf0.001/0.01.
+    # The stop test is written as a STRICT double window, not
+    # ROUND(...)==1.0: Python round(v,1)==1.0 ⟺ double(0.95) < v <
+    # double(1.05) exactly (x.x5 is never representable, so no exact
+    # ties exist), whereas DuckDB's ROUND rounds the float-SCALED
+    # value and disagrees at representational ties like v=0.95
+    # (hypothesis-found, round 4). The disparity expression keeps the
+    # reference's association w_exp/(n/total) — (w_exp·total)/n can
+    # differ by 1 ulp and land on the other side of the window.
     o["q_demv_rebalance_census"] = """
         WITH pred AS (
           SELECT CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS s,
@@ -2495,7 +2503,9 @@ def oracle_sql() -> dict[str, str]:
         hit AS (
           SELECT s, y, n, MIN(i) AS steps
           FROM walk
-          WHERE n_try > 0 AND ROUND(w_exp * total / n_try, 1) = 1.0
+          WHERE n_try > 0
+            AND (w_exp / (CAST(n_try AS DOUBLE) / total)) > CAST(0.95 AS DOUBLE)
+            AND (w_exp / (CAST(n_try AS DOUBLE) / total)) < CAST(1.05 AS DOUBLE)
           GROUP BY 1, 2, 3)
         SELECT g.s, g.y,
                CAST(g.n + CASE WHEN g.w_exp*g.total > g.n THEN 1 ELSE -1 END
@@ -2537,7 +2547,9 @@ def oracle_sql() -> dict[str, str]:
         hit AS (
           SELECT s, y, n, MIN(i) AS steps
           FROM walk
-          WHERE n_try > 0 AND ROUND(w_exp * total / n_try, 1) = 1.0
+          WHERE n_try > 0
+            AND (w_exp / (CAST(n_try AS DOUBLE) / total)) > CAST(0.95 AS DOUBLE)
+            AND (w_exp / (CAST(n_try AS DOUBLE) / total)) < CAST(1.05 AS DOUBLE)
           GROUP BY 1, 2, 3)
         SELECT g.s, g.y,
                CAST(g.n + CASE WHEN g.w_exp*g.total > g.n THEN 1 ELSE -1 END
@@ -3166,14 +3178,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         ),
         s AS (
-            SELECT CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv,
-                   CAST(SUM(CAST(v*v AS DECIMAL(28,6))) AS DOUBLE) AS svv,
-                   CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE) AS sb,
-                   CAST(SUM(CAST(b*b AS DECIMAL(28,6))) AS DOUBLE) AS sbb,
-                   CAST(SUM(CAST(h AS DECIMAL(28,6))) AS DOUBLE) AS sh,
-                   CAST(SUM(CAST(h*h AS DECIMAL(28,6))) AS DOUBLE) AS shh,
-                   CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS sm,
-                   CAST(SUM(CAST(m*m AS DECIMAL(28,6))) AS DOUBLE) AS smm,
+            SELECT CAST(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sv,
+                   CAST(CAST(SUM(CAST(v*v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS svv,
+                   CAST(CAST(SUM(CAST(b AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sb,
+                   CAST(CAST(SUM(CAST(b*b AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sbb,
+                   CAST(CAST(SUM(CAST(h AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sh,
+                   CAST(CAST(SUM(CAST(h*h AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS shh,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sm,
+                   CAST(CAST(SUM(CAST(m*m AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS smm,
                    CAST(COUNT(*) AS DOUBLE) AS n
             FROM raw
         ),

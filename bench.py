@@ -46,6 +46,13 @@ HEADLINE = [
     # round-3 additions: concrete recipe pipeline + multiclass quota
     "q_dataset_adult",
     "q_postprocess_multiclass",
+    # round-4 additions: the z-score + quantile-cascade recipe and the
+    # portable seeded-relabel recipe (q_demv_smote_rowcheck stays out:
+    # per-group exact kNN is quadratic in group size — fine at the
+    # driver's sf0.01, ~160 s at sf0.1; the documented scale path for
+    # huge groups is the LSH neighbor swap, see strategies.py)
+    "q_dataset_crime",
+    "q_dataset_park",
 ]
 
 

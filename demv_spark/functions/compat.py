@@ -9,9 +9,17 @@ scalar back to DOUBLE — one deterministic rounding, identical in both
 engines. Every arithmetic step after that (division, sqrt, comparison)
 is an IEEE-754 correctly-rounded scalar op, hence bit-identical.
 
+The DuckDB rendering routes the final cast through VARCHAR
+(decimal → exact string → strtod): DuckDB's direct DECIMAL→DOUBLE
+cast double-rounds (int128 → double, then ÷10⁶ — two roundings),
+which came out 1 ulp off Java's correctly-rounded
+BigDecimal.doubleValue() at sf0.1 sums (~4.6·10¹¹ needs > 53 bits
+scaled; found by the round-4 cross-scale gate). strtod is correctly
+rounded, so the string hop restores bit parity at every magnitude.
+
 SQL-side equivalents (used by __spark_entry__.oracle_sql):
-    stable_sum(x)  -> CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
-    stable_avg(x)  -> CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+    stable_sum(x)  -> CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+    stable_avg(x)  -> CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
                       / COUNT(x)
 """
 
@@ -37,12 +45,12 @@ def stable_avg(col: Column | str) -> Column:
 
 def sql_stable_sum(expr: str) -> str:
     """ANSI-SQL rendering of stable_sum for the DuckDB oracle."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_stable_avg(expr: str) -> str:
     """ANSI-SQL rendering of stable_avg for the DuckDB oracle."""
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr}))"
+    return f"(CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT({expr}))"
 
 
 def portable_hash(col: Column | str) -> Column:

@@ -222,8 +222,18 @@ def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ``.std()`` default.
 
     One fused aggregate over all cols (stable decimal sums for
-    cross-engine determinism) broadcast back via crossJoin — a single
-    scan + a 1-row broadcast."""
+    cross-engine determinism), COLLECTED (1 row, config-scale) and
+    re-injected as literals. The literal form matters downstream:
+    a broadcast-join stats subtree is duplicated into every later
+    global aggregate over the z-scored columns (the crime recipe's
+    quantile pass re-scanned the base table twice for it — 4 scans
+    where 3 is the sequential minimum); literals keep every consumer
+    at one scan. μ/σ are derived in Python floats with the identical
+    IEEE op sequence the SQL expression used (s/n; (ss − n·mean·mean)
+    /(n−1); sqrt), so the per-row doubles are bit-identical to the
+    broadcast form and to the q_etl_zscore oracle."""
+    import math
+
     from demv_spark.functions.compat import stable_sum
 
     aggs = []
@@ -231,15 +241,27 @@ def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         aggs.append(stable_sum(F.col(c)).alias(f"__s_{c}"))
         aggs.append(stable_sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
         aggs.append(F.count(F.col(c)).cast("double").alias(f"__n_{c}"))
-    stats = df.agg(*aggs)
-    out = df.crossJoin(F.broadcast(stats))
+    stats = df.agg(*aggs).collect()[0]
+    out = df
     for c in cols:
-        n, s, ss = F.col(f"__n_{c}"), F.col(f"__s_{c}"), F.col(f"__ss_{c}")
+        n, s, ss = stats[f"__n_{c}"], stats[f"__s_{c}"], stats[f"__ss_{c}"]
+        if not n or s is None:
+            # no non-null values: (x − NULL)/NULL — NULL out, like
+            # the broadcast form did
+            out = out.withColumn(c, F.lit(None).cast("double"))
+            continue
         mean = s / n
-        # sample variance: (ss - n*mean^2) / (n - 1)
-        std = F.sqrt((ss - n * mean * mean) / (n - F.lit(1.0)))
-        out = out.withColumn(c, (F.col(c) - mean) / std)
-    return out.drop(*[f"__{p}_{c}" for c in cols for p in ("s", "ss", "n")])
+        # sample variance: (ss - n*mean^2) / (n - 1); IEEE semantics
+        # for the n=1 edge (SQL 0/0 = NaN, x/0 = ±Inf — Python float
+        # division raises instead, so special-case it)
+        num = ss - n * mean * mean
+        if n - 1.0 == 0.0:
+            var = float("nan") if num == 0.0 else math.copysign(float("inf"), num)
+        else:
+            var = num / (n - 1.0)
+        std = math.sqrt(var) if var >= 0 else float("nan")
+        out = out.withColumn(c, (F.col(c) - F.lit(mean)) / F.lit(std))
+    return out
 
 
 def union_provenance(

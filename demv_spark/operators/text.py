@@ -81,9 +81,18 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
         F.lit(1.0), F.abs(alpha / n_tok - F.lit(5.0)) / F.lit(5.0)
     )
     q = F.lit(0.4) * len_score + F.lit(0.3) * punct_score + F.lit(0.3) * wordlen_score
+    # 6-dp digitization as floor(q·10⁶ + 0.5)/10⁶ — pure IEEE ops, so
+    # any engine computing the same q double gets the same result.
+    # ROUND(q, 6) is NOT portable at ties: q is a rational with small
+    # denominators (e.g. alpha/n_tok with n_tok = 64 ⇒ exact values
+    # like 0.8490625), and engines disagree on x.xxxxxx5 — Spark
+    # HALF_UPs the exact binary expansion while DuckDB/np round the
+    # float-scaled value (found by the sf0.1 cross-scale gate, doc
+    # 1746). floor(+0.5) has no implementation freedom.
+    q6 = F.floor(q * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     # empty text would divide by zero (ANSI mode raises) → score 0.0
     return df.withColumn(
-        out, F.when(n_chars > 0, F.round(q, 6)).otherwise(F.lit(0.0))
+        out, F.when(n_chars > 0, q6).otherwise(F.lit(0.0))
     )
 
 
@@ -432,7 +441,7 @@ def corpus_profile(
         F.sum("n_tokens").alias("total_tokens"),
         stable_avg("quality").alias("mean_quality"),
         F.sum(
-            F.round(F.col("quality") * F.lit(1000000.0), 0).cast("long")
+            F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
         ).alias("sum_q6"),
     )
 
