@@ -65,12 +65,17 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert any("LessThan(vec_id,3)" in p for p in s["pushed_filters"])
 
 
-def test_zscore_two_scans_max(orders):
+def test_zscore_output_plan_is_map_only(orders):
     s = plan_stats(etl.zscore(orders.select("o_orderkey", "o_totalprice"), ["o_totalprice"]))
-    # one scan for the stats aggregate + one for the output rows —
-    # a window-over-all alternative would shuffle the entire table
-    assert len(s["read_schemas"]) <= 2
-    assert s["n_broadcasts"] >= 1
+    # μ/σ are computed by a separate 1-row aggregate job and injected
+    # as literals, so the OUTPUT plan is a single scan with per-row
+    # arithmetic: no join, no shuffle, no window-over-all
+    assert len(s["read_schemas"]) == 1
+    assert s["n_broadcasts"] == 0
+    assert s["n_sort_merge_joins"] == 0
+    # the only exchange allowed is read_table's round-robin spread;
+    # zscore itself must not add one
+    assert s["n_exchanges"] <= 1
 
 
 def test_label_encode_broadcasts_codes(spark):
