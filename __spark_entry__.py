@@ -589,6 +589,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_ivf_topk_fixed"] = _sim_ivf_fixed
 
+    # embedding-cosine near-dup, planted-parity form: exact copies of
+    # every 20th vector (cos ≈ 1.0) against a background whose max
+    # pairwise cosine is 0.60 at sf0.1 / 0.51 at sf0.01 (measured) —
+    # a ≥0.3 margin around the 0.9 threshold, so the emitted integer
+    # pair set is engine-stable; the oracle brute-forces all pairs
+    # while Spark goes through the LSH-banded candidate path.
+    def _sim_embed_near_dup(spark, sf):
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        pl = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1000000)
+        )
+        pairs = similarity.embedding_near_dup(
+            e.unionByName(pl), dim=64, threshold=0.9
+        )
+        return pairs.select(
+            "id_a", "id_b",
+            ((F.col("id_b") - F.col("id_a")) == 1000000)
+            .cast("int").alias("is_planted"),
+        )
+
+    q["q_sim_embed_near_dup"] = _sim_embed_near_dup
+
+    # ---- web-corpus curation: URL/domain blocklist filter ----
+    # deterministic URL fixture derived from (source, doc_id); the
+    # operator under test is extract_domain + dot-suffix blocklist
+    # matching (example0.com blocks cdn.src4.example0.com), map-only
+    def _web_domain_filter(spark, sf):
+        from demv_spark.operators import web
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+                F.col("source"), F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/page/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return web.flag_blocked_domains(
+            d, ["example0.com", "src1.example2.com"]
+        ).select("doc_id", "domain", "blocked")
+
+    q["q_web_domain_filter"] = _web_domain_filter
+
+    # ---- quality-classifier inference (fastText-style linear) ----
+    # integer hash-derived weights ⇒ the per-doc score is an exact
+    # BIGINT the oracle recomputes from md5 in SQL; map-only plan
+    # (higher-order aggregate over the token array, no explode)
+    def _text_quality_clf(spark, sf):
+        from demv_spark.operators import quality_clf as qc
+
+        return qc.hashed_linear_score(
+            _t(spark, sf, "documents")
+        ).select("doc_id", "n_feats", "score", "label")
+
+    q["q_text_quality_clf"] = _text_quality_clf
+
     # ---- multimodal plumbing (synthesized deterministic media) ----
     def _media(spark, sf):
         from demv_spark.operators.multimodal import synthesize_media
@@ -2390,6 +2448,67 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
             FROM scored
         ) WHERE rank <= 10
+    """
+
+    # planted near-dup parity: the oracle brute-forces every pair —
+    # correct at oracle scale because the emitted set only contains
+    # the planted exact copies (background max cosine 0.60 ≪ 0.9,
+    # measured at sf0.01 and sf0.1); Spark's answer comes from the
+    # LSH-banded candidate path, so this value-checks the ALGORITHM
+    o["q_sim_embed_near_dup"] = """
+        WITH pl AS (
+            SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        allv AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT * FROM pl
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(b.vec_id - a.vec_id = 1000000 AS INT) AS is_planted
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+
+    # dot-suffix blocklist semantics rendered as (= b OR LIKE '%.b')
+    o["q_web_domain_filter"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://' || CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+                   || source || '.example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com/page/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+            FROM d
+        )
+        SELECT doc_id, domain,
+               CAST((domain = 'example0.com' OR domain LIKE '%.example0.com'
+                  OR domain = 'src1.example2.com'
+                  OR domain LIKE '%.src1.example2.com') AS INT) AS blocked
+        FROM x
+    """
+
+    o["q_text_quality_clf"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(coalesce(text, ''))),
+                                             '\s+')) AS token
+            FROM documents
+        ),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        w AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('qclf1:' || token), 1, 15))
+                        AS BIGINT) % 2001 - 1000 AS wt
+            FROM t
+        )
+        SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score,
+               CAST(SUM(wt) >= 0 AS INT) AS label
+        FROM w GROUP BY 1
     """
 
     o["q_events_hourly"] = """

@@ -1,0 +1,118 @@
+"""URL / domain filtering for web-corpus curation.
+
+Standard first-stage filters in a pre-training data pipeline
+(C4 / RefinedWeb / FineWeb style): extract the registered host from a
+document URL, then drop documents whose host matches a blocklist of
+domains, where a blocked domain also blocks every subdomain
+(``example.com`` blocks ``cdn.example.com`` but NOT
+``notexample.com`` — matching is on dot boundaries only).
+
+Not part of the reference surface (giordanoDaloisio/demv has no web
+analytics); these extend the documents-table pipeline family.
+
+Two shapes, both JVM-only (no Python UDFs):
+
+- ``flag_blocked_domains``: the blocklist is a driver-side literal
+  list (the common case — curated blocklists are 10³–10⁶ entries and
+  broadcast-able). Map-only: one scan, zero shuffles; the suffix test
+  is ``exists(suffixes(host), s -> s IN set)`` rendered as an
+  ``arrays_overlap`` against a literal array.
+- ``block_by_domain_join``: the blocklist is itself a DataFrame
+  (e.g. produced by another job). Dot-suffix explode on the corpus
+  side → broadcast semi-join → left-anti on matched ids. Corpus is
+  scanned twice but never shuffled on a fat key; the exploded side
+  carries (id, suffix) only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# host = authority portion after '://', up to the first '/', ':', '?',
+# or '#'. Same regex semantics in Java regex and RE2 (DuckDB), so the
+# oracle can recompute it verbatim.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def extract_domain(url: Column | str, out: str | None = None) -> Column:
+    """Lower-cased host part of a URL (empty string if no scheme).
+
+    SQL twin: ``lower(regexp_extract(url, '...', 1))``.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    col = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    return col.alias(out) if out else col
+
+
+def domain_suffixes(domain: Column | str) -> Column:
+    """All dot-boundary suffixes of a host, most-specific first:
+    ``cdn.a.com`` → ``[cdn.a.com, a.com, com]``. Pure array ops
+    (split / sequence / slice / array_join) — no UDF, engine-portable.
+    """
+    c = F.col(domain) if isinstance(domain, str) else domain
+    parts = F.split(c, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def flag_blocked_domains(
+    df: DataFrame,
+    blocked: Sequence[str],
+    url_col: str = "url",
+    domain_out: str = "domain",
+    flag_out: str = "blocked",
+) -> DataFrame:
+    """Annotate each row with its host and a 0/1 blocklist flag.
+
+    Map-only (single scan, no shuffle, no join): the blocklist rides
+    into the plan as one literal array and the dot-suffix test is
+    ``arrays_overlap(suffixes(host), blocklist)``. The production
+    shape for blocklists up to ~10⁶ entries; use
+    :func:`block_by_domain_join` beyond that.
+    """
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked])
+    dom = extract_domain(url_col)
+    return df.withColumn(domain_out, dom).withColumn(
+        flag_out,
+        F.arrays_overlap(domain_suffixes(F.col(domain_out)), blocked_arr)
+        .cast("int"),
+    )
+
+
+def block_by_domain_join(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose host (or any parent domain) appears in
+    ``blocklist`` (a 1-column DataFrame of lower-case domains).
+
+    Plan shape: corpus → (id, exploded suffix) → broadcast semi-join
+    against the blocklist → distinct blocked ids → left-anti back on
+    the corpus. The only shuffle is the distinct over blocked ids,
+    which is bounded by the number of *blocked* documents, not the
+    corpus size.
+    """
+    bl = blocklist.select(
+        F.lower(F.col(blocklist.columns[0])).alias("__blocked_domain")
+    )
+    suffixed = df.select(
+        F.col(id_col),
+        F.explode(domain_suffixes(extract_domain(url_col))).alias("__sfx"),
+    )
+    blocked_ids = (
+        suffixed.join(
+            F.broadcast(bl), suffixed["__sfx"] == bl["__blocked_domain"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
