@@ -157,3 +157,36 @@ def test_table_form_broadcasts(spark, docs):
     s = plan_stats(qc.linear_score_with_table(docs, wt))
     assert s["n_broadcasts"] >= 1
     assert s["n_sort_merge_joins"] == 0
+
+
+def test_hashed_linear_score_streams(spark, tmp_path):
+    """The classifier is pure column arithmetic, so the SAME call
+    works on a readStream DataFrame — streaming corpus scoring with
+    zero operator changes (batch/stream symmetry contract)."""
+    import pyspark.sql.functions as F  # noqa: F811 (local clarity)
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc number {i} spark scale") for i in range(20)],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(src)
+    batch = {
+        (r["doc_id"], r["score"], r["label"])
+        for r in qc.hashed_linear_score(spark.read.parquet(src))
+        .select("doc_id", "score", "label")
+        .collect()
+    }
+    schema = spark.read.parquet(src).schema
+    stream = qc.hashed_linear_score(
+        spark.readStream.schema(schema).parquet(src)
+    ).select("doc_id", "score", "label")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qclf_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM qclf_sink").collect()}
+    assert got == batch
