@@ -611,6 +611,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_embed_near_dup"] = _sim_embed_near_dup
 
+    # end-to-end SEMANTIC dedup: near-dup pairs → connected
+    # components → canonical keep-one filter. The planted pair set is
+    # disjoint (verified by q_sim_embed_near_dup), so the oracle's
+    # drop-the-b-side rendering equals the component closure.
+    def _sim_semantic_dedup(spark, sf):
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        pl = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1000000)
+        )
+        allv = e.unionByName(pl)
+        pairs = similarity.embedding_near_dup(allv, dim=64, threshold=0.9)
+        clusters = dedup.duplicate_clusters(pairs)
+        return dedup.canonical_filter(
+            allv.select("vec_id"), clusters, id_col="vec_id"
+        )
+
+    q["q_sim_semantic_dedup"] = _sim_semantic_dedup
+
     # ---- web-corpus curation: URL/domain blocklist filter ----
     # deterministic URL fixture derived from (source, doc_id); the
     # operator under test is extract_domain + dot-suffix blocklist
@@ -2468,6 +2486,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.vec_id - a.vec_id = 1000000 AS INT) AS is_planted
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+
+    o["q_sim_semantic_dedup"] = """
+        WITH pl AS (
+            SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        allv AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT * FROM pl
+        ),
+        dup AS (
+            SELECT b.vec_id AS vid
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        )
+        SELECT vec_id FROM allv
+        WHERE vec_id NOT IN (SELECT vid FROM dup)
     """
 
     # dot-suffix blocklist semantics rendered as (= b OR LIKE '%.b')

@@ -95,6 +95,31 @@ def main():
             langs=("en", "und"),
         ).count()
 
+    def run_qclf(d):
+        from demv_spark.operators import quality_clf as qc
+
+        # sum(score) forces the full weight computation per row
+        r = qc.hashed_linear_score(d).agg(
+            F.count(F.lit(1)), F.sum("score")
+        ).collect()[0]
+        return int(r[0])
+
+    def run_domain_filter(d):
+        from demv_spark.operators import web
+
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"), F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return int(
+            web.flag_blocked_domains(urls, ["example0.com", "example3.com"])
+            .agg(F.sum("blocked")).collect()[0][0]
+        )
+
     def run_rebalance(o):
         tbl = o.select(
             (F.col("o_totalprice") > 100000).cast("int").alias("s"),
@@ -135,6 +160,8 @@ def main():
         ("minhash_lsh_pairs", run_lsh, docs, docs_k),
         ("ngram_jaccard_pairs", run_jaccard, docs, docs_k),
         ("corpus_clean", run_clean, docs, docs_k),
+        ("hashed_linear_clf", run_qclf, docs, docs_k),
+        ("domain_blocklist_flag", run_domain_filter, docs, docs_k),
         ("demv_rebalance", run_rebalance, orders, orders_k),
         ("multiclass_quota", run_quota, orders, orders_k),
         ("ntile_plain_single_task", run_ntile_plain, orders, orders_k),
