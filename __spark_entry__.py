@@ -665,6 +665,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_quality_clf"] = _text_quality_clf
 
+    # classifier-weighted downsampling: admission probability ∝ the
+    # (shifted, clamped) integer classifier score, decided by the
+    # row's own portable hash — all integer arithmetic end-to-end.
+    # floor(score/50.0) keeps the shift engine-portable (Spark `div`
+    # truncates toward zero, DuckDB `//` floors; FLOOR of the single
+    # IEEE division agrees everywhere, negatives included)
+    def _corpus_quality_sample(spark, sf):
+        from demv_spark.operators import quality_clf as qc
+
+        scored = qc.hashed_linear_score(_t(spark, sf, "documents"))
+        shifted = scored.withColumn(
+            "q",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(1000),
+                    (F.lit(500) + F.floor(F.col("score") / F.lit(50.0))).cast(
+                        "long"
+                    ),
+                ),
+            ),
+        )
+        return corpus.quality_weighted_sample(shifted, "q").select(
+            "doc_id", "q", "admitted"
+        )
+
+    q["q_corpus_quality_sample"] = _corpus_quality_sample
+
     # ---- multimodal plumbing (synthesized deterministic media) ----
     def _media(spark, sf):
         from demv_spark.operators.multimodal import synthesize_media
@@ -2545,6 +2573,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score,
                CAST(SUM(wt) >= 0 AS INT) AS label
         FROM w GROUP BY 1
+    """
+
+    o["q_corpus_quality_sample"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(coalesce(text, ''))),
+                                             '\s+')) AS token
+            FROM documents
+        ),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        w AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('qclf1:' || token), 1, 15))
+                        AS BIGINT) % 2001 - 1000 AS wt
+            FROM t
+        ),
+        sc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY 1),
+        qv AS (
+            SELECT doc_id,
+                   GREATEST(0, LEAST(1000,
+                       500 + CAST(FLOOR(score / 50.0) AS BIGINT))) AS q
+            FROM sc
+        )
+        SELECT doc_id, q,
+               CAST((CAST(concat('0x',
+                         substr(md5('qws1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000) < q AS INT) AS admitted
+        FROM qv
     """
 
     o["q_events_hourly"] = """

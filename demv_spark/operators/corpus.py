@@ -202,3 +202,40 @@ def mixture_report(
         (F.col("units") / F.sum("units").over(Window.partitionBy()))
         .alias("share"),
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    max_score: int = 1000,
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "qws1",
+    out: str = "admitted",
+) -> DataFrame:
+    """Deterministic score-proportional subsampling: admit each row
+    with probability ``clamp(score, 0, max_score) / max_score``,
+    decided by the row's own portable hash — the curation step that
+    keeps high-quality documents more often (FineWeb-Edu-style
+    classifier-weighted downsampling) without any RNG state.
+
+    Admission is ``portable_hash(salt ':' keys) % max_score <
+    clamp(score)`` — pure integer arithmetic on a 60-bit md5 hash, so
+    the sample is a reproducible function of the data: identical
+    across engines (SQL-oracle-able), partitionings, retries, and
+    re-runs. Map-only, zero shuffles; at 100 TB it costs one scan.
+
+    ``score_col`` must be integer-valued (e.g. the exact BIGINT score
+    of ``quality_clf.hashed_linear_score`` after shifting into
+    [0, max_score]); rows with NULL score are dropped from the
+    admission test (flagged 0).
+    """
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    clipped = F.greatest(
+        F.lit(0), F.least(F.col(score_col).cast("long"), F.lit(int(max_score)))
+    )
+    admit = (
+        (portable_hash(key) % F.lit(int(max_score))) < clipped
+    ) & F.col(score_col).isNotNull()
+    return df.withColumn(out, admit.cast("int"))

@@ -151,3 +151,39 @@ def test_mixture_epochs_deterministic(spark, docs):
     b = mixture_sample_epochs(docs.repartition(7), **kw).collect()
     key = lambda r: (r["doc_id"], r["epoch"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_quality_weighted_sample(spark):
+    from demv_spark.operators.corpus import quality_weighted_sample
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, 0)        # never admitted
+        .when(F.col("id") % 4 == 1, 1000)      # always admitted
+        .when(F.col("id") % 4 == 2, 500)       # ~half admitted
+        .otherwise(F.lit(None).cast("long"))   # NULL → flagged 0
+        .alias("q"),
+    )
+    out = quality_weighted_sample(df, "q").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q"], []).append(r["admitted"])
+    assert set(by_q[0]) == {0}
+    assert set(by_q[1000]) == {1}
+    assert set(by_q[None]) == {0}
+    rate = sum(by_q[500]) / len(by_q[500])
+    assert 0.40 < rate < 0.60  # 500/1000 admission probability
+
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["admitted"]
+        for r in quality_weighted_sample(df.repartition(13), "q").collect()
+    }
+    assert again == {r["doc_id"]: r["admitted"] for r in out}
+
+    # map-only plan
+    from demv_spark.plans.introspect import plan_stats
+
+    s = plan_stats(quality_weighted_sample(df, "q"))
+    assert s["n_broadcasts"] == 0 and not s["has_python_udf"]
