@@ -53,6 +53,10 @@ HEADLINE = [
     # huge groups is the LSH neighbor swap, see strategies.py)
     "q_dataset_crime",
     "q_dataset_park",
+    # round-4 web-curation additions: both map-only (see
+    # PERFORMANCE.md scale-probe rows)
+    "q_text_quality_clf",
+    "q_web_domain_filter",
 ]
 
 
