@@ -76,3 +76,105 @@ def test_resize_and_frame_sample_plans(spark):
     frames = multimodal.frame_sample_plan(media, every_ms=1000, max_frames=4)
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in per)
+
+
+def test_lsh_smote_scale_path(spark):
+    """synthetic_rebalance_lsh: exact target counts, hash-determinism
+    of the synthesis under repartitioning (the grow path never uses
+    rand(); the shrink path shares rebalance's documented
+    partitioning-dependent rand(seed)), convex-combination geometry,
+    and a plan with NO Python UDF (unlike the exact applyInPandas
+    path — that is the point of the scale variant)."""
+    import numpy as np
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+    from demv_spark.plans.introspect import plan_stats
+    from demv_spark.sources.generator import make_classification
+
+    df = make_classification(
+        spark, 400, n_features=4, n_classes=2, n_sensitive=1, seed=3
+    ).cache()
+    census = {
+        (r["s0"], r["y"]): r["count"]
+        for r in df.groupBy("s0", "y").count().collect()
+    }
+    targets = [
+        {
+            "s0": s, "y": y, "n": n,
+            "target": n + (40 if (s, y) == (1, 1) else 0),
+        }
+        for (s, y), n in census.items()
+    ]
+    args = dict(id_cols=["f0", "f1", "f2", "f3"], k=3, seed=9)
+    out = synthetic_rebalance_lsh(df, ["s0"], "y", targets, **args)
+
+    got = {
+        (r["s0"], r["y"]): r["count"]
+        for r in out.groupBy("s0", "y").count().collect()
+    }
+    assert got == {
+        (s, y): t["target"] for t in targets for (s, y) in [(t["s0"], t["y"])]
+    }
+
+    # no Python UDF anywhere in the plan (the exact path's
+    # applyInPandas is exactly what this variant removes)
+    assert not plan_stats(out)["has_python_udf"]
+
+    # grow-path determinism under repartitioning (pure hash choices)
+    out2 = synthetic_rebalance_lsh(df.repartition(7), ["s0"], "y", targets, **args)
+    rows1 = sorted(map(tuple, out.filter("s0 = 1 AND y = 1").collect()))
+    rows2 = sorted(map(tuple, out2.filter("s0 = 1 AND y = 1").collect()))
+    assert rows1 == rows2
+
+    # geometry: every synthetic row is x + λ(xn − x) for two
+    # same-group originals — so it is collinear with some original
+    # pair and inside the segment
+    orig = np.array(
+        sorted(
+            map(tuple, df.filter("s0 = 1 AND y = 1").select("f0", "f1", "f2", "f3").collect())
+        )
+    )
+    from collections import Counter
+
+    all_out = Counter(
+        tuple(r) for r in out.filter("s0 = 1 AND y = 1").select("f0", "f1", "f2", "f3").collect()
+    )
+    for t in map(tuple, orig):
+        if t in all_out:
+            all_out[t] -= 1
+    synth = np.array([t for t, c in all_out.items() for _ in range(c)])
+    assert len(synth) == 40
+    a = orig[:, None, :]          # (n,1,d)
+    b = orig[None, :, :]          # (1,n,d)
+    for srow in synth:
+        d = b - a                 # pair direction
+        r = srow[None, None, :] - a
+        # λ per pair per dim where direction non-zero; a valid pair has
+        # a single λ∈[0,1] across dims (collinear + inside segment)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(np.abs(d) > 1e-12, r / d, np.nan)
+        lam_ref = np.nanmax(lam, axis=2)
+        ok = (
+            np.nanmax(np.abs(lam - lam_ref[:, :, None]), axis=2) < 1e-9
+        ) & (lam_ref >= -1e-9) & (lam_ref <= 1 + 1e-9)
+        assert ok.any(), f"synthetic row not on any original segment: {srow}"
+
+
+def test_lsh_smote_single_row_group_duplicates(spark):
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0, 2.0), (1, 1, 5.0, 6.0), (1, 0, 9.0, 1.0)],
+        ["s0", "y", "f0", "f1"],
+    )
+    targets = [
+        {"s0": 0, "y": 1, "n": 1, "target": 3},
+        {"s0": 1, "y": 1, "n": 1, "target": 1},
+        {"s0": 1, "y": 0, "n": 1, "target": 1},
+    ]
+    out = synthetic_rebalance_lsh(
+        df, ["s0"], "y", targets, id_cols=["f0", "f1"], k=2
+    ).collect()
+    assert len(out) == 5
+    dup = [r for r in out if r["s0"] == 0]
+    # lone row: synthetics are exact duplicates (no neighbor exists)
+    assert all((r["f0"], r["f1"]) == (1.0, 2.0) for r in dup) and len(dup) == 3
