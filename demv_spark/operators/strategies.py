@@ -179,10 +179,13 @@ def synthetic_rebalance_lsh(
     from demv_spark.operators.similarity import _hyperplanes
 
     keys = [*sensitive, label]
+    # id_cols are identity, not geometry: excluded from interpolation
+    # (synthetic rows inherit their base row's ids)
     feature_cols = [
         f.name
         for f in df.schema.fields
         if f.name not in keys
+        and f.name not in set(id_cols)
         and f.dataType.typeName() in ("double", "float", "integer", "long", "short")
     ]
     if not feature_cols:

@@ -155,6 +155,44 @@ def main():
             ).agg(F.sum("o_totalprice_q")).collect()[0][0]
         )
 
+    # SMOTE scale-path comparison: the exact grouped-applyInPandas
+    # kNN is quadratic in group size; the LSH variant is
+    # candidates-not-all-pairs. Probed on a generated classification
+    # table (4 groups) grown K×: exact should grow ~quadratically,
+    # LSH near-linearly.
+    from demv_spark.operators.strategies import (
+        synthetic_rebalance,
+        synthetic_rebalance_lsh,
+    )
+    from demv_spark.sources.generator import make_classification
+
+    clf_base = make_classification(
+        spark, 3000, n_features=4, n_classes=2, n_sensitive=1, seed=3
+    ).withColumn("__rid", F.xxhash64("f0", "f1", "f2", "f3")).cache()
+    clf_k = scaled(clf_base, k, {"__rid": 1 << 40}).cache()
+    clf_base.count(), clf_k.count()
+
+    def _smote_targets(d):
+        cen = d.groupBy("s0", "y").count().collect()
+        return [
+            {"s0": r["s0"], "y": r["y"], "n": r["count"],
+             "target": r["count"] + (r["count"] // 5 if (r["s0"], r["y"]) == (1, 1) else 0)}
+            for r in cen
+        ]
+
+    def run_smote_exact(d):
+        # the exact path has no id concept; keep its feature space to
+        # f0..f3 so both variants interpolate the same geometry
+        return synthetic_rebalance(
+            d.drop("__rid"), ["s0"], "y", _smote_targets(d), strategy="smote", k=5
+        ).count()
+
+    def run_smote_lsh(d):
+        return synthetic_rebalance_lsh(
+            d, ["s0"], "y", _smote_targets(d),
+            id_cols=["__rid"], k=5,
+        ).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
         ("minhash_lsh_pairs", run_lsh, docs, docs_k),
@@ -166,6 +204,8 @@ def main():
         ("multiclass_quota", run_quota, orders, orders_k),
         ("ntile_plain_single_task", run_ntile_plain, orders, orders_k),
         ("ntile_range_bucketed", run_ntile_bucketed, orders, orders_k),
+        ("smote_exact_knn", run_smote_exact, clf_base, clf_k),
+        ("smote_lsh", run_smote_lsh, clf_base, clf_k),
     ]
     for name, fn, d1, dk in probes:
         fn(d1)  # warm the plan shape (codegen) before timing

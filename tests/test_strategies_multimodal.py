@@ -92,6 +92,10 @@ def test_lsh_smote_scale_path(spark):
 
     df = make_classification(
         spark, 400, n_features=4, n_classes=2, n_sensitive=1, seed=3
+    ).withColumn(
+        # deterministic identity (a pure function of the data, so the
+        # repartition-determinism check below is meaningful)
+        "row_id", F.xxhash64("f0", "f1", "f2", "f3")
     ).cache()
     census = {
         (r["s0"], r["y"]): r["count"]
@@ -104,7 +108,7 @@ def test_lsh_smote_scale_path(spark):
         }
         for (s, y), n in census.items()
     ]
-    args = dict(id_cols=["f0", "f1", "f2", "f3"], k=3, seed=9)
+    args = dict(id_cols=["row_id"], k=3, seed=9)
     out = synthetic_rebalance_lsh(df, ["s0"], "y", targets, **args)
 
     got = {
@@ -163,8 +167,8 @@ def test_lsh_smote_single_row_group_duplicates(spark):
     from demv_spark.operators.strategies import synthetic_rebalance_lsh
 
     df = spark.createDataFrame(
-        [(0, 1, 1.0, 2.0), (1, 1, 5.0, 6.0), (1, 0, 9.0, 1.0)],
-        ["s0", "y", "f0", "f1"],
+        [(10, 0, 1, 1.0, 2.0), (11, 1, 1, 5.0, 6.0), (12, 1, 0, 9.0, 1.0)],
+        ["row_id", "s0", "y", "f0", "f1"],
     )
     targets = [
         {"s0": 0, "y": 1, "n": 1, "target": 3},
@@ -172,7 +176,7 @@ def test_lsh_smote_single_row_group_duplicates(spark):
         {"s0": 1, "y": 0, "n": 1, "target": 1},
     ]
     out = synthetic_rebalance_lsh(
-        df, ["s0"], "y", targets, id_cols=["f0", "f1"], k=2
+        df, ["s0"], "y", targets, id_cols=["row_id"], k=2
     ).collect()
     assert len(out) == 5
     dup = [r for r in out if r["s0"] == 0]
