@@ -693,6 +693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_quality_sample"] = _corpus_quality_sample
 
+    # winnowing fingerprints (SIGMOD'03) — rolling-hash local-overlap
+    # detection; pure array algebra over the portable md5 hash
+    q["q_text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
+        _t(spark, sf, "documents"), n=4, window=8
+    )
+
     # ---- multimodal plumbing (synthesized deterministic media) ----
     def _media(spark, sf):
         from demv_spark.operators.multimodal import synthesize_media
@@ -2601,6 +2607,40 @@ def oracle_sql() -> dict[str, str]:
                          substr(md5('qws1:' || CAST(doc_id AS VARCHAR)), 1, 15))
                      AS BIGINT) % 1000) < q AS INT) AS admitted
         FROM qv
+    """
+
+    o["q_text_winnow"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(coalesce(text, ''))),
+                                      '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, GREATEST(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')) AS shs
+            FROM toks
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(shs, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                   AS hs
+            FROM sh
+        ),
+        w AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) > 0 AND len(hs) < 8
+                        THEN [list_min(hs)]
+                        ELSE list_transform(
+                            range(1, GREATEST(len(hs) - 7, 0) + 1),
+                            j -> list_min(hs[j:j+7]))
+                   END AS mins
+            FROM h
+        )
+        SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM w
     """
 
     o["q_events_hourly"] = """

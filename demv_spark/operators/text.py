@@ -694,3 +694,53 @@ def bpe_tokenize(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    window: int = 8,
+    out: str = "fp",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03): hash every word ``n``-gram, then keep the MINIMUM hash
+    of each sliding ``window`` of consecutive shingle hashes. The
+    selected set is a small, position-robust fingerprint: any shared
+    substring of at least ``window + n − 1`` tokens between two
+    documents is guaranteed to contribute at least one IDENTICAL
+    fingerprint to both — the standard plagiarism/overlap detector,
+    and the rolling-hash flavor of the fingerprint family
+    (``fingerprint``/``normalized_fingerprint`` cover the whole-doc
+    hash; this covers local overlap).
+
+    Pure array algebra (transform / slice / array_min / distinct) over
+    the portable md5 hash — map-only until the final explode, one scan
+    at any corpus size, and the whole chain re-derives in SQL for the
+    oracle. Output: one (id, fp) row per distinct selected hash.
+    """
+    from demv_spark.functions.compat import portable_hash
+    from demv_spark.operators.dedup import _window_starts, shingles
+
+    sh = shingles(F.coalesce(F.col(text_col), F.lit("")), n)
+    hashes = F.transform(sh, lambda s: _winnow_hash(s))
+    m = F.size(hashes) - F.lit(window - 1)
+    mins = F.transform(
+        _window_starts(m), lambda j: F.array_min(F.slice(hashes, j, window))
+    )
+    # short docs (fewer shingles than the window) fingerprint to the
+    # min of what they have, so no document is unfingerprintable
+    short = F.when(
+        (F.size(hashes) > 0) & (m < 1), F.array(F.array_min(hashes))
+    ).otherwise(mins)
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(short)).alias(out)
+    )
+
+
+def _winnow_hash(s):
+    """Portable shingle hash (md5-based; see functions/compat.py)."""
+    from demv_spark.functions.compat import portable_hash
+
+    return portable_hash(s)

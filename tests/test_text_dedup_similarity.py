@@ -544,3 +544,38 @@ def test_bpe_tokenize_applies_merges_and_roundtrips(spark):
     for doc_id, txt in ((1, "low newest"), (2, "unseen lower")):
         rebuilt = "".join(got[doc_id]).replace("</w>", " ").strip()
         assert rebuilt == txt
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Winnowing guarantee (SIGMOD'03): a shared run of at least
+    window + n − 1 tokens yields at least one identical fingerprint
+    in both documents; disjoint texts share none (md5 60-bit hashes —
+    collisions are negligible)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one prefix here {shared} and a suffix"),
+            (2, f"{shared} totally different tail words follow now"),
+            (3, "unrelated content with no overlap at all whatsoever here"),
+            (4, "tiny doc"),          # shorter than one shingle
+            (5, "five little words here exactly"),  # shingles < window
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.winnow_fingerprints(docs, n=4, window=8)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 12-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps          # < n tokens → no shingles → no rows
+    assert len(fps[5]) == 1      # short doc: min of its shingle hashes
+
+
+def test_winnow_is_map_only_until_explode(spark):
+    from demv_spark.plans.introspect import plan_stats
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l")], ["doc_id", "text"])
+    s = plan_stats(text.winnow_fingerprints(docs))
+    assert s["n_exchanges"] == 0
+    assert not s["has_python_udf"]
