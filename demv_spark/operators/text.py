@@ -724,7 +724,7 @@ def winnow_fingerprints(
     from demv_spark.operators.dedup import _window_starts, shingles
 
     sh = shingles(F.coalesce(F.col(text_col), F.lit("")), n)
-    hashes = F.transform(sh, lambda s: _winnow_hash(s))
+    hashes = F.transform(sh, portable_hash)
     m = F.size(hashes) - F.lit(window - 1)
     mins = F.transform(
         _window_starts(m), lambda j: F.array_min(F.slice(hashes, j, window))
@@ -738,9 +738,3 @@ def winnow_fingerprints(
         F.col(id_col), F.explode(F.array_distinct(short)).alias(out)
     )
 
-
-def _winnow_hash(s):
-    """Portable shingle hash (md5-based; see functions/compat.py)."""
-    from demv_spark.functions.compat import portable_hash
-
-    return portable_hash(s)
