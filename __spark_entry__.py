@@ -699,6 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), n=4, window=8
     )
 
+    # winnowing MATCHING step: df-capped inverted index over the
+    # selected fingerprints → shared-count candidate pairs
+    q["q_dedup_winnow_pairs"] = lambda spark, sf: dedup.winnow_overlap_pairs(
+        _t(spark, sf, "documents"), n=4, window=8, min_shared=2, max_df=50
+    )
+
     # ---- multimodal plumbing (synthesized deterministic media) ----
     def _media(spark, sf):
         from demv_spark.operators.multimodal import synthesize_media
@@ -2641,6 +2647,50 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         )
         SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM w
+    """
+
+    o["q_dedup_winnow_pairs"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(coalesce(text, ''))),
+                                      '\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, GREATEST(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')) AS shs
+            FROM toks
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(shs, s ->
+                       CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                   AS hs
+            FROM sh
+        ),
+        wnd AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) > 0 AND len(hs) < 8
+                        THEN [list_min(hs)]
+                        ELSE list_transform(
+                            range(1, GREATEST(len(hs) - 7, 0) + 1),
+                            j -> list_min(hs[j:j+7]))
+                   END AS mins
+            FROM h
+        ),
+        fps AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM wnd),
+        capped AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfc
+                FROM fps
+            ) WHERE dfc <= 50
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
     """
 
     o["q_events_hourly"] = """

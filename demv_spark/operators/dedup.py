@@ -781,3 +781,62 @@ def first_wins_matches(
             F.col(f"m.{est}").alias("est_jaccard"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    window: int = 8,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints
+    (SIGMOD'03 matching step): documents sharing ≥ ``min_shared``
+    selected fingerprints are overlap candidates. Winnowing keeps
+    ~2/(window+1) of the shingles, so the inverted index here is an
+    order of magnitude smaller than the raw-shingle index of
+    ``ngram_jaccard_pairs`` — the cheap first pass for
+    plagiarism-style local overlap (a guaranteed hit for any shared
+    run of ≥ window + n − 1 tokens per fingerprint theory).
+
+    Same scale discipline as the Jaccard index: document frequency is
+    capped at ``max_df`` through the one-exchange count window (a
+    fingerprint shared by thousands of docs is boilerplate, not
+    signal), and pair explosion happens per capped posting list, so
+    pair volume is bounded by df²·|index| with df ≤ max_df.
+    Returns (id_a, id_b, shared), id_a < id_b.
+    """
+    from demv_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, text_col, id_col, n, window).select(
+        F.col(id_col).alias("id"), F.col("fp").alias("sh")
+    )
+    w = Window.partitionBy("sh")
+    capped = fps.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+        F.col("__df") <= max_df
+    )
+    postings = (
+        capped.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    k = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, k - i),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -579,3 +579,25 @@ def test_winnow_is_map_only_until_explode(spark):
     s = plan_stats(text.winnow_fingerprints(docs))
     assert s["n_exchanges"] == 0
     assert not s["has_python_udf"]
+
+
+def test_winnow_overlap_pairs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one prefix here {shared} and a suffix"),
+            (2, f"{shared} totally different tail words follow now"),
+            (3, "unrelated content with no overlap at all whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in dedup.winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs          # the shared run must match
+    assert all(3 not in p for p in pairs)
+
+    # min_shared filters single-fingerprint coincidences
+    strong = dedup.winnow_overlap_pairs(docs, min_shared=2).collect()
+    assert all(r["shared"] >= 2 for r in strong)
