@@ -35,6 +35,38 @@ from pyspark.sql import DataFrame, Window
 from demv_spark.operators.balancer import rebalance
 
 
+_KNN_CHUNK = 1024
+
+
+def _knn_chunked(
+    x: np.ndarray, rows: np.ndarray, kk: int, want_dist: bool
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Exact k-NN for the given row indices against the whole group,
+    GEMM-formulated (‖a‖²+‖b‖²−2a·b) and chunked so peak memory is
+    O(chunk·n) — never the (n, n, dim) broadcast the naive form
+    materializes, which at ~20k-row groups is gigabytes per task.
+    Ties at the k-th boundary break by index (argpartition is
+    deterministic for a fixed numpy; the within-k order is re-sorted
+    by (distance, index) so downstream choice is reproducible)."""
+    n = len(x)
+    sq = (x * x).sum(axis=1)
+    nn = np.empty((len(rows), kk), dtype=np.int64)
+    dm = np.empty(len(rows)) if want_dist else None
+    for s in range(0, len(rows), _KNN_CHUNK):
+        r = rows[s : s + _KNN_CHUNK]
+        d2 = sq[r][:, None] + sq[None, :] - 2.0 * (x[r] @ x.T)
+        d2[np.arange(len(r)), r] = np.inf
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        pd2 = np.take_along_axis(d2, part, axis=1)
+        order = np.lexsort((part, pd2), axis=1)
+        nn[s : s + len(r)] = np.take_along_axis(part, order, axis=1)
+        if want_dist:
+            dm[s : s + len(r)] = np.sqrt(
+                np.maximum(np.take_along_axis(pd2, order, axis=1), 0.0)
+            ).mean(axis=1)
+    return nn, dm
+
+
 def _interpolate_group(
     pdf: pd.DataFrame,
     n_new: int,
@@ -54,18 +86,23 @@ def _interpolate_group(
         # degenerate group: duplicate the single row
         return pdf.iloc[np.zeros(n_new, dtype=int)].copy()
     kk = min(k, n - 1)
-    # exact in-group kNN (groups are bounded; see module docstring)
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
-    np.fill_diagonal(d2, np.inf)
-    nn_idx = np.argsort(d2, axis=1)[:, :kk]
 
     if adaptive:
-        density = np.sqrt(np.take_along_axis(d2, nn_idx, 1)).mean(axis=1)
+        # ADASYN needs every point's sparsity, so the k-NN pass covers
+        # all n rows (chunked: O(chunk·n) memory, O(n²) work — the
+        # inherent cost of the density estimate)
+        nn_all, density = _knn_chunked(x, np.arange(n), kk, want_dist=True)
         w = density / density.sum() if density.sum() > 0 else None
         base = rng.choice(n, size=n_new, p=w)
+        neigh = nn_all[base, rng.randint(0, kk, size=n_new)]
     else:
+        # SMOTE only interpolates from chosen base rows: k-NN runs for
+        # the distinct bases (≤ min(n, n_new)), not all n rows
         base = rng.randint(0, n, size=n_new)
-    neigh = nn_idx[base, rng.randint(0, kk, size=n_new)]
+        pick = rng.randint(0, kk, size=n_new)
+        uniq, inv = np.unique(base, return_inverse=True)
+        nn_u, _ = _knn_chunked(x, uniq, kk, want_dist=False)
+        neigh = nn_u[inv, pick]
     gap = rng.uniform(size=(n_new, 1))
     synth_x = x[base] + gap * (x[neigh] - x[base])
 
