@@ -52,10 +52,22 @@ def _window_starts(k):
 def shingles(col, n: int = 3):
     """Word n-gram (shingle) array: sliding windows over the token
     array via transform+slice — no UDF, no explode-then-regroup.
-    Documents with fewer than n tokens yield an empty array."""
+    Documents with fewer than n tokens yield an empty array.
+
+    The token array is bound as a lambda variable (single-element
+    transform scope) so it is evaluated once per row — referencing the
+    ``tokens(col)`` subexpression directly inside the window lambda
+    would make Catalyst re-inline the split at every window start,
+    O(L²) per document."""
     toks = tokens(col)
-    k = F.size(toks) - F.lit(n - 1)
-    return F.transform(_window_starts(k), lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    def _sh(tk):
+        k = F.size(tk) - F.lit(n - 1)
+        return F.transform(
+            _window_starts(k), lambda i: F.array_join(F.slice(tk, i, n), " ")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _sh), 1)
 
 
 def ngram_jaccard_pairs(

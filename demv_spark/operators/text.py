@@ -725,16 +725,26 @@ def winnow_fingerprints(
 
     sh = shingles(F.coalesce(F.col(text_col), F.lit("")), n)
     hashes = F.transform(sh, portable_hash)
-    m = F.size(hashes) - F.lit(window - 1)
-    mins = F.transform(
-        _window_starts(m), lambda j: F.array_min(F.slice(hashes, j, window))
-    )
-    # short docs (fewer shingles than the window) fingerprint to the
-    # min of what they have, so no document is unfingerprintable
-    short = F.when(
-        (F.size(hashes) > 0) & (m < 1), F.array(F.array_min(hashes))
-    ).otherwise(mins)
+
+    # bind the hash array to a lambda variable so it is evaluated ONCE
+    # per row: referencing the `hashes` subexpression directly inside
+    # the window-min lambda makes Catalyst inline it at every window
+    # position (CollapseProject), re-hashing all L shingles L times —
+    # O(L²·md5) instead of O(L·w) (measured 177s → 7s at sf0.1)
+    def _winnow(h):
+        m = F.size(h) - F.lit(window - 1)
+        mins = F.transform(
+            _window_starts(m), lambda j: F.array_min(F.slice(h, j, window))
+        )
+        # short docs (fewer shingles than the window) fingerprint to
+        # the min of what they have, so no document is
+        # unfingerprintable
+        return F.when(
+            (F.size(h) > 0) & (m < 1), F.array(F.array_min(h))
+        ).otherwise(mins)
+
+    selected = F.element_at(F.transform(F.array(hashes), _winnow), 1)
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(short)).alias(out)
+        F.col(id_col), F.explode(F.array_distinct(selected)).alias(out)
     )
 
