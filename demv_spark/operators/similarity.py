@@ -423,14 +423,27 @@ def embedding_near_dup(
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH candidates, exact
-    cosine filter at `threshold`. Returns (id_a, id_b, cos_sim)."""
+    cosine filter at `threshold`. Returns (id_a, id_b, cos_sim).
+
+    Pairs that collide in several bands are deduplicated by the
+    first-matching-band rule: both signatures ride along (one long),
+    and a pair survives only in its LOWEST band whose chunks agree —
+    computed bitwise from sig_a⊕sig_b. That replaces a `.distinct()`
+    that shuffled every candidate pair with both full vectors
+    (candidate-volume × 2·dim doubles); now the only shuffle is the
+    banded equi-join itself (input × n_bands), and the cosine filter
+    pipelines map-side on the join output."""
     assert n_planes % band_bits == 0
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     s = lsh_signature(df, dim, n_planes, vec_col, "__sig", seed)
+    # per-row norm computed ONCE before the pair join (the float DAG —
+    # sqrt(Σv²) then a product — is identical to evaluating cosine's
+    # denominator per pair, so scores stay bit-equal to the oracle)
     banded = s.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
+        F.col("__sig"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -442,7 +455,16 @@ def embedding_near_dup(
                 for b in range(n_bands)
             ])
         ).alias("bc"),
-    ).select("id", "v", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    ).select(
+        "id", "v", "__sig", norm(F.col("v")).alias("nrm"),
+        F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+    )
+    xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+    first_band = F.lit(n_bands)
+    for b in reversed(range(n_bands)):
+        first_band = F.when(
+            xor.bitwiseAND(F.lit(mask << (b * band_bits))) == 0, F.lit(b)
+        ).otherwise(first_band)
     cand = (
         banded.alias("a")
         .join(
@@ -451,14 +473,18 @@ def embedding_near_dup(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.col("a.band") == first_band)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("den"),
         )
-        .distinct()
+    )
+    cos = F.when(F.col("den") == 0, F.lit(0.0)).otherwise(
+        dot(F.col("va"), F.col("vb")) / F.col("den")
     )
     return (
-        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        cand.select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
