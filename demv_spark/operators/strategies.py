@@ -36,35 +36,61 @@ from demv_spark.operators.balancer import rebalance
 
 
 _KNN_CHUNK = 1024
+# groups beyond this size estimate neighbors against a deterministic
+# evenly-strided subsample instead of all n rows, bounding the k-NN at
+# O(n·cap) work — below the cap the pass is exact
+_KNN_REF_CAP = 8192
 
 
 def _knn_chunked(
-    x: np.ndarray, rows: np.ndarray, kk: int, want_dist: bool
+    x: np.ndarray,
+    rows: np.ndarray,
+    kk: int,
+    want_dist: bool,
+    ref: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
-    """Exact k-NN for the given row indices against the whole group,
-    GEMM-formulated (‖a‖²+‖b‖²−2a·b) and chunked so peak memory is
-    O(chunk·n) — never the (n, n, dim) broadcast the naive form
+    """k-NN for the given row indices against ``ref`` (all rows when
+    None), GEMM-formulated (‖a‖²+‖b‖²−2a·b) and chunked so peak memory
+    is O(chunk·|ref|) — never the (n, n, dim) broadcast the naive form
     materializes, which at ~20k-row groups is gigabytes per task.
+    Returned neighbor indices are into ``x`` (mapped through ref).
     Ties at the k-th boundary break by index (argpartition is
     deterministic for a fixed numpy; the within-k order is re-sorted
     by (distance, index) so downstream choice is reproducible)."""
-    n = len(x)
+    xr = x if ref is None else x[ref]
+    sqr = (xr * xr).sum(axis=1)
     sq = (x * x).sum(axis=1)
     nn = np.empty((len(rows), kk), dtype=np.int64)
     dm = np.empty(len(rows)) if want_dist else None
     for s in range(0, len(rows), _KNN_CHUNK):
         r = rows[s : s + _KNN_CHUNK]
-        d2 = sq[r][:, None] + sq[None, :] - 2.0 * (x[r] @ x.T)
-        d2[np.arange(len(r)), r] = np.inf
+        d2 = sq[r][:, None] + sqr[None, :] - 2.0 * (x[r] @ xr.T)
+        if ref is None:
+            d2[np.arange(len(r)), r] = np.inf
+        else:
+            # mask self-matches: ref is sorted, so locate each row
+            pos = np.searchsorted(ref, r)
+            ok = (pos < len(ref)) & (ref[np.minimum(pos, len(ref) - 1)] == r)
+            d2[np.arange(len(r))[ok], pos[ok]] = np.inf
         part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
         pd2 = np.take_along_axis(d2, part, axis=1)
         order = np.lexsort((part, pd2), axis=1)
-        nn[s : s + len(r)] = np.take_along_axis(part, order, axis=1)
+        sel = np.take_along_axis(part, order, axis=1)
+        nn[s : s + len(r)] = sel if ref is None else ref[sel]
         if want_dist:
             dm[s : s + len(r)] = np.sqrt(
                 np.maximum(np.take_along_axis(pd2, order, axis=1), 0.0)
             ).mean(axis=1)
     return nn, dm
+
+
+def _ref_subsample(n: int) -> np.ndarray | None:
+    """Deterministic neighbor-candidate set for huge groups: every
+    ceil(n/cap)-th row (None = use all rows)."""
+    if n <= _KNN_REF_CAP:
+        return None
+    step = -(-n // _KNN_REF_CAP)
+    return np.arange(0, n, step)
 
 
 def _interpolate_group(
@@ -86,12 +112,13 @@ def _interpolate_group(
         # degenerate group: duplicate the single row
         return pdf.iloc[np.zeros(n_new, dtype=int)].copy()
     kk = min(k, n - 1)
+    ref = _ref_subsample(n)
 
     if adaptive:
         # ADASYN needs every point's sparsity, so the k-NN pass covers
-        # all n rows (chunked: O(chunk·n) memory, O(n²) work — the
-        # inherent cost of the density estimate)
-        nn_all, density = _knn_chunked(x, np.arange(n), kk, want_dist=True)
+        # all n rows; the reference subsample bounds it at O(n·cap)
+        # for huge groups (exact O(n²) below the cap)
+        nn_all, density = _knn_chunked(x, np.arange(n), kk, want_dist=True, ref=ref)
         w = density / density.sum() if density.sum() > 0 else None
         base = rng.choice(n, size=n_new, p=w)
         neigh = nn_all[base, rng.randint(0, kk, size=n_new)]
@@ -101,7 +128,7 @@ def _interpolate_group(
         base = rng.randint(0, n, size=n_new)
         pick = rng.randint(0, kk, size=n_new)
         uniq, inv = np.unique(base, return_inverse=True)
-        nn_u, _ = _knn_chunked(x, uniq, kk, want_dist=False)
+        nn_u, _ = _knn_chunked(x, uniq, kk, want_dist=False, ref=ref)
         neigh = nn_u[inv, pick]
     gap = rng.uniform(size=(n_new, 1))
     synth_x = x[base] + gap * (x[neigh] - x[base])
