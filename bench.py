@@ -47,16 +47,19 @@ HEADLINE = [
     "q_dataset_adult",
     "q_postprocess_multiclass",
     # round-4 additions: the z-score + quantile-cascade recipe and the
-    # portable seeded-relabel recipe (q_demv_smote_rowcheck stays out:
-    # per-group exact kNN is quadratic in group size — fine at the
-    # driver's sf0.01, ~160 s at sf0.1; the documented scale path for
-    # huge groups is the LSH neighbor swap, see strategies.py)
+    # portable seeded-relabel recipe
     "q_dataset_crime",
     "q_dataset_park",
     # round-4 web-curation additions: both map-only (see
     # PERFORMANCE.md scale-probe rows)
     "q_text_quality_clf",
     "q_web_domain_filter",
+    # round-4 perf-fix showcases: chunked-GEMM capped kNN synthesis
+    # (was ~300 s at sf0.1 via the (n,n,dim) broadcast), lambda-bound
+    # winnowing (was O(L²) re-hash), first-band LSH pair dedup
+    "q_demv_smote_census",
+    "q_text_winnow",
+    "q_sim_near_dup",
 ]
 
 
