@@ -652,6 +652,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_web_domain_filter"] = _web_domain_filter
 
+    # canonical-URL normalization over a deliberately messy synthetic
+    # url (mixed-case scheme/host, default + non-default ports,
+    # trailing slashes, tracking params, fragments — all deterministic
+    # functions of doc_id). The oracle derives the EXPECTED canonical
+    # string in closed form rather than re-running the regex chain —
+    # an independent derivation, so regex/normalization bugs can't
+    # cancel out between the two engines.
+    def _web_url_canon(spark, sf):
+        from demv_spark.operators import web
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+                F.col("source"), F.lit(".Example.com"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+                .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+                .otherwise(F.lit("")),
+                F.lit("/Page/"), F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("&fbclid=x1"))
+                .otherwise(F.lit("")),
+                F.lit("#frag"),
+            ).alias("url"),
+        )
+        return d.select("doc_id", "url", web.canonicalize_url("url", "canon_url"))
+
+    q["q_web_url_canon"] = _web_url_canon
+
+    # per-domain document quota (the CommonCrawl "cap hot domains"
+    # curation step): deterministic md5 admission rank, flag ≤ cap per
+    # key; the oracle replays the identical ROW_NUMBER
+    def _corpus_cap_domain(spark, sf):
+        from demv_spark.operators.corpus import cap_per_key
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("source"), F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"), F.lit(".com"),
+            ).alias("domain"),
+        )
+        return cap_per_key(d, ["domain"], cap=10, id_cols=["doc_id"]).select(
+            "doc_id", "domain", "admitted"
+        )
+
+    q["q_corpus_cap_domain"] = _corpus_cap_domain
+
+    # leakage-free train/val/test split keyed by domain: every doc of
+    # a domain lands in the same split, assignment = md5 bucket vs
+    # exact-integer cumulative thresholds
+    def _corpus_split_hash(spark, sf):
+        from demv_spark.operators.corpus import split_by_hash
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("source"), F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"), F.lit(".com"),
+            ).alias("domain"),
+        )
+        return split_by_hash(
+            d, ["domain"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "domain", "split")
+
+    q["q_corpus_split_hash"] = _corpus_split_hash
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -1667,13 +1736,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivf_topk_fixed",
         # fairness metric representatives (rest triple-proven)
         "q_metric_fairness_suite", "q_metric_avg_odds_diff",
-        # text / corpus (exact-integer emission fixes in-window)
-        "q_text_corpus_profile", "q_text_cf_score",
-        "q_text_tfidf_keywords", "q_text_pii_redact",
+        # text / corpus (exact-integer emission fixes in-window);
+        # round-4 mid-round rotation: cf_score + pii_redact (green
+        # r1+r3) and resize_plan (green r1+r3) rotate out — still
+        # builder-gated — to seat the new web/corpus curation family
+        "q_text_corpus_profile",
+        "q_text_tfidf_keywords",
         "q_text_gopher_rules", "q_corpus_mixture_report",
-        # multimodal: BOTH real decode paths (PNG pixels, PCM audio) +
-        # the resize plan; frame_sample stays builder-gated
-        "q_media_features", "q_media_audio_features", "q_media_resize_plan",
+        # web/corpus curation: canonical URLs, per-domain caps,
+        # leakage-free hash splits (new this round)
+        "q_web_url_canon", "q_corpus_cap_domain", "q_corpus_split_hash",
+        # multimodal: BOTH real decode paths (PNG pixels, PCM audio)
+        "q_media_features", "q_media_audio_features",
         # streaming representative
         "q_stream_sessionize",
     ]
@@ -2566,6 +2640,71 @@ def oracle_sql() -> dict[str, str]:
                   OR domain = 'src1.example2.com'
                   OR domain LIKE '%.src1.example2.com') AS INT) AS blocked
         FROM x
+    """
+
+    # closed-form expected canonical URL: www. iff doc_id%3=0 (scheme
+    # and host lower-cased), :8080 survives only for doc_id%4=1 (the
+    # %4=0 rows carry https' default :443, which must drop), the
+    # trailing slash of even ids collapses, utm_source/fbclid strip
+    # leaving exactly ?id=N, and the fragment is gone
+    o["q_web_url_canon"] = """
+        SELECT doc_id,
+               'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || source || '.Example.com'
+               || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                       WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+               || '/Page/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=x1' ELSE '' END
+               || '#frag' AS url,
+               'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || lower(source) || '.example.com'
+               || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+               || '/Page/' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR) AS canon_url
+        FROM documents
+    """
+
+    o["q_corpus_cap_domain"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   source || '.example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com' AS domain
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY CAST(concat('0x', substr(md5(
+                           concat_ws(':', 'cap42', CAST(doc_id AS VARCHAR))
+                       ), 1, 15)) AS BIGINT), doc_id
+                   ) AS rn
+            FROM d
+        )
+        SELECT doc_id, domain, CAST(rn <= 10 AS INT) AS admitted FROM r
+    """
+
+    o["q_corpus_split_hash"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   source || '.example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.com' AS domain
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, domain,
+                   CAST(concat('0x', substr(md5(
+                       concat_ws(':', 'split42', domain)
+                   ), 1, 15)) AS BIGINT) % 1000000 AS bucket
+            FROM d
+        )
+        SELECT doc_id, domain,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """
 
     o["q_text_quality_clf"] = r"""

@@ -239,3 +239,111 @@ def quality_weighted_sample(
         (portable_hash(key) % F.lit(int(max_score))) < clipped
     ) & F.col(score_col).isNotNull()
     return df.withColumn(out, admit.cast("int"))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    id_cols: Sequence[str],
+    seed: int = 42,
+    skew_salt: int | None = None,
+    out: str = "admitted",
+) -> DataFrame:
+    """Per-key document quota: flag at most ``cap`` rows per key
+    (the per-domain cap of CommonCrawl-style curation — a handful of
+    hot domains would otherwise dominate the corpus).
+
+    Admission is deterministic: rows rank within their key by
+    ``(portable_hash(seed:ids), ids)`` — a pure function of the data,
+    reproducible across engines/partitionings/retries and therefore
+    SQL-oracle-able (ROW_NUMBER over the same md5 expression).
+
+    ``skew_salt=None``: one ranking window per key (a key's rows sort
+    in one task — fine while no key exceeds a few million rows).
+    ``skew_salt=k``: two-phase skew-safe rank for hot keys — the
+    60-bit hash space splits into k RANGES (bucket = hash div
+    ceil(2⁶⁰/k)), so ordering by (bucket, hash) ≡ ordering by hash
+    and the result is IDENTICAL to the unsalted path: local rank
+    within (key, bucket), then exact prefix offsets from the tiny
+    per-bucket census. Rows with local rank > cap are pruned before
+    the offset join — a bucket never forwards more than ``cap`` rows.
+    """
+    pr = portable_hash(
+        F.concat_ws(
+            ":", F.lit(f"cap{seed}"), *[F.col(c).cast("string") for c in id_cols]
+        )
+    )
+    ids = [F.col(c) for c in id_cols]
+    keys = list(key_cols)
+    with_pr = df.withColumn("__pr", pr)
+
+    if not skew_salt:
+        w = Window.partitionBy(*keys).orderBy(F.col("__pr"), *ids)
+        return (
+            with_pr.withColumn("__rn", F.row_number().over(w))
+            .withColumn(out, (F.col("__rn") <= cap).cast("int"))
+            .drop("__pr", "__rn")
+        )
+
+    width = -(-(1 << 60) // skew_salt)  # ceil(2^60 / k)
+    bucketed = with_pr.withColumn("__bk", (F.col("__pr") / F.lit(width)).cast("int"))
+    w_local = Window.partitionBy(*keys, "__bk").orderBy(F.col("__pr"), *ids)
+    local = bucketed.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy(*keys, "__bk").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).drop("__bn")
+    ranked = (
+        local.join(F.broadcast(offsets), [*keys, "__bk"])
+        .withColumn(out, ((F.col("__lrn") + F.col("__off")) <= cap).cast("int"))
+    )
+    # a row with local rank > cap can never be globally admitted, but
+    # it must still be RETURNED (this operator flags, not filters) —
+    # short-circuit its admission without the offset arithmetic
+    return ranked.drop("__pr", "__bk", "__lrn", "__off")
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fractions: Mapping[str, float],
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-free train/validation/test assignment: every row with
+    the same key lands in the same split (split by URL/domain/doc
+    family and near-duplicates can never straddle the boundary), with
+    expected proportions ``fractions``.
+
+    bucket = portable_hash(seed:keys) mod 10⁶; split thresholds are
+    the exact-integer cumulative fractions, so assignment is pure
+    integer arithmetic on an md5 — reproducible across engines
+    (SQL-oracle-able as a CASE over the same expression), partitions
+    and retries, and stable under corpus growth (adding rows never
+    reassigns existing keys — the property a random split lacks).
+    Map-only: one scan, zero shuffles at any corpus size.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    key = F.concat_ws(
+        ":", F.lit(f"split{seed}"), *[F.col(c).cast("string") for c in key_cols]
+    )
+    bucket = portable_hash(key) % F.lit(1_000_000)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = int(cum * 1_000_000)
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)

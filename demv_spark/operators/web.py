@@ -116,3 +116,57 @@ def block_by_domain_join(
         .distinct()
     )
     return df.join(blocked_ids, id_col, "left_anti")
+
+
+# tracking parameters stripped by canonicalize_url: match is on the
+# param NAME (before '='), alternation + anchors only — the same
+# pattern compiles identically under Java regex and RE2/DuckDB
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$"
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
+def canonicalize_url(url: Column | str, out: str | None = None) -> Column:
+    """Canonical URL for dedup/grouping keys: lower-cased scheme and
+    host, default ports dropped (http:80, https:443), tracking query
+    parameters removed (utm_*, fbclid, gclid, …) with the remaining
+    params in original order, trailing path slashes collapsed (bare
+    host → '/'), fragment dropped. Path and query VALUE case is
+    preserved (case-significant on most servers).
+
+    Pure regexp/array algebra — map-only, no UDF, and every regex is
+    in the Java∩RE2 common subset so a SQL oracle recomputes the
+    canonical form verbatim. Rows without a '://' scheme pass through
+    lower-case-trimmed (opaque keys stay usable as group keys).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    port = F.regexp_extract(c, _PORT_RE, 1)
+    raw_path = F.regexp_extract(c, _PATH_RE, 1)
+    query = F.regexp_extract(c, _QUERY_RE, 1)
+
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    stripped = F.regexp_replace(raw_path, r"/+$", "")
+    path_part = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+
+    canon = F.when(host == "", F.lower(F.trim(c))).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    )
+    return canon.alias(out) if out else canon

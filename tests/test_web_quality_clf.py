@@ -190,3 +190,120 @@ def test_hashed_linear_score_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM qclf_sink").collect()}
     assert got == batch
+
+
+# ---- canonicalize_url ----
+
+CANON_CASES = [
+    # scheme + host case-fold, path case preserved
+    ("HTTPS://WWW.Example.COM/Path", "https://www.example.com/Path"),
+    # default ports dropped, non-default kept
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:8080/x", "https://a.com:8080/x"),
+    ("http://a.com:443/x", "http://a.com:443/x"),  # 443 is not http's default
+    # tracking params stripped, survivor order preserved
+    ("https://a.com/p?utm_source=x&q=1&fbclid=z", "https://a.com/p?q=1"),
+    ("https://a.com/p?utm_campaign=x&gclid=1", "https://a.com/p"),
+    ("https://a.com/p?b=2&a=1", "https://a.com/p?b=2&a=1"),
+    # trailing slashes collapse; bare host → '/'
+    ("https://a.com", "https://a.com/"),
+    ("https://a.com/", "https://a.com/"),
+    ("https://a.com/x///", "https://a.com/x"),
+    # fragment dropped
+    ("https://a.com/x#frag", "https://a.com/x"),
+    ("https://a.com/x?q=1#frag", "https://a.com/x?q=1"),
+    # no scheme → lower-trimmed passthrough
+    ("  Not A Url  ", "not a url"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", web.canonicalize_url("url", "c")).collect()
+    }
+    for i, (u, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], ["i", "url"]
+    )
+    once = df.select("i", web.canonicalize_url("url", "c"))
+    twice = once.select("i", web.canonicalize_url("c", "c2"))
+    for r in twice.join(once, "i").collect():
+        assert r["c2"] == r["c"]
+
+
+# ---- cap_per_key / split_by_hash ----
+
+
+def test_cap_per_key_flags_at_most_cap(spark):
+    from demv_spark.operators.corpus import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 5}") for i in range(200)], ["doc_id", "domain"]
+    )
+    out = cap_per_key(df, ["domain"], cap=7, id_cols=["doc_id"])
+    per = (
+        out.groupBy("domain")
+        .agg(F.sum("admitted").alias("adm"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["adm"] == 7 for r in per)  # every domain has 40 > 7 rows
+    assert all(r["n"] == 40 for r in per)   # flags, never filters
+
+
+def test_cap_per_key_salted_equals_unsalted(spark):
+    from demv_spark.operators.corpus import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(300)], ["doc_id", "domain"]
+    )
+    plain = {
+        r["doc_id"]: r["admitted"]
+        for r in cap_per_key(df, ["domain"], 11, ["doc_id"]).collect()
+    }
+    salted = {
+        r["doc_id"]: r["admitted"]
+        for r in cap_per_key(
+            df.repartition(7), ["domain"], 11, ["doc_id"], skew_salt=4
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_split_by_hash_leakage_free_and_deterministic(spark):
+    from demv_spark.operators.corpus import split_by_hash
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 40}") for i in range(400)], ["doc_id", "domain"]
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(df, ["domain"], fr).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], set()).add(r["split"])
+    # every key maps to exactly one split
+    assert all(len(s) == 1 for s in by_domain.values())
+    # deterministic under repartition
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(df.repartition(13), ["domain"], fr).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in out}
+    # all three splits present at 40 keys
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_split_by_hash_rejects_bad_fractions(spark):
+    from demv_spark.operators.corpus import split_by_hash
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "domain"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(df, ["domain"], {"train": 0.5, "test": 0.1})
