@@ -207,3 +207,45 @@ def test_ivf_fixed_assignment_is_map_side(spark):
     assert s["n_broadcasts"] >= 1
     assert s["n_sort_merge_joins"] == 0
     assert not s["has_python_udf"]
+
+
+def test_split_and_canon_are_map_only(spark):
+    from demv_spark.operators import web
+    from demv_spark.operators.corpus import split_by_hash
+
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.concat(F.lit("https://"), F.col("source"), F.lit(".com/p")).alias("url")
+    )
+    s = plan_stats(
+        split_by_hash(docs, ["url"], {"train": 0.9, "test": 0.1}).select(
+            "doc_id", web.canonicalize_url("url", "canon")
+        )
+    )
+    # both operators are pure column algebra: one scan, no joins, no
+    # shuffle beyond read_table's spread, no Python of any kind
+    assert len(s["read_schemas"]) == 1
+    assert s["n_exchanges"] <= 1
+    assert s["n_broadcasts"] == 0
+    assert not s["has_python_udf"] and not s["has_arrow_eval"]
+
+
+def test_cap_per_key_plain_single_window_exchange(spark):
+    from demv_spark.operators.corpus import cap_per_key
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "source")
+    s = plan_stats(cap_per_key(docs, ["source"], 10, ["doc_id"]))
+    # one hash-partition exchange for the per-key ranking window
+    assert s["n_exchanges"] <= 2
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"] and not s["has_arrow_eval"]
+
+
+def test_cap_per_key_salted_broadcasts_offsets(spark):
+    from demv_spark.operators.corpus import cap_per_key
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "source")
+    s = plan_stats(cap_per_key(docs, ["source"], 10, ["doc_id"], skew_salt=4))
+    # the offset census must come back as a broadcast, never a
+    # sort-merge join against the big table
+    assert s["n_broadcasts"] >= 1
+    assert s["n_sort_merge_joins"] == 0
