@@ -193,8 +193,44 @@ def main():
             id_cols=["__rid"], k=5,
         ).count()
 
+    # round-4 curation ops: cap_per_key (windowed quota, plain vs
+    # salted) and the two map-only ops (split assignment + canonical
+    # URL), probed on the documents table with a synthesized domain
+    from demv_spark.operators import web
+    from demv_spark.operators.corpus import cap_per_key, split_by_hash
+
+    def _with_domain(d):
+        return d.withColumn(
+            "domain",
+            F.concat(F.col("source"), F.lit("."), (F.col("doc_id") % 97).cast("string")),
+        )
+
+    def run_cap_plain(d):
+        return int(
+            cap_per_key(_with_domain(d), ["domain"], 20, ["doc_id"])
+            .agg(F.sum("admitted")).collect()[0][0]
+        )
+
+    def run_cap_salted(d):
+        return int(
+            cap_per_key(_with_domain(d), ["domain"], 20, ["doc_id"], skew_salt=8)
+            .agg(F.sum("admitted")).collect()[0][0]
+        )
+
+    def run_split_canon(d):
+        dd = _with_domain(d).withColumn(
+            "url", F.concat(F.lit("HTTPS://"), F.col("domain"), F.lit(".com/P/"),
+                            F.col("doc_id").cast("string"), F.lit("?utm_source=x&id=1")),
+        )
+        return split_by_hash(dd, ["domain"], {"train": 0.9, "test": 0.1}).select(
+            F.length(web.canonicalize_url("url")).alias("L"), "split"
+        ).agg(F.count("L")).collect()[0][0]
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
+        ("cap_per_key_plain", run_cap_plain, docs, docs_k),
+        ("cap_per_key_salted", run_cap_salted, docs, docs_k),
+        ("split_and_canon_url", run_split_canon, docs, docs_k),
         ("minhash_lsh_pairs", run_lsh, docs, docs_k),
         ("ngram_jaccard_pairs", run_jaccard, docs, docs_k),
         ("corpus_clean", run_clean, docs, docs_k),
