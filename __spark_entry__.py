@@ -721,6 +721,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_split_hash"] = _corpus_split_hash
 
+    # batch twin of the streaming per-key quota (stateful.
+    # streaming_quota_admission): admit the cap smallest doc_ids per
+    # source — the stream's cumulative-state semantics replayed as one
+    # batch; stream/batch symmetry is pinned by
+    # tests/test_stateful_streaming.py
+    def _stream_quota_admission(spark, sf):
+        from demv_spark.streaming.stateful import streaming_quota_admission
+
+        d = _t(spark, sf, "documents").select("doc_id", "source")
+        return streaming_quota_admission(d, "source", "doc_id", cap=30)
+
+    q["q_stream_quota_admission"] = _stream_quota_admission
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2705,6 +2718,15 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 900000 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    o["q_stream_quota_admission"] = """
+        SELECT CAST(source AS VARCHAR) AS key,
+               CAST(doc_id AS BIGINT) AS id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) <= 30 AS BIGINT) AS admitted
+        FROM documents
     """
 
     o["q_text_quality_clf"] = r"""

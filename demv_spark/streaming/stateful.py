@@ -133,3 +133,80 @@ def running_drift_monitor(
         c_neg.alias("cusum_neg"),
         ((c_pos > threshold) | (c_neg > threshold)).cast("long").alias("drift"),
     )
+
+
+QUOTA_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
+
+
+def streaming_quota_admission(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Streaming per-key quota: admit the first ``cap`` rows of each
+    key in arrival order (micro-batch order, then ``id_col`` within a
+    batch) — the incremental twin of ``corpus.cap_per_key`` for a
+    corpus that arrives as a stream (crawl snapshots, log shippers).
+
+    state(key) = rows admitted so far; per batch the first
+    ``cap − state`` rows (by id) admit and the counter advances by
+    exactly the number admitted, so replaying MORE of the stream never
+    revokes an earlier admission — append-only verdicts, the property
+    downstream incremental consumers need. Arrow moves only each
+    batch's rows; per-key Python work is O(batch rows).
+
+    Emits (key, id, admitted) in append mode. On a batch frame the
+    same function runs via a single applyInPandas pass (fresh state),
+    which equals cap_per_key admitting in pure-id order.
+    """
+
+    def update(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_adm = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            room = max(0, cap - n_adm)
+            flags = [1] * min(room, len(pdf)) + [0] * max(0, len(pdf) - room)
+            n_adm += min(room, len(pdf))
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(pdf),
+                    "id": pdf[id_col].astype("int64").to_numpy(),
+                    "admitted": pd.array(flags, dtype="int64"),
+                }
+            )
+        state.update((n_adm,))
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("id", LongType()),
+            StructField("admitted", LongType()),
+        ]
+    )
+
+    if df.isStreaming:
+        return df.groupBy(key_col).applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # batch twin: identical admission semantics in one pass — rank by
+    # id within key, admit rank ≤ cap (pure-id order == the stream
+    # replayed as one batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(id_col).cast("long").alias("id"),
+            (F.col("__rn") <= cap).cast("long").alias("admitted"),
+        )
+    )

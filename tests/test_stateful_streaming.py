@@ -72,3 +72,65 @@ def test_drift_flag_fires(spark):
     out = running_drift_monitor(df, "k", "v", target_mean=100.0, slack=1.0, threshold=10.0)
     got = {r["key"]: r["drift"] for r in out.collect()}
     assert got["a"] == 1 and got["b"] == 0
+
+
+# ---- streaming_quota_admission ----
+
+
+@pytest.fixture(scope="module")
+def multi_file_docs(spark):
+    d = tempfile.mkdtemp(prefix="demv_quota_")
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.col("source").alias("key_src")
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_quota_admits_cap_per_key(spark, multi_file_docs):
+    from demv_spark.streaming.stateful import streaming_quota_admission
+
+    schema = spark.read.parquet(multi_file_docs).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_docs)
+    )
+    out = streaming_quota_admission(stream, "key_src", "doc_id", cap=7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM quota_sink").collect()
+
+    batch = spark.read.parquet(multi_file_docs)
+    n_per_key = {r["key_src"]: r["count"] for r in batch.groupBy("key_src").count().collect()}
+    # every input row got a verdict
+    assert len(rows) == sum(n_per_key.values())
+    adm = {}
+    for r in rows:
+        adm[r["key"]] = adm.get(r["key"], 0) + r["admitted"]
+    # exactly min(cap, n) admitted per key, cumulative across batches
+    assert adm == {k: min(7, n) for k, n in n_per_key.items()}
+
+
+def test_quota_batch_twin_matches_single_batch_stream_semantics(spark, multi_file_docs):
+    from demv_spark.streaming.stateful import streaming_quota_admission
+
+    batch = spark.read.parquet(multi_file_docs)
+    out = streaming_quota_admission(batch, "key_src", "doc_id", cap=7)
+    got = {(r["key"], r["id"]): r["admitted"] for r in out.collect()}
+    # pure-id order: the 7 smallest doc_ids of each key admit
+    import collections
+    ids = collections.defaultdict(list)
+    for r in batch.collect():
+        ids[r["key_src"]].append(r["doc_id"])
+    for k, v in ids.items():
+        keep = set(sorted(v)[:7])
+        for i in v:
+            assert got[(k, i)] == (1 if i in keep else 0)
