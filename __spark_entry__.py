@@ -734,6 +734,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_quota_admission"] = _stream_quota_admission
 
+    # unicode hygiene: plant DECOMPOSED accents (e + U+0301), a bell
+    # control char and double spaces onto every document, then assert
+    # normalize_text composes/strips/collapses them — the NFC step is
+    # the engine's one Arrow-batched string op, oracled against
+    # DuckDB's native nfc_normalize
+    def _text_normalize(spark, sf):
+        from demv_spark.operators.text import normalize_text
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("  caf"), F.lit("e"), F.lit(chr(769)),
+                F.lit(chr(7)), F.lit(" fin"),
+            ).alias("text"),
+        )
+        return normalize_text(d).select(
+            "doc_id", "norm_text", F.length("norm_text").alias("n_chars_norm")
+        )
+
+    q["q_text_normalize"] = _text_normalize
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2718,6 +2739,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 900000 THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    o["q_text_normalize"] = r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || '  caf' || 'e' || chr(769) || chr(7) || ' fin' AS t
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       nfc_normalize(regexp_replace(
+                           coalesce(t, ''),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'
+                       )),
+                       '[ \t]+', ' ', 'g'
+                   )) AS norm_text
+            FROM planted
+        )
+        SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm FROM n
     """
 
     o["q_stream_quota_admission"] = """

@@ -748,3 +748,57 @@ def winnow_fingerprints(
         F.col(id_col), F.explode(F.array_distinct(selected)).alias(out)
     )
 
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "norm_text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Unicode text hygiene for corpus ingestion: strip C0/DEL control
+    characters (tab/newline survive), NFC-normalize (decomposed
+    accents → composed codepoints, so visually-identical strings
+    hash/dedup identically), collapse horizontal whitespace runs, and
+    trim. ``lowercase=True`` adds case folding for dedup keys.
+
+    NFC has no Spark SQL builtin, so that one step runs as an
+    Arrow-batched ``mapInPandas`` over ``unicodedata.normalize``
+    (vectorized per batch — the sanctioned Python surface); the
+    regexp steps stay JVM-side around it. Map-only at any scale.
+    Project the payload columns you need BEFORE calling this on wide
+    tables — mapInPandas moves whole rows through Arrow.
+
+    DuckDB oracle twin (regexp_replace needs the 'g' flag there;
+    Spark's is global by default):
+    ``trim(regexp_replace(nfc_normalize(regexp_replace(s,
+    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+    '[ \\t]+', ' ', 'g'))``.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    pre = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",
+        "",
+    )
+    with_pre = df.withColumn("__pre", pre)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, StringType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            col = [unicodedata.normalize("NFC", s) for s in pdf["__pre"]]
+            pdf = pdf.drop(columns=["__pre"]).copy()
+            pdf[out] = pd.Series(col, index=pdf.index)
+            yield pdf
+
+    normed = with_pre.mapInPandas(run, schema=out_schema)
+    post = F.trim(F.regexp_replace(F.col(out), r"[ \t]+", " "))
+    if lowercase:
+        post = F.lower(post)
+    return normed.withColumn(out, post)

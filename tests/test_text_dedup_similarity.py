@@ -601,3 +601,30 @@ def test_winnow_overlap_pairs(spark):
     # min_shared filters single-fingerprint coincidences
     strong = dedup.winnow_overlap_pairs(docs, min_shared=2).collect()
     assert all(r["shared"] >= 2 for r in strong)
+
+
+# ---- normalize_text ----
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    decomposed = "cafe" + chr(769)  # e + combining acute
+    composed = "caf" + chr(233)     # é as one codepoint
+    rows = [
+        (1, decomposed),
+        (2, "a\x00b\x07c\nkeep\tme"),
+        (3, None),
+        (4, "  runs   of\t\tspace  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["norm_text"] for r in text.normalize_text(df).collect()}
+    assert got[1] == composed and len(got[1]) == 4
+    assert got[2] == "abc\nkeep me"   # controls gone, \n survives, \t collapses
+    assert got[3] == ""
+    assert got[4] == "runs of space"
+
+
+def test_normalize_text_lowercase_dedup_key(spark):
+    df = spark.createDataFrame([(1, "The SAME Text"), (2, "the same text")], ["id", "text"])
+    out = text.normalize_text(df, lowercase=True)
+    vals = {r["norm_text"] for r in out.collect()}
+    assert vals == {"the same text"}
