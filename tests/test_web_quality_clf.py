@@ -307,3 +307,36 @@ def test_split_by_hash_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "domain"])
     with pytest.raises(ValueError, match="sum to 1"):
         split_by_hash(df, ["domain"], {"train": 0.5, "test": 0.1})
+
+
+def test_canonicalize_url_fuzz_idempotent(spark):
+    import random
+
+    rng = random.Random(99)
+    schemes = ["http", "HTTPS", "ftp", ""]
+    hosts = ["A.b.COM", "x.org", "LOCALHOST", "a-b.c", ""]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    paths = ["", "/", "/P/q", "/x//", "/%7Euser", "/a b"]
+    queries = ["", "?", "?utm_source=1", "?a=1&utm_x=2&b=3", "?fbclid=9", "?=&&"]
+    frags = ["", "#f", "#a#b"]
+    urls = []
+    for i in range(300):
+        s = rng.choice(schemes)
+        u = (
+            (s + "://" if s else "") + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, ["i", "url"])
+    once = df.select("i", "url", web.canonicalize_url("url", "c"))
+    rows = once.select(
+        "i", "url", "c", web.canonicalize_url("c", "c2")
+    ).collect()
+    import re
+
+    has_host = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+")
+    for r in rows:
+        assert r["c2"] == r["c"], f"not idempotent: {r['url']!r} -> {r['c']!r} -> {r['c2']!r}"
+        if has_host.match(r["url"]):  # hostless rows pass through verbatim
+            assert "#" not in r["c"]
+            assert "utm_" not in r["c"] and "fbclid" not in r["c"]
