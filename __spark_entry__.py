@@ -755,6 +755,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_normalize"] = _text_normalize
 
+    # composed curation pipeline: messy URL → canonical form → domain
+    # key → per-domain quota → leakage-free split, then a census by
+    # (split, admitted) proving the stages compose without interfering
+    # — every stage's SQL twin chains into one oracle CTE
+    def _corpus_curation_e2e(spark, sf):
+        from demv_spark.operators import web
+        from demv_spark.operators.corpus import cap_per_key, split_by_hash
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://"), F.col("source"), F.lit(".Example"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit(".com:443/Doc/"), F.col("doc_id").cast("string"),
+                F.lit("?utm_source=crawl&v=1#top"),
+            ).alias("url"),
+        )
+        canon = d.withColumn("canon_url", web.canonicalize_url("url"))
+        keyed = canon.withColumn("domain", web.extract_domain("canon_url"))
+        capped = cap_per_key(keyed, ["domain"], cap=6, id_cols=["doc_id"])
+        split = split_by_hash(
+            capped, ["domain"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        return split.groupBy("split", "admitted").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("domain").alias("n_domains"),
+        )
+
+    q["q_corpus_curation_e2e"] = _corpus_curation_e2e
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2759,6 +2789,43 @@ def oracle_sql() -> dict[str, str]:
             FROM planted
         )
         SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm FROM n
+    """
+
+    # the curation e2e chains each stage's tested SQL twin: the
+    # synthetic URL canonicalizes in closed form (scheme/host lower,
+    # :443 drops, ?utm_source strips to nothing, fragment gone), so
+    # domain = lower(source) || '.example<k>.com'
+    o["q_corpus_curation_e2e"] = """
+        WITH keyed AS (
+            SELECT doc_id,
+                   lower(source) || '.example' || CAST(doc_id % 11 AS VARCHAR)
+                   || '.com' AS domain
+            FROM documents
+        ),
+        capped AS (
+            SELECT doc_id, domain,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY CAST(concat('0x', substr(md5(
+                           concat_ws(':', 'cap42', CAST(doc_id AS VARCHAR))
+                       ), 1, 15)) AS BIGINT), doc_id
+                   ) <= 6 AS INT) AS admitted
+            FROM keyed
+        ),
+        sp AS (
+            SELECT doc_id, domain, admitted,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                            concat_ws(':', 'split42', domain)
+                        ), 1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+                        WHEN CAST(concat('0x', substr(md5(
+                            concat_ws(':', 'split42', domain)
+                        ), 1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM capped
+        )
+        SELECT split, admitted, COUNT(*) AS n_docs,
+               COUNT(DISTINCT domain) AS n_domains
+        FROM sp GROUP BY split, admitted
     """
 
     o["q_stream_quota_admission"] = """
