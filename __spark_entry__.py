@@ -785,6 +785,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_curation_e2e"] = _corpus_curation_e2e
 
+    # per-source document-length quantile profile: Spark's exact
+    # `percentile` vs ANSI percentile_cont — same pos/interpolation
+    # definition, bit-equal (the crime cascade proved the pairing)
+    def _etl_grouped_quantiles(spark, sf):
+        from demv_spark.operators.etl import grouped_quantiles
+
+        return grouped_quantiles(
+            _t(spark, sf, "documents"), ["source"], "n_chars",
+            probs=(0.25, 0.5, 0.75, 0.95),
+        )
+
+    q["q_etl_grouped_quantiles"] = _etl_grouped_quantiles
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2826,6 +2839,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, admitted, COUNT(*) AS n_docs,
                COUNT(DISTINCT domain) AS n_domains
         FROM sp GROUP BY split, admitted
+    """
+
+    o["q_etl_grouped_quantiles"] = """
+        SELECT source,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+        FROM documents GROUP BY source
     """
 
     o["q_stream_quota_admission"] = """

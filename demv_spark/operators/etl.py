@@ -462,3 +462,37 @@ def zorder_key(
             bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
     return df.withColumn(out, z)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation) in one
+    aggregate — the distribution-profiling rollup (per-domain length
+    percentiles, per-source score spreads).
+
+    Spark's exact ``percentile`` aggregate and ANSI
+    ``percentile_cont() WITHIN GROUP`` share the same definition
+    (pos = q·(N−1), linear interpolation between the two enclosing
+    order statistics with identical IEEE arithmetic), so results are
+    bit-equal cross-engine — proven by the crime recipe's cascade
+    oracle at all three gate SFs. One shuffle on the group key; the
+    per-group sort happens inside the aggregate buffer.
+
+    Output: one row per group with a ``p<percent>`` column per prob
+    (0.25 → p25, 0.955 → p95_5).
+    """
+
+    def _nm(p: float) -> str:
+        s = f"{p * 100:.10g}"
+        return "p" + s.replace(".", "_")
+
+    arr = ", ".join(str(float(p)) for p in probs)
+    agg = F.expr(f"percentile(`{col}`, array({arr}))").alias("__qs")
+    out = df.groupBy(*list(keys)).agg(agg)
+    for i, p in enumerate(probs):
+        out = out.withColumn(_nm(p), F.col("__qs")[i])
+    return out.drop("__qs")

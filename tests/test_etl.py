@@ -212,3 +212,20 @@ def test_quantile_label_bucketed_matches_plain(spark):
     b = {r["id"]: r["y"] for r in
          etl.quantile_label(df, "v", 5, tiebreak=["id"], bucketed=True).collect()}
     assert a == b and set(a.values()) == {0, 1, 2, 3, 4}
+
+
+def test_grouped_quantiles_matches_numpy(spark):
+    import numpy as np
+    from demv_spark.operators.etl import grouped_quantiles
+
+    rows = [(("a" if i % 3 else "b"), float(i * 7 % 23)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["k"]: r for r in grouped_quantiles(df, ["k"], "v", probs=(0.25, 0.5, 0.9)).collect()}
+    import collections
+    vals = collections.defaultdict(list)
+    for k, v in rows:
+        vals[k].append(v)
+    for k, xs in vals.items():
+        assert out[k]["p25"] == pytest.approx(np.percentile(xs, 25), abs=1e-12)
+        assert out[k]["p50"] == pytest.approx(np.percentile(xs, 50), abs=1e-12)
+        assert out[k]["p90"] == pytest.approx(np.percentile(xs, 90), abs=1e-12)
