@@ -134,3 +134,44 @@ def test_quota_batch_twin_matches_single_batch_stream_semantics(spark, multi_fil
         keep = set(sorted(v)[:7])
         for i in v:
             assert got[(k, i)] == (1 if i in keep else 0)
+
+
+def test_map_only_curation_ops_work_on_streams(spark, multi_file_docs):
+    """split_by_hash + canonicalize_url are stateless column algebra,
+    so the SAME call works under readStream — stream output must equal
+    the batch run row-for-row."""
+    from demv_spark.operators import web
+    from demv_spark.operators.corpus import split_by_hash
+
+    schema = spark.read.parquet(multi_file_docs).schema
+
+    def curate(df):
+        d = df.withColumn(
+            "url",
+            F.concat(F.lit("HTTP://"), F.col("key_src"), F.lit(".X.com:80/p/"),
+                     F.col("doc_id").cast("string"), F.lit("?utm_source=s")),
+        )
+        return split_by_hash(d, ["key_src"], {"train": 0.9, "test": 0.1}).select(
+            "doc_id", web.canonicalize_url("url", "canon"), "split"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_file_docs)
+    )
+    q = (
+        curate(stream).writeStream.format("memory")
+        .queryName("curate_sink").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["canon"], r["split"])
+        for r in spark.sql("SELECT * FROM curate_sink").collect()
+    }
+    want = {
+        r["doc_id"]: (r["canon"], r["split"])
+        for r in curate(spark.read.parquet(multi_file_docs)).collect()
+    }
+    assert got == want
