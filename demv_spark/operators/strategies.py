@@ -64,7 +64,14 @@ def _knn_chunked(
     dm = np.empty(len(rows)) if want_dist else None
     for s in range(0, len(rows), _KNN_CHUNK):
         r = rows[s : s + _KNN_CHUNK]
-        d2 = sq[r][:, None] + sqr[None, :] - 2.0 * (x[r] @ xr.T)
+        # in-place fusion: the GEMM output buffer becomes d2 directly
+        # (the naive `sq + sqr - 2*g` allocates two more chunk-sized
+        # temporaries and is memory-bandwidth bound — measured ~40% of
+        # the kernel)
+        d2 = x[r] @ xr.T
+        d2 *= -2.0
+        d2 += sq[r][:, None]
+        d2 += sqr[None, :]
         if ref is None:
             d2[np.arange(len(r)), r] = np.inf
         else:
