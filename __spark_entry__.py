@@ -798,6 +798,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_etl_grouped_quantiles"] = _etl_grouped_quantiles
 
+    # perceptual image dHash over REAL decoded PNG pixels: the hash is
+    # integer-exact by construction (channel-sum grayscale, floor
+    # blocks, cross-multiplied comparisons), so the oracle re-derives
+    # every bit from the closed-form pixel model over a LATERAL grid —
+    # the decode path is genuinely exercised on the Spark side while
+    # SQL never touches a codec
+    def _media_dhash(spark, sf):
+        from demv_spark.operators.multimodal import (
+            image_dhash,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="image")
+        return image_dhash(media)
+
+    q["q_media_dhash"] = _media_dhash
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2839,6 +2857,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, admitted, COUNT(*) AS n_docs,
                COUNT(DISTINCT domain) AS n_domains
         FROM sp GROUP BY split, admitted
+    """
+
+    o["q_media_dhash"] = """
+        WITH m AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+                   CAST(n_nationkey % 64 + 16 AS INT) AS w,
+                   CAST(n_nationkey % 48 + 16 AS INT) AS h,
+                   ((n_nationkey*7) % 200) + ((n_nationkey*7 + 13) % 200)
+                   + ((n_nationkey*7 + 26) % 200) AS s3
+            FROM nation
+        ),
+        blocks AS (
+            SELECT m.media_id, m.w, m.h, i.i AS bi, j.j AS bj,
+                   SUM(m.s3 + 3 * ((x.x + y.y) % 50)) AS bsum,
+                   COUNT(*) AS area
+            FROM m,
+                 LATERAL (SELECT UNNEST(range(8)) AS i) i,
+                 LATERAL (SELECT UNNEST(range(9)) AS j) j,
+                 LATERAL (SELECT UNNEST(range(m.h)) AS y) y,
+                 LATERAL (SELECT UNNEST(range(m.w)) AS x) x
+            WHERE y.y >= (i.i * m.h) // 8 AND y.y < ((i.i + 1) * m.h) // 8
+              AND x.x >= (j.j * m.w) // 9 AND x.x < ((j.j + 1) * m.w) // 9
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        bits AS (
+            SELECT l.media_id, l.w, l.h, l.bi, l.bj,
+                   CAST(l.bsum * r.area > r.bsum * l.area AS INT) AS bit
+            FROM blocks l JOIN blocks r
+              ON l.media_id = r.media_id AND l.bi = r.bi AND r.bj = l.bj + 1
+            WHERE l.bj < 8
+        ),
+        nibbles AS (
+            SELECT media_id, w, h, (bi*8 + bj) // 4 AS nib,
+                   SUM(bit << (3 - (bi*8 + bj) % 4)) AS nv
+            FROM bits GROUP BY 1, 2, 3, 4
+        )
+        SELECT media_id, w, h,
+               string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
+                          '' ORDER BY nib) AS dhash_hex
+        FROM nibbles GROUP BY 1, 2, 3
     """
 
     o["q_etl_grouped_quantiles"] = """

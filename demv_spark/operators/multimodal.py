@@ -289,3 +289,76 @@ def frame_sample_plan(
     return df.select(
         "media_id", "kind", F.explode(ts).alias("frame_ts_ms")
     )
+
+
+def image_dhash(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels — the
+    image near-duplicate key (two re-encodes / resamples of the same
+    picture give equal or near-equal dHashes, Hamming distance ranks
+    the rest).
+
+    Integer-exact by construction so the hash is reproducible on any
+    engine: grayscale is the per-pixel CHANNEL SUM (no /3), the
+    (hash_w+1)×hash_h grid uses floor-boundary blocks
+    (x0 = j·w div (hash_w+1)), and each left>right comparison
+    cross-multiplies integer block sums against block areas
+    (sumL·areaR > sumR·areaL) — no float ever appears, so a SQL
+    oracle can re-derive the bits from a closed-form pixel model (the
+    driver does, over a generate_series grid). Emitted as a
+    fixed-width hex string (row-major bits, MSB-first per row-byte),
+    with (media_id, w, h) for downstream joins.
+
+    Arrow-batched mapInPandas decode, map-only at any scale; bucket
+    the hex (or its bands) for candidate generation exactly like
+    simhash.
+    """
+    from demv_spark.operators.media_codecs import decode_image
+
+    n_bits = hash_w * hash_h
+    n_hex = (n_bits + 3) // 4
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("dhash_hex", StringType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        recs_all = []
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                gray = arr.sum(axis=2)  # channel sum: integer grayscale
+                # integral image for O(1) exact block sums
+                ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+                ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+                gw, gh = hash_w + 1, hash_h
+                xs = [j * w // gw for j in range(gw + 1)]
+                ys = [i * h // gh for i in range(gh + 1)]
+                bits = []
+                for i in range(gh):
+                    y0, y1 = ys[i], ys[i + 1]
+                    row = []
+                    for j in range(gw):
+                        x0, x1 = xs[j], xs[j + 1]
+                        s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+                        row.append((int(s), (y1 - y0) * (x1 - x0)))
+                    for j in range(hash_w):
+                        (sl, al), (sr, ar) = row[j], row[j + 1]
+                        bits.append(1 if sl * ar > sr * al else 0)
+                v = 0
+                for b in bits:
+                    v = (v << 1) | b
+                recs.append((int(mid), w, h, format(v, f"0{n_hex}x")))
+            recs_all.append(pd.DataFrame(recs, columns=["media_id", "w", "h", "dhash_hex"]))
+        for r in recs_all:
+            yield r
+
+    return df.mapInPandas(run, schema=out_schema)

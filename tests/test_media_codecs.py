@@ -90,3 +90,42 @@ def test_audio_features_real_wav(spark):
         i = np.arange(r["n_samples"], dtype=np.int64)
         samples = (mid * 31 + i * 17) % 2048 - 1024
         assert r["mean_amp"] == int(samples.sum()) / len(samples)
+
+
+# ---- image_dhash ----
+
+
+def test_dhash_invariant_to_reencode_and_locality(spark):
+    """The SAME pixels encoded with different PNG scanline filters must
+    produce identical dHashes (the property that makes it a perceptual
+    dedup key, not a byte hash); a small brightness shift must keep
+    the hash EQUAL (uniform shifts don't change left>right order),
+    while structural change flips bits."""
+    import pandas as pd
+    from demv_spark.operators.multimodal import MEDIA_SCHEMA, image_dhash
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    shifted = np.clip(arr.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    structural = arr.copy()
+    structural[:, :20] = 255  # blow out the left half
+
+    rows = [
+        (0, "image", "png", C.encode_png(arr, filter_type=0), 40, 40, None),
+        (1, "image", "png", C.encode_png(arr, filter_type=4), 40, 40, None),
+        (2, "image", "png", C.encode_png(shifted, filter_type=2), 40, 40, None),
+        (3, "image", "png", C.encode_png(structural, filter_type=1), 40, 40, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["dhash_hex"] for r in image_dhash(media).collect()}
+    assert got[0] == got[1]          # re-encode invariant
+    assert got[0] == got[2]          # uniform brightness shift invariant
+    assert got[0] != got[3]          # structural change detected
+    ham = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in [(got[0], got[3])]
+    )
+    assert ham >= 8  # left-half blowout flips many comparisons
