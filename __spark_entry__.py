@@ -816,6 +816,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_dhash"] = _media_dhash
 
+    # audio twin: energy-difference fingerprint over real PCM decode,
+    # every bit re-derived in SQL from the closed-form sample model
+    def _media_audio_fp(spark, sf):
+        from demv_spark.operators.multimodal import (
+            audio_fingerprint,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="audio")
+        return audio_fingerprint(media)
+
+    q["q_media_audio_fp"] = _media_audio_fp
+
     # ---- quality-classifier inference (fastText-style linear) ----
     # integer hash-derived weights ⇒ the per-doc score is an exact
     # BIGINT the oracle recomputes from md5 in SQL; map-only plan
@@ -2897,6 +2911,37 @@ def oracle_sql() -> dict[str, str]:
                string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
                           '' ORDER BY nib) AS dhash_hex
         FROM nibbles GROUP BY 1, 2, 3
+    """
+
+    o["q_media_audio_fp"] = """
+        WITH m AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+                   CAST(8000 * (n_nationkey % 9000 + 1000) // 1000 AS BIGINT) AS n
+            FROM nation
+        ),
+        fr AS (
+            SELECT m.media_id, m.n, (i.i * 33) // m.n AS k,
+                   SUM(((m.media_id*31 + i.i*17) % 2048 - 1024)
+                       * ((m.media_id*31 + i.i*17) % 2048 - 1024)) AS e,
+                   COUNT(*) AS ln
+            FROM m, LATERAL (SELECT UNNEST(range(m.n)) AS i) i
+            GROUP BY 1, 2, 3
+        ),
+        bits AS (
+            SELECT l.media_id, l.n, l.k,
+                   CAST(l.e * r.ln > r.e * l.ln AS INT) AS bit
+            FROM fr l JOIN fr r ON l.media_id = r.media_id AND r.k = l.k + 1
+            WHERE l.k < 32
+        ),
+        nibbles AS (
+            SELECT media_id, n, k // 4 AS nib,
+                   SUM(bit << (3 - k % 4)) AS nv
+            FROM bits GROUP BY 1, 2, 3
+        )
+        SELECT media_id, n AS n_samples,
+               string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
+                          '' ORDER BY nib) AS fp_hex
+        FROM nibbles GROUP BY 1, 2
     """
 
     o["q_etl_grouped_quantiles"] = """

@@ -362,3 +362,56 @@ def image_dhash(
             yield r
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_fingerprint(df: DataFrame, n_frames: int = 33) -> DataFrame:
+    """Perceptual audio fingerprint from REAL decoded PCM — the audio
+    twin of :func:`image_dhash`: split the sample stream into
+    ``n_frames`` floor-boundary frames, compute integer frame
+    energies (Σ sample²), and emit one bit per adjacent-frame energy
+    comparison (cross-multiplied against frame lengths, so unequal
+    frame sizes never need a float). Uniform gain changes scale every
+    energy by the same factor and preserve all comparisons — the
+    invariance that makes it a content key, not a byte hash.
+
+    ``n_frames−1`` bits, hex-emitted MSB-first. Integer-exact ⇒ a SQL
+    oracle re-derives every bit from the closed-form sample model.
+    Arrow-batched mapInPandas decode, map-only at any scale.
+    """
+    from demv_spark.operators.media_codecs import decode_wav
+
+    n_bits = n_frames - 1
+    n_hex = (n_bits + 3) // 4
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("fp_hex", StringType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                flat = samples.astype(np.int64).reshape(-1)
+                n = len(flat)
+                # frame of sample i = (i·n_frames) div n — the one
+                # floor-partition a SQL GROUP BY can recompute without
+                # boundary tables. Frame energies are < 2⁵³ (len ≤
+                # n/n_frames+1 times 1024²), so the float64 bincount
+                # accumulation is exact term-for-term.
+                ks = (np.arange(n, dtype=np.int64) * n_frames) // max(n, 1)
+                sq = (flat * flat).astype(np.float64)
+                e = np.bincount(ks, weights=sq, minlength=n_frames).astype(np.int64)
+                ln = np.bincount(ks, minlength=n_frames).astype(np.int64)
+                v = 0
+                for k in range(n_bits):
+                    bit = 1 if int(e[k]) * int(ln[k + 1]) > int(e[k + 1]) * int(ln[k]) else 0
+                    v = (v << 1) | bit
+                recs.append((int(mid), n, format(v, f"0{n_hex}x")))
+            yield pd.DataFrame(recs, columns=["media_id", "n_samples", "fp_hex"])
+
+    return df.mapInPandas(run, schema=out_schema)

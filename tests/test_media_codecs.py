@@ -129,3 +129,30 @@ def test_dhash_invariant_to_reencode_and_locality(spark):
         for a, b in [(got[0], got[3])]
     )
     assert ham >= 8  # left-half blowout flips many comparisons
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """Halving the gain scales every frame energy by the same factor
+    and preserves all comparisons → identical fingerprint; swapping
+    loud/quiet halves flips bits."""
+    import pandas as pd
+    from demv_spark.operators.multimodal import MEDIA_SCHEMA, audio_fingerprint
+
+    rng = np.random.RandomState(11)
+    loudness = np.where(np.arange(16000) < 8000, 1000, 120)
+    base = (rng.randint(-100, 101, 16000) * loudness // 100).astype("<i2")
+    half = (base.astype(np.int32) // 2).astype("<i2")
+    swapped = np.concatenate([base[8000:], base[:8000]]).astype("<i2")
+
+    rows = [
+        (0, "audio", "wav", C.encode_wav(base, 8000), None, None, 2000),
+        (1, "audio", "wav", C.encode_wav(half, 8000), None, None, 2000),
+        (2, "audio", "wav", C.encode_wav(swapped, 8000), None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["fp_hex"] for r in audio_fingerprint(media).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
