@@ -299,14 +299,23 @@ def cap_per_key(
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
     ).drop("__bn")
-    ranked = (
-        local.join(F.broadcast(offsets), [*keys, "__bk"])
-        .withColumn(out, ((F.col("__lrn") + F.col("__off")) <= cap).cast("int"))
-    )
     # a row with local rank > cap can never be globally admitted, but
-    # it must still be RETURNED (this operator flags, not filters) —
-    # short-circuit its admission without the offset arithmetic
-    return ranked.drop("__pr", "__bk", "__lrn", "__off")
+    # it must still be RETURNED (this operator flags, not filters):
+    # only the ≤cap head of each bucket pays the offset join; the tail
+    # short-circuits to admitted=0 — a hot key's bucket never forwards
+    # more than cap rows into the join
+    head = (
+        local.filter(F.col("__lrn") <= cap)
+        .join(F.broadcast(offsets), [*keys, "__bk"])
+        .withColumn(out, ((F.col("__lrn") + F.col("__off")) <= cap).cast("int"))
+        .drop("__pr", "__bk", "__lrn", "__off")
+    )
+    tail = (
+        local.filter(F.col("__lrn") > cap)
+        .withColumn(out, F.lit(0).cast("int"))
+        .drop("__pr", "__bk", "__lrn")
+    )
+    return head.unionByName(tail)
 
 
 def split_by_hash(
@@ -341,7 +350,11 @@ def split_by_hash(
     expr = None
     for name in names[:-1]:
         cum += fractions[name]
-        thr = int(cum * 1_000_000)
+        # round, not truncate: float accumulation of e.g. 0.7+0.1
+        # yields 0.7999999999999999, and int() would shift the
+        # threshold to 799999 — off the exact integer any SQL oracle
+        # writes down
+        thr = round(cum * 1_000_000)
         cond = bucket < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])

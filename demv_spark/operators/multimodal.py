@@ -329,7 +329,6 @@ def image_dhash(
     )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        recs_all = []
         for pdf in it:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -357,9 +356,9 @@ def image_dhash(
                 for b in bits:
                     v = (v << 1) | b
                 recs.append((int(mid), w, h, format(v, f"0{n_hex}x")))
-            recs_all.append(pd.DataFrame(recs, columns=["media_id", "w", "h", "dhash_hex"]))
-        for r in recs_all:
-            yield r
+            # yield per input batch — buffering all batches would hold
+            # the whole partition's results in memory
+            yield pd.DataFrame(recs, columns=["media_id", "w", "h", "dhash_hex"])
 
     return df.mapInPandas(run, schema=out_schema)
 

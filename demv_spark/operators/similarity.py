@@ -444,6 +444,9 @@ def embedding_near_dup(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
         F.col("__sig"),
+        # norm computed once per row BEFORE the band explode (inside
+        # the same projection as the signature)
+        norm(_as_double(vec_col)).alias("nrm"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -456,14 +459,21 @@ def embedding_near_dup(
             ])
         ).alias("bc"),
     ).select(
-        "id", "v", "__sig", norm(F.col("v")).alias("nrm"),
+        "id", "v", "__sig", "nrm",
         F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
     )
+
+    def _signed64(v: int) -> int:
+        # band masks above bit 62 exceed the signed LongType literal
+        # range (n_planes=64); wrap to the two's-complement value the
+        # JVM long actually holds
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
     first_band = F.lit(n_bands)
     for b in reversed(range(n_bands)):
         first_band = F.when(
-            xor.bitwiseAND(F.lit(mask << (b * band_bits))) == 0, F.lit(b)
+            xor.bitwiseAND(F.lit(_signed64(mask << (b * band_bits)))) == 0, F.lit(b)
         ).otherwise(first_band)
     cand = (
         banded.alias("a")

@@ -120,6 +120,10 @@ def _interpolate_group(
         return pdf.iloc[np.zeros(n_new, dtype=int)].copy()
     kk = min(k, n - 1)
     ref = _ref_subsample(n)
+    if ref is not None:
+        # d2 has len(ref) columns and one may be the self-match — a
+        # caller k above the subsample size must clamp, not crash
+        kk = min(kk, len(ref) - 1)
 
     if adaptive:
         # ADASYN needs every point's sparsity, so the k-NN pass covers

@@ -785,15 +785,20 @@ def normalize_text(
         r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",
         "",
     )
-    with_pre = df.withColumn("__pre", pre)
+    # uniquified temp name: a user column literally named __pre must
+    # not be overwritten and dropped
+    tmp = "__pre"
+    while tmp in df.columns:
+        tmp += "_"
+    with_pre = df.withColumn(tmp, pre)
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out, StringType())]
     )
 
     def run(it):
         for pdf in it:
-            col = [unicodedata.normalize("NFC", s) for s in pdf["__pre"]]
-            pdf = pdf.drop(columns=["__pre"]).copy()
+            col = [unicodedata.normalize("NFC", s) for s in pdf[tmp]]
+            pdf = pdf.drop(columns=[tmp]).copy()
             pdf[out] = pd.Series(col, index=pdf.index)
             yield pdf
 

@@ -165,19 +165,27 @@ def streaming_quota_admission(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n_adm = state.get[0] if state.exists else 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(id_col, kind="mergesort")
-            room = max(0, cap - n_adm)
-            flags = [1] * min(room, len(pdf)) + [0] * max(0, len(pdf) - room)
-            n_adm += min(room, len(pdf))
-            yield pd.DataFrame(
-                {
-                    "key": [str(key[0])] * len(pdf),
-                    "id": pdf[id_col].astype("int64").to_numpy(),
-                    "admitted": pd.array(flags, dtype="int64"),
-                }
-            )
+        # a key's micro-batch can arrive as SEVERAL Arrow chunks
+        # (maxRecordsPerBatch); sorting chunks independently would
+        # admit in chunk-arrival order, not the documented id order —
+        # concatenate first (bounded by the key's batch volume)
+        chunks = [p for p in pdf_iter]
+        if not chunks:  # timeout-style invocation: no data, keep state
+            state.update((n_adm,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        room = max(0, cap - n_adm)
+        flags = [1] * min(room, len(pdf)) + [0] * max(0, len(pdf) - room)
+        n_adm += min(room, len(pdf))
         state.update((n_adm,))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(pdf),
+                "id": pdf[id_col].astype("int64").to_numpy(),
+                "admitted": pd.array(flags, dtype="int64"),
+            }
+        )
 
     out_schema = StructType(
         [

@@ -340,3 +340,23 @@ def test_canonicalize_url_fuzz_idempotent(spark):
         if has_host.match(r["url"]):  # hostless rows pass through verbatim
             assert "#" not in r["c"]
             assert "utm_" not in r["c"] and "fbclid" not in r["c"]
+
+
+def test_split_by_hash_thresholds_are_exact_integers(spark):
+    """0.7+0.1 accumulates to 0.7999999999999999 in float; the
+    threshold must still be the exact 800000 an oracle writes down
+    (reported by review: int() truncation shifted it to 799999)."""
+    from demv_spark.functions.compat import portable_hash
+    from demv_spark.operators.corpus import split_by_hash
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["k"])
+    out = split_by_hash(df, ["k"], {"a": 0.7, "b": 0.1, "c": 0.2})
+    buckets = df.select(
+        "k",
+        (portable_hash(F.concat_ws(":", F.lit("split42"), F.col("k").cast("string")))
+         % 1_000_000).alias("bucket"),
+    )
+    joined = {r["k"]: (r["bucket"], r["split"]) for r in out.join(buckets, "k").collect()}
+    for k, (bucket, split) in joined.items():
+        want = "a" if bucket < 700000 else ("b" if bucket < 800000 else "c")
+        assert split == want, f"k={k} bucket={bucket}: {split} != {want}"
