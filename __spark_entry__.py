@@ -2975,10 +2975,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(concat('0x', substr(md5('qclf1:' || token), 1, 15))
                         AS BIGINT) % 2001 - 1000 AS wt
             FROM t
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score
+            FROM w GROUP BY 1
         )
-        SELECT doc_id, COUNT(*) AS n_feats, SUM(wt) AS score,
-               CAST(SUM(wt) >= 0 AS INT) AS label
-        FROM w GROUP BY 1
+        -- LEFT JOIN keeps zero-token documents: the Spark side emits
+        -- (n_feats=0, score=0, label=1) for empty/NULL text, and an
+        -- aggregate-only oracle would silently drop those rows
+        SELECT d.doc_id,
+               COALESCE(a.n_feats, 0) AS n_feats,
+               COALESCE(a.score, 0) AS score,
+               CAST(COALESCE(a.score, 0) >= 0 AS INT) AS label
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     o["q_corpus_quality_sample"] = r"""
@@ -2995,7 +3004,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 2001 - 1000 AS wt
             FROM t
         ),
-        sc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY 1),
+        sc0 AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY 1),
+        -- LEFT JOIN keeps zero-token documents (score 0 → q 500),
+        -- matching the Spark side which scores every row
+        sc AS (
+            SELECT d.doc_id, COALESCE(s.score, 0) AS score
+            FROM documents d LEFT JOIN sc0 s USING (doc_id)
+        ),
         qv AS (
             SELECT doc_id,
                    GREATEST(0, LEAST(1000,

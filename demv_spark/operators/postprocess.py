@@ -147,11 +147,24 @@ def multiclass_quota_adjust(
     # group census collected ONCE: it feeds both the broadcast bounds
     # table and the auto-salt decision below — the previous second
     # groupBy cost an extra full scan+shuffle of the big table
-    # (ADVICE r3). Group-count-sized by construction, same driver
-    # contract as the auto-salt collect always had.
+    # (ADVICE r3). The operator's contract REQUIRES broadcast-scale
+    # group cardinality (the bounds ride into the plan as a broadcast
+    # of per-group boundary arrays), so the driver materialization is
+    # inherent — but bound it: take(cap+1) transfers at most cap+1
+    # rows and a too-wide group key fails fast with a clear error
+    # instead of an OOM.
     from pyspark.sql.types import LongType, StructField, StructType
 
-    size_rows = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn")).collect()
+    _MAX_GROUPS = 1_000_000
+    size_rows = (
+        df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__gn")).take(_MAX_GROUPS + 1)
+    )
+    if len(size_rows) > _MAX_GROUPS:
+        raise ValueError(
+            f"multiclass_quota_adjust: more than {_MAX_GROUPS} groups on "
+            f"{gcols}; the per-group boundary broadcast requires "
+            "broadcast-scale group cardinality — coarsen the group key"
+        )
     sizes = df.sparkSession.createDataFrame(
         size_rows,
         StructType(

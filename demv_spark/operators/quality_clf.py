@@ -71,6 +71,12 @@ def hashed_linear_score(
     over the token array — zero shuffles, zero joins, one scan. The
     score is an exact BIGINT (integer weights, |score| ≤ n_tokens·W),
     so the result value-hashes identically on any engine.
+
+    Contract for empty/NULL text: a row is emitted with
+    ``n_feats=0, score=0`` and ``label = (0 ≥ bias)`` — zero-token
+    documents are scored, not dropped. (The explode-based
+    :func:`linear_score_with_table` DROPS them instead; see its
+    docstring when swapping forms in a curation pipeline.)
     """
     toks = F.filter(
         tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
@@ -109,6 +115,11 @@ def linear_score_with_table(
 ) -> DataFrame:
     """Score documents against an explicit (bucket, weight) model
     table — the learned-model inference shape.
+
+    Contract for empty/NULL text: the explode produces no rows, so
+    zero-token documents are ABSENT from the output (unlike
+    :func:`hashed_linear_score`, which emits score 0 for them) — left
+    join against the source ids if every doc needs a verdict.
 
     Plan: explode tokens → bucket hash → **broadcast** join the weight
     table (models are ≤ millions of rows — always the small side) →

@@ -345,17 +345,25 @@ def synthetic_rebalance_lsh(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # candidates dedup and rank on NARROW rows (ids + the scalar d²);
+    # neighbor vectors join back only for the ≤k survivors per base
+    # row — shuffling the full __nx array at candidate volume through
+    # distinct+window was the anti-pattern embedding_near_dup's
+    # first-band rule removed on the cosine side
     cand = (
         left.join(right, cond)
-        .select(*keys, "__fid", "__nfid", "__nx", d2.alias("__d2"))
+        .select(*keys, "__fid", "__nfid", d2.alias("__d2"))
         .distinct()
     )
     w_knn = Window.partitionBy(*keys, "__fid").orderBy(
         F.col("__d2").asc(), portable_hash(F.col("__nfid"))
     )
+    topk = cand.withColumn("__rk", F.row_number().over(w_knn)).filter(
+        F.col("__rk") <= k
+    )
+    nvecs = rows.select(F.col("__fid").alias("__nfid"), F.col("__x").alias("__nx"))
     nbrs = (
-        cand.withColumn("__rk", F.row_number().over(w_knn))
-        .filter(F.col("__rk") <= k)
+        topk.join(nvecs, "__nfid")
         .groupBy(*keys, "__fid")
         .agg(F.sort_array(F.collect_list(F.struct("__rk", "__nx"))).alias("__nbrs"))
     )
@@ -378,7 +386,11 @@ def synthetic_rebalance_lsh(
         .withColumn("__j", F.col("__r") + (F.col("__e") - 1) * F.col("__n"))
     )
 
-    picked = seeds_df.join(nbrs, [*keys, "__fid"], "left")
+    # join on __fid ALONE: it is globally unique (concat of id_cols),
+    # so it determines the group — and a [*keys, __fid] equi-join
+    # would be null-UNSAFE, silently missing NULL-keyed groups and
+    # degrading their synthesis to duplication
+    picked = seeds_df.join(nbrs.select("__fid", "__nbrs"), "__fid", "left")
     jtag = F.concat(F.col("__fid"), F.lit(":"), F.col("__j").cast("string"))
     k_eff = F.coalesce(F.size("__nbrs"), F.lit(0))
     idx = (portable_hash(F.concat(F.lit("nb:"), jtag)) % F.greatest(k_eff, F.lit(1))) + 1
