@@ -2116,21 +2116,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT s_suppkey AS id, s_acctbal AS acctbal, 1 AS type FROM supplier
     """
 
-    _toks = r"string_split_regex(trim(lower(text)), '\s+')"
+    _toks = r"string_split_regex(trim(lower(coalesce(text, ''))), '\s+')"
     o["q_text_token_count"] = f"SELECT doc_id, CAST(len({_toks}) AS INTEGER) AS n_tokens FROM documents"
     o["q_text_bpe_estimate"] = r"""
         SELECT doc_id,
-               CAST(CEIL(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0)
-                  + CEIL(length(regexp_replace(text, '[^0-9]', '', 'g')) / 2.0)
-                  + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_est
+               CAST(CEIL(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) / 4.0)
+                  + CEIL(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) / 2.0)
+                  + length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_est
         FROM documents
     """
     o["q_text_quality"] = rf"""
         WITH f AS (
             SELECT doc_id,
-                   CAST(length(text) AS DOUBLE) AS n_chars,
-                   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                    CAST(len({_toks}) AS DOUBLE) AS n_tok
             FROM documents
         )
@@ -2163,10 +2163,10 @@ def oracle_sql() -> dict[str, str]:
         WITH f AS (
             SELECT source, lang,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
-                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                   FLOOR((0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
-                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality
+                   CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0 ELSE
+                   FLOOR((0.4 * LEAST(1.0, CAST(length(coalesce(text, '')) AS DOUBLE) / 500.0)
+                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(coalesce(text, '')) * 10.0))
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality
             FROM documents
         )
         SELECT source, lang, COUNT(*) AS n_docs,
@@ -2328,7 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT label_true, label_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
     """
 
-    _fp = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+    _fp = r"md5(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g'))"
     o["q_text_fingerprint"] = f"SELECT doc_id, {_fp} AS fp FROM documents"
 
     # shared by q_text_corpus_clean and the end-to-end pipeline oracle
@@ -2340,10 +2340,10 @@ def oracle_sql() -> dict[str, str]:
         sig AS (
             SELECT doc_id,
                    CAST(len({_toks}) AS INTEGER) AS n_tokens,
-                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                   FLOOR((0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
-                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) * 10.0))
-                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality,
+                   CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0 ELSE
+                   FLOOR((0.4 * LEAST(1.0, CAST(length(coalesce(text, '')) AS DOUBLE) / 500.0)
+                       + 0.3 * (1.0 - LEAST(1.0, CAST(length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(coalesce(text, '')) * 10.0))
+                       + 0.3 * (1.0 - LEAST(1.0, ABS(CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({_toks}) - 5.0) / 5.0))) * 1e6 + 0.5) / 1e6 END AS quality,
                    len(list_filter({_toks}, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], t))) AS h_de,
                    len(list_filter({_toks}, t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS h_en,
                    len(list_filter({_toks}, t -> list_contains(['el','la','los','que','es','una','para','con'], t))) AS h_es,
@@ -3333,7 +3333,7 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_n,
                len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_n,
                len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS phone_n,
-               regexp_replace(regexp_replace(regexp_replace(text,
+               regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_redacted
@@ -3347,9 +3347,9 @@ def oracle_sql() -> dict[str, str]:
         c AS (
             SELECT doc_id,
                    CAST(len(tk) AS INTEGER) AS n_words,
-                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS n_chars_nospace,
+                   CAST(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS INTEGER) AS n_chars_nospace,
                    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha_words,
-                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INTEGER) AS symbols,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.')) AS INTEGER) AS symbols,
                    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
                                         s -> list_contains(tk, s))) AS INTEGER) AS stop_hits
             FROM t

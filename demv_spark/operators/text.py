@@ -30,9 +30,12 @@ _WS = r"\s+"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace token array of lowercased text."""
+    """Whitespace token array of lowercased text. NULL text is
+    canonically equivalent to the empty string (one token ['']), so
+    NULL-text rows never vanish from explode/join paths and every SQL
+    twin can coalesce the same way."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), _WS)
+    return F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), _WS)
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
@@ -50,9 +53,10 @@ def bpe_token_estimate(
     Expressed as pure length arithmetic so it is engine-portable:
     n_alpha/4 rounded up per run is approximated by
     ceil(total_alpha_chars/4) + punct + ceil(digits/2)."""
-    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
-    other = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL ≡ '' engine-wide
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    other = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
     est = F.ceil(alpha / F.lit(4.0)) + F.ceil(digit / F.lit(2.0)) + other
     return df.withColumn(out, est.cast("long"))
 
@@ -367,9 +371,9 @@ def gopher_rules(
     """
     toks = F.filter(tokens(text_col), lambda t: t != "")
     n_words = F.size(toks)
-    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_chars = F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", ""))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    symbols = F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(r"#|\.\.\."))
     stops = F.array([F.lit(s) for s in
                      ("the", "be", "to", "of", "and", "that", "have", "with")])
     stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(toks, s)))
@@ -399,9 +403,12 @@ def normalized_fingerprint(col: Column | str) -> Column:
     """md5 of whitespace/case-normalized text — THE content-identity
     expression (fingerprint, exact dedup, corpus_clean's dup window
     all share it, so normalization can never diverge between them).
-    SQL: md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))."""
+    NULL text fingerprints as the empty string (the engine-wide
+    NULL ≡ '' canonicalization), so NULL-keyed rows survive the
+    dedup joins identically in both engines.
+    SQL: md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g'))."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.trim(F.lower(c)), _WS, " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.coalesce(c, F.lit("")))), _WS, " ")
     return F.md5(norm.cast("binary"))
 
 
