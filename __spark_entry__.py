@@ -816,6 +816,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_dhash"] = _media_dhash
 
+    # exact ROC AUC components (Mann-Whitney, tie-averaged ranks, all
+    # integer) over a deterministic score correlated with the label
+    def _ml_auc(spark, sf):
+        from demv_spark.functions.metrics import auc_exact
+
+        base = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") + (F.col("o_orderkey") % 5000))
+            .cast("double").alias("score"),
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        return auc_exact(base, "score", "y")
+
+    q["q_ml_auc"] = _ml_auc
+
+    # reliability-diagram census: equal-width probability bins with
+    # exact integer counts and a scaled-integer probability sum
+    def _ml_calibration(spark, sf):
+        from demv_spark.functions.metrics import calibration_census
+
+        base = _t(spark, sf, "orders").select(
+            ((F.col("o_orderkey") % 1000) / 1000.0).alias("prob"),
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        return calibration_census(base, "prob", "y", n_bins=10)
+
+    q["q_ml_calibration"] = _ml_calibration
+
     # audio twin: energy-difference fingerprint over real PCM decode,
     # every bit re-derived in SQL from the closed-form sample model
     def _media_audio_fp(spark, sf):
@@ -2911,6 +2938,40 @@ def oracle_sql() -> dict[str, str]:
                string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
                           '' ORDER BY nib) AS dhash_hex
         FROM nibbles GROUP BY 1, 2, 3
+    """
+
+    o["q_ml_auc"] = """
+        WITH base AS (
+            SELECT CAST(o_totalprice + (o_orderkey % 5000) AS DOUBLE) AS s,
+                   CAST(o_totalprice > 150000 AS INT) AS y
+            FROM orders
+        ),
+        g AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM base GROUP BY 1),
+        k AS (
+            SELECT s, c, p,
+                   COALESCE(SUM(c) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM g
+        )
+        SELECT SUM(p * (2 * cum + c + 1)) AS s2,
+               SUM(p) AS n_pos,
+               SUM(c) - SUM(p) AS n_neg
+        FROM k
+    """
+
+    o["q_ml_calibration"] = """
+        WITH base AS (
+            SELECT CAST((o_orderkey % 1000) / 1000.0 AS DOUBLE) AS prob,
+                   CAST(o_totalprice > 150000 AS INT) AS y
+            FROM orders
+        )
+        SELECT LEAST(CAST(FLOOR(prob * 10.0) AS INT), 9) AS bin,
+               COUNT(*) AS n,
+               SUM(y) AS n_pos,
+               SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT)) AS sum_p6
+        FROM base GROUP BY 1
     """
 
     o["q_media_audio_fp"] = """

@@ -473,3 +473,106 @@ def weighted_fairness_suite(
         F.greatest(F.abs(tpr_u - tpr_p), F.abs(fpr_u - fpr_p)).alias("eq_odds"),
         (F.col("n_match") / F.col("n")).alias("acc"),
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive=1,
+) -> DataFrame:
+    """Exact ROC AUC as integer-exact components — the threshold-free
+    ranking metric the threshold suite (accuracy/TPR/FPR) lacks.
+
+    Mann-Whitney formulation with tie-averaged ranks, computed from
+    the per-distinct-score census so no per-row rank materializes:
+    for a score group of size c with p positives and cum rows strictly
+    below, every member's average rank is cum + (c+1)/2, so the
+    positives contribute p·(2·cum + c + 1) to S2 = 2·Σ_pos rank —
+    always an INTEGER. AUC = (S2/2 − P(P+1)/2) / (P·N) derives from
+    the emitted (s2, n_pos, n_neg) with zero float ops inside the
+    engine, making the result bit-reproducible on any engine.
+
+    Scale shape: one aggregation by score, then the prefix count over
+    the distinct-score census is RANGE-BUCKETED (the quantile
+    machinery's trick) — a continuous score makes that census as big
+    as the input, so a single global-ordered window would serialize
+    it into one task; instead each of 1024 score ranges cumsums
+    locally and a tiny per-bucket offset window (1024 rows) restores
+    the exact global prefix. Returns one row: (s2, n_pos, n_neg).
+    """
+    s = F.col(score_col).cast("double")
+    lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
+    n_buckets = 1024
+    g = df.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum((F.col(label_col) == F.lit(positive)).cast("long")).alias("__p"),
+    )
+    if lo is None or hi is None or hi == lo:
+        bucket = F.lit(0)
+    else:
+        span = float(hi) - float(lo)
+        bucket = F.least(
+            F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(span) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+    g = g.withColumn("__bk", bucket)
+    w_local = (
+        Window.partitionBy("__bk")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_cum = F.coalesce(F.sum("__c").over(w_local), F.lit(0))
+    totals = g.groupBy("__bk").agg(F.sum("__c").alias("__bn"))
+    w_off = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).drop("__bn")
+    cum = local_cum + F.col("__off")
+    contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
+    return (
+        g.join(F.broadcast(offsets), "__bk")
+        .withColumn("__contrib", contrib)
+        .agg(
+            F.sum("__contrib").alias("s2"),
+            F.sum("__p").alias("n_pos"),
+            (F.sum("__c") - F.sum("__p")).alias("n_neg"),
+        )
+    )
+
+
+def calibration_census(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    positive=1,
+) -> DataFrame:
+    """Reliability-diagram census: bucket predicted probabilities into
+    ``n_bins`` equal-width bins and emit per-bin exact counts — the
+    inputs of ECE/calibration curves without any float aggregate.
+
+    bin = least(floor(p·n_bins), n_bins−1); emits (bin, n, n_pos,
+    sum_p_scaled) where sum_p_scaled = Σ round(p·10⁶) is an exact
+    BIGINT (single IEEE multiply + half-up floor per row, engine
+    identical). mean predicted prob and empirical rate derive
+    downstream. One narrow shuffle on the bin key.
+    """
+    p = F.col(prob_col).cast("double")
+    b = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    p6 = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        df.select(
+            b.alias("bin"),
+            (F.col(label_col) == F.lit(positive)).cast("long").alias("__pos"),
+            p6.alias("__p6"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__pos").alias("n_pos"),
+            F.sum("__p6").alias("sum_p6"),
+        )
+    )

@@ -185,3 +185,66 @@ def test_group_condition_conjunction(spark):
     assert [(r["sex"], r["race"]) for r in got] == [(0, 0)]
     with pytest.raises(ValueError):
         group_condition({})
+
+
+# ---- threshold-free metrics ----
+
+
+def _auc_bruteforce(pairs):
+    """(score, label) -> AUC by concordant-pair counting (ties 0.5)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = 0.0
+    for p in pos:
+        for n in neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+def test_auc_exact_matches_bruteforce_with_ties(spark):
+    import random
+
+    from demv_spark.functions.metrics import auc_exact
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.choice([0.1, 0.25, 0.25, 0.5, 0.7, 0.9]), rng.randint(0, 1))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, ["score", "y"])
+    r = auc_exact(df, "score", "y").collect()[0]
+    auc = (r["s2"] / 2 - r["n_pos"] * (r["n_pos"] + 1) / 2) / (
+        r["n_pos"] * r["n_neg"]
+    )
+    assert auc == pytest.approx(_auc_bruteforce(pairs), abs=1e-12)
+    # perfect separation → 1.0
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], ["score", "y"]
+    )
+    r = auc_exact(perfect, "score", "y").collect()[0]
+    assert (r["s2"] / 2 - r["n_pos"] * (r["n_pos"] + 1) / 2) == r["n_pos"] * r["n_neg"]
+
+
+def test_auc_exact_deterministic_under_repartition(spark):
+    import random
+
+    from demv_spark.functions.metrics import auc_exact
+
+    rng = random.Random(3)
+    pairs = [(rng.random(), rng.randint(0, 1)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, ["score", "y"])
+    a = auc_exact(df, "score", "y").collect()[0]
+    b = auc_exact(df.repartition(13), "score", "y").collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_calibration_census_bins_and_counts(spark):
+    from demv_spark.functions.metrics import calibration_census
+
+    rows = [(0.05, 0), (0.05, 1), (0.55, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, ["p", "y"])
+    got = {r["bin"]: (r["n"], r["n_pos"], r["sum_p6"]) for r in
+           calibration_census(df, "p", "y", n_bins=10).collect()}
+    assert got[0] == (2, 1, 100000)       # two 0.05s
+    assert got[5] == (1, 1, 550000)
+    assert got[9] == (2, 2, 950000 + 1000000)  # p=1.0 clamps into bin 9
