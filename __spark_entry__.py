@@ -843,6 +843,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ml_calibration"] = _ml_calibration
 
+    # AUC parity across sensitive groups: the per-group rank statistic
+    # (fairness twin of the threshold metrics — group_cols routes each
+    # Mann-Whitney census through its own partition)
+    def _ml_auc_by_group(spark, sf):
+        from demv_spark.functions.metrics import auc_exact
+
+        base = _t(spark, sf, "orders").select(
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("o_totalprice") + (F.col("o_orderkey") % 5000))
+            .cast("double").alias("score"),
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        return auc_exact(base, "score", "y", group_cols=["grp"])
+
+    q["q_ml_auc_by_group"] = _ml_auc_by_group
+
     # audio twin: energy-difference fingerprint over real PCM decode,
     # every bit re-derived in SQL from the closed-form sample model
     def _media_audio_fp(spark, sf):
@@ -2959,6 +2975,30 @@ def oracle_sql() -> dict[str, str]:
                SUM(p) AS n_pos,
                SUM(c) - SUM(p) AS n_neg
         FROM k
+    """
+
+    o["q_ml_auc_by_group"] = """
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(o_totalprice + (o_orderkey % 5000) AS DOUBLE) AS s,
+                   CAST(o_totalprice > 150000 AS INT) AS y
+            FROM orders
+        ),
+        g AS (
+            SELECT grp, s, COUNT(*) AS c, SUM(y) AS p
+            FROM base GROUP BY 1, 2
+        ),
+        k AS (
+            SELECT grp, s, c, p,
+                   COALESCE(SUM(c) OVER (
+                       PARTITION BY grp ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM g
+        )
+        SELECT grp, SUM(p * (2 * cum + c + 1)) AS s2,
+               SUM(p) AS n_pos, SUM(c) - SUM(p) AS n_neg
+        FROM k GROUP BY 1
     """
 
     o["q_ml_calibration"] = """

@@ -480,6 +480,7 @@ def auc_exact(
     score_col: str,
     label_col: str,
     positive=1,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Exact ROC AUC as integer-exact components — the threshold-free
     ranking metric the threshold suite (accuracy/TPR/FPR) lacks.
@@ -499,12 +500,16 @@ def auc_exact(
     as the input, so a single global-ordered window would serialize
     it into one task; instead each of 1024 score ranges cumsums
     locally and a tiny per-bucket offset window (1024 rows) restores
-    the exact global prefix. Returns one row: (s2, n_pos, n_neg).
+    the exact global prefix. Returns one row (s2, n_pos, n_neg) — or
+    one row per group when ``group_cols`` is set (AUC parity across
+    sensitive groups: every rank statistic is computed within its own
+    group, the per-group fairness twin of the threshold metrics).
     """
+    gcols = list(group_cols)
     s = F.col(score_col).cast("double")
     lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
     n_buckets = 1024
-    g = df.groupBy(s.alias("__s")).agg(
+    g = df.groupBy(*gcols, s.alias("__s")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum((F.col(label_col) == F.lit(positive)).cast("long")).alias("__p"),
     )
@@ -518,27 +523,29 @@ def auc_exact(
         ).cast("int")
     g = g.withColumn("__bk", bucket)
     w_local = (
-        Window.partitionBy("__bk")
+        Window.partitionBy(*gcols, "__bk")
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_cum = F.coalesce(F.sum("__c").over(w_local), F.lit(0))
-    totals = g.groupBy("__bk").agg(F.sum("__c").alias("__bn"))
-    w_off = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    totals = g.groupBy(*gcols, "__bk").agg(F.sum("__c").alias("__bn"))
+    w_off = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
     ).drop("__bn")
     cum = local_cum + F.col("__off")
     contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
-    return (
-        g.join(F.broadcast(offsets), "__bk")
-        .withColumn("__contrib", contrib)
-        .agg(
-            F.sum("__contrib").alias("s2"),
-            F.sum("__p").alias("n_pos"),
-            (F.sum("__c") - F.sum("__p")).alias("n_neg"),
-        )
+    joined = g.join(F.broadcast(offsets), [*gcols, "__bk"]).withColumn(
+        "__contrib", contrib
     )
+    aggs = [
+        F.sum("__contrib").alias("s2"),
+        F.sum("__p").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).alias("n_neg"),
+    ]
+    return joined.groupBy(*gcols).agg(*aggs) if gcols else joined.agg(*aggs)
 
 
 def calibration_census(

@@ -248,3 +248,18 @@ def test_calibration_census_bins_and_counts(spark):
     assert got[0] == (2, 1, 100000)       # two 0.05s
     assert got[5] == (1, 1, 550000)
     assert got[9] == (2, 2, 950000 + 1000000)  # p=1.0 clamps into bin 9
+
+
+def test_auc_exact_per_group_matches_separate_runs(spark):
+    import random
+
+    from demv_spark.functions.metrics import auc_exact
+
+    rng = random.Random(21)
+    rows = [(rng.choice(["a", "b"]), rng.random(), rng.randint(0, 1)) for _ in range(400)]
+    df = spark.createDataFrame(rows, ["g", "score", "y"])
+    grouped = {r["g"]: (r["s2"], r["n_pos"], r["n_neg"])
+               for r in auc_exact(df, "score", "y", group_cols=["g"]).collect()}
+    for g in ("a", "b"):
+        solo = auc_exact(df.filter(F.col("g") == g), "score", "y").collect()[0]
+        assert grouped[g] == (solo["s2"], solo["n_pos"], solo["n_neg"])
