@@ -82,3 +82,45 @@ def test_converged_target_satisfies_invariant(total, frac, w_exp):
     target, iters = _simulate_target(n0, total, w_exp, 1, 10_000)
     if iters < 10_000 and target > 0:
         assert round(w_exp / (target / total), 1) == 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_auc_census_formula_matches_pair_counting(pairs):
+    """metrics.auc_exact's census identity: for a score group of size
+    c with p positives and cum rows strictly below, positives
+    contribute p*(2*cum + c + 1) to S2 = 2*sum(tie-averaged ranks of
+    positives); AUC derived from (S2, P, N) must equal brute-force
+    concordant-pair counting with ties at 0.5 — on any multiset."""
+    from collections import Counter
+
+    groups = sorted(Counter(pairs).items())
+    by_score = {}
+    for (s, y), n in groups:
+        c, p = by_score.get(s, (0, 0))
+        by_score[s] = (c + n, p + (n if y else 0))
+    s2 = 0
+    cum = 0
+    for s in sorted(by_score):
+        c, p = by_score[s]
+        s2 += p * (2 * cum + c + 1)
+        cum += c
+    P = sum(1 for _, y in pairs if y)
+    N = len(pairs) - P
+    auc_formula = (s2 / 2 - P * (P + 1) / 2) / (P * N)
+
+    num = 0.0
+    for sp, yp in pairs:
+        if not yp:
+            continue
+        for sn, yn in pairs:
+            if yn:
+                continue
+            num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+    assert abs(auc_formula - num / (P * N)) < 1e-12
