@@ -554,6 +554,7 @@ def calibration_census(
     label_col: str,
     n_bins: int = 10,
     positive=1,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Reliability-diagram census: bucket predicted probabilities into
     ``n_bins`` equal-width bins and emit per-bin exact counts — the
@@ -563,8 +564,10 @@ def calibration_census(
     sum_p_scaled) where sum_p_scaled = Σ round(p·10⁶) is an exact
     BIGINT (single IEEE multiply + half-up floor per row, engine
     identical). mean predicted prob and empirical rate derive
-    downstream. One narrow shuffle on the bin key.
+    downstream. One narrow shuffle on the bin key. ``group_cols``
+    yields the per-sensitive-group view (calibration parity).
     """
+    gcols = list(group_cols)
     p = F.col(prob_col).cast("double")
     b = F.least(
         F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
@@ -572,11 +575,12 @@ def calibration_census(
     p6 = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         df.select(
+            *gcols,
             b.alias("bin"),
             (F.col(label_col) == F.lit(positive)).cast("long").alias("__pos"),
             p6.alias("__p6"),
         )
-        .groupBy("bin")
+        .groupBy(*gcols, "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("__pos").alias("n_pos"),
