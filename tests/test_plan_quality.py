@@ -249,3 +249,18 @@ def test_cap_per_key_salted_broadcasts_offsets(spark):
     # sort-merge join against the big table
     assert s["n_broadcasts"] >= 1
     assert s["n_sort_merge_joins"] == 0
+
+
+def test_auc_exact_broadcasts_offsets_no_smj(orders):
+    from demv_spark.functions.metrics import auc_exact
+
+    base = orders.select(
+        F.col("o_totalprice").cast("double").alias("score"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+    )
+    s = plan_stats(auc_exact(base, "score", "y"))
+    # the per-bucket offset census must come back as a broadcast; the
+    # distinct-score census must never sort-merge-join the big side
+    assert s["n_broadcasts"] >= 1
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"] and not s["has_arrow_eval"]
