@@ -2657,8 +2657,8 @@ def oracle_sql() -> dict[str, str]:
         "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
     )
     o["q_sim_cosine_topk"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
         scored AS (
             SELECT query_id, neighbor_id,
                    CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
@@ -2674,8 +2674,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_sim_cosine_topk_arrow"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
         scored AS (
             SELECT query_id, neighbor_id,
                    CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
@@ -2701,7 +2701,7 @@ def oracle_sql() -> dict[str, str]:
                    embedding AS ce
             FROM embeddings WHERE vec_id < 16
         ),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
         assigned AS (
             SELECT neighbor_id, cv, cell FROM (
                 SELECT neighbor_id, cv, cell,
@@ -2711,7 +2711,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         ),
         q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 5),
+              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
         probe AS (
             SELECT query_id, qv, cell FROM (
                 SELECT query_id, qv, cell,
@@ -2742,10 +2742,10 @@ def oracle_sql() -> dict[str, str]:
     o["q_sim_embed_near_dup"] = """
         WITH pl AS (
             SELECT vec_id + 1000000 AS vec_id, embedding
-            FROM embeddings WHERE vec_id % 20 = 0
+            FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND len(embedding) = 64
         ),
         allv AS (
-            SELECT vec_id, embedding FROM embeddings
+            SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
             UNION ALL SELECT * FROM pl
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2757,18 +2757,25 @@ def oracle_sql() -> dict[str, str]:
     o["q_sim_semantic_dedup"] = """
         WITH pl AS (
             SELECT vec_id + 1000000 AS vec_id, embedding
-            FROM embeddings WHERE vec_id % 20 = 0
+            FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND len(embedding) = 64
         ),
         allv AS (
-            SELECT vec_id, embedding FROM embeddings
+            SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
             UNION ALL SELECT * FROM pl
         ),
         dup AS (
             SELECT b.vec_id AS vid
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ),
+        -- survivors come from the UNFILTERED universe: malformed
+        -- vectors cannot pair (validity filter above) but still get a
+        -- keep verdict, matching canonical_filter over all ids
+        universe AS (
+            SELECT vec_id FROM embeddings
+            UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 20 = 0
         )
-        SELECT vec_id FROM allv
+        SELECT vec_id FROM universe
         WHERE vec_id NOT IN (SELECT vid FROM dup)
     """
 
@@ -4207,7 +4214,7 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
             SELECT vec_id AS id, embedding,
                    CAST({_sig_terms} AS BIGINT) AS sig
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
         ),
         banded AS (
             SELECT id, embedding, band, (sig >> (band * 4)) & 15 AS chunk

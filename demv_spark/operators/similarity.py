@@ -58,6 +58,19 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def drop_invalid_vectors(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
+    """Exclude rows whose vector is NULL or the wrong length — the
+    malformed-row contract every similarity operator applies at entry
+    (a web-scale corpus always contains some): with ``dim`` the test
+    is exact length, else any non-empty array. SQL twin:
+    ``vec IS NOT NULL AND len(vec) = dim`` (or ``> 0``)."""
+    c = F.col(vec_col)
+    cond = c.isNotNull() & (
+        (F.size(c) == dim) if dim is not None else (F.size(c) > 0)
+    )
+    return df.filter(cond)
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -72,7 +85,11 @@ def cosine_topk_bruteforce(
     shuffle of the corpus; then per-query top-k via window. Scales
     linearly in the corpus for a bounded query set, which is the
     realistic 100 TB shape (the all-pairs case is what LSH is for).
-    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    Returns (query_id, neighbor_id, cos_sim, rank). Rows with NULL
+    or empty vectors are excluded on both sides (malformed-row
+    contract)."""
+    queries = drop_invalid_vectors(queries, vec_col)
+    corpus = drop_invalid_vectors(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
@@ -134,6 +151,8 @@ def cosine_topk_arrow(
     # 800 MB — already past sensible; route bigger sets through the
     # LSH/IVF paths or chunk the query set. limit(cap+1) bounds the
     # collect itself (no extra count job, no unbounded pull).
+    queries = drop_invalid_vectors(queries, vec_col)
+    corpus = drop_invalid_vectors(corpus, vec_col)
     q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
     if len(q_rows) > max_query_rows:
         raise ValueError(
@@ -294,6 +313,8 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    queries = drop_invalid_vectors(queries, vec_col)
+    corpus = drop_invalid_vectors(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
@@ -357,6 +378,8 @@ def ivf_topk_fixed(
     centroid-table join which would shuffle the corpus. Probing ranks
     the same literal array per query (map), and only the candidate
     join + per-query top-k shuffle."""
+    queries = drop_invalid_vectors(queries, vec_col)
+    corpus = drop_invalid_vectors(corpus, vec_col)
     cent = F.array(
         *[
             F.struct(
@@ -436,6 +459,7 @@ def embedding_near_dup(
     assert n_planes % band_bits == 0
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
+    df = drop_invalid_vectors(df, vec_col, dim)
     s = lsh_signature(df, dim, n_planes, vec_col, "__sig", seed)
     # per-row norm computed ONCE before the pair join (the float DAG —
     # sqrt(Σv²) then a product — is identical to evaluating cosine's

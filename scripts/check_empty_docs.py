@@ -1,4 +1,4 @@
-"""Empty-document robustness gate.
+"""Malformed-input robustness gate (empty docs + invalid vectors).
 
 The oracle fixtures happen to contain no empty/NULL/whitespace-only
 texts, so a Spark-vs-DuckDB divergence on those inputs is LATENT: it
@@ -11,6 +11,11 @@ whitespace-only text planted, and requires bit-equality.
 
 Engine-wide canonicalization under test: NULL text ≡ '' (tokens(),
 normalized_fingerprint(), and every oracle coalesce the same way).
+
+Also plants one NULL and one empty-array embedding and sweeps the
+similarity family: every operator excludes NULL/wrong-dimension
+vectors at entry (``similarity.drop_invalid_vectors``) and every
+oracle carries the matching validity predicate.
 
 Usage: python scripts/check_empty_docs.py   (exit 0 = all safe)
 """
@@ -50,8 +55,18 @@ def main() -> int:
         planted.coalesce(1).write.mode("overwrite").parquet(
             d + "/documents.parquet"
         )
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb_planted = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 30, F.lit(None).cast("array<float>"))
+            .when(F.col("vec_id") == 31, F.array().cast("array<float>"))
+            .otherwise(F.col("embedding")),
+        )
+        emb_planted.coalesce(1).write.mode("overwrite").parquet(
+            d + "/embeddings.parquet"
+        )
         for t in TABLES:
-            if t != "documents":
+            if t not in ("documents", "embeddings"):
                 p = f"/root/testdata/sf0.001/{t}.parquet"
                 if os.path.exists(p):
                     os.symlink(p, f"{d}/{t}.parquet")
@@ -67,7 +82,7 @@ def main() -> int:
             n
             for n in qs
             if n in oracles
-            and any(w in n for w in ("text", "corpus", "dedup", "web", "quality"))
+            and any(w in n for w in ("text", "corpus", "dedup", "web", "quality", "sim"))
         ]
         n_fail = 0
         for name in doc_queries:
