@@ -60,6 +60,10 @@ HEADLINE = [
     "q_demv_smote_census",
     "q_text_winnow",
     "q_sim_near_dup",
+    # round-4 analytics additions: range-bucketed exact AUC and the
+    # per-group quantile profile
+    "q_ml_auc",
+    "q_etl_grouped_quantiles",
 ]
 
 
