@@ -545,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_cosine_topk"] = lambda spark, sf: similarity.cosine_topk_bruteforce(
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
         _t(spark, sf, "embeddings"),
-        k=10,
+        k=10, dim=64,
     )
     # threshold 0.45: the synthetic embeddings have no planted dups
     # (max pairwise cosine ≈ 0.51), so a 0.9 cutoff returned 0 rows —
@@ -561,7 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_cosine_topk_arrow"] = lambda spark, sf: similarity.cosine_topk_arrow(
         _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
         _t(spark, sf, "embeddings"),
-        k=10,
+        k=10, dim=64,
     ).select("query_id", "neighbor_id", "rank")
     # IVF ANN (KMeans cells + probe): rows-only — KMeans is iterative,
     # not SQL-expressible; recall vs brute force is tested in tests/
@@ -2657,8 +2657,8 @@ def oracle_sql() -> dict[str, str]:
         "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
     )
     o["q_sim_cosine_topk"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) = 64),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
         scored AS (
             SELECT query_id, neighbor_id,
                    CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
@@ -2674,8 +2674,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_sim_cosine_topk_arrow"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) = 64),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
         scored AS (
             SELECT query_id, neighbor_id,
                    CASE WHEN ({_norm.format(a='qe')} * {_norm.format(a='ce')}) = 0 THEN 0.0
@@ -2701,7 +2701,7 @@ def oracle_sql() -> dict[str, str]:
                    embedding AS ce
             FROM embeddings WHERE vec_id < 16
         ),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
         assigned AS (
             SELECT neighbor_id, cv, cell FROM (
                 SELECT neighbor_id, cv, cell,
@@ -2711,7 +2711,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         ),
         q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
+              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) = 64),
         probe AS (
             SELECT query_id, qv, cell FROM (
                 SELECT query_id, qv, cell,
@@ -3438,9 +3438,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         )
         SELECT c_custkey,
-               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_n,
-               len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_n,
-               len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS phone_n,
+               len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_n,
+               len(regexp_extract_all(coalesce(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_n,
+               len(regexp_extract_all(coalesce(text, ''), '\+?\d[\d\- ]{7,}\d')) AS phone_n,
                regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),

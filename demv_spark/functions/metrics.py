@@ -506,7 +506,17 @@ def auc_exact(
     group, the per-group fairness twin of the threshold metrics).
     """
     gcols = list(group_cols)
+    # input contract: rows with NULL score are excluded (a NULL has no
+    # rank; Spark's NULLS-FIRST vs SQL's NULLS-LAST would otherwise
+    # place it differently per engine). NULL labels count as
+    # not-positive on both engines (SUM skips the NULL comparison).
+    df = df.filter(F.col(score_col).isNotNull())
     s = F.col(score_col).cast("double")
+    # NOTE: the min/max aggregate is one eager pass over df (bucket
+    # boundaries must be literals at plan time); equal-width buckets
+    # degrade toward a single range under extreme score outliers — if
+    # scores span many decades, pre-transform (rank/log) before
+    # calling, or the per-bucket windows skew.
     lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
     n_buckets = 1024
     g = df.groupBy(*gcols, s.alias("__s")).agg(
@@ -568,6 +578,10 @@ def calibration_census(
     yields the per-sensitive-group view (calibration parity).
     """
     gcols = list(group_cols)
+    # NULL probabilities are excluded: least(floor(NULL*k), k-1) would
+    # silently land them in the TOP bin (Spark least skips NULLs)
+    # while their p6 dropped out of the sum — a deflated top-bin mean
+    df = df.filter(F.col(prob_col).isNotNull())
     p = F.col(prob_col).cast("double")
     b = F.least(
         F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)

@@ -77,6 +77,7 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -87,9 +88,11 @@ def cosine_topk_bruteforce(
     realistic 100 TB shape (the all-pairs case is what LSH is for).
     Returns (query_id, neighbor_id, cos_sim, rank). Rows with NULL
     or empty vectors are excluded on both sides (malformed-row
-    contract)."""
-    queries = drop_invalid_vectors(queries, vec_col)
-    corpus = drop_invalid_vectors(corpus, vec_col)
+    contract; pass ``dim`` to also exclude wrong-length vectors —
+    without it a short vector zip_with-pads to NULL cos_sim on the
+    Spark side while SQL twins may compute a partial sum)."""
+    queries = drop_invalid_vectors(queries, vec_col, dim)
+    corpus = drop_invalid_vectors(corpus, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
@@ -115,6 +118,7 @@ def cosine_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy matmul — the vectorized
     scale path for the embedding hot loop.
@@ -151,8 +155,8 @@ def cosine_topk_arrow(
     # 800 MB — already past sensible; route bigger sets through the
     # LSH/IVF paths or chunk the query set. limit(cap+1) bounds the
     # collect itself (no extra count job, no unbounded pull).
-    queries = drop_invalid_vectors(queries, vec_col)
-    corpus = drop_invalid_vectors(corpus, vec_col)
+    queries = drop_invalid_vectors(queries, vec_col, dim)
+    corpus = drop_invalid_vectors(corpus, vec_col, dim)
     q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
     if len(q_rows) > max_query_rows:
         raise ValueError(
@@ -378,8 +382,9 @@ def ivf_topk_fixed(
     centroid-table join which would shuffle the corpus. Probing ranks
     the same literal array per query (map), and only the candidate
     join + per-query top-k shuffle."""
-    queries = drop_invalid_vectors(queries, vec_col)
-    corpus = drop_invalid_vectors(corpus, vec_col)
+    cdim = len(centroids[0][1]) if centroids else None
+    queries = drop_invalid_vectors(queries, vec_col, cdim)
+    corpus = drop_invalid_vectors(corpus, vec_col, cdim)
     cent = F.array(
         *[
             F.struct(

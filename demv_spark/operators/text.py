@@ -345,11 +345,12 @@ def redact_pii(
     Spark and the DuckDB oracle. Adds ``{kind}_n`` counts (exact ints,
     counted on the ORIGINAL text) and the redacted text column."""
     cols = [df[c] for c in df.columns]
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL ≡ '' engine-wide
     counts = [
-        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"{k}_n")
+        F.regexp_count(t, F.lit(PII_PATTERNS[k])).alias(f"{k}_n")
         for k in kinds
     ]
-    red = F.col(text_col)
+    red = t
     for k in kinds:
         red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
     return df.select(*cols, *counts, red.alias(out))

@@ -12,7 +12,7 @@ whitespace-only text planted, and requires bit-equality.
 Engine-wide canonicalization under test: NULL text ≡ '' (tokens(),
 normalized_fingerprint(), and every oracle coalesce the same way).
 
-Also plants one NULL and one empty-array embedding and sweeps the
+Also plants one NULL, one empty-array and one wrong-length embedding and sweeps the
 similarity family: every operator excludes NULL/wrong-dimension
 vectors at entry (``similarity.drop_invalid_vectors``) and every
 oracle carries the matching validity predicate.
@@ -60,6 +60,7 @@ def main() -> int:
             "embedding",
             F.when(F.col("vec_id") == 30, F.lit(None).cast("array<float>"))
             .when(F.col("vec_id") == 31, F.array().cast("array<float>"))
+            .when(F.col("vec_id") == 32, F.slice(F.col("embedding"), 1, 63))
             .otherwise(F.col("embedding")),
         )
         emb_planted.coalesce(1).write.mode("overwrite").parquet(
