@@ -1935,7 +1935,10 @@ def oracle_sql() -> dict[str, str]:
         ), lab AS (
             SELECT o_orderstatus, SUM(n) AS n_label FROM census GROUP BY 1
         ), tot AS (SELECT SUM(n) AS n_total FROM census)
-        SELECT c.o_orderpriority, c.o_orderstatus, c.n, s.n_sens, l.n_label, t.n_total,
+        SELECT c.o_orderpriority, c.o_orderstatus, c.n,
+               CAST(s.n_sens AS BIGINT) AS n_sens,
+               CAST(l.n_label AS BIGINT) AS n_label,
+               CAST(t.n_total AS BIGINT) AS n_total,
                CAST(s.n_sens * l.n_label AS BIGINT) AS w_exp_num,
                CAST(c.n * t.n_total AS BIGINT) AS disp_den
         FROM census c JOIN sens s USING (o_orderpriority)
@@ -2213,8 +2216,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT source, lang, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(CAST(FLOOR(quality * 1e6 + 0.5) AS BIGINT)) AS sum_q6
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(FLOOR(quality * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q6
         FROM f GROUP BY 1, 2
     """
     o["q_text_lang_confusion"] = rf"""
@@ -2978,9 +2981,9 @@ def oracle_sql() -> dict[str, str]:
                    ), 0) AS cum
             FROM g
         )
-        SELECT SUM(p * (2 * cum + c + 1)) AS s2,
-               SUM(p) AS n_pos,
-               SUM(c) - SUM(p) AS n_neg
+        SELECT CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS s2,
+               CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg
         FROM k
     """
 
@@ -3003,8 +3006,9 @@ def oracle_sql() -> dict[str, str]:
                    ), 0) AS cum
             FROM g
         )
-        SELECT grp, SUM(p * (2 * cum + c + 1)) AS s2,
-               SUM(p) AS n_pos, SUM(c) - SUM(p) AS n_neg
+        SELECT grp, CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS s2,
+               CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg
         FROM k GROUP BY 1
     """
 
@@ -3016,8 +3020,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT LEAST(CAST(FLOOR(prob * 10.0) AS INT), 9) AS bin,
                COUNT(*) AS n,
-               SUM(y) AS n_pos,
-               SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT)) AS sum_p6
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p6
         FROM base GROUP BY 1
     """
 
@@ -3093,7 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         -- aggregate-only oracle would silently drop those rows
         SELECT d.doc_id,
                COALESCE(a.n_feats, 0) AS n_feats,
-               COALESCE(a.score, 0) AS score,
+               CAST(COALESCE(a.score, 0) AS BIGINT) AS score,
                CAST(COALESCE(a.score, 0) >= 0 AS INT) AS label
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
@@ -3611,7 +3615,7 @@ def oracle_sql() -> dict[str, str]:
     o["q_corpus_mixture_report"] = f"""
         WITH {_mix_scoped},
         mix AS (SELECT doc_id, source, n_chars FROM admitted WHERE before < target),
-        per AS (SELECT source, SUM(n_chars) AS units FROM mix GROUP BY 1)
+        per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS units FROM mix GROUP BY 1)
         SELECT source, units FROM per
     """
 

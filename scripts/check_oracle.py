@@ -86,8 +86,30 @@ def main():
             continue
         try:
             ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            # Fetch through Arrow, NOT fetchall(): fetchall() coerces
+            # DuckDB HUGEINT (e.g. SUM over BIGINT) to plain Python int,
+            # hiding the decimal128-vs-int64 type mismatch that a typed
+            # value hasher (like the driver's) sees. to_pylist() yields
+            # decimal.Decimal for decimal128 columns, so canon()'s
+            # type-prefixed form fails loudly on uncast aggregates.
+            dtbl = ddf.arrow()
+            if hasattr(dtbl, "read_all"):  # RecordBatchReader on newer duckdb
+                dtbl = dtbl.read_all()
+            dcols = dtbl.schema.names
+            bad_types = [
+                f"{f.name}:{f.type}"
+                for f in dtbl.schema
+                if "decimal" in str(f.type)
+            ]
+            if bad_types:
+                print(f"FAIL  {name}: oracle emits decimal types {bad_types} "
+                      "(uncast HUGEINT aggregate? CAST(... AS BIGINT))")
+                n_fail += 1
+                continue
+            drows = [
+                [row[c] for c in dcols]
+                for row in dtbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
