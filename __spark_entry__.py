@@ -3018,7 +3018,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_totalprice > 150000 AS INT) AS y
             FROM orders
         )
-        SELECT LEAST(CAST(FLOOR(prob * 10.0) AS INT), 9) AS bin,
+        SELECT GREATEST(0, LEAST(CAST(FLOOR(prob * 10.0) AS INT), 9)) AS bin,
                COUNT(*) AS n,
                CAST(SUM(y) AS BIGINT) AS n_pos,
                CAST(SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p6

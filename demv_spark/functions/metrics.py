@@ -547,8 +547,17 @@ def auc_exact(
     ).drop("__bn")
     cum = local_cum + F.col("__off")
     contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
-    joined = g.join(F.broadcast(offsets), [*gcols, "__bk"]).withColumn(
-        "__contrib", contrib
+    # NULL-safe join on the group cols: a plain equi-join would drop
+    # NULL-valued sensitive groups (NULL = NULL is never true), so the
+    # parity output would silently have no row for that partition
+    odf = F.broadcast(offsets)
+    cond = g["__bk"] == odf["__bk"]
+    for k in gcols:
+        cond = cond & g[k].eqNullSafe(odf[k])
+    joined = (
+        g.join(odf, cond)
+        .select(g["*"], odf["__off"])
+        .withColumn("__contrib", contrib)
     )
     aggs = [
         F.sum("__contrib").alias("s2"),
@@ -583,8 +592,14 @@ def calibration_census(
     # while their p6 dropped out of the sum — a deflated top-bin mean
     df = df.filter(F.col(prob_col).isNotNull())
     p = F.col(prob_col).cast("double")
-    b = F.least(
-        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    # out-of-contract probabilities clamp SYMMETRICALLY into the edge
+    # bins (p<0 → bin 0, p>1 → bin n-1): without the greatest(), a
+    # negative p lands in phantom bins (-1, -2, ...) that appear as
+    # extra census rows while p>1 folds into the top bin — an
+    # asymmetry that made malformed inputs look like valid bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)),
     )
     p6 = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (

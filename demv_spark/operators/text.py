@@ -788,6 +788,14 @@ def normalize_text(
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    # the output column must be NEW: appending a duplicate field name
+    # to the mapInPandas schema would yield an ambiguous-column error
+    # (or silent shadowing) downstream — same care as the __pre temp
+    if out in df.columns:
+        raise ValueError(
+            f"normalize_text: output column {out!r} already exists in the "
+            f"input — pass a fresh name via out= or drop the column first"
+        )
     pre = F.regexp_replace(
         F.coalesce(F.col(text_col), F.lit("")),
         r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",

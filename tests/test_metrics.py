@@ -263,3 +263,32 @@ def test_auc_exact_per_group_matches_separate_runs(spark):
     for g in ("a", "b"):
         solo = auc_exact(df.filter(F.col("g") == g), "score", "y").collect()[0]
         assert grouped[g] == (solo["s2"], solo["n_pos"], solo["n_neg"])
+
+
+def test_auc_exact_null_group_gets_its_own_row(spark):
+    """ADVICE r4: the grouped census-offsets join must be NULL-safe so
+    a NULL sensitive group still yields an AUC parity row."""
+    from demv_spark.functions.metrics import auc_exact
+
+    rows = [(float(i % 7), i % 2, None if i % 3 == 0 else "g") for i in range(60)]
+    df = spark.createDataFrame(rows, ["score", "y", "g"])
+    got = {r["g"]: (r["s2"], r["n_pos"], r["n_neg"])
+           for r in auc_exact(df, "score", "y", group_cols=["g"]).collect()}
+    assert set(got) == {None, "g"}
+    # the NULL-group row must equal a standalone run on that partition
+    solo = auc_exact(df.filter(F.col("g").isNull()), "score", "y").collect()[0]
+    assert got[None] == (solo["s2"], solo["n_pos"], solo["n_neg"])
+
+
+def test_calibration_census_clamps_out_of_range_probs(spark):
+    """ADVICE r4: p<0 clamps into bin 0 and p>1 into the top bin —
+    symmetric handling, no phantom negative bins."""
+    from demv_spark.functions.metrics import calibration_census
+
+    df = spark.createDataFrame(
+        [(-0.5, 1), (-0.01, 0), (0.05, 1), (0.95, 0), (1.5, 1)], ["p", "y"]
+    )
+    got = {r["bin"]: r["n"] for r in
+           calibration_census(df, "p", "y", n_bins=10).collect()}
+    assert got == {0: 3, 9: 2}
+    assert all(b >= 0 for b in got)

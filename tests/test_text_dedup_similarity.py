@@ -628,3 +628,15 @@ def test_normalize_text_lowercase_dedup_key(spark):
     out = text.normalize_text(df, lowercase=True)
     vals = {r["norm_text"] for r in out.collect()}
     assert vals == {"the same text"}
+
+
+def test_normalize_text_rejects_existing_out_column(spark):
+    """ADVICE r4: a duplicate field in the mapInPandas schema is a
+    latent ambiguous-column bug — fail fast instead."""
+    import pytest as _pytest
+
+    from demv_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([("a", "x")], ["text", "norm_text"])
+    with _pytest.raises(ValueError, match="norm_text"):
+        normalize_text(df, "text")

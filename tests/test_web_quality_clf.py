@@ -360,3 +360,21 @@ def test_split_by_hash_thresholds_are_exact_integers(spark):
     for k, (bucket, split) in joined.items():
         want = "a" if bucket < 700000 else ("b" if bucket < 800000 else "c")
         assert split == want, f"k={k} bucket={bucket}: {split} != {want}"
+
+
+def test_cap_per_key_salted_keeps_null_keys(spark):
+    """ADVICE r4: the salted path's offset join must be NULL-safe —
+    NULL-keyed rows form their own group, identical to the unsalted
+    path (flags, not filters; no rows vanish)."""
+    from demv_spark.operators.corpus import cap_per_key
+
+    rows = [(i, None if i < 10 else f"d{i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    plain = cap_per_key(df, ["domain"], 3, ["doc_id"]).collect()
+    salted = cap_per_key(df, ["domain"], 3, ["doc_id"], skew_salt=4).collect()
+    assert len(plain) == 20 and len(salted) == 20
+    p = {r["doc_id"]: r["admitted"] for r in plain}
+    s = {r["doc_id"]: r["admitted"] for r in salted}
+    assert p == s
+    null_admitted = sum(r["admitted"] for r in salted if r["domain"] is None)
+    assert null_admitted == 3  # NULL key gets its own quota
