@@ -444,8 +444,8 @@ def embedding_near_dup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    band_bits: int = 8,
+    n_planes: int = 64,
+    band_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -460,7 +460,21 @@ def embedding_near_dup(
     that shuffled every candidate pair with both full vectors
     (candidate-volume × 2·dim doubles); now the only shuffle is the
     banded equi-join itself (input × n_bands), and the cosine filter
-    pipelines map-side on the join output."""
+    pipelines map-side on the join output.
+
+    Band capacity: defaults are 64 planes / 16-bit bands → 4 bands of
+    2¹⁶ buckets. Bucket count bounds the candidate volume — with B
+    buckets per band, uncorrelated rows pair at ≈ n²·bands/B, so the
+    old 8-bit default (256 buckets) went quadratic ~256× sooner.
+    Wider bands also REJECT dissimilar pairs harder (collision prob
+    p^16 vs p^8 per band, where p = 1−θ/π is the per-plane agreement
+    prob). Recall 1−(1−p¹⁶)⁴ crosses above the old 1−(1−p⁸)² at
+    p ≈ 0.93 (cosine ≈ 0.975): near-exact duplicates — the target of
+    a dedup threshold — are caught MORE often, borderline-0.95 pairs
+    slightly less, and exact copies collide in every band at any
+    width. For corpora ≫10⁹ rows raise band_bits further (cost is one
+    map-only 64-dot-product signature pass; the signature still packs
+    into one long up to 64 planes)."""
     assert n_planes % band_bits == 0
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1

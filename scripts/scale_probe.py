@@ -226,8 +226,50 @@ def main():
             F.length(web.canonicalize_url("url")).alias("L"), "split"
         ).agg(F.count("L")).collect()[0][0]
 
+    # near-dup band capacity: candidate-pair volume (threshold=-1
+    # admits every banded collision) under the old 16-plane/8-bit
+    # banding vs the 64-plane/16-bit default, on synthetic uncorrelated
+    # vectors (xxhash64 components — replicating the real embeddings
+    # K× would plant K-cliques of exact copies and measure those, not
+    # the background collision rate). 256-bucket bands collide at
+    # ≈ n²·bands/256 → the ratio at K× tracks K²; 65536-bucket bands
+    # keep the candidate volume near-linear until n ≫ 6·10⁴ per band.
+    from demv_spark.operators.similarity import embedding_near_dup
+
+    def _rand_vecs(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda j: (
+                        ((F.xxhash64(F.col("id"), j) % 2001) + 2001) % 2001
+                        - 1000
+                    ) / 1000.0,
+                ).alias("embedding"),
+            )
+            .cache()
+        )
+
+    vecs_1 = _rand_vecs(2000)
+    vecs_k = _rand_vecs(2000 * k)
+    vecs_1.count(), vecs_k.count()
+
+    def run_near_dup_narrow(d):
+        return embedding_near_dup(
+            d, dim=64, threshold=-1.0, n_planes=16, band_bits=8
+        ).count()
+
+    def run_near_dup_wide(d):
+        return embedding_near_dup(
+            d, dim=64, threshold=-1.0, n_planes=64, band_bits=16
+        ).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
+        ("near_dup_cand_16planes_8bit", run_near_dup_narrow, vecs_1, vecs_k),
+        ("near_dup_cand_64planes_16bit", run_near_dup_wide, vecs_1, vecs_k),
         ("cap_per_key_plain", run_cap_plain, docs, docs_k),
         ("cap_per_key_salted", run_cap_salted, docs, docs_k),
         ("split_and_canon_url", run_split_canon, docs, docs_k),
