@@ -1847,19 +1847,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first slots, with one representative per remaining family. The
     # long tail (text micro-queries, extra ETL, rows-only sketches)
     # stays implemented + builder-gated but outside the window.
-    # Round-4 rotation (VERDICT r3 items 1-4, 6): the three-round
-    # hash-fail family stays in-window with the exact-integer emission
-    # fix; rotated IN are the 4 remaining dataset recipes that never
-    # held a driver row (german/compas/drug/obesity — oracles green
-    # since r3), the two recipes that never had an oracle at all
-    # (park via the portable-md5 relabel rank, crime via
-    # quantile_cont), and the row-level SMOTE planted-parity check.
-    # Rotated OUT to make room: 7 triple-green (r1+r2+r3) rows —
-    # count census/conditional/merge, reweighing, exact dedup, ngram
-    # jaccard, stat parity — all still builder-gated via
+    # Round-5 rotation (VERDICT r4 items 1, 3, 4, 7): the four-round
+    # hash-fail family (q_count_group_weights, q_text_corpus_profile,
+    # q_corpus_mixture_report) STAYS in-window one more round to prove
+    # the proven root-cause fix — the uncast DuckDB HUGEINT in their
+    # oracles, now CAST(... AS BIGINT) (same fix pre-applied to the
+    # entering AUC family). Rotated IN: the 16 never-driver-verified
+    # candidates from COVERAGE.md — the threshold-free metric family
+    # (AUC, grouped AUC, calibration), the composed curation pipeline,
+    # winnowing (fingerprints + pair gen), the embedding near-dup
+    # parity pair, the web/quality curation ops, NFC normalize, the
+    # stateful-quota streaming twin (a SECOND streaming row), grouped
+    # quantiles, and both perceptual hashes over real decode. Rotated
+    # OUT: 16 multi-round-green rows (events forward/interval, CV
+    # folds/OOF, 6 long-proven recipes, 3 portable sketches, cosine
+    # top-k pair, avg-odds) — all still builder-gated tri-scale by
     # scripts/check_oracle.py.
     window = [
-        # counting core: the round-4 exact-integer emission fix
+        # counting core: formerly-red, HUGEINT oracle cast fix
         "q_count_group_weights",
         # DEMV flagship: rebalance fixed points, all strategies + EG/grid
         "q_demv_rebalance_census", "q_demv_smote_census",
@@ -1867,41 +1872,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_demv_rebalance_census_multi",
         "q_metric_weighted_suite",
         "q_demv_eg_census", "q_demv_grid_census",
-        # temporal / post-processing / ML harness
-        "q_events_asof_join", "q_events_asof_forward",
-        "q_events_interval_join",
+        # temporal representative + post-processing
+        "q_events_asof_join",
         "q_postprocess_equalize", "q_postprocess_multiclass",
-        "q_ml_fold_sizes", "q_ml_oof_majority",
-        # declarative + ALL 10 concrete dataset recipes, readers
-        "q_dataset_recipe", "q_read_csv_recipe",
-        "q_dataset_cmc", "q_dataset_adult", "q_dataset_wine",
-        "q_dataset_law", "q_dataset_german", "q_dataset_compas",
+        # threshold-free ML metrics (new: Mann-Whitney AUC census,
+        # per-group AUC parity, calibration census)
+        "q_ml_auc", "q_ml_auc_by_group", "q_ml_calibration",
+        # recipes: the 6 that earned their first green in r4 hold
+        # their seats one more round; long-proven ones rotate out
+        "q_dataset_german", "q_dataset_compas",
         "q_dataset_drug", "q_dataset_obesity", "q_dataset_park",
         "q_dataset_crime",
-        # dedup: portable sketches, parity, clusters, first-wins
-        "q_dedup_minhash_portable", "q_dedup_lsh_portable",
-        "q_dedup_simhash_portable", "q_dedup_lsh_planted_parity",
+        # dedup: parity, clusters, decontaminate, first-wins + new
+        # winnowing pair generation
+        "q_dedup_lsh_planted_parity",
         "q_dedup_clusters", "q_dedup_decontaminate",
-        "q_dedup_first_wins",
-        # similarity family
-        "q_sim_cosine_topk", "q_sim_cosine_topk_arrow",
+        "q_dedup_first_wins", "q_dedup_winnow_pairs",
+        # similarity: fixed-centroid IVF + new embedding near-dup
+        # parity and end-to-end semantic dedup
         "q_sim_ivf_topk_fixed",
-        # fairness metric representatives (rest triple-proven)
-        "q_metric_fairness_suite", "q_metric_avg_odds_diff",
-        # text / corpus (exact-integer emission fixes in-window);
-        # round-4 mid-round rotation: cf_score + pii_redact (green
-        # r1+r3) and resize_plan (green r1+r3) rotate out — still
-        # builder-gated — to seat the new web/corpus curation family
-        "q_text_corpus_profile",
-        "q_text_tfidf_keywords",
-        "q_text_gopher_rules", "q_corpus_mixture_report",
-        # web/corpus curation: canonical URLs, per-domain caps,
-        # leakage-free hash splits (new this round)
+        "q_sim_embed_near_dup", "q_sim_semantic_dedup",
+        # fairness metric representative
+        "q_metric_fairness_suite",
+        # text / corpus: formerly-red pair with the HUGEINT cast fix,
+        # plus winnow fingerprints, NFC normalize, quality classifier
+        "q_text_corpus_profile", "q_corpus_mixture_report",
+        "q_text_tfidf_keywords", "q_text_gopher_rules",
+        "q_text_winnow", "q_text_normalize", "q_text_quality_clf",
+        # web/corpus curation: canonical URLs, per-domain caps, hash
+        # splits + new domain blocklist, quality-weighted sampling,
+        # composed end-to-end curation pipeline
         "q_web_url_canon", "q_corpus_cap_domain", "q_corpus_split_hash",
-        # multimodal: BOTH real decode paths (PNG pixels, PCM audio)
+        "q_web_domain_filter", "q_corpus_quality_sample",
+        "q_corpus_curation_e2e",
+        # ETL representative (new: salted grouped quantiles)
+        "q_etl_grouped_quantiles",
+        # multimodal: real decode paths + new perceptual hashes
         "q_media_features", "q_media_audio_features",
-        # streaming representative
-        "q_stream_sessionize",
+        "q_media_dhash", "q_media_audio_fp",
+        # streaming: sessionization + new stateful quota admission
+        "q_stream_sessionize", "q_stream_quota_admission",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
