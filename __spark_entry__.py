@@ -721,6 +721,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_split_hash"] = _corpus_split_hash
 
+    # corpus WRITE round-trip: write the documents table as a
+    # partitioned parquet corpus with small-file control
+    # (sources/sinks.write_corpus), then read the files back and emit
+    # the per-source manifest. The oracle aggregates the SOURCE table
+    # directly, so a hash match proves the sink is lossless end-to-end
+    # (rows, partition routing, and unit totals all survive the
+    # write). Scratch dir lives inside the repo (gitignored).
+    def _corpus_write_manifest(spark, sf):
+        import os as _os
+
+        from demv_spark.sources import sinks
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        )
+        root = _os.path.dirname(_os.path.abspath(__file__))
+        path = _os.path.join(
+            root, ".sink_scratch", f"manifest_{_os.path.basename(sf.rstrip('/'))}"
+        )
+        sinks.write_corpus(
+            d, path, ["source"], target_rows_per_file=100_000,
+            sort_cols=["doc_id"],
+        )
+        return sinks.corpus_manifest(
+            spark, path, ["source"], unit_col="n_chars"
+        ).select(
+            "source",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("units").cast("long").alias("units"),
+        )
+
+    q["q_corpus_write_manifest"] = _corpus_write_manifest
+
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
     # source — the stream's cumulative-state semantics replayed as one
@@ -3622,6 +3655,13 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    o["q_corpus_write_manifest"] = """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS units
+        FROM documents GROUP BY 1
+    """
+
     o["q_corpus_mixture_report"] = f"""
         WITH {_mix_scoped},
         mix AS (SELECT doc_id, source, n_chars FROM admitted WHERE before < target),

@@ -56,3 +56,124 @@ def is_exchange_free_join(spark: SparkSession, left: str, right: str, on: Sequen
 
     j = spark.table(left).join(spark.table(right), list(on))
     return plan_stats(j)["n_exchanges"] == 0
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Curated-corpus writer: partitioned parquet with SMALL-FILE
+    CONTROL — the write-side half of a 100 TB curation pipeline.
+
+    A naive ``df.write.partitionBy(...)`` emits one file per (task ×
+    partition value): 2000 shuffle tasks × 50 sources = 100k files of
+    a few MB — the classic small-files problem that makes every
+    downstream scan pay 100k file-open round-trips. This writer sizes
+    the task count from the data instead:
+
+    - task count = ceil(total_rows / target_rows_per_file), so file
+      count tracks data volume, not ``spark.sql.shuffle.partitions``;
+    - ``repartitionByRange`` on (partition_cols + sort_cols) clusters
+      each partition value into the fewest tasks that respect the
+      target, while still SPLITTING a hot partition value across
+      tasks (a hash repartition on partition_cols alone would bottleneck
+      the biggest source on one task);
+    - ``maxRecordsPerFile`` hard-caps any straggler file the range
+      sampler misestimates;
+    - ``sortWithinPartitions`` gives each file an internal order
+      (run-length/delta encoding friendly, and min/max zone maps on
+      the sort key actually prune).
+
+    The row-count pass is one cheap aggregate over the input; at scale
+    feed a known count via ``df.count()`` reuse if you already have it.
+    """
+    import math
+
+    keys = [*partition_cols, *(sort_cols or [])]
+    total = df.count()
+    n_tasks = max(1, math.ceil(total / max(1, target_rows_per_file)))
+    out = (
+        df.repartitionByRange(n_tasks, *keys) if keys else df.repartition(n_tasks)
+    )
+    if keys:
+        out = out.sortWithinPartitions(*keys)
+    w = out.write.mode(mode).option("maxRecordsPerFile", target_rows_per_file)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def dataset_file_stats(spark: SparkSession, path: str) -> dict:
+    """Physical layout census of a written dataset: file count, byte
+    totals and extremes. Uses the Hadoop FileSystem API (not
+    os.walk), so it reports the same numbers on HDFS/S3A as on a
+    local test dir. Metadata files (_SUCCESS, .crc) are excluded."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        sizes.append(f.getLen())
+    return {
+        "n_files": len(sizes),
+        "total_bytes": int(sum(sizes)),
+        "max_bytes": int(max(sizes, default=0)),
+        "min_bytes": int(min(sizes, default=0)),
+    }
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_cols: Sequence[str] = (),
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite a small-files dataset into right-sized files (the
+    OPTIMIZE/compaction maintenance op every long-lived corpus needs:
+    streaming and incremental ingests accrete tiny files until scans
+    are metadata-bound). Reads src, rewrites via ``write_corpus`` to
+    dst (never in place — a failed rewrite must not destroy the
+    source), returns before/after file stats."""
+    before = dataset_file_stats(spark, src_path)
+    df = spark.read.parquet(src_path)
+    write_corpus(
+        df, dst_path, partition_cols,
+        target_rows_per_file=target_rows_per_file, sort_cols=sort_cols,
+    )
+    after = dataset_file_stats(spark, dst_path)
+    return {"before": before, "after": after}
+
+
+def corpus_manifest(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    unit_col: str | None = None,
+) -> DataFrame:
+    """Deterministic readback manifest of a written corpus: one row
+    per partition value with exact row counts (and unit totals when
+    ``unit_col`` is given) — the dataset-card numbers a training run
+    records next to the data. Computed by READING BACK the written
+    files, so comparing it against the same aggregate on the source
+    table proves the write round-trip lossless (the driver query
+    ``q_corpus_write_manifest`` does exactly that against a DuckDB
+    aggregate of the source)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if unit_col is not None:
+        aggs.append(F.sum(F.col(unit_col).cast("long")).alias("units"))
+    return df.groupBy(*partition_cols).agg(*aggs)

@@ -1,0 +1,95 @@
+"""Corpus writer / compaction / manifest: small-file control, lossless
+round-trip, and layout census."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.sources import sinks
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".sink_scratch")
+
+
+@pytest.fixture()
+def scratch():
+    os.makedirs(SCRATCH, exist_ok=True)
+    d = os.path.join(SCRATCH, "t")
+    shutil.rmtree(d, ignore_errors=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_write_corpus_controls_file_count(spark, docs, scratch):
+    n = docs.count()
+    target = 2000
+    sinks.write_corpus(
+        docs, scratch, ["source"], target_rows_per_file=target,
+        sort_cols=["doc_id"],
+    )
+    stats = sinks.dataset_file_stats(spark, scratch)
+    n_parts = docs.select("source").distinct().count()
+    # file count tracks data volume: at least ceil(n/target), and not
+    # the tasks×partitions explosion (bounded by tasks + partitions)
+    import math
+    n_tasks = math.ceil(n / target)
+    assert stats["n_files"] >= n_tasks
+    assert stats["n_files"] <= n_tasks + n_parts + 2
+    assert stats["total_bytes"] > 0
+
+
+def test_write_corpus_roundtrip_lossless(spark, docs, scratch):
+    sinks.write_corpus(
+        docs, scratch, ["source"], target_rows_per_file=3000,
+        sort_cols=["doc_id"],
+    )
+    back = spark.read.parquet(scratch)
+    assert sorted(back.columns) == sorted(docs.columns)
+    a = {r["doc_id"]: r["n_chars"] for r in back.select("doc_id", "n_chars").collect()}
+    b = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    assert a == b
+
+
+def test_manifest_matches_source_aggregate(spark, docs, scratch):
+    sinks.write_corpus(docs, scratch, ["source"], target_rows_per_file=5000)
+    man = {
+        r["source"]: (r["n_rows"], r["units"])
+        for r in sinks.corpus_manifest(
+            spark, scratch, ["source"], unit_col="n_chars"
+        ).collect()
+    }
+    src = {
+        r["source"]: (r["n"], r["u"])
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("u"))
+        .collect()
+    }
+    assert man == src
+
+
+def test_compact_dataset_shrinks_file_count(spark, docs, scratch):
+    frag = scratch + "_frag"
+    try:
+        # fragment: tiny target produces many small files (documents
+        # at sf0.01 is 500 rows → 25 range tasks)
+        sinks.write_corpus(docs, frag, ["source"], target_rows_per_file=20)
+        before = sinks.dataset_file_stats(spark, frag)
+        assert before["n_files"] > 20
+        r = sinks.compact_dataset(
+            spark, frag, scratch, ["source"], target_rows_per_file=100_000
+        )
+        # floor = one file per partition value (hive layout cannot go
+        # below that); compaction must reach it
+        n_parts = docs.select("source").distinct().count()
+        assert r["after"]["n_files"] == n_parts
+        assert r["after"]["n_files"] < before["n_files"]
+        # content preserved
+        assert spark.read.parquet(scratch).count() == docs.count()
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
