@@ -64,6 +64,10 @@ HEADLINE = [
     # per-group quantile profile
     "q_ml_auc",
     "q_etl_grouped_quantiles",
+    # round-5 addition: the corpus WRITE path (partitioned parquet
+    # with small-file control + readback manifest) — write throughput
+    # is part of the pipeline, not an afterthought
+    "q_corpus_write_manifest",
 ]
 
 
