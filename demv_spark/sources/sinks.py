@@ -65,6 +65,7 @@ def write_corpus(
     target_rows_per_file: int = 1_000_000,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    total_rows: int | None = None,
 ) -> None:
     """Curated-corpus writer: partitioned parquet with SMALL-FILE
     CONTROL — the write-side half of a 100 TB curation pipeline.
@@ -88,13 +89,20 @@ def write_corpus(
       (run-length/delta encoding friendly, and min/max zone maps on
       the sort key actually prune).
 
-    The row-count pass is one cheap aggregate over the input; at scale
-    feed a known count via ``df.count()`` reuse if you already have it.
+    The row-count pass is one aggregate over the input; at 100 TB
+    that is a real scan, so pass ``total_rows`` when the upstream
+    pipeline already knows it (a census, a manifest, a streaming
+    counter) and the writer plans its task count without touching the
+    data twice. An EMPTY input writes only a ``_SUCCESS`` marker
+    (hive-partitioned parquet has no schema-bearing data file to
+    write), so ``corpus_manifest`` on that path raises Spark's
+    unable-to-infer-schema error — callers that may write empty
+    corpora should guard on ``total_rows == 0``.
     """
     import math
 
     keys = [*partition_cols, *(sort_cols or [])]
-    total = df.count()
+    total = df.count() if total_rows is None else total_rows
     n_tasks = max(1, math.ceil(total / max(1, target_rows_per_file)))
     out = (
         df.repartitionByRange(n_tasks, *keys) if keys else df.repartition(n_tasks)

@@ -93,3 +93,39 @@ def test_compact_dataset_shrinks_file_count(spark, docs, scratch):
         assert spark.read.parquet(scratch).count() == docs.count()
     finally:
         shutil.rmtree(frag, ignore_errors=True)
+
+
+def test_write_corpus_plan_single_range_exchange(spark, docs):
+    """The pre-write DataFrame must be exactly one range exchange +
+    in-partition sort over the scan — no second shuffle, no Python."""
+    from demv_spark.plans.introspect import plan_stats
+
+    shaped = docs.repartitionByRange(4, "source", "doc_id").sortWithinPartitions(
+        "source", "doc_id"
+    )
+    s = plan_stats(shaped)
+    assert s["n_exchanges"] == 1
+    assert not s["has_python_udf"] and not s["has_arrow_eval"]
+
+
+def test_write_corpus_known_count_skips_count_pass(spark, docs, scratch):
+    """total_rows short-circuits the count() scan; layout matches the
+    counted path."""
+    n = docs.count()
+    sinks.write_corpus(
+        docs, scratch, ["source"], target_rows_per_file=3000,
+        sort_cols=["doc_id"], total_rows=n,
+    )
+    back = spark.read.parquet(scratch)
+    assert back.count() == n
+
+
+def test_write_corpus_empty_input_contract(spark, docs, scratch):
+    """Empty write succeeds (marker only); manifest on it raises the
+    documented schema error."""
+    empty = docs.filter(F.lit(False))
+    sinks.write_corpus(empty, scratch, ["source"], target_rows_per_file=100)
+    stats = sinks.dataset_file_stats(spark, scratch)
+    assert stats["n_files"] == 0
+    with pytest.raises(Exception):
+        sinks.corpus_manifest(spark, scratch, ["source"]).collect()
