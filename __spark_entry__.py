@@ -165,6 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (F.col("n") * F.col("n_total")).cast("long").alias("disp_den"),
     )
 
+    # skew diagnosis: exact heavy hitters (distributed top-k, NOT a
+    # global-sort window) + the one-row skew census that decides
+    # salting / AQE thresholds before committing a shuffle to a key
+    q["q_skew_heavy_hitters"] = lambda spark, sf: counting.heavy_hitters(
+        _t(spark, sf, "lineitem"), ["l_suppkey"], top_k=10
+    )
+    q["q_skew_profile"] = lambda spark, sf: counting.key_skew_profile(
+        _t(spark, sf, "lineitem"), ["l_suppkey"]
+    )
+
     # incremental census maintenance: per-shard censuses merged by
     # per-key sum must equal the full-table census exactly (group
     # counts form a commutative monoid) — the append-path identity
@@ -1986,6 +1996,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(c.n * t.n_total AS BIGINT) AS disp_den
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
+    """
+
+    o["q_skew_heavy_hitters"] = """
+        WITH census AS (
+            SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS INT) AS rank
+        FROM census
+        ORDER BY n DESC, l_suppkey
+        LIMIT 10
+    """
+
+    o["q_skew_profile"] = """
+        WITH census AS (
+            SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               CAST(MIN(n) AS BIGINT) AS min_n
+        FROM census
     """
 
     _counts4 = f"""

@@ -156,3 +156,46 @@ def merge_distinct_sketches(
         .agg(F.hll_union_agg("sketch").alias("sketch"))
         .withColumn("estimate", F.hll_sketch_estimate("sketch"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame, keys: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Top-k most frequent key values with exact counts and a dense
+    rank — the first question to ask a prospective join/groupBy key
+    before committing a 100 TB shuffle to it (is one customer/domain/
+    day going to own a straggler task? how bad is the head?).
+
+    Plan: one key census (the same map-side-combined shuffle the
+    eventual join would pay), then a DISTRIBUTED top-k —
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject, a
+    per-partition heap + driver merge of k·n_partitions rows, NOT a
+    global sort (a global-ordered window here would serialize the
+    whole key census into one task). The rank window runs over the
+    k surviving rows only. Ties break by key ascending, so the output
+    is deterministic and SQL-oracle-able. NULL key values form their
+    own group, mirroring SQL GROUP BY.
+    """
+    from pyspark.sql import Window
+
+    kcols = [F.col(k) for k in keys]
+    census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    top = census.orderBy(F.desc("n"), *kcols).limit(top_k)
+    w = Window.orderBy(F.desc("n"), *kcols)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def key_skew_profile(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One-row skew census of a key: (n_rows, n_keys, max_n, min_n)
+    — all exact BIGINTs (skew ratio = max_n · n_keys / n_rows derives
+    downstream without a float crossing the engine boundary). The
+    numbers that decide salting (`skew_salt=` on cap_per_key /
+    postprocess quota) and AQE skew-join thresholds. Cost: the key
+    census shuffle + a tiny global fold."""
+    census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return census.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+    )

@@ -87,3 +87,35 @@ def test_distinct_sketch_merge_identity(spark):
     }
     for k, n in exact.items():
         assert abs(m[k] - n) / n < 0.05
+
+
+def test_heavy_hitters_matches_bruteforce_with_ties(spark):
+    from demv_spark.functions.counting import heavy_hitters
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    got = [(r["k"], r["n"], r["rank"]) for r in
+           heavy_hitters(df, ["k"], top_k=3).collect()]
+    # all 7 named keys tie at 10 -> ties break by key ascending;
+    # NULL group (5 rows) is outside top-3
+    assert got == [("k0", 10, 1), ("k1", 10, 2), ("k2", 10, 3)]
+
+
+def test_heavy_hitters_plan_is_distributed_topk(spark):
+    """The top-k must compile to TakeOrderedAndProject, not a global
+    sort + single-task window over the whole key census."""
+    from demv_spark.functions.counting import heavy_hitters
+    from demv_spark.plans.introspect import explain_str
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = explain_str(heavy_hitters(df, ["l_suppkey"], 10), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_profile_exact(spark):
+    from demv_spark.functions.counting import key_skew_profile
+
+    rows = [("a",)] * 12 + [("b",)] * 3 + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_profile(df, ["k"]).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_n"], r["min_n"]) == (20, 3, 12, 3)
