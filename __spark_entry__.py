@@ -746,9 +746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select(
             "doc_id", "source", "lang", "n_chars"
         )
+        # pid-suffixed scratch: bench.py and check_oracle.py can run
+        # this query concurrently at the same sf — a shared dir would
+        # overwrite-race (one process's overwrite deletes files the
+        # other is mid-read on). Dirs are tiny and gitignored.
         root = _os.path.dirname(_os.path.abspath(__file__))
         path = _os.path.join(
-            root, ".sink_scratch", f"manifest_{_os.path.basename(sf.rstrip('/'))}"
+            root, ".sink_scratch",
+            f"manifest_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}",
         )
         sinks.write_corpus(
             d, path, ["source"], target_rows_per_file=100_000,

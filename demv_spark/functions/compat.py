@@ -68,3 +68,29 @@ def portable_hash(col: Column | str) -> Column:
 def sql_portable_hash(expr: str) -> str:
     """DuckDB rendering of portable_hash for the oracle SQL."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def null_safe_broadcast_join(left, right, keys, eq_cols=(), carry=()):
+    """Broadcast-join ``right`` onto ``left`` with NULL-SAFE equality
+    on ``keys`` (plus plain equality on ``eq_cols``), returning all of
+    ``left``'s columns and ``carry`` columns from ``right``.
+
+    The shared idiom behind the salted-rank offset joins
+    (operators/corpus.cap_per_key, functions/metrics.auc_exact): a
+    plain equi-join on user key columns silently DROPS NULL-keyed
+    rows (NULL = NULL is never true), deleting data from operators
+    whose contract is flag-not-filter, or losing the NULL sensitive
+    group's row from a parity report. ``eqNullSafe`` per key keeps
+    NULL groups first-class; ``eq_cols`` stays plain equality for
+    internal never-NULL columns (bucket ids)."""
+    from pyspark.sql import DataFrame  # noqa: F401 (doc typing only)
+
+    odf = F.broadcast(right)
+    cond = None
+    for c in eq_cols:
+        term = left[c] == odf[c]
+        cond = term if cond is None else cond & term
+    for k in keys:
+        term = left[k].eqNullSafe(odf[k])
+        cond = term if cond is None else cond & term
+    return left.join(odf, cond).select(left["*"], *[odf[c] for c in carry])

@@ -172,13 +172,16 @@ def heavy_hitters(
     per-partition heap + driver merge of k·n_partitions rows, NOT a
     global sort (a global-ordered window here would serialize the
     whole key census into one task). The rank window runs over the
-    k surviving rows only. Ties break by key ascending, so the output
-    is deterministic and SQL-oracle-able. NULL key values form their
-    own group, mirroring SQL GROUP BY.
+    k surviving rows only. Ties break by key ascending with NULLS
+    LAST (Spark's ascending default is nulls-first, SQL engines'
+    is nulls-last — pinned explicitly so the output is deterministic
+    AND SQL-oracle-able when a NULL-keyed group ties at the top_k
+    boundary). NULL key values form their own group, mirroring SQL
+    GROUP BY.
     """
     from pyspark.sql import Window
 
-    kcols = [F.col(k) for k in keys]
+    kcols = [F.asc_nulls_last(k) for k in keys]
     census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     top = census.orderBy(F.desc("n"), *kcols).limit(top_k)
     w = Window.orderBy(F.desc("n"), *kcols)
@@ -193,9 +196,12 @@ def key_skew_profile(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     postprocess quota) and AQE skew-join thresholds. Cost: the key
     census shuffle + a tiny global fold."""
     census = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    # coalesce: sum/max/min over an EMPTY census are NULL — an empty
+    # input must still honor the all-BIGINT contract (0,0,0,0)
+    zero = F.lit(0).cast("long")
     return census.agg(
-        F.sum("n").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n").cast("long"), zero).alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.max("n").alias("max_n"),
-        F.min("n").alias("min_n"),
+        F.coalesce(F.max("n"), zero).alias("max_n"),
+        F.coalesce(F.min("n"), zero).alias("min_n"),
     )

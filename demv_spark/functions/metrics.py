@@ -547,18 +547,15 @@ def auc_exact(
     ).drop("__bn")
     cum = local_cum + F.col("__off")
     contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
-    # NULL-safe join on the group cols: a plain equi-join would drop
-    # NULL-valued sensitive groups (NULL = NULL is never true), so the
-    # parity output would silently have no row for that partition
-    odf = F.broadcast(offsets)
-    cond = g["__bk"] == odf["__bk"]
-    for k in gcols:
-        cond = cond & g[k].eqNullSafe(odf[k])
-    joined = (
-        g.join(odf, cond)
-        .select(g["*"], odf["__off"])
-        .withColumn("__contrib", contrib)
-    )
+    # NULL-safe join on the group cols (shared idiom,
+    # compat.null_safe_broadcast_join): a plain equi-join would drop
+    # NULL-valued sensitive groups, so the parity output would
+    # silently have no row for that partition
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    joined = null_safe_broadcast_join(
+        g, offsets, keys=gcols, eq_cols=["__bk"], carry=["__off"]
+    ).withColumn("__contrib", contrib)
     aggs = [
         F.sum("__contrib").alias("s2"),
         F.sum("__p").alias("n_pos"),

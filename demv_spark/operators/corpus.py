@@ -304,17 +304,17 @@ def cap_per_key(
     # only the ≤cap head of each bucket pays the offset join; the tail
     # short-circuits to admitted=0 — a hot key's bucket never forwards
     # more than cap rows into the join
-    # NULL-safe join: a plain equi-join on [*keys, __bk] would drop
-    # NULL-keyed rows (NULL = NULL is never true), silently deleting
-    # them from the output — this operator flags, never filters
-    ldf = local.filter(F.col("__lrn") <= cap)
-    odf = F.broadcast(offsets)
-    cond = ldf["__bk"] == odf["__bk"]
-    for k in keys:
-        cond = cond & ldf[k].eqNullSafe(odf[k])
+    # NULL-safe join (shared idiom, compat.null_safe_broadcast_join):
+    # a plain equi-join on [*keys, __bk] would drop NULL-keyed rows
+    # (NULL = NULL is never true), silently deleting them from the
+    # output — this operator flags, never filters
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
     head = (
-        ldf.join(odf, cond)
-        .select(ldf["*"], odf["__off"])
+        null_safe_broadcast_join(
+            local.filter(F.col("__lrn") <= cap), offsets,
+            keys=keys, eq_cols=["__bk"], carry=["__off"],
+        )
         .withColumn(out, ((F.col("__lrn") + F.col("__off")) <= cap).cast("int"))
         .drop("__pr", "__bk", "__lrn", "__off")
     )

@@ -66,6 +66,7 @@ def write_corpus(
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
     total_rows: int | None = None,
+    validate_partitions: bool = True,
 ) -> None:
     """Curated-corpus writer: partitioned parquet with SMALL-FILE
     CONTROL — the write-side half of a 100 TB curation pipeline.
@@ -98,11 +99,40 @@ def write_corpus(
     write), so ``corpus_manifest`` on that path raises Spark's
     unable-to-infer-schema error — callers that may write empty
     corpora should guard on ``total_rows == 0``.
+
+    Partition-value contract: hive directory layout stores BOTH NULL
+    and ``''`` partition values as ``__HIVE_DEFAULT_PARTITION__``, so
+    a readback conflates them (and returns NULL) — the round-trip
+    would NOT be lossless for such rows. The writer therefore rejects
+    NULL/empty partition values up front, fused into the same
+    aggregate pass as the row count. When the pipeline has already
+    cleaned the partition columns AND knows the count, pass
+    ``total_rows`` + ``validate_partitions=False`` to skip the
+    planning scan entirely.
     """
     import math
 
+    import pyspark.sql.functions as F
+
     keys = [*partition_cols, *(sort_cols or [])]
-    total = df.count() if total_rows is None else total_rows
+    bad_terms = [] if not validate_partitions else [
+        F.sum(
+            (F.col(c).isNull() | (F.col(c).cast("string") == "")).cast("long")
+        ).alias(c)
+        for c in partition_cols
+    ]
+    if bad_terms:
+        counted = df.agg(F.count(F.lit(1)).alias("__n"), *bad_terms).collect()[0]
+        bad = {c: counted[c] for c in partition_cols if counted[c]}
+        if bad:
+            raise ValueError(
+                "write_corpus: NULL/empty partition values would be stored "
+                "as __HIVE_DEFAULT_PARTITION__ and conflated on readback — "
+                f"clean or coalesce these columns first: {bad}"
+            )
+        total = counted["__n"] if total_rows is None else total_rows
+    else:
+        total = df.count() if total_rows is None else total_rows
     n_tasks = max(1, math.ceil(total / max(1, target_rows_per_file)))
     out = (
         df.repartitionByRange(n_tasks, *keys) if keys else df.repartition(n_tasks)
@@ -154,6 +184,20 @@ def compact_dataset(
     are metadata-bound). Reads src, rewrites via ``write_corpus`` to
     dst (never in place — a failed rewrite must not destroy the
     source), returns before/after file stats."""
+    import os
+
+    # enforce the never-in-place contract instead of documenting it:
+    # dst == src would overwrite while reading, and a NESTED dst
+    # (either direction) double-counts every row on the next read of
+    # the outer directory
+    s = os.path.normpath(os.path.abspath(src_path))
+    d = os.path.normpath(os.path.abspath(dst_path))
+    if s == d or d.startswith(s + os.sep) or s.startswith(d + os.sep):
+        raise ValueError(
+            f"compact_dataset: dst_path {dst_path!r} must be disjoint from "
+            f"src_path {src_path!r} (same or nested paths corrupt the source "
+            "or double-count rows)"
+        )
     before = dataset_file_stats(spark, src_path)
     df = spark.read.parquet(src_path)
     write_corpus(

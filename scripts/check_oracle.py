@@ -106,10 +106,13 @@ def main():
                       "(uncast HUGEINT aggregate? CAST(... AS BIGINT))")
                 n_fail += 1
                 continue
-            drows = [
-                [row[c] for c in dcols]
-                for row in dtbl.to_pylist()
+            # positional fetch, not to_pylist() dicts: a dict per row
+            # would silently collapse duplicate column names onto one
+            # value (fetchall() was positional; keep that semantics)
+            col_data = [
+                dtbl.column(i).to_pylist() for i in range(dtbl.num_columns)
             ]
+            drows = [list(t) for t in zip(*col_data)] if col_data else []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1

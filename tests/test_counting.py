@@ -119,3 +119,23 @@ def test_key_skew_profile_exact(spark):
     df = spark.createDataFrame(rows, ["k"])
     r = key_skew_profile(df, ["k"]).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_n"], r["min_n"]) == (20, 3, 12, 3)
+
+
+def test_heavy_hitters_null_ties_break_nulls_last(spark):
+    """Review r5: Spark's ascending default is NULLS FIRST, SQL's is
+    NULLS LAST — the tie-break must pin nulls-last or a NULL group
+    tying at the top_k boundary diverges from the oracle."""
+    from demv_spark.functions.counting import heavy_hitters
+
+    rows = [(None,)] * 10 + [("a",)] * 10 + [("b",)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    got = [(r["k"], r["rank"]) for r in heavy_hitters(df, ["k"], top_k=2).collect()]
+    assert got == [("a", 1), ("b", 2)]  # NULL sorts LAST among the tie
+
+
+def test_key_skew_profile_empty_input_is_zeroes(spark):
+    from demv_spark.functions.counting import key_skew_profile
+
+    df = spark.createDataFrame([("a",)], ["k"]).filter(F.lit(False))
+    r = key_skew_profile(df, ["k"]).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_n"], r["min_n"]) == (0, 0, 0, 0)

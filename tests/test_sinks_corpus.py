@@ -129,3 +129,32 @@ def test_write_corpus_empty_input_contract(spark, docs, scratch):
     assert stats["n_files"] == 0
     with pytest.raises(Exception):
         sinks.corpus_manifest(spark, scratch, ["source"]).collect()
+
+
+def test_write_corpus_rejects_null_or_empty_partition_values(spark, docs, scratch):
+    """Review r5: NULL and '' both land in __HIVE_DEFAULT_PARTITION__
+    and conflate on readback — reject them up front."""
+    bad = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 50 == 0, None).otherwise(F.col("source"))
+    )
+    with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
+        sinks.write_corpus(bad, scratch, ["source"], target_rows_per_file=1000)
+    empt = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 50 == 0, "").otherwise(F.col("source"))
+    )
+    with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
+        sinks.write_corpus(empt, scratch, ["source"], target_rows_per_file=1000)
+    # opting out of validation (pre-cleaned pipeline) skips the scan
+    sinks.write_corpus(
+        docs, scratch, ["source"], target_rows_per_file=5000,
+        total_rows=500, validate_partitions=False,
+    )
+
+
+def test_compact_dataset_rejects_nested_or_equal_paths(spark, scratch):
+    with pytest.raises(ValueError, match="disjoint"):
+        sinks.compact_dataset(spark, scratch, scratch)
+    with pytest.raises(ValueError, match="disjoint"):
+        sinks.compact_dataset(spark, scratch, os.path.join(scratch, "sub"))
+    with pytest.raises(ValueError, match="disjoint"):
+        sinks.compact_dataset(spark, os.path.join(scratch, "sub"), scratch)
