@@ -751,10 +751,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overwrite-race (one process's overwrite deletes files the
         # other is mid-read on). Dirs are tiny and gitignored.
         root = _os.path.dirname(_os.path.abspath(__file__))
+        scratch = _os.path.join(root, ".sink_scratch")
         path = _os.path.join(
-            root, ".sink_scratch",
+            scratch,
             f"manifest_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}",
         )
+        # best-effort prune of dirs from dead runs (>1h old); live
+        # concurrent processes are younger than that
+        try:
+            import shutil as _shutil
+            import time as _time
+
+            cutoff = _time.time() - 3600
+            for d in _os.listdir(scratch) if _os.path.isdir(scratch) else []:
+                full = _os.path.join(scratch, d)
+                if (
+                    d.startswith("manifest_")
+                    and full != path
+                    and _os.path.getmtime(full) < cutoff
+                ):
+                    _shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
         sinks.write_corpus(
             d, path, ["source"], target_rows_per_file=100_000,
             sort_cols=["doc_id"],
