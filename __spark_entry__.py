@@ -763,10 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import time as _time
 
             cutoff = _time.time() - 3600
-            for d in _os.listdir(scratch) if _os.path.isdir(scratch) else []:
-                full = _os.path.join(scratch, d)
+            entries = _os.listdir(scratch) if _os.path.isdir(scratch) else []
+            for entry in entries:
+                full = _os.path.join(scratch, entry)
                 if (
-                    d.startswith("manifest_")
+                    entry.startswith("manifest_")
                     and full != path
                     and _os.path.getmtime(full) < cutoff
                 ):
