@@ -599,6 +599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_ivf_topk_fixed"] = _sim_ivf_fixed
 
+    # int8-quantized cosine top-k: codes = round(v·127/amax), score =
+    # int_dot / sqrt(nn_q·nn_c) — the scales cancel, so the score is a
+    # pure function of EXACT integers through two correctly-rounded
+    # IEEE ops; ranks + integer dots are value-hashable even though
+    # the method is approximate. The 4× memory shrink is the 100 TB
+    # ANN-candidate-generation play (floats only rerank survivors).
+    q["q_sim_quantized_topk"] = lambda spark, sf: similarity.quantized_cosine_topk(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 5),
+        _t(spark, sf, "embeddings"),
+        dim=64, k=10,
+    )
+
     # embedding-cosine near-dup, planted-parity form: exact copies of
     # every 20th vector (cos ≈ 1.0) against a background whose max
     # pairwise cosine is 0.60 at sf0.1 / 0.51 at sf0.01 (measured) —
@@ -2854,6 +2866,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.vec_id - a.vec_id = 1000000 AS INT) AS is_planted
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+
+    # int8 quantization twin: every step is exact-integer or a single
+    # correctly-rounded IEEE op (floor half-up, sqrt, divide), so the
+    # approximate method's output hashes bit-for-bit. list_sum over
+    # BIGINT lists yields HUGEINT in DuckDB — every sum is CAST.
+    o["q_sim_quantized_topk"] = """
+        WITH val AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+        ),
+        qz AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM val)
+        ),
+        nn AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM qz
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.codes[i] * c.codes[i])) AS BIGINT) AS int_dot,
+                   q.nn AS qnn, c.nn AS cnn
+            FROM nn q JOIN nn c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 5
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, int_dot,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CASE WHEN qnn * cnn = 0 THEN 0.0
+                                     ELSE int_dot / sqrt(CAST(qnn AS DOUBLE) * CAST(cnn AS DOUBLE))
+                                END DESC, neighbor_id
+                   ) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, int_dot, CAST(rnk AS INT) AS rank
+        FROM scored WHERE rnk <= 10
     """
 
     o["q_sim_semantic_dedup"] = """

@@ -609,3 +609,102 @@ def nearest_centroid_classify(
     return pred.groupBy("label_true", "label_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over integer code arrays, accumulated in LONG — exact
+    and engine-portable (no float order-dependence at all)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    code_col: str = "q_codes",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = amax/127,
+    code_i = round_half_up(v_i / scale) ∈ [−127, 127] — the 4×
+    memory shrink that makes a 100 TB embedding corpus ANN-searchable
+    from executor RAM (codes for candidate generation, the original
+    float column only for the exact rerank of survivors).
+
+    Every step is engine-portable: amax is exact comparison,
+    v·127/amax is one IEEE multiply+divide, floor(x+0.5) rounds
+    half-up identically everywhere — so quantized scores are
+    bit-reproducible across engines/retries, unlike float dot
+    products. The per-vector scale rides along implicitly: cosine
+    over codes needs NO scale at all (the scales cancel in
+    num/denominator — see ``quantized_cosine_topk``). Zero vectors
+    quantize to all-zero codes. Malformed rows (NULL / wrong length)
+    are excluded at entry."""
+    df = drop_invalid_vectors(df, vec_col, dim)
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # amax is bound through a single-element transform scope so it
+    # evaluates ONCE per row — referencing it directly inside the
+    # codes lambda would make Catalyst re-inline the array_max per
+    # element (the PERFORMANCE.md higher-order-function lesson).
+    codes = F.element_at(
+        F.transform(
+            F.array(amax),
+            lambda am: F.transform(
+                v,
+                lambda x: F.when(am == 0, F.lit(0))
+                .otherwise(F.floor(x * F.lit(127.0) / am + F.lit(0.5)))
+                .cast("int"),
+            ),
+        ),
+        1,
+    )
+    return df.withColumn(code_col, codes)
+
+
+def quantized_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine over int8 codes: approx_cos(a, b) =
+    int_dot(a,b) / sqrt(int_dot(a,a) · int_dot(b,b)) — the per-vector
+    scales cancel, so the score is a pure function of exact integers
+    through two correctly-rounded IEEE ops (sqrt, divide): bit-equal
+    in any engine, which upgrades an *approximate* method to a
+    *value-hashable* contract (emit ranks + the exact integer dot).
+
+    Plan: same broadcast shape as the exact brute force — the small
+    query side broadcasts, the corpus streams map-only, per-query
+    top-k via the shared ``_topk`` tie-break. Per-row corpus work is
+    an int-MAC loop (SIMD-friendly in codegen) over codes that are 4×
+    smaller than doubles. Use the float column afterwards to exact-
+    rerank the shortlist when recall matters more than throughput."""
+    qq = quantize_embeddings(queries, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q_codes").alias("qa"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("q_nn"),
+    )
+    cc = quantize_embeddings(corpus, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q_codes").alias("ca"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+    )
+    d = int_dot(F.col("qa"), F.col("ca"))
+    den = F.sqrt(F.col("q_nn").cast("double") * F.col("c_nn").cast("double"))
+    scored = (
+        cc.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            d.alias("int_dot"),
+            F.when(den == 0, F.lit(0.0)).otherwise(d / den).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k).select(
+        "query_id", "neighbor_id", "int_dot", "rank"
+    )
