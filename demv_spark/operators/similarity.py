@@ -681,10 +681,14 @@ def quantized_cosine_topk(
 
     Plan: same broadcast shape as the exact brute force — the small
     query side broadcasts, the corpus streams map-only, per-query
-    top-k via the shared ``_topk`` tie-break. Per-row corpus work is
-    an int-MAC loop (SIMD-friendly in codegen) over codes that are 4×
-    smaller than doubles. Use the float column afterwards to exact-
-    rerank the shortlist when recall matters more than throughput."""
+    top-k via the shared ``_topk`` tie-break. The wins are MEMORY and
+    NETWORK, not per-MAC CPU: codes are 4× smaller than doubles, so a
+    quantized corpus broadcasts/caches/shuffles at a quarter of the
+    bytes (measured: the interpreted expression engine times the int
+    and double MAC loops identically — 1.5 s either way at 100k×8
+    pairs — while the Arrow/GEMM path stays the throughput king at
+    0.6 s; see PERFORMANCE.md). Use the float column afterwards to
+    exact-rerank the shortlist when recall matters."""
     qq = quantize_embeddings(queries, dim, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("q_codes").alias("qa"),

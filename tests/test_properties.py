@@ -124,3 +124,36 @@ def test_auc_census_formula_matches_pair_counting(pairs):
                 continue
             num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
     assert abs(auc_formula - num / (P * N)) < 1e-12
+
+
+# ---- int8 quantization error bound (pure-python twin of the
+# similarity.quantize_embeddings column arithmetic) ----
+
+
+def _quantize_py(v):
+    amax = max(abs(x) for x in v)
+    if amax == 0:
+        return [0] * len(v), 0.0
+    scale = amax / 127.0
+    import math
+    return [int(math.floor(x * 127.0 / amax + 0.5)) for x in v], scale
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1, max_size=64,
+    )
+)
+def test_quantization_roundtrip_error_bounded(v):
+    """codes ∈ [-127, 127] and |v_i − code_i·scale| ≤ scale/2 + ulp:
+    the reconstruction error of round-half-up symmetric quantization
+    never exceeds half a step."""
+    codes, scale = _quantize_py(v)
+    assert all(-127 <= c <= 127 for c in codes)
+    if scale == 0.0:
+        assert all(c == 0 for c in codes)
+        return
+    for x, c in zip(v, codes):
+        assert abs(x - c * scale) <= scale / 2 * (1 + 1e-9) + 1e-12
