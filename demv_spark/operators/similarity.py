@@ -712,3 +712,47 @@ def quantized_cosine_topk(
     return _topk(scored, k).select(
         "query_id", "neighbor_id", "int_dot", "rank"
     )
+
+
+def quantized_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage ANN recipe: int8-quantized scoring
+    selects a per-query ``shortlist`` of candidates (quarter-size
+    codes — the stage that runs from executor RAM at corpus scale),
+    then EXACT float cosine reranks only the shortlist. Returns the
+    same (query_id, neighbor_id, cos_sim, rank) contract as
+    ``cosine_topk_bruteforce``; with ``shortlist ≫ k`` the output
+    matches the exact brute force except where quantization noise
+    reorders neighbors separated by less than the quantization error
+    (recall@k is tested ≥ 0.9 at shortlist=10k on the testdata).
+
+    Plan: both stages are broadcast map-only over the corpus — the
+    shortlist join brings only |Q|·shortlist (id, id) pairs back to
+    the float stage, joined hash-side against the corpus vectors, so
+    the expensive exact scoring touches shortlist/|corpus| of the
+    data."""
+    short = quantized_cosine_topk(
+        queries, corpus, dim, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    qv = drop_invalid_vectors(queries, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    cv = drop_invalid_vectors(corpus, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)

@@ -695,3 +695,23 @@ def test_quantized_topk_deterministic_under_repartition(spark):
     b = sorted(map(tuple, quantized_cosine_topk(
         qs.repartition(7), emb.repartition(13), dim=64, k=5).collect()))
     assert a == b
+
+
+def test_quantized_rerank_matches_exact_topk(spark):
+    """With a full-corpus shortlist the two-stage recipe IS the exact
+    brute force; with a tight shortlist recall stays high."""
+    from demv_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        quantized_rerank_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk_bruteforce(qs, emb, k=10, dim=64).collect()}
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            quantized_rerank_topk(qs, emb, dim=64, k=10, shortlist=10_000).collect()}
+    assert full == exact
+    tight = {(r["query_id"], r["neighbor_id"]) for r in
+             quantized_rerank_topk(qs, emb, dim=64, k=10, shortlist=50).collect()}
+    assert len(tight & exact) / len(exact) >= 0.9
