@@ -165,6 +165,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (F.col("n") * F.col("n_total")).cast("long").alias("disp_den"),
     )
 
+    # data-contract validation: the whole expectation suite is ONE
+    # fused aggregate pass (per-rule conditional counts), uniqueness
+    # is its own single-shuffle census
+    def _validate_report(spark, sf):
+        from demv_spark.operators import validate as V
+
+        o = _t(spark, sf, "orders")
+        rules = {
+            "custkey_not_null": V.not_null("o_custkey"),
+            "totalprice_in_range": V.in_range("o_totalprice", 0.0, 1000000.0),
+            "status_in_set": V.in_set("o_orderstatus", ["F", "O", "P"]),
+            "priority_wellformed": V.matches("o_orderpriority", "^[1-5]-[A-Z]+$"),
+            "status_non_empty": V.non_empty("o_orderstatus"),
+        }
+        return V.expectation_report(o, rules)
+
+    q["q_validate_report"] = _validate_report
+
+    q["q_validate_dup_keys"] = lambda spark, sf: __import__(
+        "demv_spark.operators.validate", fromlist=["duplicate_key_report"]
+    ).duplicate_key_report(
+        _t(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
     # skew diagnosis: exact heavy hitters (distributed top-k, NOT a
     # global-sort window) + the one-row skew census that decides
     # salting / AQE thresholds before committing a shuffle to a key
@@ -2032,6 +2056,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(c.n * t.n_total AS BIGINT) AS disp_den
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
+    """
+
+    o["q_validate_report"] = """
+        WITH agg AS (
+            SELECT COUNT(*) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v0,
+                   CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND NOT (o_totalprice BETWEEN 0.0 AND 1000000.0) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR CAST(o_orderstatus AS VARCHAR) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4
+            FROM orders
+        )
+        SELECT r.rule, r.violations, CAST(n AS BIGINT) AS n_rows
+        FROM agg, LATERAL (VALUES
+            ('custkey_not_null', v0),
+            ('totalprice_in_range', v1),
+            ('status_in_set', v2),
+            ('priority_wellformed', v3),
+            ('status_non_empty', v4)
+        ) r(rule, violations)
+    """
+
+    o["q_validate_dup_keys"] = """
+        WITH census AS (
+            SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_keys,
+               CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS n_dup_rows
+        FROM census
     """
 
     o["q_skew_heavy_hitters"] = """
