@@ -165,6 +165,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (F.col("n") * F.col("n_total")).cast("long").alias("disp_den"),
     )
 
+    # funnel analysis, SUBSEQUENCE semantics: per-user depth via ONE
+    # collect_list shuffle + a JVM fold (the naive funnel is k-1
+    # self-joins of the event table, which is what the first-touch
+    # twin q_events_funnel/monitor.funnel_counts deliberately plans);
+    # census unpivots the tiny depth aggregate. Distinct from the
+    # existing first-touch funnel: this one advances on the next
+    # matching event in total (ts, type, id) order, so equal
+    # timestamps can advance where strictly-after cannot.
+    _FUNNEL_STEPS = ["view", "click", "purchase"]
+
+    def _events_funnel_subseq(spark, sf):
+        from demv_spark.operators.temporal import funnel_census
+
+        return funnel_census(
+            _t(spark, sf, "events"), "user_id", "event_type", "ts",
+            _FUNNEL_STEPS, id_col="event_id",
+        )
+
+    q["q_events_funnel_subseq"] = _events_funnel_subseq
+
+    def _events_funnel_depths(spark, sf):
+        from demv_spark.operators.temporal import funnel_depth
+
+        return funnel_depth(
+            _t(spark, sf, "events"), "user_id", "event_type", "ts",
+            _FUNNEL_STEPS, id_col="event_id",
+        )
+
+    q["q_events_funnel_depths"] = _events_funnel_depths
+
     # data-contract validation: the whole expectation suite is ONE
     # fused aggregate pass (per-rule conditional counts), uniqueness
     # is its own single-shuffle census
@@ -2056,6 +2086,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(c.n * t.n_total AS BIGINT) AS disp_den
         FROM census c JOIN sens s USING (o_orderpriority)
         JOIN lab l USING (o_orderstatus) CROSS JOIN tot t
+    """
+
+    _funnel_depths_sql = """
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS tsu, event_type AS t, event_id AS i
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+        ),
+        pu AS (
+            SELECT user_id AS "user",
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list(t ORDER BY tsu, t, i),
+                               s -> CAST(list_position(['view', 'click', 'purchase'], s) - 1 AS BIGINT))),
+                       (acc, x) -> CASE WHEN x = acc AND acc < 3 THEN acc + 1 ELSE acc END
+                   ) AS INT) AS depth
+            FROM ev GROUP BY user_id
+        )
+    """
+    o["q_events_funnel_depths"] = _funnel_depths_sql + 'SELECT "user", depth FROM pu'
+    o["q_events_funnel_subseq"] = _funnel_depths_sql + """
+        -- LEFT JOIN (not cross): with an empty user set the census
+        -- still emits one zero row per step, matching the Spark side
+        SELECT r.step, r.step_name,
+               CAST(COALESCE(SUM(CASE WHEN depth >= r.step THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_users
+        FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) r(step, step_name)
+        LEFT JOIN pu ON TRUE
+        GROUP BY r.step, r.step_name
     """
 
     o["q_validate_report"] = """

@@ -182,3 +182,89 @@ def interval_join(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("__b")
     )
+
+
+def funnel_depth(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-user funnel depth: the longest PREFIX of ``steps`` matched
+    as an ordered subsequence of the user's event history (the
+    Amplitude/match_recognize funnel, first-occurrence semantics:
+    depth 2 for [view, click, purchase] means a click happened after
+    the first qualifying view, but no purchase after that click).
+
+    Plan: pre-filter to step types only (the collect never carries
+    off-funnel events), ONE shuffle to assemble each user's ordered
+    type sequence — sorted by (epoch-micros, type[, id]) for a total
+    deterministic order both engines agree on — then the depth is a
+    JVM-side fold: acc advances when the next event's step index
+    equals acc. No window over the full event table, no per-step
+    self-joins (the naive funnel is k-1 self-joins of the events
+    table; this is one aggregate). State per user is its step-event
+    count, bounded by the funnel's selectivity.
+
+    Returns (user, depth). SQL twin: ``list(t ORDER BY ...)`` +
+    ``list_reduce`` over ``list_prepend(0, indices)``.
+    """
+    steps = list(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    )
+    parts = [
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
+        F.col(type_col).alias("t"),
+    ]
+    if id_col:
+        parts.append(F.col(id_col).alias("i"))
+    per_user = ev.groupBy(F.col(user_col).alias("user")).agg(
+        F.array_sort(F.collect_list(F.struct(*parts))).alias("evs")
+    )
+    idxs = F.transform(
+        F.col("evs"), lambda e: F.array_position(steps_arr, e["t"]) - F.lit(1)
+    )
+    depth = F.aggregate(
+        idxs,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(
+            (x == acc) & (acc < F.lit(len(steps))), acc + F.lit(1)
+        ).otherwise(acc),
+    )
+    return per_user.select("user", depth.cast("int").alias("depth"))
+
+
+def funnel_census(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Funnel report: one row per step with the number of users whose
+    depth reaches it — (step, step_name, n_users), exact BIGINTs.
+    The census is a single tiny aggregate over the per-user depths
+    (≤ |users| rows), unpivoted JVM-side."""
+    steps = list(steps)
+    d = funnel_depth(events, user_col, type_col, ts_col, steps, id_col)
+    aggs = [
+        F.sum((F.col("depth") >= k).cast("long")).alias(f"__s{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    wide = d.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).alias("step"),
+            F.lit(steps[k - 1]).alias("step_name"),
+            F.coalesce(F.col(f"__s{k}"), F.lit(0)).cast("long").alias("n_users"),
+        )
+        for k in range(1, len(steps) + 1)
+    ])
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.step_name", "r.n_users"
+    )

@@ -51,3 +51,18 @@ def test_window_slots_are_all_oracled():
     window = qs[:50]
     missing = [name for name in window if name not in oracles]
     assert not missing, f"window slots without oracles: {missing}"
+
+
+def test_no_duplicate_query_or_oracle_registrations():
+    """A later q[...]/o[...] assignment with the same key silently
+    SHADOWS the earlier one (caught live in round 5: a new funnel
+    query overwrote the existing first-touch funnel with different
+    semantics and the gate kept passing against the survivor). Parse
+    the source: every registration key must be unique."""
+    import collections
+
+    src = open("__spark_entry__.py").read()
+    for var in ("q", "o"):
+        keys = re.findall(rf'^\s+{var}\["(q_\w+)"\]\s*=', src, re.M)
+        dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+        assert not dupes, f"duplicate {var}[...] registrations: {dupes}"

@@ -96,3 +96,46 @@ def test_config_lookup(spark):
         assert config_lookup(spark, path, "dataset", "nope", "feature") == []
     finally:
         os.unlink(path)
+
+
+# ---- funnel analysis ----
+
+
+def test_funnel_depth_ordered_subsequence(spark):
+    from demv_spark.operators.temporal import funnel_depth
+
+    rows = [
+        # u1: full funnel in order
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2: purchase BEFORE click -> depth 2 only
+        (4, "2024-01-01 00:00:00", 2, "view"),
+        (5, "2024-01-01 00:00:30", 2, "purchase"),
+        (6, "2024-01-01 00:01:00", 2, "click"),
+        # u3: never views -> depth 0 (clicks don't count w/o view)
+        (7, "2024-01-01 00:00:00", 3, "click"),
+        # u4: view only
+        (8, "2024-01-01 00:00:00", 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user"]: r["depth"] for r in funnel_depth(
+        df, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], id_col="event_id").collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_funnel_census_counts(spark):
+    from demv_spark.operators.temporal import funnel_census
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # normalize ns->ts like the readers do
+    from demv_spark.sources.readers import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = {r["step_name"]: r["n_users"] for r in funnel_census(
+        ev, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], id_col="event_id").collect()}
+    assert out["view"] >= out["click"] >= out["purchase"]  # monotone
+    assert out["view"] > 0
