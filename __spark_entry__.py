@@ -2145,7 +2145,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, COUNT(*) AS n
             FROM lineitem GROUP BY 1, 2
         )
-        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
                COUNT(*) AS n_keys,
                CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_keys,
                CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS n_dup_rows
@@ -2992,9 +2992,14 @@ def oracle_sql() -> dict[str, str]:
     # BIGINT lists yields HUGEINT in DuckDB — every sum is CAST.
     o["q_sim_quantized_topk"] = """
         WITH val AS (
+            -- finite-elements predicate mirrors quantize_embeddings:
+            -- floor(NaN*c) casts to 0 in Spark but errors in SQL, so
+            -- vectors with NULL/NaN/inf elements are excluded by BOTH
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
             WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ),
         qz AS (
             SELECT vec_id,

@@ -640,9 +640,21 @@ def quantize_embeddings(
     products. The per-vector scale rides along implicitly: cosine
     over codes needs NO scale at all (the scales cancel in
     num/denominator — see ``quantized_cosine_topk``). Zero vectors
-    quantize to all-zero codes. Malformed rows (NULL / wrong length)
-    are excluded at entry."""
+    quantize to all-zero codes. Malformed rows are excluded at entry:
+    NULL / wrong length (the module contract) AND any NULL or
+    non-finite element — floor(NaN·c) is engine-DIVERGENT (Spark
+    casts to 0, SQL engines raise a conversion error), so such
+    vectors have no portable code; the oracle twin carries the same
+    finite-elements predicate."""
     df = drop_invalid_vectors(df, vec_col, dim)
+    df = df.filter(
+        F.forall(
+            _as_double(vec_col),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
+    )
     v = _as_double(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     # amax is bound through a single-element transform scope so it

@@ -47,7 +47,10 @@ def in_set(col: str, values: Sequence) -> Column:
 
 
 def matches(col: str, pattern: str) -> Column:
-    """Violated when non-NULL and not fully matching the regex."""
+    """Violated when non-NULL and the regex finds NO match — SQL
+    rlike/``regexp_matches`` SUBSTRING-search semantics, not full
+    match: anchor with ``^...$`` when the whole value must conform
+    (the oracle twin is DuckDB ``regexp_matches``, same semantics)."""
     c = F.col(col)
     return c.isNotNull() & ~c.rlike(pattern)
 

@@ -2,7 +2,8 @@
 pipeline run incrementally.
 
 The batch curation chain (`__spark_entry__.q_corpus_curation_e2e`:
-canonical URL → blocklist → quality → quota → split) is built from
+canonical URL → blocklist → quality → quota, with split assignment
+composed downstream of the verdicts) is built from
 operators that are individually stream-safe: the hygiene/scoring/
 split steps are stateless column algebra (identical plans under
 ``readStream``), and the quota is the one genuinely stateful step
@@ -31,7 +32,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from demv_spark.operators import web
-from demv_spark.operators.corpus import split_by_hash
 from demv_spark.operators.text import quality_score
 from demv_spark.streaming.stateful import streaming_quota_admission
 
@@ -44,18 +44,22 @@ def streaming_curate(
     cap_per_domain: int,
     blocklist: Sequence[str] = (),
     min_quality: float = 0.0,
-    split_fractions: dict | None = None,
-    seed: int = 42,
 ) -> DataFrame:
     """Incremental curation verdicts for a streaming document feed.
 
-    Returns (key, id, admitted) from the stateful quota, joined back
-    semantics-free: rows REJECTED by hygiene (blocked domain, quality
-    below threshold) never reach the quota — they are absent from the
-    output, mirroring the batch chain where the quota ranks survivors
-    only. Works identically on a batch DataFrame (the quota falls
-    back to its single-pass batch twin), which is what the
-    equivalence test pins.
+    Returns (key, id, admitted) from the stateful quota: rows REJECTED
+    by hygiene (blocked domain, quality below threshold) never reach
+    the quota — they are absent from the output, mirroring the batch
+    chain where the quota ranks survivors only. Works identically on a
+    batch DataFrame (the quota falls back to its single-pass batch
+    twin), which is what the equivalence test pins.
+
+    Split assignment composes DOWNSTREAM, not here: the quota
+    operator's output is projected to its verdict schema, so apply
+    ``corpus.split_by_hash(verdicts, ["key"])`` on the admitted rows
+    — it is a pure map-only function of the key, hence identical under
+    streaming or batch, and putting it before the quota would compute
+    md5 splits for rows the quota then drops from the output anyway.
     """
     if blocklist:
         d = web.flag_blocked_domains(
@@ -67,6 +71,4 @@ def streaming_curate(
     d = quality_score(d, text_col, out="__q").filter(
         F.col("__q") >= F.lit(float(min_quality))
     )
-    if split_fractions:
-        d = split_by_hash(d, ["__domain"], split_fractions, seed=seed)
     return streaming_quota_admission(d, "__domain", id_col, cap=cap_per_domain)

@@ -130,8 +130,7 @@ def test_funnel_depth_ordered_subsequence(spark):
 def test_funnel_census_counts(spark):
     from demv_spark.operators.temporal import funnel_census
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    # normalize ns->ts like the readers do
+    # read_table normalizes the events table's ns timestamps
     from demv_spark.sources.readers import read_table
     ev = read_table(spark, "/root/testdata/sf0.001", "events")
     out = {r["step_name"]: r["n_users"] for r in funnel_census(

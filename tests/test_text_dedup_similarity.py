@@ -715,3 +715,20 @@ def test_quantized_rerank_matches_exact_topk(spark):
     tight = {(r["query_id"], r["neighbor_id"]) for r in
              quantized_rerank_topk(qs, emb, dim=64, k=10, shortlist=50).collect()}
     assert len(tight & exact) / len(exact) >= 0.9
+
+
+def test_quantize_embeddings_excludes_nonfinite_vectors(spark):
+    """Review r5: floor(NaN*c) casts to 0 in Spark but raises in SQL
+    engines — vectors with NULL/NaN/inf elements have no portable
+    code and must be excluded, mirroring the oracle predicate."""
+    from demv_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [float("nan"), 1.0]),
+        (3, [float("inf"), 1.0]),
+        (4, [None, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in quantize_embeddings(df, 2).collect()}
+    assert got == {1}
