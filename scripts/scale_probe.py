@@ -266,8 +266,45 @@ def main():
             d, dim=64, threshold=-1.0, n_planes=64, band_bits=16
         ).count()
 
+    # round-5 families: contract validation (one fused agg), funnel
+    # (one collect_list shuffle + fold), quantized ANN (broadcast
+    # map-only int MACs)
+    from demv_spark.operators import validate as V
+    from demv_spark.operators.similarity import quantized_cosine_topk
+    from demv_spark.operators.temporal import funnel_census
+
+    events = read_table(spark, sf, "events").cache()
+    events.count()
+    events_k = scaled(events, k, {"event_id": 100_000_000, "user_id": 10_000_000}).cache()
+    events_k.count()
+
+    def run_validate(o):
+        rules = {
+            "custkey_not_null": V.not_null("o_custkey"),
+            "totalprice_in_range": V.in_range("o_totalprice", 0.0, 1e6),
+            "status_in_set": V.in_set("o_orderstatus", ["F", "O", "P"]),
+        }
+        rows = V.expectation_report(o, rules).collect()
+        return int(rows[0]["n_rows"]) + sum(r["violations"] for r in rows)
+
+    def run_funnel(e):
+        return sum(
+            r["n_users"] for r in funnel_census(
+                e, "user_id", "event_type", "ts",
+                ["view", "click", "purchase"], id_col="event_id",
+            ).collect()
+        )
+
+    def run_quantized_topk(vv):
+        return quantized_cosine_topk(
+            vv.filter(F.col("vec_id") < 8), vv, dim=64, k=10
+        ).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
+        ("validate_report", run_validate, orders, orders_k),
+        ("funnel_census", run_funnel, events, events_k),
+        ("quantized_topk", run_quantized_topk, vecs_1, vecs_k),
         ("near_dup_cand_16planes_8bit", run_near_dup_narrow, vecs_1, vecs_k),
         ("near_dup_cand_64planes_16bit", run_near_dup_wide, vecs_1, vecs_k),
         ("cap_per_key_plain", run_cap_plain, docs, docs_k),
