@@ -68,6 +68,11 @@ HEADLINE = [
     # with small-file control + readback manifest) — write throughput
     # is part of the pipeline, not an afterthought
     "q_corpus_write_manifest",
+    # round-5 additions: data-contract suite (one fused agg pass),
+    # subsequence funnel (one collect_list fold), int8 quantized ANN
+    "q_validate_report",
+    "q_events_funnel_subseq",
+    "q_sim_quantized_topk",
 ]
 
 
