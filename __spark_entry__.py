@@ -854,6 +854,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_write_manifest"] = _corpus_write_manifest
 
+    # temperature mixing (alpha=0.5): weights ∝ sqrt(avail units),
+    # digitized to exact integers (floor(sqrt·1e6+0.5)) so the weight
+    # sum never depends on float summation order; targets/admission
+    # are pure int64. Emits the per-source admitted unit totals.
+    def _corpus_temperature_mix(spark, sf):
+        from demv_spark.operators.corpus import temperature_mixture
+
+        out = temperature_mixture(
+            _t(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+            "source", key_cols=["doc_id"], alpha=0.5, unit_col="n_chars",
+        )
+        return out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("units"),
+        )
+
+    q["q_corpus_temperature_mix"] = _corpus_temperature_mix
+
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
     # source — the stream's cumulative-state semantics replayed as one
@@ -3893,6 +3911,41 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    # temperature mixing twin: sqrt is correctly rounded IEEE in both
+    # engines; the 1e6 digitization makes the weight sum exact-int, so
+    # every target and the admission rule are pure BIGINT arithmetic
+    o["q_corpus_temperature_mix"] = """
+        WITH av AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+            FROM documents GROUP BY 1
+        ),
+        wq AS (
+            SELECT source, avail,
+                   CAST(FLOOR(sqrt(CAST(avail AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+            FROM av
+        ),
+        s AS (SELECT CAST(SUM(q) AS BIGINT) AS S FROM wq),
+        t AS (SELECT MIN((avail * S) // q) AS T FROM wq, s),
+        tg AS (
+            SELECT source, ((T * q) // S) AS target
+            FROM wq, s, t
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source, d.n_chars, tg.target,
+                   COALESCE(SUM(d.n_chars) OVER (
+                       PARTITION BY d.source
+                       ORDER BY CAST(concat('0x', substr(md5(concat_ws('|', d.doc_id, '42')), 1, 15)) AS BIGINT),
+                                d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM documents d JOIN tg USING (source)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS units
+        FROM ranked WHERE before < target
+        GROUP BY 1
+    """
+
     o["q_corpus_write_manifest"] = """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -368,3 +368,82 @@ def split_by_hash(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out, expr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    alpha: float = 0.5,
+    unit_col: str | None = None,
+    total: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted data mixing: group ``g`` contributes units
+    ∝ ``avail_g**alpha`` — the multilingual-LM sampling scheme that
+    up-weights small sources (alpha<1 flattens the distribution;
+    alpha=1 is proportional, alpha=0 uniform).
+
+    The mixing weights are derived from the data, NOT passed in, and
+    the arithmetic is built to be engine-portable: per-group weight
+    q_g = floor(avail_g**alpha · 10⁶ + 0.5) — ONE correctly-rounded
+    IEEE op (sqrt at the default alpha=0.5) then an exact half-up
+    digitization — so the weight SUM is integer-exact in any engine
+    (a raw float Σ of powers is summation-order-dependent and can
+    flip a later floor by 1 ulp). Targets are then pure int64:
+    target_g = floor(T·q_g / S) with S = Σ q_g; ``total=None`` takes
+    the largest feasible T = min_g floor(avail_g·S / q_g). Bounds:
+    products stay in int64 while T·q_g < 2⁶³ (≈ units·10⁶·√units —
+    fine to ~10¹² corpus units; widen to DECIMAL beyond).
+
+    Only alpha=0.5 (sqrt) carries a bit-reproducibility guarantee
+    across engines; other alphas go through pow(), whose last-ulp
+    behavior is libm-dependent — fine for production mixing, not for
+    a value-hash oracle.
+
+    Admission and plan shape are exactly ``mixture_sample``'s: tiny
+    census → broadcast targets → one portable-hash rank window per
+    group, exclusive running-sum admission (overshoot ≤ 1 row).
+    """
+    unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
+    avail = df.groupBy(group_col).agg(F.sum(unit).alias("__avail"))
+    a = F.col("__avail").cast("double")
+    powed = F.sqrt(a) if alpha == 0.5 else F.pow(a, F.lit(float(alpha)))
+    q = F.floor(powed * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    wq = avail.withColumn("__q", q)
+    # S and feasible T need each other: compute S first, then T from
+    # the broadcast-joined census (both are |groups|-sized)
+    s_row = wq.agg(F.sum("__q").alias("__S"))
+    census = wq.crossJoin(F.broadcast(s_row))
+    # integer division throughout (`div`, not `/`): long / long in
+    # Spark is DOUBLE division, which loses exactness past 2^53 —
+    # floor(a/b) for non-negative ints IS a div b
+    if total is None:
+        t_row = census.agg(
+            F.min(F.expr("(__avail * __S) div __q")).cast("long").alias("__T")
+        )
+    else:
+        t_row = s_row.select(F.lit(int(total)).cast("long").alias("__T")).limit(1)
+    targets = (
+        census.crossJoin(F.broadcast(t_row))
+        .select(
+            group_col,
+            F.expr("(__T * __q) div __S").cast("long").alias("__target"),
+        )
+    )
+    h = portable_hash(
+        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
+    taken = (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .filter(F.col("__before") < F.col("__target"))
+    )
+    return taken.drop("__target", "__before")

