@@ -872,6 +872,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_temperature_mix"] = _corpus_temperature_mix
 
+    # categorical distribution drift: priority mix of pre-1995 orders
+    # vs the rest, total-variation numerator in exact cross-product
+    # form (|n_ref*N_cur - n_cur*N_ref| — no proportion ever floats)
+    def _monitor_census_shift(spark, sf):
+        from demv_spark.streaming.monitor import census_shift_report
+
+        o = _t(spark, sf, "orders")
+        ref = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        cur = o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        return census_shift_report(ref, cur, ["o_orderpriority"])
+
+    q["q_monitor_census_shift"] = _monitor_census_shift
+
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
     # source — the stream's cumulative-state semantics replayed as one
@@ -3911,6 +3924,32 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    o["q_monitor_census_shift"] = """
+        WITH rc AS (
+            SELECT o_orderpriority, COUNT(*) AS n_ref FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY 1
+        ),
+        cc AS (
+            SELECT o_orderpriority, COUNT(*) AS n_cur FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+        ),
+        j AS (
+            SELECT COALESCE(rc.o_orderpriority, cc.o_orderpriority) AS o_orderpriority,
+                   CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+            FROM rc FULL OUTER JOIN cc
+              ON rc.o_orderpriority IS NOT DISTINCT FROM cc.o_orderpriority
+        ),
+        t AS (
+            SELECT CAST(COALESCE(SUM(n_ref), 0) AS BIGINT) AS n_ref_total,
+                   CAST(COALESCE(SUM(n_cur), 0) AS BIGINT) AS n_cur_total
+            FROM j
+        )
+        SELECT o_orderpriority, n_ref, n_cur, n_ref_total, n_cur_total,
+               CAST(ABS(n_ref * n_cur_total - n_cur * n_ref_total) AS BIGINT) AS shift_num
+        FROM j, t
+    """
+
     # temperature mixing twin: sqrt is correctly rounded IEEE in both
     # engines; the 1e6 digitization makes the weight sum exact-int, so
     # every target and the admission rule are pure BIGINT arithmetic

@@ -287,3 +287,62 @@ def funnel_counts(
     for s in stage_rows[1:]:
         out = out.unionByName(s)
     return out
+
+
+def census_shift_report(
+    ref: DataFrame, cur: DataFrame, keys: "list[str]"
+) -> DataFrame:
+    """Categorical distribution drift between a REFERENCE slice and a
+    CURRENT slice — the census complement of the numeric CUSUM
+    monitor (has the language/source/label mix of the ingest moved?).
+
+    Emits one row per key value seen in EITHER slice:
+    (keys…, n_ref, n_cur, n_ref_total, n_cur_total, shift_num) where
+    ``shift_num = |n_ref·N_cur − n_cur·N_ref|`` — the total-variation
+    numerator in exact CROSS-PRODUCT form, so no proportion ever
+    exists as a float: TV distance = Σ shift_num / (2·N_ref·N_cur)
+    derives downstream, and the report value-hashes bit-for-bit in
+    any engine. A key absent from one slice contributes its full
+    count (the drift a ratio-based report silently skips when the
+    denominator is 0).
+
+    Plan: two tiny partial-agg censuses, a full-outer join on the key
+    (census-sized, not row-sized), totals broadcast via cross join.
+    Works identically on batch slices or on two foreachBatch
+    snapshots of a stream.
+    """
+    # key columns are renamed per side BEFORE the join: ref and cur
+    # usually slice the SAME source DataFrame, and same-lineage column
+    # references are ambiguous to Spark's self-join analyzer
+    rc = ref.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_ref")).select(
+        *[F.col(k).alias(f"__rk{i}") for i, k in enumerate(keys)], "n_ref"
+    )
+    cc = cur.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cur")).select(
+        *[F.col(k).alias(f"__ck{i}") for i, k in enumerate(keys)], "n_cur"
+    )
+    # NULL-SAFE outer join on the key columns: a plain USING join
+    # would split a NULL-keyed group into two rows (one per side),
+    # each reporting the other side as 0 — phantom drift
+    cond = None
+    for i in range(len(keys)):
+        term = F.col(f"__rk{i}").eqNullSafe(F.col(f"__ck{i}"))
+        cond = term if cond is None else cond & term
+    joined = rc.join(cc, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__rk{i}"), F.col(f"__ck{i}")).alias(k)
+            for i, k in enumerate(keys)
+        ],
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    totals = joined.agg(
+        F.coalesce(F.sum("n_ref"), F.lit(0)).cast("long").alias("n_ref_total"),
+        F.coalesce(F.sum("n_cur"), F.lit(0)).cast("long").alias("n_cur_total"),
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        *keys, "n_ref", "n_cur", "n_ref_total", "n_cur_total",
+        F.abs(
+            F.col("n_ref") * F.col("n_cur_total")
+            - F.col("n_cur") * F.col("n_ref_total")
+        ).cast("long").alias("shift_num"),
+    )

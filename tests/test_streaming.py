@@ -281,3 +281,44 @@ def test_funnel_counts_ordered_semantics(spark):
     got = {r["stage"]: (r["step"], r["n_users"])
            for r in funnel_counts(df, ["click", "signup", "purchase"]).collect()}
     assert got == {1: ("click", 4), 2: ("signup", 2), 3: ("purchase", 1)}
+
+
+# ---- categorical census drift ----
+
+
+def test_census_shift_exact_and_null_safe(spark):
+    from demv_spark.streaming.monitor import census_shift_report
+
+    ref = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1, ["k"]
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 6 + [(None,)] * 2, ["k"]
+    )
+    rows = {r["k"]: r for r in census_shift_report(ref, cur, ["k"]).collect()}
+    assert set(rows) == {"a", "b", "c", None}
+    r = rows["a"]
+    assert (r["n_ref"], r["n_cur"], r["n_ref_total"], r["n_cur_total"]) == (6, 2, 10, 10)
+    assert r["shift_num"] == abs(6 * 10 - 2 * 10)
+    # keys absent on one side report the full other-side mass
+    assert rows["b"]["shift_num"] == 3 * 10
+    assert rows["c"]["shift_num"] == 6 * 10
+    # the NULL group is ONE row (null-safe join), not two phantom rows
+    assert (rows[None]["n_ref"], rows[None]["n_cur"]) == (1, 2)
+    # TV distance = sum/2*N_ref*N_cur = (40+30+60+10)/200 = 0.7
+    assert sum(r["shift_num"] for r in rows.values()) == 140
+
+
+def test_census_shift_same_source_slices(spark):
+    """ref/cur sliced from the SAME DataFrame (the self-join lineage
+    case the analyzer flags) must work."""
+    from demv_spark.streaming.monitor import census_shift_report
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("k"), "id"
+    )
+    out = census_shift_report(
+        df.filter(F.col("id") < 50), df.filter(F.col("id") >= 50), ["k"]
+    ).collect()
+    assert len(out) == 3
+    assert all(r["n_ref_total"] == 50 and r["n_cur_total"] == 50 for r in out)
