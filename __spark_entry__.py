@@ -3955,8 +3955,11 @@ def oracle_sql() -> dict[str, str]:
     # every target and the admission rule are pure BIGINT arithmetic
     o["q_corpus_temperature_mix"] = """
         WITH av AS (
+            -- group scope mirrors temperature_mixture: NULL groups
+            -- and zero-unit groups are excluded from the mixture
             SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
-            FROM documents GROUP BY 1
+            FROM documents WHERE source IS NOT NULL
+            GROUP BY 1 HAVING SUM(n_chars) > 0
         ),
         wq AS (
             SELECT source, avail,

@@ -24,6 +24,32 @@ from pyspark.sql import DataFrame, Window
 from demv_spark.functions.compat import portable_hash
 
 
+def _with_running_units(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    unit,
+    seed: int,
+    out: str = "__before",
+) -> DataFrame:
+    """Shared admission machinery of the mixture family: the EXCLUSIVE
+    per-group running unit sum in portable-hash order. A row is
+    admitted while this is still below the group's target (ties and
+    ordering are a pure function of the data — reproducible across
+    engines/partitionings/retries)."""
+    h = portable_hash(
+        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, *key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        out, F.coalesce(F.sum(unit).over(w), F.lit(0).cast("long"))
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -84,19 +110,11 @@ def mixture_sample(
     else:
         n_row = avail.select(F.lit(int(total)).cast("long").alias("__N")).limit(1)
 
-    h = portable_hash(
-        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
-    )
-    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
     taken = (
-        scoped.crossJoin(F.broadcast(n_row))
-        .withColumn("__target", F.floor(F.col("__w") * F.col("__N")))
-        .withColumn(
-            "__before",
-            F.coalesce(
-                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0).cast("long"),
-            ),
+        _with_running_units(
+            scoped.crossJoin(F.broadcast(n_row))
+            .withColumn("__target", F.floor(F.col("__w") * F.col("__N"))),
+            group_col, key_cols, unit, seed,
         )
         .filter(F.col("__before") < F.col("__target"))
     )
@@ -161,10 +179,6 @@ def mixture_sample_epochs(
         target.alias("__target"),
     )
 
-    h = portable_hash(
-        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
-    )
-    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
     full = F.expr("__target div __avail")
     remainder = F.col("__target") - full * F.col("__avail")
     copies = (
@@ -172,13 +186,9 @@ def mixture_sample_epochs(
         + (F.col("__before") < remainder).cast("long")
     )
     out = (
-        scoped.join(F.broadcast(budgets), [group_col])
-        .withColumn(
-            "__before",
-            F.coalesce(
-                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0).cast("long"),
-            ),
+        _with_running_units(
+            scoped.join(F.broadcast(budgets), [group_col]),
+            group_col, key_cols, unit, seed,
         )
         .withColumn("__copies", copies)
         .filter(F.col("__copies") > 0)
@@ -404,9 +414,21 @@ def temperature_mixture(
     Admission and plan shape are exactly ``mixture_sample``'s: tiny
     census → broadcast targets → one portable-hash rank window per
     group, exclusive running-sum admission (overshoot ≤ 1 row).
+
+    Group scope: rows with a NULL group and groups whose units sum to
+    ≤ 0 are EXCLUDED from the mixture (mirrored in the oracle twin).
+    Without the exclusion a tiny NULL/zero group would poison the
+    feasible budget — T = min over groups — down to near nothing
+    while its own rows could never be admitted, and a zero-unit group
+    would divide by zero under ANSI mode.
     """
     unit = F.col(unit_col).cast("long") if unit_col else F.lit(1).cast("long")
-    avail = df.groupBy(group_col).agg(F.sum(unit).alias("__avail"))
+    df = df.filter(F.col(group_col).isNotNull())
+    avail = (
+        df.groupBy(group_col)
+        .agg(F.sum(unit).alias("__avail"))
+        .filter(F.col("__avail") > 0)
+    )
     a = F.col("__avail").cast("double")
     powed = F.sqrt(a) if alpha == 0.5 else F.pow(a, F.lit(float(alpha)))
     q = F.floor(powed * F.lit(1000000.0) + F.lit(0.5)).cast("long")
@@ -431,18 +453,10 @@ def temperature_mixture(
             F.expr("(__T * __q) div __S").cast("long").alias("__target"),
         )
     )
-    h = portable_hash(
-        F.concat_ws("|", *[F.col(c) for c in key_cols], F.lit(str(seed)))
-    )
-    w_rank = Window.partitionBy(group_col).orderBy(h, *key_cols)
     taken = (
-        df.join(F.broadcast(targets), group_col)
-        .withColumn(
-            "__before",
-            F.coalesce(
-                F.sum(unit).over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0).cast("long"),
-            ),
+        _with_running_units(
+            df.join(F.broadcast(targets), group_col),
+            group_col, key_cols, unit, seed,
         )
         .filter(F.col("__before") < F.col("__target"))
     )

@@ -335,9 +335,15 @@ def census_shift_report(
         F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
     )
-    totals = joined.agg(
-        F.coalesce(F.sum("n_ref"), F.lit(0)).cast("long").alias("n_ref_total"),
-        F.coalesce(F.sum("n_cur"), F.lit(0)).cast("long").alias("n_cur_total"),
+    # totals come from the per-side censuses, NOT from `joined`:
+    # re-aggregating the join result would put the whole join subtree
+    # into the plan twice (once as probe side, once under the totals)
+    totals = rc.agg(
+        F.coalesce(F.sum("n_ref"), F.lit(0)).cast("long").alias("n_ref_total")
+    ).crossJoin(
+        cc.agg(
+            F.coalesce(F.sum("n_cur"), F.lit(0)).cast("long").alias("n_cur_total")
+        )
     )
     return joined.crossJoin(F.broadcast(totals)).select(
         *keys, "n_ref", "n_cur", "n_ref_total", "n_cur_total",

@@ -223,3 +223,21 @@ def test_temperature_mixture_deterministic(spark, docs):
             key_cols=["doc_id"], unit_col="n_chars").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_temperature_mixture_excludes_null_and_zero_groups(spark):
+    """Review r5: a tiny NULL-source group must not poison the
+    feasible budget T (it clamped the whole mixture to ~nothing), and
+    a zero-unit group must not divide-by-zero under ANSI mode."""
+    rows = (
+        [("big", i, 10) for i in range(100)]
+        + [(None, 1000 + i, 10) for i in range(2)]
+        + [("empty", 2000 + i, 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = corpus.temperature_mixture(
+        df, "source", key_cols=["doc_id"], unit_col="n_chars"
+    ).collect()
+    srcs = {r["source"] for r in out}
+    assert srcs == {"big"}          # NULL and zero-unit groups excluded
+    assert len(out) == 100          # budget NOT clamped by the NULL group
