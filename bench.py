@@ -73,6 +73,9 @@ HEADLINE = [
     "q_validate_report",
     "q_events_funnel_subseq",
     "q_sim_quantized_topk",
+    # round-5 additions: temperature data mixing + categorical drift
+    "q_corpus_temperature_mix",
+    "q_monitor_census_shift",
 ]
 
 
