@@ -77,6 +77,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by word-n-gram Jaccard similarity.
 
@@ -105,10 +106,24 @@ def ngram_jaccard_pairs(
       5. |A∪B| = |A|+|B|−|A∩B| from per-doc capped-shingle counts;
          filter jaccard >= threshold
     Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+
+    ``hash_shingles=True`` is the scale lever PERFORMANCE.md lists:
+    the shingle shuffle key becomes ``xxhash64(shingle)`` (8 bytes)
+    instead of the n-gram string (tens of bytes) — the whole inverted
+    index shuffles at a fraction of the bytes. The pair set is
+    identical unless two distinct shingles collide in 64 bits
+    (birthday bound ≈ d²/2⁶⁵ for d distinct shingles — ~3% chance of
+    a single collision at d=10⁹, which would overcount ONE pair's
+    intersection by one). Default stays False because the exact
+    string key is what the DuckDB oracle reproduces; turn it on for
+    production-scale candidate generation where downstream exact
+    verification absorbs the rounding.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
     )
+    if hash_shingles:
+        sh = sh.withColumn("sh", F.xxhash64("sh"))
     if max_df is not None:
         w = Window.partitionBy("sh")
         sh = sh.withColumn("__df", F.count(F.lit(1)).over(w)).filter(

@@ -732,3 +732,21 @@ def test_quantize_embeddings_excludes_nonfinite_vectors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["vec_id"] for r in quantize_embeddings(df, 2).collect()}
     assert got == {1}
+
+
+def test_ngram_jaccard_hashed_shingles_same_pairs(spark):
+    """The 8-byte hashed shingle key must produce the identical pair
+    set as the string key on real data (collisions are ~impossible at
+    test cardinalities) while shrinking the shuffle key width."""
+    from demv_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        (r["id_a"], r["id_b"], r["inter"]) for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.1, max_df=50).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["inter"]) for r in ngram_jaccard_pairs(
+            docs, n=2, threshold=0.1, max_df=50, hash_shingles=True).collect()
+    )
+    assert a == b and len(a) > 0
