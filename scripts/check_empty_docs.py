@@ -51,6 +51,15 @@ def main() -> int:
             .when(F.col("doc_id") == 2, F.lit(None))
             .when(F.col("doc_id") == 3, F.lit("   "))
             .otherwise(F.col("text")),
+        ).withColumn(
+            # keep the derived unit column CONSISTENT with the planted
+            # text: zero-unit documents must exist in the fixture or
+            # unit-budget operators (mixture/temperature/cap) never
+            # see their zero/degenerate paths — the round-5
+            # divide-by-zero in temperature_mixture slipped this gate
+            # precisely because planting empty text left n_chars stale
+            "n_chars",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long"),
         )
         planted.coalesce(1).write.mode("overwrite").parquet(
             d + "/documents.parquet"
@@ -90,8 +99,16 @@ def main() -> int:
             try:
                 sdf = qs[name](spark, d)
                 sn, sr = frame_signature(sdf.columns, [list(r) for r in sdf.collect()])
-                ddf = con.sql(oracles[name])
-                dn, dr = frame_signature([c[0] for c in ddf.description], ddf.fetchall())
+                # Arrow fetch, same rationale as check_oracle: the
+                # typed canon must see HUGEINT-vs-int64 divergence
+                dtbl = con.sql(oracles[name]).arrow()
+                if hasattr(dtbl, "read_all"):
+                    dtbl = dtbl.read_all()
+                col_data = [
+                    dtbl.column(i).to_pylist() for i in range(dtbl.num_columns)
+                ]
+                drows = [list(t) for t in zip(*col_data)] if col_data else []
+                dn, dr = frame_signature(dtbl.schema.names, drows)
                 ok = sn == dn and sr == dr
                 msg = "" if ok else f"rows {len(sr)}/{len(dr)}"
             except Exception as e:  # noqa: BLE001 - report and continue
