@@ -157,3 +157,40 @@ def test_quantization_roundtrip_error_bounded(v):
         return
     for x, c in zip(v, codes):
         assert abs(x - c * scale) <= scale / 2 * (1 + 1e-9) + 1e-12
+
+
+# ---- temperature-mixture target arithmetic (pure-python twin of
+# corpus.temperature_mixture's integer derivation) ----
+
+
+def _temperature_targets(avails, total=None):
+    import math
+    qs = {g: math.floor(math.sqrt(a) * 1e6 + 0.5) for g, a in avails.items() if a > 0}
+    if not qs:
+        return {}
+    S = sum(qs.values())
+    T = min(a * S // qs[g] for g, a in avails.items() if a > 0) if total is None else total
+    return {g: T * q // S for g, q in qs.items()}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    avails=st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.integers(0, 10_000_000),
+        min_size=1, max_size=8,
+    )
+)
+def test_temperature_targets_feasible_and_flattening(avails):
+    """Invariants of the integer target derivation: every target is
+    non-negative and never exceeds the group's availability (the
+    feasible-T rule), zero-unit groups get no target, and sqrt
+    flattening holds — a bigger group never gets a LOWER target."""
+    t = _temperature_targets(avails)
+    pos = {g: a for g, a in avails.items() if a > 0}
+    assert set(t) == set(pos)
+    for g, a in pos.items():
+        assert 0 <= t[g] <= a
+    ranked = sorted(pos, key=lambda g: pos[g])
+    for g1, g2 in zip(ranked, ranked[1:]):
+        assert t[g1] <= t[g2] or pos[g1] == pos[g2]
