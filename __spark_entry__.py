@@ -833,7 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for entry in entries:
                 full = _os.path.join(scratch, entry)
                 if (
-                    entry.startswith("manifest_")
+                    entry.startswith(("manifest_", "jsonl_"))
                     and full != path
                     and _os.path.getmtime(full) < cutoff
                 ):
@@ -884,6 +884,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return census_shift_report(ref, cur, ["o_orderpriority"])
 
     q["q_monitor_census_shift"] = _monitor_census_shift
+
+    # JSONL interchange round-trip: export documents as JSON Lines,
+    # read back through the PERMISSIVE corrupt-record reader, emit the
+    # per-source census — a hash match against the source aggregate
+    # proves the JSON hop preserves every row, id, unicode text byte
+    # (via n_chars) and that nothing was quarantined
+    def _corpus_jsonl_roundtrip(spark, sf):
+        import os as _os
+
+        from demv_spark.sources.readers import read_jsonl, write_jsonl
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        root = _os.path.dirname(_os.path.abspath(__file__))
+        path = _os.path.join(
+            root, ".sink_scratch",
+            f"jsonl_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}",
+        )
+        write_jsonl(d, path)
+        back = read_jsonl(spark, path, schema=d.schema)
+        return back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("units"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+            .cast("long").alias("n_corrupt"),
+        )
+
+    q["q_corpus_jsonl_roundtrip"] = _corpus_jsonl_roundtrip
 
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
@@ -3924,6 +3953,14 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    o["q_corpus_jsonl_roundtrip"] = """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS units,
+               CAST(0 AS BIGINT) AS n_corrupt
+        FROM documents GROUP BY 1
+    """
+
     o["q_monitor_census_shift"] = """
         WITH rc AS (
             SELECT o_orderpriority, COUNT(*) AS n_ref FROM orders

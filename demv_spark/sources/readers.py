@@ -141,3 +141,48 @@ def config_lookup(
     cfg = spark.read.csv(config_path, header=True, inferSchema=True, **csv_options)
     rows = cfg.filter(cfg[key_col] == key).select(value_col).collect()
     return [r[value_col] for r in rows]
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export as JSON Lines — the universal corpus interchange format
+    (one JSON object per line; what crawl dumps, annotation tools and
+    tokenizer pipelines exchange). Plain ``df.write.json``: Spark's
+    writer emits JSONL natively, one file per partition — pair with
+    ``sinks.write_corpus``-style repartitioning upstream when file
+    sizing matters."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Read JSON Lines with an explicit malformed-line contract: in
+    the default PERMISSIVE mode a syntactically-broken line becomes a
+    row whose ``corrupt_col`` holds the raw line (all other fields
+    NULL) instead of failing the job — at crawl scale some fraction
+    of lines is ALWAYS broken, and FAILFAST would turn one bad byte
+    into a dead 100 TB read. Callers filter/quarantine on
+    ``corrupt_col IS NOT NULL``.
+
+    Pass ``schema`` in production: schema inference is an extra full
+    pass over the data AND silently widens types from whatever it
+    happened to see. The corrupt column must be part of the schema
+    for PERMISSIVE capture, so it is appended automatically.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        if isinstance(schema, str):  # DDL string → StructType
+            schema = StructType.fromDDL(schema)
+        if corrupt_col not in schema.names:
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+            )
+        reader = reader.schema(schema)
+    return reader.json(path)
