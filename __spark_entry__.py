@@ -914,6 +914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_jsonl_roundtrip"] = _corpus_jsonl_roundtrip
 
+    # cohort retention triangle over the events stream: first-bucket
+    # cohorts, exact (cohort, k) activity counts, daily buckets
+    def _events_retention(spark, sf):
+        from demv_spark.operators.temporal import retention_cohorts
+
+        return retention_cohorts(
+            _t(spark, sf, "events"), "user_id", "ts", bucket="1 day"
+        )
+
+    q["q_events_retention"] = _events_retention
+
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
     # source — the stream's cumulative-state semantics replayed as one
@@ -3953,6 +3964,20 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    o["q_events_retention"] = """
+        WITH act AS (
+            SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // 86400000000 AS b
+            FROM events WHERE ts IS NOT NULL
+        ),
+        coh AS (SELECT u, MIN(b) AS c FROM act GROUP BY u)
+        SELECT c AS cohort_bucket,
+               CAST(b - c AS INT) AS k,
+               COUNT(*) AS n_active
+        FROM act JOIN coh USING (u)
+        GROUP BY 1, 2
+    """
+
     o["q_corpus_jsonl_roundtrip"] = """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

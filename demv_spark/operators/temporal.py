@@ -268,3 +268,48 @@ def funnel_census(
     return wide.select(F.explode(rows).alias("r")).select(
         "r.step", "r.step_name", "r.n_users"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "1 week",
+) -> DataFrame:
+    """Cohort retention census: users are cohorted by the time bucket
+    of their FIRST event; for every (cohort, offset k) the census
+    counts how many of that cohort were active k buckets later — the
+    classic retention triangle, all exact integers.
+
+    Plan: one distinct-activity shuffle on (user, bucket), a per-user
+    min for the cohort (same user-keyed partitioning), a user-keyed
+    join of activity onto cohorts, then a tiny (cohort, k) census.
+    No per-k self-joins, no window over the raw event table; the
+    heavy columns never shuffle. Bucket indices are
+    ``epoch_micros div bucket_micros`` — exact int64, identical in
+    any engine. The k=0 row IS the cohort size (every user is active
+    in their first bucket by construction), so retention rates derive
+    downstream without a second pass.
+
+    Returns (cohort_bucket, k, n_active): cohort_bucket = the
+    cohort's bucket index (multiply by the bucket width for the
+    wall-clock start), k ≥ 0, n_active exact.
+    """
+    width_us = _interval_seconds(bucket) * 1_000_000
+    b = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {width_us}"
+    ).cast("long")
+    act = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), b.alias("__b"))
+        .distinct()
+    )
+    coh = act.groupBy("__u").agg(F.min("__b").alias("__c"))
+    return (
+        act.join(coh, "__u")
+        .groupBy(
+            F.col("__c").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__c")).cast("int").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -138,3 +138,29 @@ def test_funnel_census_counts(spark):
         ["view", "click", "purchase"], id_col="event_id").collect()}
     assert out["view"] >= out["click"] >= out["purchase"]  # monotone
     assert out["view"] > 0
+
+
+def test_retention_cohorts_triangle(spark):
+    from demv_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        # u1 first seen day 0, returns day 1 and day 3
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-04 23:00:00"),
+        # u2 first seen day 0 only
+        (2, "2024-01-01 01:00:00"),
+        # u3 first seen day 1, returns day 2
+        (3, "2024-01-02 12:00:00"), (3, "2024-01-03 00:30:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {(r["cohort_bucket"], r["k"]): r["n_active"]
+           for r in retention_cohorts(df, "user_id", "ts", "1 day").collect()}
+    d0 = min(c for c, _ in got)
+    # day-0 cohort: 2 users at k=0, 1 returns at k=1, 1 at k=3
+    assert got[(d0, 0)] == 2 and got[(d0, 1)] == 1 and got[(d0, 3)] == 1
+    # day-1 cohort: u3, active k=0 and k=1
+    assert got[(d0 + 1, 0)] == 1 and got[(d0 + 1, 1)] == 1
+    # k=0 row equals the cohort size by construction
+    assert all(k >= 0 for _, k in got)
