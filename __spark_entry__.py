@@ -925,6 +925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_retention"] = _events_retention
 
+    # per-window trending keys: salt-pruned two-phase rank (no task
+    # ever ranks a bucket's full key set); oracle = direct per-bucket
+    # ROW_NUMBER, which the lossless pruning provably equals
+    q["q_events_trending"] = lambda spark, sf: counting.windowed_heavy_hitters(
+        _t(spark, sf, "events"), ["event_type"], "ts",
+        bucket="6 hours", top_k=3,
+    )
+
     # batch twin of the streaming per-key quota (stateful.
     # streaming_quota_admission): admit the cap smallest doc_ids per
     # source — the stream's cumulative-state semantics replayed as one
@@ -3964,6 +3972,25 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mix_scoped}
         SELECT doc_id, source, n_chars FROM admitted WHERE before < target
     """
+    o["q_events_trending"] = """
+        WITH census AS (
+            SELECT (epoch_us(ts) // 21600000000) * 21600 AS bucket_start,
+                   event_type, COUNT(*) AS n
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT bucket_start, event_type, n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY bucket_start
+                       ORDER BY n DESC, event_type
+                   ) AS INT) AS rank
+            FROM census
+        )
+        SELECT bucket_start, event_type, n, rank
+        FROM ranked WHERE rank <= 3
+    """
+
     o["q_events_retention"] = """
         WITH act AS (
             SELECT DISTINCT user_id AS u,

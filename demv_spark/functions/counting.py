@@ -205,3 +205,56 @@ def key_skew_profile(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.coalesce(F.max("n"), zero).alias("max_n"),
         F.coalesce(F.min("n"), zero).alias("min_n"),
     )
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    bucket: str = "1 hour",
+    top_k: int = 10,
+    prune_salt: int = 16,
+) -> DataFrame:
+    """Trending keys per time bucket: the top-k most frequent key
+    values within every tumbling window — ops dashboards, trending
+    content, per-hour hot-domain reports.
+
+    Scale shape: after the (bucket, keys) census, the per-bucket
+    top-k is computed in TWO phases so no single task ever ranks a
+    bucket's full key set — a local rank within (bucket,
+    hash(keys) mod prune_salt) keeps only k candidates per salt
+    (every true top-k key wins its own salt partition, so pruning is
+    lossless), then the final rank orders ≤ prune_salt·k rows per
+    bucket. Ordering is (n desc, keys asc NULLS LAST) — deterministic
+    and SQL-oracle-able, same contract as ``heavy_hitters``.
+
+    Returns (bucket_start long epoch-seconds, keys…, n, rank ≤ k).
+    """
+    from demv_spark.operators.temporal import _interval_seconds
+    from pyspark.sql import Window
+
+    width = _interval_seconds(bucket)
+    b = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {width * 1_000_000}"
+    ).cast("long")
+    kcols = [F.asc_nulls_last(k) for k in keys]
+    census = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy((b * F.lit(width)).alias("bucket_start"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k).cast("string") for k in keys]), F.lit(prune_salt)
+    )
+    w_local = Window.partitionBy("bucket_start", salt).orderBy(
+        F.desc("n"), *kcols
+    )
+    pruned = census.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= top_k
+    )
+    w_final = Window.partitionBy("bucket_start").orderBy(F.desc("n"), *kcols)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= top_k)
+        .drop("__lr")
+    )

@@ -139,3 +139,26 @@ def test_key_skew_profile_empty_input_is_zeroes(spark):
     df = spark.createDataFrame([("a",)], ["k"]).filter(F.lit(False))
     r = key_skew_profile(df, ["k"]).collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_n"], r["min_n"]) == (0, 0, 0, 0)
+
+
+def test_windowed_heavy_hitters_pruning_lossless(spark):
+    """The salt-pruned two-phase rank must equal the direct per-bucket
+    rank: any global top-k key is top-k within its own salt subset."""
+    from demv_spark.functions.counting import windowed_heavy_hitters
+    from demv_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    for salt in (1, 4, 64):
+        got = sorted(
+            (r["bucket_start"], r["event_type"], r["n"], r["rank"])
+            for r in windowed_heavy_hitters(
+                ev, ["event_type"], "ts", "6 hours", top_k=2,
+                prune_salt=salt,
+            ).collect()
+        )
+        if salt == 1:
+            base = got
+        else:
+            assert got == base
+    assert len(base) > 0
+    assert all(r[3] <= 2 for r in base)
