@@ -76,6 +76,11 @@ HEADLINE = [
     # round-5 additions: temperature data mixing + categorical drift
     "q_corpus_temperature_mix",
     "q_monitor_census_shift",
+    # round-5 additions: JSONL interchange round-trip, cohort
+    # retention triangle, windowed trending top-k
+    "q_corpus_jsonl_roundtrip",
+    "q_events_retention",
+    "q_events_trending",
 ]
 
 
