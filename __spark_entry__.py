@@ -35,6 +35,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """pid-suffixed scratch dir under the repo's gitignored
+    .sink_scratch for queries that must WRITE (manifest/JSONL
+    round-trips): bench.py and check_oracle.py can run the same query
+    concurrently at the same sf, and a shared dir would
+    overwrite-race (one process's overwrite deletes files the other
+    is mid-read on). Prunes sibling scratch dirs from dead runs
+    (mtime > 1h; live concurrent processes are younger) so selective
+    re-runs of ANY scratch-using query never accrete dirs."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    scratch = _os.path.join(root, ".sink_scratch")
+    path = _os.path.join(
+        scratch,
+        f"{prefix}_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+    )
+    try:
+        cutoff = _time.time() - 3600
+        entries = _os.listdir(scratch) if _os.path.isdir(scratch) else []
+        for entry in entries:
+            full = _os.path.join(scratch, entry)
+            if (
+                entry.startswith(("manifest_", "jsonl_"))
+                and full != path
+                and _os.path.getmtime(full) < cutoff
+            ):
+                _shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    return path
+
+
 def _fx(col: str, scale: int = 12):
     """Scaled-BIGINT canonicalization of a double output column:
     ``floor(x · 10^scale)`` as a 64-bit integer. Integers have exactly
@@ -812,34 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select(
             "doc_id", "source", "lang", "n_chars"
         )
-        # pid-suffixed scratch: bench.py and check_oracle.py can run
-        # this query concurrently at the same sf — a shared dir would
-        # overwrite-race (one process's overwrite deletes files the
-        # other is mid-read on). Dirs are tiny and gitignored.
-        root = _os.path.dirname(_os.path.abspath(__file__))
-        scratch = _os.path.join(root, ".sink_scratch")
-        path = _os.path.join(
-            scratch,
-            f"manifest_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}",
-        )
-        # best-effort prune of dirs from dead runs (>1h old); live
-        # concurrent processes are younger than that
-        try:
-            import shutil as _shutil
-            import time as _time
-
-            cutoff = _time.time() - 3600
-            entries = _os.listdir(scratch) if _os.path.isdir(scratch) else []
-            for entry in entries:
-                full = _os.path.join(scratch, entry)
-                if (
-                    entry.startswith(("manifest_", "jsonl_"))
-                    and full != path
-                    and _os.path.getmtime(full) < cutoff
-                ):
-                    _shutil.rmtree(full, ignore_errors=True)
-        except OSError:
-            pass
+        path = _scratch_dir("manifest", sf)
         sinks.write_corpus(
             d, path, ["source"], target_rows_per_file=100_000,
             sort_cols=["doc_id"],
@@ -898,11 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select(
             "doc_id", "text", "source", "n_chars"
         )
-        root = _os.path.dirname(_os.path.abspath(__file__))
-        path = _os.path.join(
-            root, ".sink_scratch",
-            f"jsonl_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}",
-        )
+        path = _scratch_dir("jsonl", sf)
         write_jsonl(d, path)
         back = read_jsonl(spark, path, schema=d.schema)
         return back.groupBy("source").agg(

@@ -230,13 +230,11 @@ def windowed_heavy_hitters(
 
     Returns (bucket_start long epoch-seconds, keys…, n, rank ≤ k).
     """
-    from demv_spark.operators.temporal import _interval_seconds
+    from demv_spark.operators.temporal import _interval_seconds, bucket_index
     from pyspark.sql import Window
 
     width = _interval_seconds(bucket)
-    b = F.expr(
-        f"unix_micros(cast({ts_col} as timestamp)) div {width * 1_000_000}"
-    ).cast("long")
+    b = bucket_index(ts_col, bucket)
     kcols = [F.asc_nulls_last(k) for k in keys]
     census = (
         df.filter(F.col(ts_col).isNotNull())

@@ -119,16 +119,36 @@ def asof_join(
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
 }
 
 
 def _interval_seconds(spec: str) -> int:
     """'15 minutes' → 900. Fixed-width units only (no months/years —
-    a tumbling bucket must have constant span)."""
+    a tumbling bucket must have constant span; weeks are fixed at
+    604800 s)."""
     n, unit = spec.strip().split()
     if unit.lower() not in _UNIT_SECONDS:
         raise ValueError(f"unsupported bucket unit: {unit!r}")
     return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
+def bucket_index(ts_col: str, bucket: str) -> Column:
+    """Tumbling-bucket index of a timestamp: FLOOR(epoch_micros /
+    bucket_micros) as exact int64 — the shared bucketing expression of
+    retention_cohorts / windowed_heavy_hitters and the one the DuckDB
+    oracles' ``//`` reproduces. Spark's ``div`` truncates toward zero
+    while SQL ``//`` floors, so pre-1970 timestamps (negative epochs)
+    need the explicit floor correction — a plain ``div`` would put
+    1969-12-31 23:00 in bucket 0 instead of −1 and silently diverge
+    from any floor-division engine."""
+    width_us = _interval_seconds(bucket) * 1_000_000
+    x = f"unix_micros(cast(`{ts_col}` as timestamp))"
+    return F.expr(
+        f"CASE WHEN {x} < 0 AND {x} % {width_us} != 0 "
+        f"THEN ({x} div {width_us}) - 1 "
+        f"ELSE {x} div {width_us} END"
+    ).cast("long")
 
 
 def interval_join(
@@ -295,13 +315,12 @@ def retention_cohorts(
     cohort's bucket index (multiply by the bucket width for the
     wall-clock start), k ≥ 0, n_active exact.
     """
-    width_us = _interval_seconds(bucket) * 1_000_000
-    b = F.expr(
-        f"unix_micros(cast({ts_col} as timestamp)) div {width_us}"
-    ).cast("long")
     act = (
         events.filter(F.col(ts_col).isNotNull())
-        .select(F.col(user_col).alias("__u"), b.alias("__b"))
+        .select(
+            F.col(user_col).alias("__u"),
+            bucket_index(ts_col, bucket).alias("__b"),
+        )
         .distinct()
     )
     coh = act.groupBy("__u").agg(F.min("__b").alias("__c"))

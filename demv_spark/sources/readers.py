@@ -185,4 +185,14 @@ def read_jsonl(
                 list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
             )
         reader = reader.schema(schema)
-    return reader.json(path)
+    out = reader.json(path)
+    # the inferred-schema path only grows a corrupt column when the
+    # inference pass actually SAW a broken line — on a clean file the
+    # documented `corrupt_col IS NOT NULL` filter would fail to
+    # resolve; materialize it as all-NULL so the contract holds
+    # unconditionally
+    if corrupt_col not in out.columns:
+        import pyspark.sql.functions as F
+
+        out = out.withColumn(corrupt_col, F.lit(None).cast("string"))
+    return out

@@ -26,6 +26,12 @@ def run(args: list[str]) -> tuple[int, str]:
         [sys.executable, *args], capture_output=True, text=True, cwd=REPO
     )
     tail = (r.stdout.strip().splitlines() or [""])[-1]
+    if r.returncode != 0:
+        # a stage that died before printing its summary (import error,
+        # missing testdata, Spark launch failure) reports through
+        # stderr — surface its tail or the failure is undiagnosable
+        err_tail = " | ".join(r.stderr.strip().splitlines()[-3:])
+        tail = f"{tail} [stderr: {err_tail}]" if err_tail else tail
     return r.returncode, tail
 
 

@@ -164,3 +164,29 @@ def test_retention_cohorts_triangle(spark):
     assert got[(d0 + 1, 0)] == 1 and got[(d0 + 1, 1)] == 1
     # k=0 row equals the cohort size by construction
     assert all(k >= 0 for _, k in got)
+
+
+def test_bucket_index_floors_pre_1970(spark):
+    """Review r5: Spark `div` truncates toward zero, SQL `//` floors —
+    negative epochs must land in the floor bucket or every oracle
+    diverges on pre-1970 timestamps."""
+    from demv_spark.operators.temporal import bucket_index
+
+    rows = [
+        ("1969-12-31 23:00:00",),   # epoch -3600s -> day bucket -1
+        ("1970-01-01 01:00:00",),   # +3600s -> bucket 0
+        ("1969-12-31 00:00:00",),   # exactly -86400s -> bucket -1
+        ("1968-12-31 12:00:00",),
+    ]
+    df = spark.createDataFrame(rows, ["ts"]).withColumn("ts", F.to_timestamp("ts"))
+    got = [r["b"] for r in df.select(
+        bucket_index("ts", "1 day").alias("b")).collect()]
+    import math
+    assert got[0] == -1 and got[1] == 0 and got[2] == -1
+    # deep negative: floor semantics, matches python floor of epoch
+    epoch3 = int(df.selectExpr("unix_micros(cast(ts as timestamp))")
+                 .collect()[3][0]) / 1_000_000
+    assert got[3] == math.floor(epoch3 / 86400)
+    # week units resolve (the advertised retention default)
+    from demv_spark.operators.temporal import _interval_seconds
+    assert _interval_seconds("1 week") == 604800
