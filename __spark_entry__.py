@@ -55,16 +55,32 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
         f"{prefix}_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
     )
     try:
+        # keep THIS process's dirs young: mtime is otherwise set only
+        # at write time, so a >1h run could have its scratch pruned
+        # mid-read by a newly started sibling (ADVICE round 5)
+        if _os.path.isdir(path):
+            _os.utime(path)
         cutoff = _time.time() - 3600
         entries = _os.listdir(scratch) if _os.path.isdir(scratch) else []
         for entry in entries:
             full = _os.path.join(scratch, entry)
             if (
-                entry.startswith(("manifest_", "jsonl_"))
-                and full != path
-                and _os.path.getmtime(full) < cutoff
+                not entry.startswith(prefix + "_")
+                or full == path
+                or _os.path.getmtime(full) >= cutoff
             ):
-                _shutil.rmtree(full, ignore_errors=True)
+                continue
+            # belt + braces: even a stale-looking dir is kept while
+            # the pid embedded in its name is still a live process
+            try:
+                pid = int(entry.rsplit("_", 1)[-1])
+                _os.kill(pid, 0)
+                continue  # alive → not ours to prune
+            except (ValueError, ProcessLookupError):
+                pass
+            except PermissionError:
+                continue  # alive, other uid
+            _shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass
     return path

@@ -85,6 +85,13 @@ def null_safe_broadcast_join(left, right, keys, eq_cols=(), carry=()):
     internal never-NULL columns (bucket ids)."""
     from pyspark.sql import DataFrame  # noqa: F401 (doc typing only)
 
+    if not keys and not eq_cols:
+        # left.join(right, None) would silently degenerate to a CROSS
+        # join — surface the caller bug instead (ADVICE round 5)
+        raise ValueError(
+            "null_safe_broadcast_join: keys and eq_cols are both empty — "
+            "the join would be a cross join; pass at least one key column"
+        )
     odf = F.broadcast(right)
     cond = None
     for c in eq_cols:

@@ -400,11 +400,18 @@ def temperature_mixture(
     IEEE op (sqrt at the default alpha=0.5) then an exact half-up
     digitization — so the weight SUM is integer-exact in any engine
     (a raw float Σ of powers is summation-order-dependent and can
-    flip a later floor by 1 ulp). Targets are then pure int64:
+    flip a later floor by 1 ulp). Targets are then exact integers:
     target_g = floor(T·q_g / S) with S = Σ q_g; ``total=None`` takes
-    the largest feasible T = min_g floor(avail_g·S / q_g). Bounds:
-    products stay in int64 while T·q_g < 2⁶³ (≈ units·10⁶·√units —
-    fine to ~10¹² corpus units; widen to DECIMAL beyond).
+    the largest feasible T = min_g floor(avail_g·S / q_g). The
+    products T·q_g and avail_g·S overflow int64 as early as ~4·10⁸
+    units (q ~ 10⁶·√avail, so T·q ~ avail·10⁶·√avail ≥ 2⁶³), well
+    inside real corpus sizes — and in default non-ANSI Spark a long
+    product wraps SILENTLY. Each product is therefore computed in
+    DECIMAL(19,0)×DECIMAL(19,0) (exact 38-digit product — two longs
+    can never overflow it) with Spark's ``div`` doing the exact
+    integral division, and only the final per-group target — which is
+    ≤ avail_g by construction — is cast back to long. Safe for any
+    avail/T that themselves fit int64 (ADVICE round 5).
 
     Only alpha=0.5 (sqrt) carries a bit-reproducibility guarantee
     across engines; other alphas go through pow(), whose last-ulp
@@ -437,12 +444,19 @@ def temperature_mixture(
     # the broadcast-joined census (both are |groups|-sized)
     s_row = wq.agg(F.sum("__q").alias("__S"))
     census = wq.crossJoin(F.broadcast(s_row))
-    # integer division throughout (`div`, not `/`): long / long in
-    # Spark is DOUBLE division, which loses exactness past 2^53 —
-    # floor(a/b) for non-negative ints IS a div b
+    # exact integer arithmetic throughout: the products are formed in
+    # DECIMAL(19,0)×DECIMAL(19,0) (38-digit exact — immune to the
+    # silent int64 wrap at ~4e8 units, ADVICE round 5) and `div` (not
+    # `/`) performs the exact integral division; `/` on longs is
+    # DOUBLE division, which loses exactness past 2^53
     if total is None:
         t_row = census.agg(
-            F.min(F.expr("(__avail * __S) div __q")).cast("long").alias("__T")
+            F.min(
+                F.expr(
+                    "(CAST(__avail AS DECIMAL(19,0)) * CAST(__S AS DECIMAL(19,0)))"
+                    " div __q"
+                )
+            ).cast("long").alias("__T")
         )
     else:
         t_row = s_row.select(F.lit(int(total)).cast("long").alias("__T")).limit(1)
@@ -450,7 +464,9 @@ def temperature_mixture(
         census.crossJoin(F.broadcast(t_row))
         .select(
             group_col,
-            F.expr("(__T * __q) div __S").cast("long").alias("__target"),
+            F.expr(
+                "(CAST(__T AS DECIMAL(19,0)) * CAST(__q AS DECIMAL(19,0))) div __S"
+            ).cast("long").alias("__target"),
         )
     )
     taken = (

@@ -143,7 +143,10 @@ def bucket_index(ts_col: str, bucket: str) -> Column:
     1969-12-31 23:00 in bucket 0 instead of −1 and silently diverge
     from any floor-division engine."""
     width_us = _interval_seconds(bucket) * 1_000_000
-    x = f"unix_micros(cast(`{ts_col}` as timestamp))"
+    # escape embedded backticks so a quoted identifier can't break
+    # out of the expression (ADVICE round 5)
+    safe = ts_col.replace("`", "``")
+    x = f"unix_micros(cast(`{safe}` as timestamp))"
     return F.expr(
         f"CASE WHEN {x} < 0 AND {x} % {width_us} != 0 "
         f"THEN ({x} div {width_us}) - 1 "

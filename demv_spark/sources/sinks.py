@@ -170,6 +170,35 @@ def dataset_file_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
+# one filesystem may answer to several scheme spellings — treat them
+# as the same location for the disjointness check
+_SCHEME_ALIASES = {"s3": "s3", "s3a": "s3", "s3n": "s3"}
+
+
+def _qualified_uri(spark: SparkSession, path: str) -> str:
+    """Fully-qualified, alias-normalized URI string for a path that
+    may be local or a Hadoop URI. Qualification goes through the
+    Hadoop FileSystem (resolving relative paths against the working
+    dir and bare paths against fs.defaultFS — what the subsequent
+    read/write will actually do), then s3/s3a/s3n collapse to one
+    scheme so spelling variants of one bucket can't dodge the
+    never-in-place guard."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        uri = p.getFileSystem(conf).makeQualified(p).toUri()
+    except Exception:
+        # no FileSystem impl on the classpath for this scheme (e.g.
+        # s3a without the AWS bundle in a local test JVM) — the URI
+        # itself still normalizes and the check stays scheme-exact
+        uri = p.toUri()
+    scheme = (uri.getScheme() or "").lower()
+    scheme = _SCHEME_ALIASES.get(scheme, scheme)
+    authority = uri.getAuthority() or ""
+    return f"{scheme}://{authority}{uri.getPath()}".rstrip("/")
+
+
 def compact_dataset(
     spark: SparkSession,
     src_path: str,
@@ -184,15 +213,17 @@ def compact_dataset(
     are metadata-bound). Reads src, rewrites via ``write_corpus`` to
     dst (never in place — a failed rewrite must not destroy the
     source), returns before/after file stats."""
-    import os
-
     # enforce the never-in-place contract instead of documenting it:
     # dst == src would overwrite while reading, and a NESTED dst
     # (either direction) double-counts every row on the next read of
-    # the outer directory
-    s = os.path.normpath(os.path.abspath(src_path))
-    d = os.path.normpath(os.path.abspath(dst_path))
-    if s == d or d.startswith(s + os.sep) or s.startswith(d + os.sep):
+    # the outer directory. Paths may be Hadoop URIs (hdfs://, s3a://),
+    # where os.path.abspath would wrongly prepend cwd and scheme
+    # aliases (s3 vs s3a vs s3n) of one bucket would bypass a string
+    # compare (ADVICE round 5) — so qualify both through the Hadoop
+    # FileSystem and normalize aliased schemes before comparing.
+    s = _qualified_uri(spark, src_path)
+    d = _qualified_uri(spark, dst_path)
+    if s == d or d.startswith(s + "/") or s.startswith(d + "/"):
         raise ValueError(
             f"compact_dataset: dst_path {dst_path!r} must be disjoint from "
             f"src_path {src_path!r} (same or nested paths corrupt the source "

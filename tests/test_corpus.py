@@ -211,6 +211,26 @@ def test_temperature_mixture_flattens_distribution(spark):
     assert got["big"] <= 9000
 
 
+def test_temperature_mixture_no_int64_wrap(spark):
+    """ADVICE r5 (medium): with avail ~ 1e12 units per group the
+    products avail*S and T*q exceed 2^63 and, before the DECIMAL(19,0)
+    widening, wrapped SILENTLY under non-ANSI Spark — producing
+    negative targets that admit nothing. The exact targets are
+    computable by hand: q = sqrt(avail)*1e6 exactly for square
+    avails, so feasible T = min(avail*S div q) and
+    target_g = T*q_g div S."""
+    avails = {"a": 10**12, "b": 4 * 10**12, "c": 10**12}
+    df = spark.createDataFrame(
+        [(g, i, u) for i, (g, u) in enumerate(avails.items())],
+        ["g", "k", "u"],
+    )
+    out = corpus.temperature_mixture(df, "g", ["k"], alpha=0.5, unit_col="u")
+    # exact integer twin: q_a=q_c=1e12, q_b=2e12, S=4e12, T=4e12
+    # targets: a,c -> 1e12 (== avail, row admitted); b -> 2e12 > 0
+    # (its single 4e12-unit row starts at __before=0 < target)
+    assert sorted(r["g"] for r in out.collect()) == ["a", "b", "c"]
+
+
 def test_temperature_mixture_deterministic(spark, docs):
     a = sorted(
         r["doc_id"] for r in corpus.temperature_mixture(
