@@ -43,17 +43,20 @@ def assign_folds(
     k: int = 10,
     seed: int = 2,
     fold_col: str = "fold",
-    exact: bool = True,
+    exact: bool = False,
     portable_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Seeded fold-assignment column (E4, utils.py:137,145-148).
 
-    exact=True: ntile(k) over rand(seed) — fold sizes identical to
-    sklearn KFold (first n % k folds take the extra row). Global sort;
-    right for datasets that fit a sort (the reference's regime).
+    exact=False (the DEFAULT): pmod(hash, k) — shuffle-free, scales
+    to any size, fold sizes only approximately equal. The default is
+    the 100 TB plan (VERDICT r5: a default must not be the
+    scale-killer); the reference-parity regimes below are opt-in.
 
-    exact=False: pmod(hash, k) — shuffle-free, scales to any size,
-    fold sizes only approximately equal (the 100 TB default).
+    exact=True: ntile(k) over rand(seed) — fold sizes identical to
+    sklearn KFold (first n % k folds take the extra row). GLOBAL
+    SORT: the whole table serializes through one ranking task —
+    right only for datasets that fit a sort (the reference's regime).
 
     portable_key=[cols]: like exact=False but md5-based (compat.
     portable_hash) over the given key columns — shuffle-free AND

@@ -174,12 +174,17 @@ def quantile_label(
     n_classes: int,
     out: str = "y",
     tiebreak: Sequence[str] = (),
-    bucketed: bool = False,
+    bucketed: bool = True,
 ) -> DataFrame:
     """F6 — quantile-based multiclass label construction
     (getdataset.py:173-180): class = quantile bucket − 1.
-    ``bucketed=True`` routes through the range-bucketed exact NTILE
-    (same labels, no single-task global sort — the 100 TB path)."""
+
+    The DEFAULT plan is the range-bucketed exact NTILE
+    (quantile_bucketize_bucketed): bit-identical labels, no
+    single-task global sort — a default must be the plan you'd ship
+    at 100× (VERDICT r5). ``bucketed=False`` opts into the plain
+    ``NTILE OVER (ORDER BY col)``, which serializes the whole table
+    through ONE ranking task — only for small-data parity debugging."""
     fn = quantile_bucketize_bucketed if bucketed else quantile_bucketize
     q = fn(df, col, n_classes, out="__q", tiebreak=tiebreak)
     return q.withColumn(out, (F.col("__q") - 1).cast("int")).drop("__q")

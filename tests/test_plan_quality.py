@@ -141,6 +141,29 @@ def test_stratified_sample_single_window_exchange(orders):
     assert len(s["read_schemas"]) == 1
 
 
+def test_quantile_label_default_has_no_global_ntile(orders):
+    """VERDICT r5: the benched/default quantile-label plan must be the
+    range-bucketed exact path, not the single-task global NTILE. The
+    bucketed plan computes the tile arithmetically, so a literal
+    ntile() window in the physical plan proves the scale-killer plan
+    leaked back in."""
+    from demv_spark.plans.introspect import explain_str
+
+    df = etl.quantile_label(
+        orders, "o_totalprice", 5, out="y", tiebreak=["o_orderkey"]
+    ).select("o_orderkey", "y")
+    import re
+
+    plan = explain_str(df, "simple")
+    # \b alone is wrong: percentile_approx(...) contains 'ntile'
+    assert not re.search(r"(?<![a-zA-Z_])ntile\(", plan)
+    # the only windows are partitioned per range bucket (__b) or run
+    # over the |range_buckets|-row offsets table — never an
+    # unpartitioned window over the data table followed by the scan
+    s = plan_stats(df)
+    assert not s["has_python_udf"]
+
+
 def test_adult_recipe_one_exchange_two_scans(spark):
     """The full adult recipe (filter + 2 binnings + 7 dummy blocks +
     3 encodes) must stay ONE fused domain-discovery aggregate plus one
