@@ -41,15 +41,31 @@ def test_entry_returns_rows(spark):
     assert len(df.collect()) > 0
 
 
+# Round-6 exception to the all-oracled-window policy: VERDICT r5
+# item 1 rotates EVERY never-driver-verified query through the window,
+# including the six whose outputs are structurally un-oracle-able
+# (sketch/model/sampling values) — their driver rows are deliberately
+# the weaker rows+schema check, once, so no query ends the round with
+# zero driver evidence. They rotate back OUT next round.
+ROWS_ONLY_WINDOW_ALLOWANCE = {
+    "q_count_distinct_sketch", "q_demv_rebalance_smote",
+    "q_ml_out_of_fold", "q_sim_ivf_topk", "q_sim_near_dup",
+    "q_stream_drift_monitor",
+}
+
+
 def test_window_slots_are_all_oracled():
     """Round-3 policy: the driver value-checks the FIRST 50 queries();
     a rows-only query in the window burns a slot that can never turn
     green (CORRECTNESS_r02's no_oracle row) — every slot must carry an
-    oracle."""
+    oracle, except the explicitly-documented round-6 rotation set."""
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     window = qs[:50]
-    missing = [name for name in window if name not in oracles]
+    missing = [
+        name for name in window
+        if name not in oracles and name not in ROWS_ONLY_WINDOW_ALLOWANCE
+    ]
     assert not missing, f"window slots without oracles: {missing}"
 
 
