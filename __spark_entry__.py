@@ -1016,6 +1016,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_normalize"] = _text_normalize
 
+    # ---- PII hygiene (round 6) ----
+    # deterministic planted PII: a per-doc email for doc_id%5==0, a
+    # phone for %7, ip+ssn for %11, a card for %13 — so every pattern
+    # fires on a known subset and the counts/redactions are exactly
+    # recomputable. The operators are map-only regexp chains (no
+    # shuffle, no UDF; plan-asserted in tests/test_pii_boilerplate).
+    def _pii_text(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" user"), (F.col("doc_id") % 97).cast("string"),
+                        F.lit("@mail.example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" call +1 555 867 5309"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0, F.lit(" ip 10.0.0.1 ssn 123-45-6789"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 13 == 0, F.lit(" card 4111 1111 1111 1111"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+
+    def _pii_counts(spark, sf):
+        from demv_spark.operators import pii
+
+        return pii.pii_counts(_pii_text(spark, sf)).select(
+            "doc_id", "n_email", "n_credit_card", "n_ssn", "n_ipv4",
+            "n_phone", "n_pii",
+        )
+
+    q["q_pii_counts"] = _pii_counts
+
+    def _pii_redact(spark, sf):
+        from demv_spark.operators import pii
+
+        return pii.redact_pii(_pii_text(spark, sf), out="red").select(
+            "doc_id", "red", F.length("red").alias("n_chars_red")
+        )
+
+    q["q_pii_redact"] = _pii_redact
+
+    # ---- per-domain boilerplate removal (round 6) ----
+    # multi-line fixture: a per-source NAV header on EVERY doc (frac
+    # 1.0 → stripped), the unique body line, and a 'promo k' footer on
+    # ~1/3 of docs (below the 0.5 threshold → kept). Exercises the
+    # full explode → md5-fp census → verdict join → ordered
+    # reassembly chain with an exact SQL twin.
+    def _boilerplate_text(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", "source",
+            F.concat(
+                F.lit("NAV "), F.col("source"), F.lit("\n"),
+                F.col("text"), F.lit("\n"),
+                F.lit("promo "), (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+
+    def _text_strip_boilerplate(spark, sf):
+        from demv_spark.operators.boilerplate import strip_boilerplate
+
+        return strip_boilerplate(
+            _boilerplate_text(spark, sf), "source",
+            min_frac=0.5, min_docs=2, out="text_clean",
+        ).select("doc_id", "text_clean", F.length("text_clean").alias("n_clean"))
+
+    q["q_text_strip_boilerplate"] = _text_strip_boilerplate
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -3537,6 +3609,102 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY domain ORDER BY doc_id
                ) <= 6 AS BIGINT) AS admitted
         FROM surv
+    """
+
+    # PII: same planted text, same Java-regex/RE2-common patterns;
+    # DuckDB has no regexp_count so hit counts come from
+    # len(regexp_extract_all(...)) — equal because the patterns can't
+    # produce empty matches
+    _pii_fix = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' user' || CAST(doc_id % 97 AS VARCHAR) || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 867 5309' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.0.0.1 ssn 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+               AS text
+        FROM documents
+    """
+    _pii_pats = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "credit_card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+        "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "phone": r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\b",
+    }
+    _pii_count_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{n}"
+        for n, p in _pii_pats.items()
+    )
+    o["q_pii_counts"] = f"""
+        WITH d AS ({_pii_fix}),
+        c AS (
+            SELECT doc_id,
+               {_pii_count_cols}
+            FROM d
+        )
+        SELECT doc_id, n_email, n_credit_card, n_ssn, n_ipv4, n_phone,
+               CAST(n_email + n_credit_card + n_ssn + n_ipv4 + n_phone
+                    AS INTEGER) AS n_pii
+        FROM c
+    """
+    _red = "text"
+    for _n, _p in _pii_pats.items():
+        _ph = {"email": "<EMAIL>", "credit_card": "<CARD>", "ssn": "<SSN>",
+               "ipv4": "<IP>", "phone": "<PHONE>"}[_n]
+        _red = f"regexp_replace({_red}, '{_p}', '{_ph}', 'g')"
+    o["q_pii_redact"] = f"""
+        WITH d AS ({_pii_fix})
+        SELECT doc_id, {_red} AS red,
+               CAST(length({_red}) AS INTEGER) AS n_chars_red
+        FROM d
+    """
+
+    # boilerplate strip: explode lines with 1-based ordinality via a
+    # LATERAL range over the split array (DuckDB lacks WITH
+    # ORDINALITY), distinct-doc census per (source, line), 0.5/2
+    # thresholds, anti-join, ordered string_agg reassembly
+    o["q_text_strip_boilerplate"] = """
+        WITH d AS (
+            SELECT doc_id, source,
+                   'NAV ' || source || chr(10) || text || chr(10)
+                   || 'promo ' || CAST(doc_id % 3 AS VARCHAR) AS text
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM d
+        ),
+        lines AS (
+            SELECT doc_id, source, i.i AS pos, ls[i.i] AS line
+            FROM parts, LATERAL (SELECT UNNEST(range(1, len(ls) + 1)) AS i) i
+        ),
+        census AS (
+            SELECT source, line, COUNT(DISTINCT doc_id) AS n_with
+            FROM lines GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1
+        ),
+        bp AS (
+            SELECT census.source, census.line
+            FROM census JOIN totals USING (source)
+            WHERE n_with * 1.0 / n_docs >= 0.5 AND n_with >= 2
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l LEFT JOIN bp
+              ON l.source = bp.source AND l.line = bp.line
+            WHERE bp.line IS NULL
+        )
+        SELECT d.doc_id,
+               COALESCE(string_agg(kept.line, chr(10) ORDER BY kept.pos), '')
+                   AS text_clean,
+               CAST(length(COALESCE(string_agg(kept.line, chr(10)
+                   ORDER BY kept.pos), '')) AS INTEGER) AS n_clean
+        FROM d LEFT JOIN kept USING (doc_id)
+        GROUP BY d.doc_id
     """
 
     o["q_text_quality_clf"] = r"""

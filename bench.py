@@ -81,6 +81,9 @@ HEADLINE = [
     "q_corpus_jsonl_roundtrip",
     "q_events_retention",
     "q_events_trending",
+    # round-6 addition: the composed streaming-curate batch twin
+    # (blocklist → quality gate → per-domain quota in one DAG)
+    "q_stream_curate_e2e",
 ]
 
 

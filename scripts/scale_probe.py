@@ -155,6 +155,29 @@ def main():
             ).agg(F.sum("o_totalprice_q")).collect()[0][0]
         )
 
+    # skew probe (VERDICT r5 item 6): half the rows share ONE exact
+    # value, so every duplicate lands in the same range bucket (equal
+    # values must share a bucket for exactness) and that bucket's
+    # row_number task carries the whole duplicate mass. The probe
+    # measures the wall-clock growth of the bucketed plan under this
+    # worst case — the documented cost floor is the largest
+    # equal-value mass, and growth should stay ~linear in K (one big
+    # sort task over K·n/2 rows), never quadratic.
+    orders_skew = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(42424.42))
+        .otherwise(F.col("o_totalprice")),
+    ).cache()
+    orders_skew_k = scaled(orders_skew, k, {"o_orderkey": 100_000_000}).cache()
+    orders_skew.count(), orders_skew_k.count()
+
+    def run_ntile_bucketed_skew(o):
+        return int(
+            etl.quantile_bucketize_bucketed(
+                o, "o_totalprice", 10, tiebreak=["o_orderkey"]
+            ).agg(F.sum("o_totalprice_q")).collect()[0][0]
+        )
+
     # SMOTE scale-path comparison: the exact grouped-applyInPandas
     # kNN is quadratic in group size; the LSH variant is
     # candidates-not-all-pairs. Probed on a generated classification
@@ -319,6 +342,8 @@ def main():
         ("multiclass_quota", run_quota, orders, orders_k),
         ("ntile_plain_single_task", run_ntile_plain, orders, orders_k),
         ("ntile_range_bucketed", run_ntile_bucketed, orders, orders_k),
+        ("ntile_bucketed_half_dup_key", run_ntile_bucketed_skew,
+         orders_skew, orders_skew_k),
         ("smote_exact_knn", run_smote_exact, clf_base, clf_k),
         ("smote_lsh", run_smote_lsh, clf_base, clf_k),
     ]
