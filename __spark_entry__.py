@@ -1088,6 +1088,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_strip_boilerplate"] = _text_strip_boilerplate
 
+    # ---- bigram surprisal LM filter (round 6) ----
+    # CCNet-style perplexity filtering with EXACT-INTEGER surprisal:
+    # bits(a,b) = bitlen(C(a·)) − bitlen(C(ab)) — whole-bit -log2 p
+    # from pure integer bit lengths (Spark bin() / DuckDB printf %b),
+    # so the whole model+score chain value-hashes; the per-doc mean
+    # is one IEEE division of two exact ints, emitted through _fx.
+    def _text_lm_surprisal(spark, sf):
+        from demv_spark.operators.lm import bigram_surprisal_selfscore
+
+        out = bigram_surprisal_selfscore(
+            _t(spark, sf, "documents"), min_count=2, oov_bits=20
+        )
+        return out.select(
+            "doc_id", "n_bigrams", "n_oov", "total_bits",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(F.col("bits_per_bigram") * F.lit(1e12)).cast("long"),
+            ).alias("bpb_fx"),
+        )
+
+    q["q_text_lm_surprisal"] = _text_lm_surprisal
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -3705,6 +3727,54 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY kept.pos), '')) AS INTEGER) AS n_clean
         FROM d LEFT JOIN kept USING (doc_id)
         GROUP BY d.doc_id
+    """
+
+    # bigram surprisal: the whole train+score chain in integer
+    # arithmetic — bit lengths via printf('%b'), prefix totals from
+    # the UNPRUNED census, OOV = pruned-below-min_count -> flat 20
+    o["q_text_lm_surprisal"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                                  '\s+'), t -> t != '') AS t
+            FROM documents
+        ),
+        bl AS (
+            SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS bigram
+            FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) i
+            WHERE len(t) >= 2
+        ),
+        counts AS (SELECT bigram, COUNT(*) AS n_bigram FROM bl GROUP BY 1),
+        prefix AS (
+            SELECT split_part(bigram, ' ', 1) AS f, SUM(n_bigram) AS n_prefix
+            FROM counts GROUP BY 1
+        ),
+        model AS (
+            SELECT bigram,
+                   length(printf('%b', CAST(n_prefix AS BIGINT)))
+                   - length(printf('%b', CAST(n_bigram AS BIGINT))) AS bits
+            FROM counts JOIN prefix ON split_part(bigram, ' ', 1) = f
+            WHERE n_bigram >= 2
+        ),
+        scored AS (
+            SELECT bl.doc_id, COALESCE(model.bits, 20) AS bits,
+                   CASE WHEN model.bits IS NULL THEN 1 ELSE 0 END AS oov
+            FROM bl LEFT JOIN model USING (bigram)
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams, SUM(oov) AS n_oov,
+                   SUM(bits) AS total_bits
+            FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(COALESCE(per.total_bits, 0) AS BIGINT) AS total_bits,
+               CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+                    THEN CAST(FLOOR((CAST(per.total_bits AS DOUBLE)
+                                     / per.n_bigrams) * 1e12) AS BIGINT)
+               END AS bpb_fx
+        FROM documents d LEFT JOIN per USING (doc_id)
     """
 
     o["q_text_quality_clf"] = r"""

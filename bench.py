@@ -81,9 +81,14 @@ HEADLINE = [
     "q_corpus_jsonl_roundtrip",
     "q_events_retention",
     "q_events_trending",
-    # round-6 addition: the composed streaming-curate batch twin
-    # (blocklist → quality gate → per-domain quota in one DAG)
+    # round-6 additions: the composed streaming-curate batch twin
+    # (blocklist → quality gate → per-domain quota in one DAG), PII
+    # redaction, per-domain boilerplate strip, and the exact-integer
+    # bigram-surprisal LM filter (train + score, two shuffles)
     "q_stream_curate_e2e",
+    "q_pii_redact",
+    "q_text_strip_boilerplate",
+    "q_text_lm_surprisal",
 ]
 
 
