@@ -80,24 +80,25 @@ def train_bigram_model(
     integer surprisal ``bitlen(n_prefix) − bitlen(n_bigram)`` ≥ 0.
 
     Prefix counts are TOTAL first-token continuations (computed from
-    the unpruned bigram census, then joined to the pruned table), so
+    the unpruned bigram census BEFORE the min_count filter), so
     pruning the tail does not inflate surviving bigrams'
-    probabilities."""
+    probabilities. They are computed as a window over the census —
+    ONE lineage, so the corpus is scanned exactly once for training
+    (a prefix self-join would re-derive the whole census from a
+    second scan); the window shuffle moves only the vocab-sized
+    census, never corpus rows."""
+    from pyspark.sql import Window
+
     lines = _bigram_lines(df, id_col, text_col)
     counts = lines.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bigram"))
-    prefix = (
-        counts.withColumn(
-            "__first", F.substring_index(F.col("bigram"), " ", 1)
-        )
-        .groupBy("__first")
-        .agg(F.sum("n_bigram").alias("n_prefix"))
-    )
-    pruned = counts.filter(F.col("n_bigram") >= F.lit(int(min_count)))
+    w = Window.partitionBy(F.substring_index(F.col("bigram"), " ", 1))
     return (
-        pruned.withColumn("__first", F.substring_index(F.col("bigram"), " ", 1))
-        .join(prefix, "__first")
+        counts.withColumn(
+            "n_prefix", F.sum("n_bigram").over(w).cast("long")
+        )
+        .filter(F.col("n_bigram") >= F.lit(int(min_count)))
         .select(
-            "bigram", "n_bigram", F.col("n_prefix").cast("long").alias("n_prefix"),
+            "bigram", "n_bigram", "n_prefix",
             (_bitlen(F.col("n_prefix")) - _bitlen(F.col("n_bigram"))).alias("bits"),
         )
     )

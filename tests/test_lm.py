@@ -71,6 +71,18 @@ def test_model_join_broadcasts_by_default(corpus):
     assert not s["has_python_udf"]
 
 
+def test_single_train_scan_three_exchanges(spark):
+    """Train = ONE census shuffle + census-sized prefix window; score
+    = one per-doc agg — 3 exchanges, 3 scans (spine, score, train) on
+    a parquet-backed table. A 4th exchange/scan means the prefix
+    self-join (which re-derived the whole census from a second corpus
+    scan) leaked back in."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = plan_stats(lm.bigram_surprisal_selfscore(d))
+    assert s["n_exchanges"] <= 3
+    assert len(s["read_schemas"]) <= 3
+
+
 def test_deterministic_under_repartition(corpus):
     a = sorted(map(tuple, lm.bigram_surprisal_selfscore(corpus).collect()))
     b = sorted(map(tuple,
