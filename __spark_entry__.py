@@ -1110,6 +1110,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_lm_surprisal"] = _text_lm_surprisal
 
+    # ---- unicode script census (round 6) ----
+    # planted multilingual suffixes by doc_id mod 4 (cyrillic / cjk /
+    # arabic; %4==0 stays pure latin) so every range and the
+    # dominant-script cascade are exercised deterministically
+    def _text_script_profile(spark, sf):
+        from demv_spark.operators.text import script_profile
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 1, F.lit(" Привет мир привет"))
+                .when(F.col("doc_id") % 4 == 2, F.lit(" 北京話北京話北京"))
+                .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا بالعالم"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return script_profile(d).select(
+            "doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+            "n_digit", "script_main",
+        )
+
+    q["q_text_script_profile"] = _text_script_profile
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -3775,6 +3799,47 @@ def oracle_sql() -> dict[str, str]:
                                      / per.n_bigrams) * 1e12) AS BIGINT)
                END AS bpb_fx
         FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+    # unicode script census: counts via RE2 \x{...} class ranges
+    # (verified char-identical to Java regex), dominant script =
+    # first-maximum CASE cascade generated from the same SCRIPT_RANGES
+    # order the Spark side uses
+    from demv_spark.operators.text import SCRIPT_RANGES as _SRANGES
+
+    _snames = list(_SRANGES)
+    _scount_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{_SRANGES[n]}')) AS INTEGER) AS n_{n}"
+        for n in _snames
+    )
+    _sdominant = "CASE "
+    for _i, _n in enumerate(_snames):
+        _conds = [f"n_{_n} > 0"]
+        for _j, _m in enumerate(_snames):
+            if _j == _i:
+                continue
+            _conds.append(
+                f"n_{_n} {'>' if _j < _i else '>='} n_{_m}"
+            )
+        _sdominant += f"WHEN {' AND '.join(_conds)} THEN '{_n}' "
+    _sdominant += "ELSE 'und' END"
+    o["q_text_script_profile"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 4 = 1 THEN ' Привет мир привет'
+                                WHEN doc_id % 4 = 2 THEN ' 北京話北京話北京'
+                                WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم'
+                                ELSE '' END AS text
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+               {_scount_cols}
+            FROM d
+        )
+        SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+               {_sdominant} AS script_main
+        FROM c
     """
 
     o["q_text_quality_clf"] = r"""

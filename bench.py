@@ -89,6 +89,7 @@ HEADLINE = [
     "q_pii_redact",
     "q_text_strip_boilerplate",
     "q_text_lm_surprisal",
+    "q_text_script_profile",
 ]
 
 

@@ -823,3 +823,59 @@ def normalize_text(
     if lowercase:
         post = F.lower(post)
     return normed.withColumn(out, post)
+
+
+# unicode script ranges in the Java-regex ∩ RE2 common syntax
+# (\x{...} class ranges evaluate identically in both engines —
+# verified cross-engine in tests/test_script_profile.py). Coarse
+# main-block ranges, intentionally: script ID for curation routing,
+# not full Unicode property support (Java's \p{IsCyrillic} has no
+# RE2 twin).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]",
+    "digit": r"[0-9]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unicode-script census: one ``n_<script>`` count
+    per SCRIPT_RANGES entry plus ``script_main`` — the dominant
+    script (ties broken by SCRIPT_RANGES order; ``und`` when no
+    scripted character at all). The multilingual-curation router:
+    documents whose declared language disagrees with their dominant
+    script (lang='en' but 80% CJK) are the classic mislabeled-crawl
+    failure, and per-script corpus totals are dataset-card numbers.
+
+    Map-only: one regexp_count per script inside a single projection,
+    no shuffle, no UDF. SQL twin per script:
+    ``len(regexp_extract_all(text, range))``; the dominant script is
+    the same CASE cascade (strictly-greater-than-all-later =
+    first-maximum semantics) in both engines."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    names = list(SCRIPT_RANGES)
+    for name in names:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(t, F.lit(SCRIPT_RANGES[name]))
+        )
+    # first maximum in SCRIPT_RANGES order: script i wins iff its
+    # count is > 0, >= every later count, and > every earlier count
+    # (earlier ties already won) — expressed as a single CASE walk
+    dominant = F.lit("und")
+    for i in range(len(names) - 1, -1, -1):
+        c = F.col(f"n_{names[i]}")
+        cond = c > 0
+        for j in range(len(names)):
+            if j == i:
+                continue
+            other = F.col(f"n_{names[j]}")
+            cond = cond & (c > other if j < i else c >= other)
+        dominant = F.when(cond, F.lit(names[i])).otherwise(dominant)
+    return out.withColumn("script_main", dominant)
