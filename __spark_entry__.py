@@ -2284,20 +2284,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fairness + threshold-free metrics
         "q_metric_fairness_suite", "q_metric_weighted_suite",
         "q_ml_auc",
-        # recipes refreshed this round
-        "q_dataset_adult", "q_dataset_cmc",
         # dedup + similarity parity rows (near-dup at wide defaults)
         "q_dedup_lsh_planted_parity", "q_dedup_clusters",
         "q_sim_embed_near_dup", "q_sim_ivf_topk_fixed",
-        # temporal + post-processing representatives
-        "q_events_asof_join", "q_postprocess_multiclass",
         # streaming: sessionize + quota + NEW composed curate twin
         # (VERDICT r5 item 7; census-shift + drift are in the
         # never-verified block above — 5 streaming-family rows total)
         "q_stream_sessionize", "q_stream_quota_admission",
         "q_stream_curate_e2e",
-        # multimodal real-decode representative
-        "q_media_features",
+        # NEW round-6 curation families take the remaining seats so
+        # they earn driver rows in their birth round (no new backlog;
+        # the multi-round-green adult/cmc recipes, as-of join,
+        # multiclass quota and media features rotate out — every
+        # family they represent keeps another in-window row)
+        "q_pii_counts", "q_pii_redact",
+        "q_text_strip_boilerplate", "q_text_lm_surprisal",
+        "q_text_script_profile",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
