@@ -1023,10 +1023,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recomputable. The operators are map-only regexp chains (no
     # shuffle, no UDF; plan-asserted in tests/test_pii_boilerplate).
     def _pii_text(spark, sf):
+        # coalesce FIRST: concat(NULL, suffix) is NULL in both
+        # engines, but the oracle's len(regexp_extract_all(NULL)) is
+        # NULL while Spark's count coalesces to 0 — planting on
+        # coalesced text keeps NULL-text docs comparable
         return _t(spark, sf, "documents").select(
             "doc_id",
             F.concat(
-                F.col("text"),
+                F.coalesce(F.col("text"), F.lit("")),
                 F.when(
                     F.col("doc_id") % 5 == 0,
                     F.concat(
@@ -1073,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source",
             F.concat(
                 F.lit("NAV "), F.col("source"), F.lit("\n"),
-                F.col("text"), F.lit("\n"),
+                F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
                 F.lit("promo "), (F.col("doc_id") % 3).cast("string"),
             ).alias("text"),
         )
@@ -1120,7 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select(
             "doc_id",
             F.concat(
-                F.col("text"),
+                F.coalesce(F.col("text"), F.lit("")),
                 F.when(F.col("doc_id") % 4 == 1, F.lit(" Привет мир привет"))
                 .when(F.col("doc_id") % 4 == 2, F.lit(" 北京話北京話北京"))
                 .when(F.col("doc_id") % 4 == 3, F.lit(" مرحبا بالعالم"))
@@ -3665,7 +3669,7 @@ def oracle_sql() -> dict[str, str]:
     # produce empty matches
     _pii_fix = """
         SELECT doc_id,
-               text
+               coalesce(text, '')
                || CASE WHEN doc_id % 5 = 0
                        THEN ' user' || CAST(doc_id % 97 AS VARCHAR) || '@mail.example.com'
                        ELSE '' END
@@ -3717,7 +3721,7 @@ def oracle_sql() -> dict[str, str]:
     o["q_text_strip_boilerplate"] = """
         WITH d AS (
             SELECT doc_id, source,
-                   'NAV ' || source || chr(10) || text || chr(10)
+                   'NAV ' || source || chr(10) || coalesce(text, '') || chr(10)
                    || 'promo ' || CAST(doc_id % 3 AS VARCHAR) AS text
             FROM documents
         ),
@@ -3828,7 +3832,8 @@ def oracle_sql() -> dict[str, str]:
     o["q_text_script_profile"] = f"""
         WITH d AS (
             SELECT doc_id,
-                   text || CASE WHEN doc_id % 4 = 1 THEN ' Привет мир привет'
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 4 = 1 THEN ' Привет мир привет'
                                 WHEN doc_id % 4 = 2 THEN ' 北京話北京話北京'
                                 WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم'
                                 ELSE '' END AS text
