@@ -352,3 +352,46 @@ def census_shift_report(
             - F.col("n_cur") * F.col("n_ref_total")
         ).cast("long").alias("shift_num"),
     )
+
+
+def windowed_pii_census(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    types: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-time-window PII rates over a streaming document feed — the
+    ingest alarm for a curation pipeline (a PII-rate spike in a crawl
+    source means an upstream extractor broke or a new source needs
+    redaction before anything lands in a shard).
+
+    Composition, not new machinery: ``pii.pii_counts`` is map-only
+    column algebra (stream-safe by construction), so one watermarked
+    tumbling-window aggregate yields per-window totals and
+    docs-with-any-PII. On a batch frame: identical results, watermark
+    a no-op — oracle-able through the batch twin like the other
+    monitor censuses. Emits one row per window: n_docs,
+    n_docs_any_pii, and a total_<type> per requested type."""
+    from demv_spark.operators import pii
+
+    names = list(types) if types is not None else list(pii.PII_TYPES)
+    counted = pii.pii_counts(df, text_col, names)
+    wm = _watermarked(counted, ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_docs_any_pii"),
+    ]
+    for name in names:
+        aggs.append(F.sum(F.col(f"n_{name}")).cast("long").alias(f"total_{name}"))
+    return (
+        wm.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs", "n_docs_any_pii",
+            *[f"total_{n}" for n in names],
+        )
+    )

@@ -49,7 +49,7 @@ def test_entry_returns_rows(spark):
 # zero driver evidence. They rotate back OUT next round.
 ROWS_ONLY_WINDOW_ALLOWANCE = {
     "q_count_distinct_sketch", "q_demv_rebalance_smote",
-    "q_ml_out_of_fold", "q_sim_ivf_topk", "q_sim_near_dup",
+    "q_ml_out_of_fold", "q_sim_ivf_topk",
     "q_stream_drift_monitor",
 }
 

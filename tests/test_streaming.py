@@ -322,3 +322,51 @@ def test_census_shift_same_source_slices(spark):
     ).collect()
     assert len(out) == 3
     assert all(r["n_ref_total"] == 50 and r["n_cur_total"] == 50 for r in out)
+
+
+def _with_pii_text(df):
+    """Deterministic per-event text: every 3rd event carries an email,
+    every 5th an SSN."""
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.lit("event payload "),
+            F.when(F.col("user_id") % 3 == 0, F.lit("user@example.com "))
+            .otherwise(F.lit("")),
+            F.when(F.col("user_id") % 5 == 0, F.lit("123-45-6789"))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def test_windowed_pii_census_stream_matches_batch(spark, events_dir):
+    batch = _with_pii_text(spark.read.parquet(events_dir))
+    expected = {
+        tuple(r)
+        for r in monitor.windowed_pii_census(
+            batch, window="6 hours", types=["email", "ssn"]
+        ).collect()
+    }
+    assert any(r[3] > 0 for r in expected)        # emails actually fire
+
+    stream = _with_pii_text(_stream(spark, events_dir))
+    census = monitor.windowed_pii_census(
+        stream, window="6 hours", types=["email", "ssn"]
+    )
+    q = (
+        census.writeStream.format("memory")
+        .queryName("pii_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii_sink").collect()}
+    # append mode: emitted = watermark-closed windows; every emitted
+    # row must equal its batch twin, and all closed windows emit
+    assert got <= expected
+    import datetime
+    max_end = max(r[1] for r in expected)
+    closed = {r for r in expected if r[1] <= max_end - datetime.timedelta(hours=2)}
+    assert closed <= got
+    assert len(got) > 0
