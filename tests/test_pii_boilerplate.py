@@ -125,3 +125,39 @@ def test_strip_all_boilerplate_doc_becomes_empty(spark):
 def test_strip_no_python_udf(sites):
     s = plan_stats(strip_boilerplate(sites, "site"))
     assert not s["has_python_udf"]
+
+
+def test_strip_identity_when_nothing_flagged(spark):
+    """Split→census→join→reassemble must be LOSSLESS when no line
+    meets the thresholds: awkward shapes (leading/trailing/double
+    newlines = empty lines, repeated line inside ONE doc, NULL text)
+    round-trip exactly."""
+    rows = [
+        (0, "s", "\nleading empty"),
+        (1, "s", "trailing empty\n"),
+        (2, "s", "a\n\nb"),
+        (3, "s", "dup\ndup\nmiddle\ndup"),
+        (4, "s", ""),
+        (5, "s", None),
+        (6, "t", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "site", "text"])
+    got = {r["doc_id"]: r["text_clean"] for r in
+           strip_boilerplate(df, "site", min_frac=0.99, min_docs=99).collect()}
+    for doc_id, _, text in rows:
+        assert got[doc_id] == (text or ""), doc_id
+
+
+def test_redact_identity_when_no_pii(spark):
+    """The ordered regexp_replace chain must be byte-identity on text
+    with lookalike-but-not-matching content."""
+    rows = [
+        (0, "almost@ an email but no tld dot"),
+        (1, "1234 5678 is not a full card"),
+        (2, "v1.2.3.4000 is no ip (4-digit octet ok? 4000 > 999 but regex allows 1-3 digits only)"),
+        (3, "ssn-ish 123-45-678 too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_redacted"] for r in pii.redact_pii(df).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == text, doc_id
