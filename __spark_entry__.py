@@ -716,6 +716,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim=64, k=10,
     )
 
+    # product quantization (round 6): deterministic codebook from the
+    # first 16 grid-quantized corpus vectors (same sample-seeding rule
+    # as IVF-fixed), encode = per-sub integer argmin, ADC distance =
+    # exact int64 — method approximate, contract value-hashable
+    def _sim_pq_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        cents = similarity.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
+        return similarity.pq_topk_fixed(
+            emb.filter(F.col("vec_id") < 5), emb, cents, k=10
+        )
+
+    q["q_sim_pq_topk"] = _sim_pq_topk
+
     # embedding-cosine near-dup, planted-parity form: exact copies of
     # every 20th vector (cos ≈ 1.0) against a background whose max
     # pairwise cosine is 0.60 at sf0.1 / 0.51 at sf0.01 (measured) —
@@ -2288,9 +2301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fairness + threshold-free metrics
         "q_metric_fairness_suite", "q_metric_weighted_suite",
         "q_ml_auc",
-        # dedup + similarity parity rows (near-dup at wide defaults)
+        # dedup + similarity parity rows (near-dup at wide defaults;
+        # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
+        # is multi-round green)
         "q_dedup_lsh_planted_parity", "q_dedup_clusters",
-        "q_sim_embed_near_dup", "q_sim_ivf_topk_fixed",
+        "q_sim_embed_near_dup", "q_sim_pq_topk",
         # streaming: sessionize + quota + NEW composed curate twin
         # (VERDICT r5 item 7; census-shift + drift are in the
         # never-verified block above — 5 streaming-family rows total)
@@ -3243,6 +3258,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.vec_id - a.vec_id = 1000000 AS INT) AS is_planted
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+
+    # PQ top-k: the whole chain — global-grid codes, seed codebook,
+    # per-sub argmin encode, ADC integer distance, rank — re-derived
+    # in SQL; every arithmetic step is exact int64
+    o["q_sim_pq_topk"] = """
+        WITH val AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        g AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(GREATEST(-127, LEAST(127,
+                       FLOOR(x * 64.0 + 0.5))) AS BIGINT)) AS gc
+            FROM val
+        ),
+        seeds AS (SELECT vec_id, gc FROM g ORDER BY vec_id LIMIT 16),
+        cent AS (
+            SELECT s.s AS s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY vec_id) - 1
+                        AS BIGINT) AS j,
+                   gc[(s.s - 1) * 8 + 1 : s.s * 8] AS cv
+            FROM seeds, LATERAL (SELECT UNNEST(range(1, 9)) AS s) s
+        ),
+        enc AS (
+            SELECT vec_id, s, j AS code FROM (
+                SELECT g.vec_id, c.s, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY g.vec_id, c.s
+                           ORDER BY list_sum(list_transform(range(1, 9),
+                               i -> (g.gc[(c.s - 1) * 8 + i] - c.cv[i])
+                                    * (g.gc[(c.s - 1) * 8 + i] - c.cv[i]))),
+                           c.j) AS rn
+                FROM g, cent c
+            ) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, gc FROM g WHERE vec_id < 5),
+        dsub AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (q.gc[(e.s - 1) * 8 + i] - c.cv[i])
+                            * (q.gc[(e.s - 1) * 8 + i] - c.cv[i]))) AS d
+            FROM q, enc e JOIN cent c ON c.s = e.s AND c.j = e.code
+            WHERE q.query_id != e.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS pq_dist
+            FROM dsub GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, pq_dist, rank FROM (
+            SELECT query_id, neighbor_id, pq_dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY pq_dist, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 10
     """
 
     # int8 quantization twin: every step is exact-integer or a single

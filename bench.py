@@ -90,6 +90,7 @@ HEADLINE = [
     "q_text_strip_boilerplate",
     "q_text_lm_surprisal",
     "q_text_script_profile",
+    "q_sim_pq_topk",
 ]
 
 

@@ -768,3 +768,207 @@ def quantized_rerank_topk(
         )
     )
     return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half) — exact-integer codebooks
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_grid(
+    df: DataFrame,
+    dim: int,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "g_codes",
+) -> DataFrame:
+    """GLOBAL-grid integer quantization: code_i = clamp(round_half_up
+    (v_i·scale), ±127). Unlike ``quantize_embeddings``'s per-vector
+    amax scale (whose scales cancel only for cosine), one shared grid
+    makes integer L2 DISTANCES comparable across vectors — the
+    representation product quantization needs. Same malformed-row and
+    finite-element entry contract as the cosine quantizer; same
+    engine-portable arithmetic (one multiply, floor(x+0.5), clamp).
+    """
+    df = drop_invalid_vectors(df, vec_col, dim)
+    df = df.filter(
+        F.forall(
+            _as_double(vec_col),
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
+    )
+    s = float(int(scale))
+    codes = F.transform(
+        _as_double(vec_col),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x * s + F.lit(0.5)))
+        ).cast("long"),
+    )
+    return df.withColumn(code_col, codes)
+
+
+def pq_train_fixed(
+    corpus: DataFrame,
+    dim: int,
+    n_subs: int = 8,
+    n_cents: int = 16,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebook: centroids[sub][j] = the j-th seed
+    vector's sub-slice on the shared integer grid, seeds = the first
+    ``n_cents`` valid corpus vectors by id (FAISS-style sample
+    seeding, the same rule as ``ivf_topk_fixed``'s driver query). A
+    fixed codebook makes every PQ step a pure SQL-expressible
+    function of the data — the value-hash-oracle twin of a trained
+    codebook; ship KMeans-trained centroids through the same shape
+    when recall matters more than oracle parity. Driver-side collect
+    is ``n_cents`` rows — constant, never corpus-sized."""
+    if dim % n_subs:
+        raise ValueError(f"dim {dim} not divisible by n_subs {n_subs}")
+    sub = dim // n_subs
+    rows = (
+        quantize_embeddings_grid(corpus, dim, scale, id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cents)
+        .select("g_codes")
+        .collect()
+    )
+    if len(rows) < n_cents:
+        raise ValueError(f"corpus has only {len(rows)} valid vectors < {n_cents}")
+    return [
+        [[int(x) for x in r["g_codes"][s * sub:(s + 1) * sub]] for r in rows]
+        for s in range(n_subs)
+    ]
+
+
+def _pq_cent_lit(centroids: list[list[list[int]]]):
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)) for x in cv])
+                    for cv in subcents
+                ]
+            )
+            for subcents in centroids
+        ]
+    )
+
+
+def _pq_subdist(a: Column, b: Column) -> Column:
+    """Exact integer ||a − b||² over two int arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: list[list[list[int]]],
+    dim: int,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """PQ-encode every vector: per sub-space, the index of the
+    nearest centroid by exact integer L2 (tie → lowest index). With
+    the defaults (64 dims → 8 subs × 16 centroids) a vector becomes
+    8 nibbles — a 64× shrink over float32, the representation that
+    keeps a 100 TB corpus's ANN index in executor RAM. MAP-ONLY: the
+    codebook folds into the plan as a literal nested array, argmin
+    runs in codegen per row — no shuffle, no join, no UDF."""
+    n_subs = len(centroids)
+    sub = dim // n_subs
+    cent = _pq_cent_lit(centroids)
+    g = quantize_embeddings_grid(df, dim, scale, id_col, vec_col)
+    gc = F.col("g_codes")
+
+    def _code_for_sub(s: Column):
+        subvec = F.slice(gc, (s - 1) * sub + 1, sub)
+        scents = F.element_at(cent, s)
+        # argmin by struct comparison: min (dist, j) == lowest dist,
+        # tie -> lowest centroid index
+        best = F.array_min(
+            F.zip_with(
+                scents,
+                F.sequence(F.lit(1), F.size(scents)),
+                lambda cv, j: F.struct(
+                    _pq_subdist(subvec, cv).alias("d"), j.alias("j")
+                ),
+            )
+        )
+        return best["j"] - 1
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(n_subs)), lambda s: _code_for_sub(s)
+    )
+    return g.withColumn(code_col, codes).drop("g_codes")
+
+
+def pq_topk_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[list[int]]],
+    k: int = 10,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k (asymmetric distance with a grid-quantized query):
+    dist(q, doc) = Σ_sub ||q_sub − centroid[sub][code_sub(doc)]||² —
+    every term an exact int64, so scores and ranks value-hash across
+    engines even though the METHOD is approximate (the quantized-
+    cosine playbook, applied to the 64×-compressed PQ codes).
+    Returns (query_id, neighbor_id, pq_dist, rank), rank by
+    (pq_dist asc, neighbor_id asc), self-matches excluded.
+
+    Scale shape: the corpus side carries ONLY its 8-nibble codes
+    through the plan; queries broadcast (capped query sets, as
+    elsewhere in this module); distance is a code→literal lookup in
+    codegen. One shuffle: the per-query top-k rank. The exact-float
+    rerank of survivors composes downstream exactly as in
+    ``quantized_rerank_topk``."""
+    n_subs = len(centroids)
+    if not centroids or not centroids[0] or not centroids[0][0]:
+        raise ValueError("pq_topk_fixed: empty codebook")
+    sub = len(centroids[0][0])
+    dimq = sub * n_subs
+    cent = _pq_cent_lit(centroids)
+    c = pq_encode(
+        corpus, centroids, dimq, scale, id_col, vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("pq_codes").alias("cc"))
+    q = quantize_embeddings_grid(
+        queries, dimq, scale, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("g_codes").alias("qg"))
+    qg = F.col("qg")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("cc"),
+            F.sequence(F.lit(1), F.lit(n_subs)),
+            lambda code, s: _pq_subdist(
+                F.slice(qg, (s - F.lit(1)) * sub + 1, sub),
+                F.element_at(F.element_at(cent, s), code + 1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -750,3 +750,78 @@ def test_ngram_jaccard_hashed_shingles_same_pairs(spark):
             docs, n=2, threshold=0.1, max_df=50, hash_shingles=True).collect()
     )
     assert a == b and len(a) > 0
+
+
+# ---- product quantization (round 6) ----
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_pq_codebook_shape_and_seed_identity(spark):
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet(EMB)
+    cents = S.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
+    assert len(cents) == 8 and len(cents[0]) == 16 and len(cents[0][0]) == 8
+    assert all(-127 <= x <= 127 for sub in cents for cv in sub for x in cv)
+    # each seed vector's nearest centroid in every sub-space is ITSELF
+    # (distance 0) -> codes == its own seed index
+    enc = {r["vec_id"]: r["pq_codes"] for r in
+           S.pq_encode(emb, cents, 64).filter("vec_id < 16").collect()}
+    for i in range(16):
+        assert enc[i] == [i] * 8, (i, enc[i])
+
+
+def test_pq_dist_hand_computed(spark):
+    """2 dims, 1 sub, 2 centroids — exact integer ADC by hand."""
+    from demv_spark.operators import similarity as S
+
+    cents = [[[0, 0], [64, 64]]]                    # sub 0: two centroids
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.9, 1.1])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    enc = {r["vec_id"]: r["pq_codes"] for r in S.pq_encode(df, cents, 2).collect()}
+    assert enc[0] == [0] and enc[1] == [1] and enc[2] == [1]
+    out = S.pq_topk_fixed(df.filter("vec_id = 0"), df, cents, k=2)
+    got = {(r["neighbor_id"]): r["pq_dist"] for r in out.collect()}
+    # q0 grid codes (0,0); doc1/doc2 -> centroid (64,64):
+    # dist = 64^2 + 64^2 = 8192 for both
+    assert got == {1: 8192, 2: 8192}
+
+
+def test_pq_planted_copy_ranks_first(spark):
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet(EMB)
+    copy = emb.filter("vec_id = 40").withColumn(
+        "vec_id", F.lit(1000040).cast("long")
+    )
+    allv = emb.unionByName(copy)
+    cents = S.pq_train_fixed(emb, 64)
+    out = S.pq_topk_fixed(allv.filter("vec_id = 40"), allv, cents, k=3)
+    top = out.filter("rank = 1").collect()[0]
+    # the exact copy has identical codes -> minimal distance; with
+    # asymmetric distance its dist equals q's own quantization
+    # residual, strictly <= every other doc's
+    assert top["neighbor_id"] == 1000040
+
+
+def test_pq_deterministic_under_repartition(spark):
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet(EMB)
+    cents = S.pq_train_fixed(emb, 64)
+    q = emb.filter("vec_id < 3")
+    a = sorted(map(tuple, S.pq_topk_fixed(q, emb, cents, k=5).collect()))
+    b = sorted(map(tuple,
+                   S.pq_topk_fixed(q, emb.repartition(13), cents, k=5).collect()))
+    assert a == b
+
+
+def test_pq_encode_map_only(spark):
+    from demv_spark.operators import similarity as S
+    from demv_spark.plans.introspect import plan_stats
+
+    emb = spark.read.parquet(EMB)
+    cents = S.pq_train_fixed(emb, 64)
+    s = plan_stats(S.pq_encode(emb, cents, 64))
+    assert s["n_exchanges"] == 0 and not s["has_python_udf"]
