@@ -1151,6 +1151,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_script_profile"] = _text_script_profile
 
+    # ---- domain-authority PageRank (round 6) ----
+    # deterministic bipartite-ish fixture: every source links its
+    # doc_id%7 hub; every third doc links back — hubs accumulate
+    # authority. Integer-exact ranks (1e6 grid), 5 fixed iterations.
+    def _web_pagerank(spark, sf):
+        from demv_spark.operators.graph import pagerank_integer
+
+        d = _t(spark, sf, "documents")
+        fwd = d.select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+            F.lower("source").alias("dst"),
+        )
+        return pagerank_integer(fwd.unionByName(back), iterations=5)
+
+    q["q_web_pagerank"] = _web_pagerank
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -2297,7 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DEMV flagship
         "q_demv_rebalance_census", "q_demv_smote_census",
         "q_demv_adasyn_census", "q_demv_rebalance_census_multi",
-        "q_demv_eg_census", "q_demv_grid_census",
+        "q_demv_eg_census",
         # fairness + threshold-free metrics
         "q_metric_fairness_suite", "q_metric_weighted_suite",
         "q_ml_auc",
@@ -2318,7 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family they represent keeps another in-window row)
         "q_pii_counts", "q_pii_redact",
         "q_text_strip_boilerplate", "q_text_lm_surprisal",
-        "q_text_script_profile",
+        "q_text_script_profile", "q_web_pagerank",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3259,6 +3279,43 @@ def oracle_sql() -> dict[str, str]:
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     """
+
+    # integer PageRank: the 5 fixed iterations unroll into 5 chained
+    # CTEs generated from the same exact-integer update rule
+    # (contrib = rank // out_deg, rank' = 150000 + 85·Σ // 100)
+    _pr_iter = """
+        r{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100
+                        AS BIGINT) AS rank_int
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank_int // d.out_deg) AS in_sum
+                FROM e JOIN r{p} r ON r.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )"""
+    o["q_web_pagerank"] = (
+        """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lower(source) AS src,
+                       'hub' || CAST(doc_id % 7 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'hub' || CAST(doc_id % 7 AS VARCHAR),
+                       lower(source)
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_int FROM nodes),"""
+        + ",".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT node, rank_int FROM r5
+    """
+    )
 
     # PQ top-k: the whole chain — global-grid codes, seed codebook,
     # per-sub argmin encode, ADC integer distance, rank — re-derived

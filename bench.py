@@ -91,6 +91,7 @@ HEADLINE = [
     "q_text_lm_surprisal",
     "q_text_script_profile",
     "q_sim_pq_topk",
+    "q_web_pagerank",
 ]
 
 

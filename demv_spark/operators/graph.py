@@ -1,0 +1,95 @@
+"""Domain-graph authority scoring — integer-exact PageRank.
+
+Web-corpus curation ranks domains by link authority (the Common
+Crawl-era heuristic: low-authority link-farm domains are dropped or
+down-weighted before text ever reaches a shard). PageRank is the
+engine's first ORACLE-ABLE iterative algorithm: KMeans and BPE are
+iterative too, but their float/greedy updates aren't SQL-twinnable,
+while this formulation is exact in int64 end to end.
+
+Why integer: float PageRank sums contributions in partition order —
+non-associative, so two runs (or two engines) disagree in the last
+ulps and a value-hash oracle flips. Here ranks live on a fixed
+integer scale (1e6 = rank 1.0) and every update is exact:
+
+    contrib(e) = rank(src) div out_degree(src)        (exact int div)
+    rank'(v)   = floor(0.15·scale) + (85 · Σ contrib) div 100
+
+Σ of int64 contributions is associative (no wrap: ranks are bounded
+by scale·N and N·scale·85 stays far under 2⁶³ for any realistic
+domain count); the damping multiply is 85·x div 100 — exact. The
+result is bit-identical across engines, partitionings and retries.
+
+Semantics notes (all mirrored by the SQL twin, oracle-checked):
+- A fixed ITERATION COUNT, not convergence detection — the 100 TB
+  regime runs a known number of passes (convergence tests would need
+  a float norm, reintroducing order-dependence).
+- Dangling nodes (no out-edges) keep receiving rank but redistribute
+  none — the simple formulation; their mass decays into the damping
+  floor. Documented, deterministic, twinned.
+- Duplicate edges count once (the edge set is made distinct) — link
+  COUNTS are spam-sensitive, link EXISTENCE is the authority signal.
+
+Scale shape: per iteration ONE shuffle — contributions group by dst;
+the degree table joins in pre-aggregated (|nodes| rows). ``iterations``
+is small and fixed (5 default), so the lazy plan is 5 chained
+join+agg stages; checkpoint between iterations only if lineage depth
+ever matters (it does not at 5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DAMPING_NUM = 85          # 0.85 as an exact rational 85/100
+DAMPING_DEN = 100
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer PageRank over a (src, dst) edge table. Returns
+    (node, rank_int) for every node appearing on either edge side;
+    rank_int is on the ``scale`` grid (scale = rank 1.0 under the
+    uniform start). Exact: same integers every run, every engine."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
+    ranks = nodes.withColumn("rank_int", F.lit(int(scale)).cast("long"))
+    for _ in range(int(iterations)):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_int div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({DAMPING_NUM} * coalesce(in_sum, 0L)) div {DAMPING_DEN}"
+                    )
+                ).alias("rank_int"),
+            )
+        )
+    return ranks
