@@ -323,8 +323,38 @@ def main():
             vv.filter(F.col("vec_id") < 8), vv, dim=64, k=10
         ).count()
 
+    # PQ encode (map-only argmin over the literal codebook) and
+    # integer PageRank (one shuffle per iteration) — round-6 families
+    from demv_spark.operators import similarity as _sim
+    from demv_spark.operators.graph import pagerank_integer
+
+    _pq_cents = _sim.pq_train_fixed(vecs_1, 64)
+
+    def run_pq_encode(vv):
+        return (
+            _sim.pq_encode(vv, _pq_cents, 64)
+            .agg(F.sum(F.expr("aggregate(pq_codes, 0L, (a, x) -> a + x)")))
+            .collect()[0][0]
+        )
+
+    def run_pagerank(d):
+        fwd = d.select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+            F.lower("source").alias("dst"),
+        )
+        return int(
+            pagerank_integer(fwd.unionByName(back), iterations=5)
+            .agg(F.sum("rank_int")).collect()[0][0]
+        )
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
+        ("pq_encode", run_pq_encode, vecs_1, vecs_k),
+        ("pagerank_5iter", run_pagerank, docs, docs_k),
         ("validate_report", run_validate, orders, orders_k),
         ("funnel_census", run_funnel, events, events_k),
         ("quantized_topk", run_quantized_topk, vecs_1, vecs_k),
