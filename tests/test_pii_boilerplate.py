@@ -148,6 +148,35 @@ def test_strip_identity_when_nothing_flagged(spark):
         assert got[doc_id] == (text or ""), doc_id
 
 
+def test_pii_counts_match_duckdb_on_fuzz(spark):
+    """Cross-engine regex parity under deterministic fuzz: the same
+    pattern strings must count identically in Java regex and RE2 over
+    adversarial inputs (near-miss PII, boundary digits, punctuation
+    runs, unicode)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    alphabet = "ab1@.- +()é京\n<>:/0345"
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+            for i in range(40)]
+    rows += [
+        (100, "x 4111 1111 1111 1111 y 123-45-6789 z a@b.co +1 23 456 7890"),
+        (101, "192.168.0.1.2.3 10.0.0.256 999-99-9999"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii.pii_counts(df).collect()}
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        for name, (pat, _) in pii.PII_TYPES.items():
+            (n,) = con.execute(
+                "SELECT len(regexp_extract_all(coalesce(?, ''), ?))",
+                [text, pat],
+            ).fetchone()
+            assert got[doc_id][f"n_{name}"] == n, (doc_id, name, text)
+
+
 def test_redact_identity_when_no_pii(spark):
     """The ordered regexp_replace chain must be byte-identity on text
     with lookalike-but-not-matching content."""
