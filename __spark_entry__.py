@@ -729,6 +729,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_pq_topk"] = _sim_pq_topk
 
+    # IVF-PQ composition (round 6): IVF cells prune (first-16 cosine
+    # centroids, the ivf_topk_fixed seeding), PQ codes score (exact
+    # int64 ADC) — FAISS's workhorse index shape, fully SQL-twinned
+    def _sim_ivfpq_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        cells = [
+            (i, [float(x) for x in r["embedding"]])
+            for i, r in enumerate(
+                emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+            )
+        ]
+        pq = similarity.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
+        return similarity.ivfpq_topk_fixed(
+            emb.filter(F.col("vec_id") < 5), emb, cells, pq, k=10, n_probe=8
+        )
+
+    q["q_sim_ivfpq_topk"] = _sim_ivfpq_topk
+
     # embedding-cosine near-dup, planted-parity form: exact copies of
     # every 20th vector (cos ≈ 1.0) against a background whose max
     # pairwise cosine is 0.60 at sf0.1 / 0.51 at sf0.01 (measured) —
@@ -2324,8 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup + similarity parity rows (near-dup at wide defaults;
         # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
         # is multi-round green)
-        "q_dedup_lsh_planted_parity", "q_dedup_clusters",
-        "q_sim_embed_near_dup", "q_sim_pq_topk",
+        "q_dedup_lsh_planted_parity",
+        "q_sim_embed_near_dup", "q_sim_pq_topk", "q_sim_ivfpq_topk",
         # streaming: sessionize + quota + NEW composed curate twin
         # (VERDICT r5 item 7; census-shift + drift are in the
         # never-verified block above — 5 streaming-family rows total)
@@ -3361,6 +3379,92 @@ def oracle_sql() -> dict[str, str]:
                             * (q.gc[(e.s - 1) * 8 + i] - c.cv[i]))) AS d
             FROM q, enc e JOIN cent c ON c.s = e.s AND c.j = e.code
             WHERE q.query_id != e.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS pq_dist
+            FROM dsub GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, pq_dist, rank FROM (
+            SELECT query_id, neighbor_id, pq_dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY pq_dist, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """
+
+    # IVF-PQ: the ivf_topk_fixed cell CTEs (cosine argmax / probe)
+    # composed with the pq_topk_fixed codebook CTEs — candidates
+    # restricted to probed cells, ADC distance exact int64
+    o["q_sim_ivfpq_topk"] = f"""
+        WITH val AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        g AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(GREATEST(-127, LEAST(127,
+                       FLOOR(x * 64.0 + 0.5))) AS BIGINT)) AS gc
+            FROM val
+        ),
+        seeds AS (SELECT vec_id, gc FROM g ORDER BY vec_id LIMIT 16),
+        pqcent AS (
+            SELECT s.s AS s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY vec_id) - 1
+                        AS BIGINT) AS j,
+                   gc[(s.s - 1) * 8 + 1 : s.s * 8] AS cv
+            FROM seeds, LATERAL (SELECT UNNEST(range(1, 9)) AS s) s
+        ),
+        enc AS (
+            SELECT vec_id, s, j AS code FROM (
+                SELECT g.vec_id, c.s, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY g.vec_id, c.s
+                           ORDER BY list_sum(list_transform(range(1, 9),
+                               i -> (g.gc[(c.s - 1) * 8 + i] - c.cv[i])
+                                    * (g.gc[(c.s - 1) * 8 + i] - c.cv[i]))),
+                           c.j) AS rn
+                FROM g, pqcent c
+            ) t WHERE rn = 1
+        ),
+        cellcent AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS ce
+            FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+            SELECT neighbor_id, cell FROM (
+                SELECT v.vec_id AS neighbor_id, cc.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos.format(a='v.e', b='cc.ce')} DESC,
+                                    cc.cell) AS rn
+                FROM val v CROSS JOIN cellcent cc
+            ) WHERE rn = 1
+        ),
+        qv AS (
+            SELECT v.vec_id AS query_id, v.e, g.gc
+            FROM val v JOIN g USING (vec_id) WHERE v.vec_id < 5
+        ),
+        probe AS (
+            SELECT query_id, gc, cell FROM (
+                SELECT q.query_id, q.gc, cc.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY {_cos.format(a='q.e', b='cc.ce')} DESC,
+                                    cc.cell) AS pr
+                FROM qv q CROSS JOIN cellcent cc
+            ) WHERE pr <= 8
+        ),
+        dsub AS (
+            SELECT p.query_id, a.neighbor_id,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (p.gc[(e.s - 1) * 8 + i] - c.cv[i])
+                            * (p.gc[(e.s - 1) * 8 + i] - c.cv[i]))) AS d
+            FROM probe p
+                 JOIN assigned a USING (cell)
+                 JOIN enc e ON e.vec_id = a.neighbor_id
+                 JOIN pqcent c ON c.s = e.s AND c.j = e.code
+            WHERE p.query_id != a.neighbor_id
         ),
         scored AS (
             SELECT query_id, neighbor_id, CAST(SUM(d) AS BIGINT) AS pq_dist

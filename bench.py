@@ -92,6 +92,7 @@ HEADLINE = [
     "q_text_script_profile",
     "q_sim_pq_topk",
     "q_web_pagerank",
+    "q_sim_ivfpq_topk",
 ]
 
 

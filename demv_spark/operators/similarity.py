@@ -972,3 +972,112 @@ def pq_topk_fixed(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cell_centroids: list[tuple[int, list[float]]],
+    pq_centroids: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 4,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS's workhorse
+    index): IVF cells prune the candidate set to ``n_probe``
+    partitions of the corpus, PQ codes score the survivors in exact
+    int64. Both halves are the engine's existing fixed-codebook twins
+    (``ivf_topk_fixed``'s cosine cell assignment, ``pq_topk_fixed``'s
+    ADC distance), so the COMPOSITION inherits a full value-hash
+    oracle. Returns (query_id, neighbor_id, pq_dist, rank) — rank by
+    (pq_dist asc, neighbor_id asc) within the probed cells only.
+
+    Scale shape: the corpus side carries (cell, 8-nibble code) — both
+    map-computed against literal codebooks, no shuffle to index; the
+    candidate join is a broadcast of (query × n_probe) cell probes;
+    the only shuffle is the per-query top-k. Exact-float rerank of
+    survivors composes downstream as in ``quantized_rerank_topk``.
+    At 100 TB the cell column doubles as the PARTITION KEY for the
+    written index: one directory per cell makes a probe a partition-
+    pruned scan, never a full read."""
+    cdim = len(cell_centroids[0][1]) if cell_centroids else None
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cell, vec in cell_centroids
+        ]
+    )
+
+    def _scores(v):
+        return F.transform(
+            cent,
+            lambda c: F.struct(
+                cosine(v, c["cv"]).alias("s"), (-c["cell"]).alias("negcell")
+            ),
+        )
+
+    n_subs = len(pq_centroids)
+    sub = len(pq_centroids[0][0])
+    pqc = _pq_cent_lit(pq_centroids)
+
+    enc = pq_encode(
+        corpus, pq_centroids, sub * n_subs, scale, id_col, vec_col
+    )
+    c = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("pq_codes").alias("cc"),
+        (-F.array_max(_scores(_as_double(vec_col)))["negcell"]).alias("__cell"),
+    )
+
+    q = quantize_embeddings_grid(
+        queries, sub * n_subs, scale, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("g_codes").alias("qg"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        _scores(_as_double(vec_col)),
+                        lambda s: F.struct(
+                            (-s["s"]).alias("negs"), (-s["negcell"]).alias("cell")
+                        ),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ).alias("__probes"),
+    )
+    probed = q.select("query_id", "qg", F.explode("__probes").alias("__cell"))
+    qg = F.col("qg")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("cc"),
+            F.sequence(F.lit(1), F.lit(n_subs)),
+            lambda code, s: _pq_subdist(
+                F.slice(qg, (s - F.lit(1)) * sub + 1, sub),
+                F.element_at(F.element_at(pqc, s), code + 1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(probed), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -825,3 +825,38 @@ def test_pq_encode_map_only(spark):
     cents = S.pq_train_fixed(emb, 64)
     s = plan_stats(S.pq_encode(emb, cents, 64))
     assert s["n_exchanges"] == 0 and not s["has_python_udf"]
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark):
+    """Probing every cell makes the candidate set the full corpus, so
+    IVF-PQ must equal pq_topk_fixed row-for-row — the composition
+    invariant (same property as IVF's probe-all == brute force)."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet(EMB)
+    cells = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect())]
+    pq = S.pq_train_fixed(emb, 64)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple,
+                   S.ivfpq_topk_fixed(q, emb, cells, pq, k=5, n_probe=16).collect()))
+    b = sorted(map(tuple, S.pq_topk_fixed(q, emb, pq, k=5).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_ivfpq_partial_probe_distances_are_true_pq_distances(spark):
+    """Pruning changes WHICH neighbors appear, never their distance:
+    every (query, neighbor, pq_dist) under n_probe=2 must appear with
+    the same distance in the unpruned scoring."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet(EMB)
+    cells = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect())]
+    pq = S.pq_train_fixed(emb, 64)
+    q = emb.filter(F.col("vec_id") < 3)
+    pruned = {(r["query_id"], r["neighbor_id"]): r["pq_dist"]
+              for r in S.ivfpq_topk_fixed(q, emb, cells, pq, k=5, n_probe=2).collect()}
+    full = {(r["query_id"], r["neighbor_id"]): r["pq_dist"]
+            for r in S.pq_topk_fixed(q, emb, pq, k=500).collect()}
+    assert pruned and all(full[p] == d for p, d in pruned.items())
