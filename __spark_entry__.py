@@ -1189,6 +1189,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_web_pagerank"] = _web_pagerank
 
+    # deterministic training shards: md5 shard id + exact intra-shard
+    # write position (rank by hash = the intra-shard shuffle)
+    def _corpus_shard_assignment(spark, sf):
+        from demv_spark.operators.corpus import shard_assignment
+
+        return shard_assignment(
+            _t(spark, sf, "documents").select("doc_id"), ["doc_id"], 8
+        )
+
+    q["q_corpus_shard_assignment"] = _corpus_shard_assignment
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -3296,6 +3307,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.vec_id - a.vec_id = 1000000 AS INT) AS is_planted
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """
+
+    # shard assignment: shard = portable md5 % 8, position = rank by
+    # (hash, key) within the shard — both pure functions of the data
+    o["q_corpus_shard_assignment"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(
+                       concat_ws(':', 'shard42', CAST(doc_id AS VARCHAR))
+                   ), 1, 15)) AS BIGINT) AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(hv % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hv % 8 ORDER BY hv, doc_id
+               ) AS BIGINT) AS pos_in_shard
+        FROM h
     """
 
     # integer PageRank: the 5 fixed iterations unroll into 5 chained

@@ -477,3 +477,47 @@ def temperature_mixture(
         .filter(F.col("__before") < F.col("__target"))
     )
     return taken.drop("__target", "__before")
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: every row gets a
+    shard id and its exact write position inside that shard — the
+    data-ordering contract of a reproducible training run (the same
+    corpus always yields the same shard files in the same row order,
+    so a resumed or re-run job reads identical batches).
+
+    shard = portable_hash(seed:keys) mod n_shards — map-side, stable
+    under corpus growth (an added row never moves an existing row's
+    SHARD; only positions after its insertion point shift, which is
+    the best any total order can do). pos_in_shard = rank within the
+    shard by (hash, keys) — the md5 tiebreak makes the order a pure
+    function of the data, never of partitioning, and doubles as an
+    intra-shard shuffle (hash order ≈ random order, the property
+    training wants — consecutive corpus rows land far apart).
+
+    Scale shape: ONE shuffle (the per-shard rank window). Shards are
+    hash-balanced by construction, so the rank tasks are uniform —
+    no salting needed (contrast cap_per_key's hot user-keys). Feed
+    ``shard`` to ``write_corpus(partition_cols=["shard"])`` and
+    ``sort_cols=[pos_col]`` to materialize the layout.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    h = portable_hash(
+        F.concat_ws(
+            ":", F.lit(f"shard{seed}"),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(int(n_shards))).cast("int"))
+    w = Window.partitionBy(shard_col).orderBy(
+        h.asc(), *[F.col(c) for c in key_cols]
+    )
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long"))

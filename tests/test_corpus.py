@@ -261,3 +261,33 @@ def test_temperature_mixture_excludes_null_and_zero_groups(spark):
     srcs = {r["source"] for r in out}
     assert srcs == {"big"}          # NULL and zero-unit groups excluded
     assert len(out) == 100          # budget NOT clamped by the NULL group
+
+
+def test_shard_assignment_contiguous_and_balanced(docs):
+    out = corpus.shard_assignment(docs.select("doc_id"), ["doc_id"], 8)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == set(range(8))
+    # positions are exactly 1..n per shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # hash balance: no shard more than 2x the mean
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+
+
+def test_shard_assignment_stable_under_growth_and_partitioning(spark, docs):
+    base = docs.select("doc_id").filter("doc_id < 300")
+    grown = docs.select("doc_id")
+    a = {r["doc_id"]: r["shard"] for r in
+         corpus.shard_assignment(base, ["doc_id"], 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in
+         corpus.shard_assignment(grown, ["doc_id"], 8).collect()}
+    # growing the corpus never moves an existing row's SHARD
+    assert all(b[k] == v for k, v in a.items())
+    c = sorted(map(tuple,
+        corpus.shard_assignment(grown.repartition(13), ["doc_id"], 8).collect()))
+    d = sorted(map(tuple, corpus.shard_assignment(grown, ["doc_id"], 8).collect()))
+    assert c == d
