@@ -443,6 +443,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_top_tokens"] = lambda spark, sf: text.top_tokens(
         _t(spark, sf, "documents"), k=20
     )
+    # tokenizer-budget coverage curve: exact top-V occurrence share
+    # from the count census (no per-token global sort at any scale)
+    q["q_text_vocab_coverage"] = lambda spark, sf: text.vocab_coverage(
+        _t(spark, sf, "documents"), [10, 25, 100, 10_000]
+    ).select("v", "n_vocab", "covered", "total", _fx("coverage"))
     # sum_q6 (exact per-row-digitized BIGINT sum) replaces the floored
     # mean_quality double — the r1/r2/r3 hash-fail fix; the mean is
     # fully determined by (sum_q6, n_docs)
@@ -1199,6 +1204,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_corpus_shard_assignment"] = _corpus_shard_assignment
+
+    # snapshot diff: two corpus versions derived deterministically
+    # from documents (old drops doc_id%10==0; new drops %7==0 and
+    # edits %5==0), per-key verdict via ONE full-outer join
+    def _corpus_diff(spark, sf):
+        from demv_spark.operators.corpus import corpus_diff
+
+        d = _t(spark, sf, "documents")
+        old = d.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        )
+        new = d.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(" edited"))
+                    .otherwise(F.lit("")),
+                )
+            ).alias("fp"),
+        )
+        return corpus_diff(old, new, ["doc_id"])
+
+    q["q_corpus_diff"] = _corpus_diff
+
+    # record linkage: dirty catalog (every 3rd part name truncated by
+    # 2 chars) fuzzy-joined back to the clean catalog — first-token
+    # block equi-join, levenshtein <= 2 inside the join stage, the
+    # all-pairs plan never exists
+    def _linkage_fuzzy(spark, sf):
+        from demv_spark.operators.linkage import blocked_fuzzy_join
+
+        p = _t(spark, sf, "part")
+        left = p.select(
+            F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a")
+        )
+        chopped = F.col("p_name").substr(
+            F.lit(1), F.greatest(F.length("p_name") - 2, F.lit(0))
+        )
+        right = p.filter(F.col("p_partkey") % 3 == 0).select(
+            F.col("p_partkey").alias("pk_b"), chopped.alias("name_b")
+        )
+        return blocked_fuzzy_join(left, right, "name_a", "name_b", max_dist=2)
+
+    q["q_linkage_fuzzy_join"] = _linkage_fuzzy
 
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
@@ -3327,6 +3378,52 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+
+    # fuzzy-join twin: identical first-token blocking + levenshtein
+    # (same classic edit distance in both engines)
+    o["q_linkage_fuzzy_join"] = r"""
+        WITH l AS (
+            SELECT p_partkey AS pk_a, p_name AS name_a,
+                   string_split_regex(lower(trim(p_name)), '\s+')[1] AS blk
+            FROM part
+        ),
+        r AS (
+            SELECT p_partkey AS pk_b,
+                   substr(p_name, 1, GREATEST(length(p_name) - 2, 0)) AS name_b,
+                   string_split_regex(lower(trim(
+                       substr(p_name, 1, GREATEST(length(p_name) - 2, 0))
+                   )), '\s+')[1] AS blk
+            FROM part WHERE p_partkey % 3 = 0
+        )
+        SELECT pk_a, name_a, pk_b, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+        FROM l JOIN r USING (blk)
+        WHERE levenshtein(name_a, name_b) <= 2
+    """
+
+    # snapshot-diff twin: same deterministic old/new derivation, one
+    # FULL OUTER JOIN, null-safe fingerprint compare
+    o["q_corpus_diff"] = """
+        WITH old AS (
+            SELECT doc_id, md5(coalesce(text, '')) AS fp
+            FROM documents WHERE doc_id % 10 != 0
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(coalesce(text, '') ||
+                       CASE WHEN doc_id % 5 = 0 THEN ' edited' ELSE '' END
+                   ) AS fp
+            FROM documents WHERE doc_id % 7 != 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               o.fp AS old_fp, n.fp AS new_fp,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS verdict
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """
+
     # integer PageRank: the 5 fixed iterations unroll into 5 chained
     # CTEs generated from the same exact-integer update rule
     # (contrib = rank // out_deg, rank' = 150000 + 85·Σ // 100)
@@ -4548,6 +4645,38 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (SELECT UNNEST({_toks}) AS token FROM documents)
         SELECT token, COUNT(*) AS n FROM tok WHERE token != ''
         GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+    """
+    # coverage curve twin: same count-census identity — equal-count
+    # tokens are interchangeable for the sum, so only the census
+    # (one row per distinct count) is ordered
+    o["q_text_vocab_coverage"] = f"""
+        WITH tok AS (SELECT UNNEST({_toks}) AS token FROM documents),
+        counts AS (
+            SELECT token, COUNT(*) AS n FROM tok
+            WHERE token != '' GROUP BY 1
+        ),
+        census AS (SELECT n, COUNT(*) AS k FROM counts GROUP BY 1),
+        cum AS (
+            SELECT n, k,
+                   CAST(COALESCE(SUM(k) OVER (
+                       ORDER BY n DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_k
+            FROM census
+        ),
+        vs AS (SELECT UNNEST([10, 25, 100, 10000]) AS v),
+        taken AS (
+            SELECT v, n, k,
+                   GREATEST(CAST(0 AS BIGINT),
+                            LEAST(k, CAST(v AS BIGINT) - cum_k)) AS tk
+            FROM cum, vs
+        )
+        SELECT CAST(v AS INTEGER) AS v,
+               CAST(SUM(tk) AS BIGINT) AS n_vocab,
+               CAST(SUM(tk * n) AS BIGINT) AS covered,
+               CAST(SUM(k * n) AS BIGINT) AS total,
+               {_fx_sql('CAST(SUM(tk * n) AS BIGINT) / CAST(SUM(k * n) AS BIGINT)', 'coverage')}
+        FROM taken GROUP BY 1
     """
     o["q_dedup_decontaminate"] = f"""
         WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),

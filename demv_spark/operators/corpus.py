@@ -521,3 +521,64 @@ def shard_assignment(
         h.asc(), *[F.col(c) for c in key_cols]
     )
     return out.withColumn(pos_col, F.row_number().over(w).cast("long"))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    fp_col: str = "fp",
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per key, verdict
+    ``added`` (key only in new) / ``removed`` (only in old) /
+    ``changed`` (both sides, fingerprint differs) / ``unchanged`` —
+    the audit primitive of an incremental 100 TB ingest (what did
+    this crawl refresh actually touch?) and the input to incremental
+    re-processing (re-embed/re-tokenize only ``added``+``changed``).
+
+    Contract: ``key_cols`` must be unique per side (a snapshot is
+    keyed) — pre-check with ``validate.dup_keys`` on ingest.
+    Fingerprints compare null-safely (two NULL fps = unchanged), and
+    presence is tracked separately from the fingerprint so a present
+    row with a NULL fp is never mistaken for an absent row.
+
+    Scale shape: ONE full-outer shuffle join on the key. At 100 TB
+    store both snapshots bucketed by the key so the join is
+    co-located (zero shuffle); fingerprints travel as 32-byte
+    strings, never the payload. Output columns: *key_cols, old_fp,
+    new_fp, verdict.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    o = old.select(
+        *keys, F.col(fp_col).alias("old_fp"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *keys, F.col(fp_col).alias("new_fp"), F.lit(True).alias("__in_new")
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    verdict = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, "old_fp", "new_fp", verdict.alias(verdict_col))
+
+
+def corpus_diff_census(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Verdict census of ``corpus_diff`` — the four-row dataset-card
+    delta (n added/removed/changed/unchanged). Same single-join plan;
+    the census aggregation is map-side partial on top of it."""
+    return (
+        corpus_diff(old, new, key_cols, fp_col)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

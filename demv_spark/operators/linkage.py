@@ -1,0 +1,76 @@
+"""Record linkage: blocked fuzzy joins for entity resolution.
+
+Not part of the reference surface (it has no string matching) — a
+BASELINE.json north-star extension: dedup/linkage across catalogs,
+crawls, or user tables where keys are dirty (typos, truncation, OCR
+noise) and exact equi-joins miss.
+
+The scale contract is BLOCKING: an edit-distance join is O(|L|·|R|)
+if expressed naively — at 100 TB that plan must never exist. Here
+candidates are generated only inside equal-block buckets (one
+equi-join shuffle), so total work is Σ_b |L_b|·|R_b|: quadratic per
+block, linear in blocks. Pick the block key so blocks stay small
+(first token, prefix+length band, soundex, …) and diagnose hot
+blocks with ``functions.counting.heavy_hitters`` — a single hot
+block is the skew hazard, split it with a finer key, never salt
+(salting a similarity join drops cross-salt matches).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def first_token_block(c: Column) -> Column:
+    """Default block key: first whitespace token of the lowercased,
+    trimmed string — robust to suffix edits (truncation, appended
+    junk), blind to first-word typos (use a char-prefix block for
+    those). SQL twin: string_split_regex(lower(trim(x)), '\\s+')[1].
+    """
+    return F.split(F.lower(F.trim(c)), r"\s+")[0]
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block_fn: Optional[Callable[[Column], Column]] = None,
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Fuzzy equi-join: pairs (left row, right row) whose block keys
+    match exactly AND levenshtein(left_col, right_col) <= max_dist.
+
+    Left and right column names must be disjoint (alias before
+    calling) — the output carries all of both plus ``dist_col``.
+    NULL strings never match (their block key is NULL, which an
+    equi-join drops — the SQL-standard behavior on both engines).
+
+    Plan: one equi-join shuffle on the block key; the levenshtein
+    filter runs inside the join's codegen stage (JVM, no UDF), so
+    only true candidate pairs are ever materialized. Recall is
+    bounded by the block function: a pair whose block keys differ is
+    unreachable by construction — choose ``block_fn`` for the edit
+    model you expect (default: ``first_token_block``).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0 (got {max_dist})")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint (shared: {sorted(overlap)})"
+        )
+    bl = block_fn or first_token_block
+    l = left.withColumn("__blk", bl(F.col(left_col)))
+    r = right.withColumn("__blk", bl(F.col(right_col)))
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (
+        l.join(r, "__blk")
+        .withColumn(dist_col, dist.cast("int"))
+        .filter(F.col(dist_col) <= F.lit(int(max_dist)))
+        .drop("__blk")
+    )

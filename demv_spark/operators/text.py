@@ -879,3 +879,81 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             cond = cond & (c > other if j < i else c >= other)
         dominant = F.when(cond, F.lit(names[i])).otherwise(dominant)
     return out.withColumn("script_main", dominant)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: "list[int]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-budget planning: for each candidate vocabulary size
+    V, the EXACT fraction of corpus token occurrences covered by the
+    top-V tokens (count desc) — the coverage curve that decides a
+    tokenizer's vocab size before an expensive BPE train (pair with
+    ``learn_bpe``; ``bpe_token_estimate`` is the per-doc twin).
+
+    Key identity: equal-count tokens are interchangeable for the
+    coverage SUM, so no per-token order is ever materialized — only
+    the count CENSUS (one row per distinct count value, O(√corpus)
+    rows by the Zipf tail) is ordered, and its prefix sums are
+    bucketed by the count's exact bit length (≤64 buckets, the
+    ``auc_exact`` trick via ``length(bin(n))`` — integer-exact, no
+    float log) so no single global-sort task exists at any scale.
+    coverage(V) then reads off the census: full count-groups whose
+    cumulative token rank fits under V, plus a pro-rata slice of the
+    boundary group.
+
+    Columns: v, n_vocab (tokens actually taken, = min(V, |vocab|)),
+    covered, total (exact longs), coverage (covered/total — ONE IEEE
+    division, bit-reproducible on any engine).
+    """
+    sizes = [int(v) for v in vocab_sizes]
+    if not sizes or any(v < 1 for v in sizes) or len(set(sizes)) != len(sizes):
+        raise ValueError(
+            f"vocab_sizes must be distinct positive ints (got {vocab_sizes})"
+        )
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    census = counts.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    # exact descending-count bucket: length(bin(n)) = floor(log2 n)+1
+    census = census.withColumn(
+        "__bk", (F.lit(64) - F.length(F.bin("n"))).cast("int")
+    )
+    w_local = (
+        Window.partitionBy("__bk")
+        .orderBy(F.desc("n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_cum = F.coalesce(F.sum("k").over(w_local), F.lit(0))
+    totals = census.groupBy("__bk").agg(F.sum("k").alias("__bn"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).drop("__bn")
+    cum = census.withColumn("__lc", local_cum).join(
+        F.broadcast(offsets), "__bk"
+    ).withColumn("cum_k", (F.col("__lc") + F.col("__off")).cast("long"))
+    vs = spark.createDataFrame([(v,) for v in sizes], "v int")
+    taken = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("k"), F.col("v").cast("long") - F.col("cum_k")),
+    )
+    out = (
+        cum.crossJoin(F.broadcast(vs))
+        .groupBy("v")
+        .agg(
+            F.sum(taken).alias("n_vocab"),
+            F.sum(taken * F.col("n")).alias("covered"),
+            F.sum(F.col("k") * F.col("n")).alias("total"),
+        )
+    )
+    return out.withColumn("coverage", F.col("covered") / F.col("total"))

@@ -291,3 +291,36 @@ def test_shard_assignment_stable_under_growth_and_partitioning(spark, docs):
         corpus.shard_assignment(grown.repartition(13), ["doc_id"], 8).collect()))
     d = sorted(map(tuple, corpus.shard_assignment(grown, ["doc_id"], 8).collect()))
     assert c == d
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, fp string")
+
+
+def test_corpus_diff_all_verdicts(spark):
+    old = _snap(spark, [(1, "a"), (2, "b"), (3, "c"), (4, None)])
+    new = _snap(spark, [(2, "b"), (3, "X"), (4, None), (5, "e")])
+    got = {r["doc_id"]: r["verdict"]
+           for r in corpus.corpus_diff(old, new, ["doc_id"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged",  # NULL fp both sides = unchanged
+                   5: "added"}
+
+
+def test_corpus_diff_null_fp_present_not_absent(spark):
+    # present-with-NULL-fp on one side only is CHANGED, never added/removed
+    old = _snap(spark, [(1, None)])
+    new = _snap(spark, [(1, "x")])
+    rows = corpus.corpus_diff(old, new, ["doc_id"]).collect()
+    assert rows[0]["verdict"] == "changed"
+
+
+def test_corpus_diff_census_counts(spark):
+    old = _snap(spark, [(i, f"v{i}") for i in range(10)])
+    new = _snap(spark, [(i, f"v{i}" if i % 3 else "mod") for i in range(2, 12)])
+    got = {r["verdict"]: r["n"]
+           for r in corpus.corpus_diff_census(old, new, ["doc_id"]).collect()}
+    # removed: 0,1; added: 10,11; changed among 2..9: i%3==0 -> 3,6,9
+    assert got == {"removed": 2, "added": 2, "changed": 3, "unchanged": 5}
+    with pytest.raises(ValueError):
+        corpus.corpus_diff(old, new, [])

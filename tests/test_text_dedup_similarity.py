@@ -860,3 +860,56 @@ def test_ivfpq_partial_probe_distances_are_true_pq_distances(spark):
     full = {(r["query_id"], r["neighbor_id"]): r["pq_dist"]
             for r in S.pq_topk_fixed(q, emb, pq, k=500).collect()}
     assert pruned and all(full[p] == d for p, d in pruned.items())
+
+
+def _brute_coverage(rows, vocab_sizes):
+    from collections import Counter
+
+    c = Counter()
+    for _id, t in rows:
+        for tok in (t or "").strip().lower().split():
+            if tok:
+                c[tok] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    return {
+        v: (min(v, len(ranked)), sum(n for _, n in ranked[:v]), total)
+        for v in vocab_sizes
+    }
+
+
+def test_vocab_coverage_exact_vs_brute_force(docs):
+    sizes = [1, 3, 7, 10_000]
+    got = {r["v"]: r for r in text.vocab_coverage(docs, sizes).collect()}
+    want = _brute_coverage(DOCS, sizes)
+    assert set(got) == set(sizes)
+    for v in sizes:
+        n_vocab, covered, total = want[v]
+        r = got[v]
+        assert (r["n_vocab"], r["covered"], r["total"]) == (
+            n_vocab, covered, total), v
+        assert r["coverage"] == covered / total  # bit-exact single division
+
+
+def test_vocab_coverage_boundary_cuts_equal_count_group(spark):
+    # 5 tokens all with count 1: V=2 must take a pro-rata slice of
+    # the single count-census group (2 of 5 occurrences)
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r = {x["v"]: x for x in text.vocab_coverage(df, [2]).collect()}[2]
+    assert (r["n_vocab"], r["covered"], r["total"]) == (2, 2, 5)
+
+
+def test_vocab_coverage_monotone_and_validates(docs):
+    rows = sorted(
+        text.vocab_coverage(docs, [1, 2, 4, 8, 16]).collect(),
+        key=lambda r: r["v"],
+    )
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)            # coverage is monotone in V
+    assert covs[-1] <= 1.0
+    with pytest.raises(ValueError):
+        text.vocab_coverage(docs, [])
+    with pytest.raises(ValueError):
+        text.vocab_coverage(docs, [0, 5])
+    with pytest.raises(ValueError):
+        text.vocab_coverage(docs, [5, 5])
