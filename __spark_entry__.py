@@ -2394,23 +2394,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift_monitor",
         # plans changed this round: re-earn the driver row
         "q_etl_quantile_label", "q_ml_fold_sizes", "q_dataset_law",
-        # DEMV flagship
+        # DEMV flagship (adasyn + multi rotate out this round — both
+        # multi-round green, the family keeps census/smote/eg rows)
         "q_demv_rebalance_census", "q_demv_smote_census",
-        "q_demv_adasyn_census", "q_demv_rebalance_census_multi",
         "q_demv_eg_census",
-        # fairness + threshold-free metrics
-        "q_metric_fairness_suite", "q_metric_weighted_suite",
+        # fairness + threshold-free metrics (weighted suite rotates
+        # out — r5 green, fairness_suite keeps the family's seat)
+        "q_metric_fairness_suite",
         "q_ml_auc",
         # dedup + similarity parity rows (near-dup at wide defaults;
         # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
         # is multi-round green)
         "q_dedup_lsh_planted_parity",
         "q_sim_embed_near_dup", "q_sim_pq_topk", "q_sim_ivfpq_topk",
-        # streaming: sessionize + quota + NEW composed curate twin
-        # (VERDICT r5 item 7; census-shift + drift are in the
-        # never-verified block above — 5 streaming-family rows total)
-        "q_stream_sessionize", "q_stream_quota_admission",
-        "q_stream_curate_e2e",
+        # streaming: sessionize + NEW composed curate twin (VERDICT
+        # r5 item 7; census-shift + drift are in the never-verified
+        # block above — 4 streaming-family rows total; quota rotates
+        # out after its r5 green)
+        "q_stream_sessionize", "q_stream_curate_e2e",
         # NEW round-6 curation families take the remaining seats so
         # they earn driver rows in their birth round (no new backlog;
         # the multi-round-green adult/cmc recipes, as-of join,
@@ -2419,6 +2420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_counts", "q_pii_redact",
         "q_text_strip_boilerplate", "q_text_lm_surprisal",
         "q_text_script_profile", "q_web_pagerank",
+        # round-6 second wave, seated in their birth round: shard
+        # assignment, snapshot diff, tokenizer coverage curve, and
+        # blocked fuzzy join (record linkage)
+        "q_corpus_shard_assignment", "q_corpus_diff",
+        "q_text_vocab_coverage", "q_linkage_fuzzy_join",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

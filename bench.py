@@ -93,6 +93,16 @@ HEADLINE = [
     "q_sim_pq_topk",
     "q_web_pagerank",
     "q_sim_ivfpq_topk",
+    # round-6 second wave: deterministic training shards (one window
+    # shuffle), snapshot diff (one full-outer join), tokenizer
+    # coverage curve (count census, no per-token sort). The blocked
+    # fuzzy join is oracled but not benched: its sf0.1 output is
+    # ~2.9M pairs (the synthetic part names repeat heavily), so a
+    # collect-forced timing measures result transfer, not the join —
+    # see PERFORMANCE.md.
+    "q_corpus_shard_assignment",
+    "q_corpus_diff",
+    "q_text_vocab_coverage",
 ]
 
 
