@@ -1251,6 +1251,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_linkage_fuzzy_join"] = _linkage_fuzzy
 
+    # daily-delta ingest admission: batch (doc_id%10 ∈ {3,6}) vs the
+    # corpus fingerprint store (everything else); the 5-token prefix
+    # fingerprint makes collisions plentiful so all three verdicts
+    # (dup_corpus / dup_batch / admitted) occur at every scale
+    def _dedup_incremental(spark, sf):
+        from demv_spark.operators.dedup import incremental_admission
+        from demv_spark.operators.text import tokens
+
+        d = _t(spark, sf, "documents")
+        fp = F.md5(F.array_join(F.slice(tokens("text"), 1, 5), " "))
+        existing = d.filter(~(F.col("doc_id") % 10).isin(3, 6)).select(
+            fp.alias("fp")
+        )
+        batch = d.filter((F.col("doc_id") % 10).isin(3, 6)).select(
+            "doc_id", fp.alias("fp")
+        )
+        return incremental_admission(batch, existing)
+
+    q["q_dedup_incremental"] = _dedup_incremental
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -2398,10 +2418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-round green, the family keeps census/smote/eg rows)
         "q_demv_rebalance_census", "q_demv_smote_census",
         "q_demv_eg_census",
-        # fairness + threshold-free metrics (weighted suite rotates
-        # out — r5 green, fairness_suite keeps the family's seat)
+        # fairness + threshold-free metrics (weighted suite and AUC
+        # rotate out — both r5 green, and the rank-metric family
+        # earned three r5 rows: auc, auc_by_group, calibration;
+        # fairness_suite keeps the threshold family's seat)
         "q_metric_fairness_suite",
-        "q_ml_auc",
         # dedup + similarity parity rows (near-dup at wide defaults;
         # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
         # is multi-round green)
@@ -2425,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocked fuzzy join (record linkage)
         "q_corpus_shard_assignment", "q_corpus_diff",
         "q_text_vocab_coverage", "q_linkage_fuzzy_join",
+        "q_dedup_incremental",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3384,6 +3406,32 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+
+    # incremental-admission twin: same 5-token prefix fingerprint,
+    # first-wins rank within the batch, store hit via LEFT JOIN
+    o["q_dedup_incremental"] = r"""
+        WITH f AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       string_split_regex(trim(lower(coalesce(text, ''))),
+                                          '\s+')[1:5], ' ')) AS fp
+            FROM documents
+        ),
+        store AS (
+            SELECT DISTINCT fp FROM f WHERE doc_id % 10 NOT IN (3, 6)
+        ),
+        batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 IN (3, 6)),
+        ranked AS (
+            SELECT doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+            FROM batch
+        )
+        SELECT r.doc_id, r.fp,
+               CASE WHEN s.fp IS NOT NULL THEN 'dup_corpus'
+                    WHEN rk > 1 THEN 'dup_batch'
+                    ELSE 'admitted' END AS verdict
+        FROM ranked r LEFT JOIN store s ON r.fp = s.fp
+    """
 
     # fuzzy-join twin: identical first-token blocking + levenshtein
     # (same classic edit distance in both engines)

@@ -103,6 +103,7 @@ HEADLINE = [
     "q_corpus_shard_assignment",
     "q_corpus_diff",
     "q_text_vocab_coverage",
+    "q_dedup_incremental",
 ]
 
 

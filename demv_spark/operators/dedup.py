@@ -867,3 +867,49 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def incremental_admission(
+    batch: DataFrame,
+    existing_fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Batch-ingest admission — the daily-delta twin of
+    ``exact_dedup``: per batch row, verdict ``dup_corpus`` (its
+    fingerprint already exists in the corpus store), ``dup_batch``
+    (a smaller-id row in the SAME batch carries the same new
+    fingerprint — first-wins, deterministic), or ``admitted``.
+    Admitted rows' fingerprints are what you append to the store,
+    keeping ingest idempotent across re-runs.
+
+    ``existing_fps`` needs only the fingerprint column; it is
+    deduplicated here so a non-unique store can never fan out batch
+    rows. NULL fingerprints never match the store (SQL join
+    semantics) and compete first-wins among themselves — normalize
+    upstream if NULL should mean reject.
+
+    Scale shape: the within-batch rank window and the store join are
+    BOTH keyed on the fingerprint, so the batch is shuffled once and
+    the exchange is reused. The store side shuffles once for its
+    distinct (skip by declaring the store pre-bucketed by fp — then
+    the whole plan is one batch shuffle). A daily batch is usually
+    ≪ the store: Spark's SMJ streams the store side, and at extreme
+    asymmetry broadcast the BATCH's distinct fps into a semi-join
+    instead (flip callers: the store never broadcasts).
+    """
+    store = (
+        existing_fps.select(F.col(fp_col).alias("__fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    b = batch.withColumn("__rk", F.row_number().over(w))
+    j = b.join(store, b[fp_col] == F.col("__fp"), "left")
+    verdict = (
+        F.when(F.col("__hit").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("__rk") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("admitted"))
+    )
+    return j.select(*batch.columns, verdict.alias(verdict_col))

@@ -324,3 +324,26 @@ def test_corpus_diff_census_counts(spark):
     assert got == {"removed": 2, "added": 2, "changed": 3, "unchanged": 5}
     with pytest.raises(ValueError):
         corpus.corpus_diff(old, new, [])
+
+
+def test_corpus_diff_properties_random_snapshots(spark):
+    # seeded random snapshot pair: the verdicts must partition the
+    # key union, diff(a, a) must be all-unchanged, and swapping the
+    # sides must map added<->removed and keep changed/unchanged
+    import random
+
+    rng = random.Random(99)
+    old_rows = [(i, f"v{rng.randint(0, 5)}") for i in range(200) if rng.random() < 0.8]
+    new_rows = [(i, f"v{rng.randint(0, 5)}") for i in range(200) if rng.random() < 0.8]
+    old = _snap(spark, old_rows)
+    new = _snap(spark, new_rows)
+    fwd = {r["doc_id"]: r["verdict"]
+           for r in corpus.corpus_diff(old, new, ["doc_id"]).collect()}
+    assert set(fwd) == {i for i, _ in old_rows} | {i for i, _ in new_rows}
+    rev = {r["doc_id"]: r["verdict"]
+           for r in corpus.corpus_diff(new, old, ["doc_id"]).collect()}
+    flip = {"added": "removed", "removed": "added",
+            "changed": "changed", "unchanged": "unchanged"}
+    assert rev == {k: flip[v] for k, v in fwd.items()}
+    self_diff = corpus.corpus_diff(old, old, ["doc_id"]).collect()
+    assert all(r["verdict"] == "unchanged" for r in self_diff)

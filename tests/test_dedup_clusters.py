@@ -104,3 +104,48 @@ def test_lsh_pipeline_composes(spark, request):
     got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
     want = _union_find([(r["id_a"], r["id_b"]) for r in pairs.collect()])
     assert got == want
+
+
+def test_incremental_admission_verdicts(spark):
+    from demv_spark.operators.dedup import incremental_admission
+
+    store = spark.createDataFrame([("a",), ("b",)], "fp string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "c"), (4, None), (5, None), (6, "b")],
+        "doc_id long, fp string",
+    )
+    got = {r["doc_id"]: r["verdict"]
+           for r in incremental_admission(batch, store).collect()}
+    assert got == {
+        1: "dup_corpus",          # fp in store
+        2: "admitted",            # first of the new fp within batch
+        3: "dup_batch",           # second of the same new fp
+        4: "admitted",            # NULL never matches store; first NULL wins
+        5: "dup_batch",
+        6: "dup_corpus",
+    }
+
+
+def test_incremental_admission_non_unique_store_never_fans_out(spark):
+    from demv_spark.operators.dedup import incremental_admission
+
+    store = spark.createDataFrame([("a",), ("a",), ("a",)], "fp string")
+    batch = spark.createDataFrame([(1, "a"), (2, "x")], "doc_id long, fp string")
+    out = incremental_admission(batch, store)
+    assert out.count() == 2       # one output row per batch row, always
+
+
+def test_incremental_admission_idempotent_across_reruns(spark):
+    from demv_spark.operators.dedup import incremental_admission
+
+    store = spark.createDataFrame([("a",)], "fp string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "c")], "doc_id long, fp string"
+    )
+    first = incremental_admission(batch, store)
+    admitted = first.filter("verdict = 'admitted'").select("fp")
+    # appending the admitted fps and re-running the SAME batch must
+    # admit nothing new (ingest idempotency)
+    store2 = store.union(admitted)
+    second = incremental_admission(batch, store2)
+    assert second.filter("verdict = 'admitted'").count() == 0

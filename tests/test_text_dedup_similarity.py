@@ -913,3 +913,26 @@ def test_vocab_coverage_monotone_and_validates(docs):
         text.vocab_coverage(docs, [0, 5])
     with pytest.raises(ValueError):
         text.vocab_coverage(docs, [5, 5])
+
+
+def test_vocab_coverage_random_zipf_corpus_matches_brute_force(spark):
+    # seeded Zipf-ish corpus: heavy skew + deep tie plateaus (many
+    # tokens sharing a count), the shapes that stress the census math
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(120):
+        n = rng.randint(0, 30)
+        words = [vocab[min(int(rng.paretovariate(1.1)), 199)] for _ in range(n)]
+        rows.append((d, " ".join(words) if words else None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sizes = [1, 2, 5, 17, 50, 1000]
+    got = {r["v"]: r for r in text.vocab_coverage(df, sizes).collect()}
+    want = _brute_coverage(rows, sizes)
+    for v in sizes:
+        n_vocab, covered, total = want[v]
+        r = got[v]
+        assert (r["n_vocab"], r["covered"], r["total"]) == (
+            n_vocab, covered, total), v
