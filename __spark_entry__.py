@@ -1271,6 +1271,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_incremental"] = _dedup_incremental
 
+    # golden-record resolution: block → fuzzy match → ONE winner per
+    # dirty record (min edit distance, tie → min clean key) via a
+    # partial-aggregating min_by — no per-key rank window
+    def _linkage_best_match(spark, sf):
+        from demv_spark.operators.linkage import best_match
+
+        return best_match(_linkage_fuzzy(spark, sf))
+
+    q["q_linkage_best_match"] = _linkage_best_match
+
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
     # (split, admitted) proving the stages compose without interfering
@@ -2414,10 +2424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift_monitor",
         # plans changed this round: re-earn the driver row
         "q_etl_quantile_label", "q_ml_fold_sizes", "q_dataset_law",
-        # DEMV flagship (adasyn + multi rotate out this round — both
-        # multi-round green, the family keeps census/smote/eg rows)
+        # DEMV flagship (adasyn + multi + eg rotate out this round —
+        # all multi-round/r5 green; the family keeps the census,
+        # smote, and rows-only smote seats)
         "q_demv_rebalance_census", "q_demv_smote_census",
-        "q_demv_eg_census",
         # fairness + threshold-free metrics (weighted suite and AUC
         # rotate out — both r5 green, and the rank-metric family
         # earned three r5 rows: auc, auc_by_group, calibration;
@@ -2446,7 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocked fuzzy join (record linkage)
         "q_corpus_shard_assignment", "q_corpus_diff",
         "q_text_vocab_coverage", "q_linkage_fuzzy_join",
-        "q_dedup_incremental",
+        "q_dedup_incremental", "q_linkage_best_match",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3406,6 +3416,35 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+
+    # best-match twin: the fuzzy-join CTE + one-winner-per-dirty-key
+    # rank (same (edit_dist, pk_a) total order as Spark's min_by)
+    o["q_linkage_best_match"] = r"""
+        WITH l AS (
+            SELECT p_partkey AS pk_a, p_name AS name_a,
+                   string_split_regex(lower(trim(p_name)), '\s+')[1] AS blk
+            FROM part
+        ),
+        r AS (
+            SELECT p_partkey AS pk_b,
+                   substr(p_name, 1, GREATEST(length(p_name) - 2, 0)) AS name_b,
+                   string_split_regex(lower(trim(
+                       substr(p_name, 1, GREATEST(length(p_name) - 2, 0))
+                   )), '\s+')[1] AS blk
+            FROM part WHERE p_partkey % 3 = 0
+        ),
+        pairs AS (
+            SELECT pk_a, name_a, pk_b, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+            FROM l JOIN r USING (blk)
+            WHERE levenshtein(name_a, name_b) <= 2
+        )
+        SELECT pk_b, pk_a, name_a, name_b, edit_dist
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY pk_b ORDER BY edit_dist, pk_a
+        ) = 1
+    """
 
     # incremental-admission twin: same 5-token prefix fingerprint,
     # first-wins rank within the batch, store hit via LEFT JOIN

@@ -104,6 +104,11 @@ HEADLINE = [
     "q_corpus_diff",
     "q_text_vocab_coverage",
     "q_dedup_incremental",
+    # golden-record resolution: the ~2.9M-pair fuzzy join reduced by
+    # a partial-aggregating min_by to one winner per dirty record —
+    # the collect is resolution-sized (one row per dirty key), so
+    # unlike the raw pair query this IS benchable
+    "q_linkage_best_match",
 ]
 
 

@@ -74,3 +74,42 @@ def blocked_fuzzy_join(
         .filter(F.col(dist_col) <= F.lit(int(max_dist)))
         .drop("__blk")
     )
+
+
+def best_match(
+    pairs: DataFrame,
+    right_key: str = "pk_b",
+    left_key: str = "pk_a",
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Golden-record resolution over fuzzy candidate pairs: for each
+    right-side (dirty) record, keep exactly ONE best left-side match
+    — smallest distance, ties broken by smallest left key, a total
+    order so resolution is deterministic under any partitioning.
+
+    One ``min_by`` aggregate keyed on the right key — NOT a rank
+    window: partial (map-side) aggregation means the shuffle carries
+    one candidate struct per (partition, right key), and no per-key
+    sort ever materializes. Composes with ``blocked_fuzzy_join``:
+    block → match → resolve is the full linkage pipeline.
+
+    Output: one row per distinct right key, carrying every pair
+    column of the winning candidate.
+
+    Contract: ``left_key`` must identify a unique left record (true
+    for any ``blocked_fuzzy_join`` output — blocking emits one key
+    per row, so a (left, right) pair occurs at most once). If the
+    input carries duplicate (left_key, right_key) rows with
+    different payloads, the tie among those payloads is undefined.
+    """
+    for c in (right_key, left_key, dist_col):
+        if c not in pairs.columns:
+            raise ValueError(f"column {c!r} not in pairs ({pairs.columns})")
+    carry = [c for c in pairs.columns if c != right_key]
+    order = F.struct(F.col(dist_col), F.col(left_key))
+    agg = pairs.groupBy(right_key).agg(
+        F.min_by(F.struct(*carry), order).alias("__best")
+    )
+    return agg.select(
+        right_key, *[F.col(f"__best.{c}").alias(c) for c in carry]
+    )

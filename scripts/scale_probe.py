@@ -351,8 +351,76 @@ def main():
             .agg(F.sum("rank_int")).collect()[0][0]
         )
 
+    from demv_spark.operators import corpus as _corpus
+    from demv_spark.operators.linkage import blocked_fuzzy_join
+
+    def run_shard_assignment(d):
+        return int(
+            _corpus.shard_assignment(d.select("doc_id"), ["doc_id"], 64)
+            .agg(F.sum("pos_in_shard")).collect()[0][0]
+        )
+
+    def run_vocab_coverage(d):
+        return int(
+            text.vocab_coverage(d, [100, 10_000])
+            .agg(F.sum("covered")).collect()[0][0]
+        )
+
+    def run_corpus_diff(d):
+        fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+        old = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", fp.alias("fp"))
+        new = d.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(" edited"))
+                    .otherwise(F.lit("")),
+                )
+            ).alias("fp"),
+        )
+        return _corpus.corpus_diff(old, new, ["doc_id"]).count()
+
+    def run_incremental_admission(d):
+        fp = F.md5(F.array_join(F.slice(text.tokens("text"), 1, 5), " "))
+        existing = d.filter(~(F.col("doc_id") % 10).isin(3, 6)).select(fp.alias("fp"))
+        batch = d.filter((F.col("doc_id") % 10).isin(3, 6)).select(
+            "doc_id", fp.alias("fp")
+        )
+        return dedup.incremental_admission(batch, existing).count()
+
+    part = read_table(spark, sf, "part").cache()
+    part.count()
+    part_k = scaled(part, k, {"p_partkey": 100_000_000}).cache()
+    part_k.count()
+    # fixed dirty batch vs a growing clean catalog — the real ingest
+    # shape (scaling BOTH sides grows matched pairs quadratically by
+    # construction, since duplicated names legitimately all match)
+    dirty_fixed = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("pk_b"),
+            F.col("p_name").substr(
+                F.lit(1), F.greatest(F.length("p_name") - 2, F.lit(0))
+            ).alias("name_b"),
+        )
+        .cache()
+    )
+    dirty_fixed.count()
+
+    def run_fuzzy_join_fixed_batch(p):
+        left = p.select(
+            F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a")
+        )
+        return blocked_fuzzy_join(left, dirty_fixed, "name_a", "name_b", 2).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
+        ("shard_assignment_64", run_shard_assignment, docs, docs_k),
+        ("vocab_coverage", run_vocab_coverage, docs, docs_k),
+        ("corpus_diff", run_corpus_diff, docs, docs_k),
+        ("incremental_admission", run_incremental_admission, docs, docs_k),
+        ("fuzzy_join_fixed_batch", run_fuzzy_join_fixed_batch, part, part_k),
         ("pq_encode", run_pq_encode, vecs_1, vecs_k),
         ("pagerank_5iter", run_pagerank, docs, docs_k),
         ("validate_report", run_validate, orders, orders_k),

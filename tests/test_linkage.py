@@ -64,3 +64,60 @@ def test_blocked_fuzzy_join_no_allpairs_plan(catalogs):
     plan = explain_str(out, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_best_match_resolves_one_winner_per_right_key(spark):
+    from demv_spark.operators.linkage import best_match
+
+    pairs = spark.createDataFrame(
+        [(1, "a", 10, "x", 2), (2, "b", 10, "x", 1), (3, "c", 10, "x", 1),
+         (7, "g", 20, "y", 0)],
+        "pk_a long, name_a string, pk_b long, name_b string, edit_dist int",
+    )
+    out = {r["pk_b"]: r for r in best_match(pairs).collect()}
+    assert len(out) == 2
+    # pk_b=10: dist-1 candidates are pk_a 2 and 3 -> smaller key wins
+    assert out[10]["pk_a"] == 2 and out[10]["edit_dist"] == 1
+    assert out[10]["name_a"] == "b" and out[10]["name_b"] == "x"
+    assert out[20]["pk_a"] == 7 and out[20]["edit_dist"] == 0
+
+
+def test_best_match_deterministic_under_partitioning(spark):
+    from demv_spark.operators.linkage import best_match
+    import random
+
+    rng = random.Random(7)
+    # unique (pk_a, pk_b) with payloads a pure function of the pair —
+    # the blocked_fuzzy_join output shape (see best_match contract)
+    seen = set()
+    rows = []
+    for _ in range(500):
+        pk_a, pk_b = rng.randint(0, 50), rng.randint(0, 30)
+        if (pk_a, pk_b) in seen:
+            continue
+        seen.add((pk_a, pk_b))
+        rows.append((pk_a, f"l{pk_a}", pk_b, "r", (pk_a * 7 + pk_b) % 5))
+    pairs = spark.createDataFrame(
+        rows, "pk_a long, name_a string, pk_b long, name_b string, edit_dist int")
+    a = sorted(map(tuple, best_match(pairs).collect()))
+    b = sorted(map(tuple, best_match(pairs.repartition(17)).collect()))
+    assert a == b
+    # brute force
+    want = {}
+    for pk_a, name_a, pk_b, name_b, d in rows:
+        cur = want.get(pk_b)
+        if cur is None or (d, pk_a) < (cur[4], cur[0]):
+            want[pk_b] = (pk_a, name_a, pk_b, name_b, d)
+    got = {
+        r["pk_b"]: (r["pk_a"], r["name_a"], r["pk_b"], r["name_b"], r["edit_dist"])
+        for r in best_match(pairs).collect()
+    }
+    assert got == want
+
+
+def test_best_match_validates_columns(spark):
+    from demv_spark.operators.linkage import best_match
+
+    pairs = spark.createDataFrame([(1, 2, 0)], "pk_a long, pk_b long, edit_dist int")
+    with pytest.raises(ValueError, match="name_x"):
+        best_match(pairs, dist_col="name_x")
