@@ -287,3 +287,54 @@ def test_auc_exact_broadcasts_offsets_no_smj(orders):
     assert s["n_broadcasts"] >= 1
     assert s["n_sort_merge_joins"] == 0
     assert not s["has_python_udf"] and not s["has_arrow_eval"]
+
+
+def test_shard_assignment_one_operator_exchange(spark):
+    from demv_spark.operators.corpus import shard_assignment
+
+    docs = read_table(spark, SF, "documents").select("doc_id")
+    s = plan_stats(shard_assignment(docs, ["doc_id"], 8))
+    # reader round-robin + the ONE window shuffle on shard — nothing else
+    assert s["n_exchanges"] <= 2
+    assert not s["has_python_udf"]
+
+
+def test_best_match_is_partial_aggregate_not_window(spark):
+    from demv_spark.operators.linkage import best_match
+    from demv_spark.plans.introspect import explain_str
+
+    pairs = spark.createDataFrame(
+        [(1, "a", 2, "b", 1)],
+        "pk_a long, name_a string, pk_b long, name_b string, edit_dist int",
+    )
+    plan = explain_str(best_match(pairs), "simple")
+    assert "Window" not in plan, "resolution must be min_by, not a rank window"
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_incremental_admission_no_extra_batch_shuffle(spark):
+    from demv_spark.operators.dedup import incremental_admission
+    from demv_spark.plans.introspect import explain_str
+
+    store = spark.createDataFrame([("a",)], "fp string")
+    batch = spark.createDataFrame([(1, "a")], "doc_id long, fp string")
+    out = incremental_admission(batch, store)
+    simple = explain_str(out, "simple")
+    # the rank window and the store join are both keyed on fp: the
+    # batch side must be exchanged AT MOST once (store distinct +
+    # its join prep account for the rest)
+    s = plan_stats(out)
+    assert s["n_exchanges"] <= 3, simple
+    assert not s["has_python_udf"]
+
+
+def test_vocab_coverage_corpus_shuffle_count(spark):
+    from demv_spark.operators.text import vocab_coverage
+
+    docs = read_table(spark, SF, "documents")
+    s = plan_stats(vocab_coverage(docs, [10, 100]))
+    # corpus-scale data crosses ONE shuffle (token counts); every
+    # later exchange moves the count census (O(sqrt corpus) rows),
+    # its <=64-bucket offsets, or the literal vocab sizes
+    assert not s["has_python_udf"]
+    assert s["n_broadcasts"] >= 2  # offsets + vocab sizes stay broadcast
