@@ -150,3 +150,69 @@ def streaming_dedup_maintainer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_admission_maintainer(
+    stream: DataFrame,
+    index_prefix: str,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    trigger_available_now: bool = True,
+):
+    """Incremental EXACT-fingerprint admission — the streaming twin
+    of ``dedup.incremental_admission``, which it calls verbatim per
+    micro-batch so the two regimes cannot drift: each batch is
+    verdicted against the accumulated store (``{prefix}_fps``),
+    admitted fingerprints are appended to the store, and every
+    verdict row lands in ``{prefix}_verdicts``.
+
+    Invariants (tested in tests/test_dedup_stream.py):
+    - the ADMITTED id set is independent of micro-batch boundaries
+      for id-ordered arrival (first-wins ties break on id, and a
+      fingerprint admitted in an earlier batch turns later copies
+      into ``dup_corpus`` instead of ``dup_batch`` — a labeling
+      difference, never an admission difference);
+    - replayed batches are skipped via the ``__meta`` high-water
+      mark, so crash/restart never double-admits (idempotent ingest,
+      the property the batch operator documents).
+
+    State is ONE fingerprint row per admitted doc — O(corpus), but
+    32-byte rows joined by Spark's SMJ/AQE like any table; no
+    driver-side set. Returns the StreamingQuery.
+    """
+    from demv_spark.operators.dedup import incremental_admission
+
+    fps_table = f"{index_prefix}_fps"
+    verdicts_table = f"{index_prefix}_verdicts"
+    meta_table = f"{index_prefix}__meta"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(meta_table):
+            applied = spark.table(meta_table).collect()[0]["last_batch_id"]
+            if batch_id <= applied:
+                return  # replayed batch — already merged
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
+        )
+        if spark.catalog.tableExists(fps_table):
+            store = spark.table(fps_table)
+        else:
+            store = spark.createDataFrame([], "fp string")
+        verdicts = incremental_admission(batch_df, store).persist()
+        verdicts.write.mode("append").saveAsTable(verdicts_table)
+        (
+            verdicts.filter(F.col("verdict") == "admitted")
+            .select("fp")
+            .write.mode("append")
+            .saveAsTable(fps_table)
+        )
+        spark.createDataFrame(
+            [(batch_id,)], "last_batch_id long"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+        verdicts.unpersist()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(merge)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -157,3 +157,98 @@ def test_replayed_batch_is_skipped(spark, index):
     n1 = spark.table(f"{PREFIX}_sigs").count()
     merge(docs, 0)  # replay
     assert spark.table(f"{PREFIX}_sigs").count() == n1
+
+
+ADM_PREFIX = "t_admstream"
+
+
+def _drop_admission(spark, prefix=ADM_PREFIX):
+    for suffix in ("_fps", "_verdicts", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+@pytest.fixture()
+def adm_index(spark):
+    _drop_admission(spark)
+    yield ADM_PREFIX
+    _drop_admission(spark)
+
+
+def _run_admission(spark, docs_dir, index_prefix, **kw):
+    from demv_spark.streaming.dedup_stream import streaming_admission_maintainer
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = streaming_admission_maintainer(stream, index_prefix, **kw)
+    q.awaitTermination(120)
+
+
+def test_streaming_admission_equals_batch_admitted_set(spark, adm_index):
+    d = tempfile.mkdtemp(prefix="demv_admstream_")
+    try:
+        # fps with planted dups across and within batches
+        rows = [(i, f"fp{i % 7}") for i in range(20)]
+        b1 = spark.createDataFrame(rows[:8], "doc_id long, fp string")
+        b1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        b2 = spark.createDataFrame(rows[8:], "doc_id long, fp string")
+        b2.coalesce(1).write.mode("append").parquet(d)
+
+        _run_admission(spark, d, adm_index)
+
+        got = {
+            r["doc_id"]
+            for r in spark.table(f"{adm_index}_verdicts")
+            .filter("verdict = 'admitted'")
+            .collect()
+        }
+        # batch twin over the whole feed at once
+        whole = spark.createDataFrame(rows, "doc_id long, fp string")
+        empty = spark.createDataFrame([], "fp string")
+        want = {
+            r["doc_id"]
+            for r in dedup.incremental_admission(whole, empty)
+            .filter("verdict = 'admitted'")
+            .collect()
+        }
+        assert got == want == set(range(7))   # first id per fp wins
+        # every input row got exactly one verdict
+        assert spark.table(f"{adm_index}_verdicts").count() == 20
+        # the store holds exactly the admitted fingerprints
+        fps = {r["fp"] for r in spark.table(f"{adm_index}_fps").collect()}
+        assert fps == {f"fp{i}" for i in range(7)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_admission_replay_is_idempotent(spark, adm_index):
+    d = tempfile.mkdtemp(prefix="demv_admstream_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, fp string"
+        )
+        b1.coalesce(1).write.mode("append").parquet(d)
+        _run_admission(spark, d, adm_index)
+        n_verdicts = spark.table(f"{adm_index}_verdicts").count()
+        n_fps = spark.table(f"{adm_index}_fps").count()
+
+        # replay: a fresh run on the same directory restarts batch
+        # ids at 0 (new implicit checkpoint), so every batch id is
+        # <= the stored high-water mark and merge() must skip it —
+        # verdicts and store must be EXACTLY unchanged
+        _run_admission(spark, d, adm_index)
+        assert spark.table(f"{adm_index}_verdicts").count() == n_verdicts
+        assert spark.table(f"{adm_index}_fps").count() == n_fps
+        # and no fp was ever admitted twice
+        admitted = (
+            spark.table(f"{adm_index}_verdicts")
+            .filter("verdict = 'admitted'")
+            .select("fp")
+        )
+        assert admitted.count() == admitted.distinct().count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
