@@ -448,6 +448,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_vocab_coverage"] = lambda spark, sf: text.vocab_coverage(
         _t(spark, sf, "documents"), [10, 25, 100, 10_000]
     ).select("v", "n_vocab", "covered", "total", _fx("coverage"))
+    # sequence-length planning: exact pad-to-L waste per candidate L
+    q["q_text_packing_efficiency"] = lambda spark, sf: text.packing_efficiency(
+        _t(spark, sf, "documents"), [16, 64, 256, 1024]
+    ).select(
+        "seq_len", "n_docs", "n_tokens", "n_seqs", "n_slots", "waste",
+        _fx("util"),
+    )
     # sum_q6 (exact per-row-digitized BIGINT sum) replaces the floored
     # mean_quality double — the r1/r2/r3 hash-fail fix; the mean is
     # fully determined by (sum_q6, n_docs)
@@ -2438,11 +2445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is multi-round green)
         "q_dedup_lsh_planted_parity",
         "q_sim_embed_near_dup", "q_sim_pq_topk", "q_sim_ivfpq_topk",
-        # streaming: sessionize + NEW composed curate twin (VERDICT
-        # r5 item 7; census-shift + drift are in the never-verified
-        # block above — 4 streaming-family rows total; quota rotates
-        # out after its r5 green)
-        "q_stream_sessionize", "q_stream_curate_e2e",
+        # streaming: the NEW composed curate twin (VERDICT r5 item 7;
+        # census-shift + drift are in the never-verified block above
+        # — 3 streaming-family rows; sessionize and quota rotate out
+        # after their r4/r5 greens)
+        "q_stream_curate_e2e",
         # NEW round-6 curation families take the remaining seats so
         # they earn driver rows in their birth round (no new backlog;
         # the multi-round-green adult/cmc recipes, as-of join,
@@ -2457,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shard_assignment", "q_corpus_diff",
         "q_text_vocab_coverage", "q_linkage_fuzzy_join",
         "q_dedup_incremental", "q_linkage_best_match",
+        "q_text_packing_efficiency",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -4739,6 +4747,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, COUNT(*) AS n FROM tok WHERE token != ''
         GROUP BY 1 ORDER BY n DESC, token LIMIT 20
     """
+    # packing-efficiency twin: same nonempty-token count, same
+    # integer ceil-div (// in DuckDB, div in Spark), one census
+    o["q_text_packing_efficiency"] = f"""
+        WITH n AS (
+            SELECT len(list_filter({_toks}, t -> t != '')) AS n_tok
+            FROM documents
+        ),
+        ls AS (SELECT UNNEST([16, 64, 256, 1024]) AS seq_len),
+        per AS (
+            SELECT seq_len, n_tok,
+                   (n_tok + seq_len - 1) // seq_len AS n_seq
+            FROM n, ls
+        ),
+        agg AS (
+            SELECT CAST(seq_len AS INTEGER) AS seq_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_seq) AS BIGINT) AS n_seqs,
+                   CAST(SUM(n_seq * seq_len) AS BIGINT) AS n_slots
+            FROM per GROUP BY 1
+        )
+        SELECT seq_len, n_docs, n_tokens, n_seqs, n_slots,
+               n_slots - n_tokens AS waste,
+               {_fx_sql('CASE WHEN n_slots > 0 THEN CAST(n_tokens AS DOUBLE) / n_slots END', 'util')}
+        FROM agg
+    """
+
     # coverage curve twin: same count-census identity — equal-count
     # tokens are interchangeable for the sum, so only the census
     # (one row per distinct count) is ordered

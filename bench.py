@@ -109,6 +109,7 @@ HEADLINE = [
     # the collect is resolution-sized (one row per dirty key), so
     # unlike the raw pair query this IS benchable
     "q_linkage_best_match",
+    "q_text_packing_efficiency",
 ]
 
 

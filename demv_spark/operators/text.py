@@ -957,3 +957,49 @@ def vocab_coverage(
         )
     )
     return out.withColumn("coverage", F.col("covered") / F.col("total"))
+
+
+def packing_efficiency(
+    df: DataFrame,
+    seq_lens: "list[int]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length planning: for each candidate training sequence
+    length L, the EXACT padding waste of pad-to-L batching — each
+    document costs ceil(n_tokens/L) sequences of L slots — against
+    the cross-document packed ideal (``pack_sequential``). The
+    seq-len twin of ``vocab_coverage``: run both before committing a
+    tokenizer/seq-len budget to a 100 TB train.
+
+    Map-only per document (token count + one integer ceil-div per L,
+    broadcast literal lengths), then ONE partial-aggregating census —
+    no shuffle carries more than |seq_lens| rows. All counts are
+    exact longs (``div`` integer arithmetic, never float ceil);
+    ``util`` = n_tokens/n_slots is the single IEEE division.
+
+    Columns: seq_len, n_docs, n_tokens, n_seqs, n_slots, waste, util.
+    Zero-token documents cost zero sequences; NULL text is the empty
+    document (the ``tokens`` contract).
+    """
+    sizes = [int(v) for v in seq_lens]
+    if not sizes or any(v < 1 for v in sizes) or len(set(sizes)) != len(sizes):
+        raise ValueError(
+            f"seq_lens must be distinct positive ints (got {seq_lens})"
+        )
+    spark = df.sparkSession
+    n = F.size(F.filter(tokens(text_col), lambda t: t != "")).cast("long")
+    ls = spark.createDataFrame([(v,) for v in sizes], "seq_len int")
+    per_doc = df.select(n.alias("__n")).crossJoin(F.broadcast(ls))
+    seqs = F.expr("(__n + seq_len - 1) div seq_len")
+    out = per_doc.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("n_tokens"),
+        F.sum(seqs).alias("n_seqs"),
+        F.sum(seqs * F.col("seq_len")).alias("n_slots"),
+    )
+    return out.select(
+        "seq_len", "n_docs", "n_tokens", "n_seqs", "n_slots",
+        (F.col("n_slots") - F.col("n_tokens")).alias("waste"),
+        F.when(F.col("n_slots") > 0, F.col("n_tokens") / F.col("n_slots"))
+        .alias("util"),
+    )

@@ -936,3 +936,34 @@ def test_vocab_coverage_random_zipf_corpus_matches_brute_force(spark):
         r = got[v]
         assert (r["n_vocab"], r["covered"], r["total"]) == (
             n_vocab, covered, total), v
+
+
+def test_packing_efficiency_exact_vs_brute_force(docs):
+    sizes = [1, 4, 7, 64]
+    got = {r["seq_len"]: r for r in text.packing_efficiency(docs, sizes).collect()}
+    ns = []
+    for _id, t in DOCS:
+        ns.append(len([w for w in (t or "").strip().lower().split() if w]))
+    for L in sizes:
+        seqs = sum((n + L - 1) // L for n in ns)
+        r = got[L]
+        assert r["n_docs"] == len(ns)
+        assert r["n_tokens"] == sum(ns)
+        assert r["n_seqs"] == seqs
+        assert r["n_slots"] == seqs * L
+        assert r["waste"] == seqs * L - sum(ns)
+        assert r["util"] == sum(ns) / (seqs * L)
+    # L=1 never wastes a slot
+    assert got[1]["waste"] == 0 and got[1]["util"] == 1.0
+
+
+def test_packing_efficiency_zero_token_docs_cost_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "a b c")], "doc_id long, text string"
+    )
+    r = {x["seq_len"]: x for x in text.packing_efficiency(df, [2]).collect()}[2]
+    assert (r["n_docs"], r["n_tokens"], r["n_seqs"], r["n_slots"]) == (3, 3, 2, 4)
+    with pytest.raises(ValueError):
+        text.packing_efficiency(df, [0])
+    with pytest.raises(ValueError):
+        text.packing_efficiency(df, [])
