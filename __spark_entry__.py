@@ -1318,6 +1318,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_curation_e2e"] = _corpus_curation_e2e
 
+    # composed TRAINING-PREP pipeline — the other half of curation:
+    # exact dedup (min-id per normalized fingerprint) → token-count
+    # quality gate → leakage-free split → deterministic shards with
+    # exact write positions, then the (split, shard) census proving
+    # the four stages compose; every stage's SQL twin chains into one
+    # oracle CTE
+    def _corpus_training_prep_e2e(spark, sf):
+        from demv_spark.operators.corpus import shard_assignment, split_by_hash
+        from demv_spark.operators.dedup import exact_dedup
+        from demv_spark.operators.text import token_count
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        kept = exact_dedup(d)
+        scored = token_count(kept).filter(F.col("n_tokens") >= 5)
+        split = split_by_hash(
+            scored, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        sharded = shard_assignment(
+            split.select("doc_id", "n_tokens", "split"), ["doc_id"], 4
+        )
+        return sharded.groupBy("split", "shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+            F.max("pos_in_shard").alias("max_pos"),
+        )
+
+    q["q_corpus_training_prep_e2e"] = _corpus_training_prep_e2e
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -2442,8 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_fairness_suite",
         # dedup + similarity parity rows (near-dup at wide defaults;
         # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
-        # is multi-round green)
-        "q_dedup_lsh_planted_parity",
+        # is multi-round green; LSH planted parity rotates out after
+        # its r5 green — the family keeps containment + incremental)
         "q_sim_embed_near_dup", "q_sim_pq_topk", "q_sim_ivfpq_topk",
         # streaming: the NEW composed curate twin (VERDICT r5 item 7;
         # census-shift + drift are in the never-verified block above
@@ -2464,7 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shard_assignment", "q_corpus_diff",
         "q_text_vocab_coverage", "q_linkage_fuzzy_join",
         "q_dedup_incremental", "q_linkage_best_match",
-        "q_text_packing_efficiency",
+        "q_text_packing_efficiency", "q_corpus_training_prep_e2e",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3924,6 +3952,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, admitted, COUNT(*) AS n_docs,
                COUNT(DISTINCT domain) AS n_domains
         FROM sp GROUP BY split, admitted
+    """
+
+    # training-prep e2e twin: dedup rank=1 → token gate → split CASE
+    # → shard md5 rank, all chained
+    o["q_corpus_training_prep_e2e"] = f"""
+        WITH kept AS (
+            SELECT doc_id, text FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(
+                    trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g'))
+                ORDER BY doc_id
+            ) = 1
+        ),
+        scored AS (
+            SELECT doc_id, CAST(len({_toks}) AS INTEGER) AS n_tokens
+            FROM kept
+            WHERE len({_toks}) >= 5
+        ),
+        sp AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                            concat_ws(':', 'split42', CAST(doc_id AS VARCHAR))
+                        ), 1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'train'
+                        WHEN CAST(concat('0x', substr(md5(
+                            concat_ws(':', 'split42', CAST(doc_id AS VARCHAR))
+                        ), 1, 15)) AS BIGINT) % 1000000 < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM scored
+        ),
+        sh AS (
+            SELECT split, n_tokens,
+                   CAST(hv % 4 AS INTEGER) AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hv % 4 ORDER BY hv, doc_id
+                   ) AS pos
+            FROM (
+                SELECT *,
+                       CAST(concat('0x', substr(md5(
+                           concat_ws(':', 'shard42', CAST(doc_id AS VARCHAR))
+                       ), 1, 15)) AS BIGINT) AS hv
+                FROM sp
+            )
+        )
+        SELECT split, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(MAX(pos) AS BIGINT) AS max_pos
+        FROM sh GROUP BY 1, 2
     """
 
     o["q_media_dhash"] = """

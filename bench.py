@@ -110,6 +110,9 @@ HEADLINE = [
     # unlike the raw pair query this IS benchable
     "q_linkage_best_match",
     "q_text_packing_efficiency",
+    # composed training-prep e2e: dedup -> quality gate -> split ->
+    # shards in one DAG (the flagship composition for the train side)
+    "q_corpus_training_prep_e2e",
 ]
 
 
