@@ -541,7 +541,11 @@ def corpus_diff(
     keyed) — pre-check with ``validate.dup_keys`` on ingest.
     Fingerprints compare null-safely (two NULL fps = unchanged), and
     presence is tracked separately from the fingerprint so a present
-    row with a NULL fp is never mistaken for an absent row.
+    row with a NULL fp is never mistaken for an absent row. KEY
+    values, by contrast, join null-UNSAFELY (standard SQL, identical
+    in the DuckDB twin): a NULL-keyed row on both sides reports as
+    one ``removed`` plus one ``added``, never as a match — normalize
+    keys upstream if NULL keys are possible.
 
     Scale shape: ONE full-outer shuffle join on the key. At 100 TB
     store both snapshots bucketed by the key so the join is
