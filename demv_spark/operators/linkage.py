@@ -64,6 +64,13 @@ def blocked_fuzzy_join(
         raise ValueError(
             f"left/right column names must be disjoint (shared: {sorted(overlap)})"
         )
+    reserved = {"__blk", dist_col}
+    clobbered = reserved & (set(left.columns) | set(right.columns))
+    if clobbered:
+        raise ValueError(
+            f"input columns collide with internals {sorted(clobbered)} — "
+            f"rename them or pass a different dist_col"
+        )
     bl = block_fn or first_token_block
     l = left.withColumn("__blk", bl(F.col(left_col)))
     r = right.withColumn("__blk", bl(F.col(right_col)))

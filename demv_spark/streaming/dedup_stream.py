@@ -161,10 +161,23 @@ def streaming_admission_maintainer(
 ):
     """Incremental EXACT-fingerprint admission — the streaming twin
     of ``dedup.incremental_admission``, which it calls verbatim per
-    micro-batch so the two regimes cannot drift: each batch is
-    verdicted against the accumulated store (``{prefix}_fps``),
-    admitted fingerprints are appended to the store, and every
-    verdict row lands in ``{prefix}_verdicts``.
+    micro-batch so the two regimes cannot drift. ONE table is the
+    whole state: every verdict row lands in ``{prefix}_verdicts``
+    tagged with its micro-batch id, and the store a batch is judged
+    against is DERIVED from it (``verdict='admitted' AND batch_id <
+    this batch``) — there is no second table to fall out of sync.
+
+    Crash semantics (plain append-only tables are not transactional,
+    so exactly-once storage is impossible here — this design makes
+    replays HARMLESS instead): a batch's verdicts are a pure function
+    of (the verdict rows of strictly earlier batches, the batch
+    itself), so if a crash lands between the verdict append and the
+    ``__meta`` high-water-mark advance, the restarted batch
+    recomputes byte-identical rows and appends exact duplicates —
+    never a contradictory verdict, and ``admitted_fps``'s DISTINCT
+    absorbs them, so downstream admission is exactly-once even though
+    verdict DELIVERY is at-least-once. Fully-completed batches are
+    skipped outright via the mark.
 
     Invariants (tested in tests/test_dedup_stream.py):
     - the ADMITTED id set is independent of micro-batch boundaries
@@ -172,47 +185,71 @@ def streaming_admission_maintainer(
       fingerprint admitted in an earlier batch turns later copies
       into ``dup_corpus`` instead of ``dup_batch`` — a labeling
       difference, never an admission difference);
-    - replayed batches are skipped via the ``__meta`` high-water
-      mark, so crash/restart never double-admits (idempotent ingest,
-      the property the batch operator documents).
+    - a replayed run appends nothing new (high-water mark) and a
+      partially-written batch can only duplicate itself exactly.
 
-    State is ONE fingerprint row per admitted doc — O(corpus), but
-    32-byte rows joined by Spark's SMJ/AQE like any table; no
-    driver-side set. Returns the StreamingQuery.
+    State is ONE verdict row per batch doc — O(corpus), but slim
+    rows joined by Spark's SMJ/AQE like any table; no driver-side
+    set. Read the store with ``admitted_fps``. Returns the
+    StreamingQuery.
     """
     from demv_spark.operators.dedup import incremental_admission
 
-    fps_table = f"{index_prefix}_fps"
     verdicts_table = f"{index_prefix}_verdicts"
     meta_table = f"{index_prefix}__meta"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if spark.catalog.tableExists(meta_table):
-            applied = spark.table(meta_table).collect()[0]["last_batch_id"]
+            rows = spark.table(meta_table).collect()
+            # an empty meta table (interrupted overwrite) must read
+            # as "nothing applied", not wedge the stream
+            applied = rows[0]["last_batch_id"] if rows else -1
             if batch_id <= applied:
                 return  # replayed batch — already merged
         batch_df = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
         )
-        if spark.catalog.tableExists(fps_table):
-            store = spark.table(fps_table)
+        if spark.catalog.tableExists(verdicts_table):
+            store = (
+                spark.table(verdicts_table)
+                .filter(
+                    (F.col("verdict") == "admitted")
+                    & (F.col("batch_id") < F.lit(batch_id))
+                )
+                .select("fp")
+            )
         else:
             store = spark.createDataFrame([], "fp string")
-        verdicts = incremental_admission(batch_df, store).persist()
-        verdicts.write.mode("append").saveAsTable(verdicts_table)
-        (
-            verdicts.filter(F.col("verdict") == "admitted")
-            .select("fp")
-            .write.mode("append")
-            .saveAsTable(fps_table)
+        verdicts = incremental_admission(batch_df, store).withColumn(
+            "batch_id", F.lit(batch_id)
         )
+        verdicts.write.mode("append").saveAsTable(verdicts_table)
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)
-        verdicts.unpersist()
 
     writer = stream.writeStream.outputMode("append").foreachBatch(merge)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def admitted_fps(spark, index_prefix: str) -> DataFrame:
+    """The admission store as of now: DISTINCT admitted fingerprints
+    from the verdict log — the exactly-once read surface over the
+    at-least-once log (see ``streaming_admission_maintainer``).
+
+    Refreshes the table first: foreachBatch appends happen in a
+    CLONED SparkSession, so a long-lived outer session's cached file
+    index for the verdict table goes stale mid-stream — without the
+    refresh, reads can miss every batch appended since the table was
+    first listed."""
+    table = f"{index_prefix}_verdicts"
+    spark.catalog.refreshTable(table)
+    return (
+        spark.table(table)
+        .filter(F.col("verdict") == "admitted")
+        .select("fp")
+        .distinct()
+    )

@@ -387,7 +387,16 @@ def main():
         batch = d.filter((F.col("doc_id") % 10).isin(3, 6)).select(
             "doc_id", fp.alias("fp")
         )
-        return dedup.incremental_admission(batch, existing).count()
+        # sum over the verdict column, NOT count(): count() lets
+        # Catalyst prune the rank window (its only consumer is the
+        # verdict CASE), so the probed plan would skip the very
+        # shuffle whose scaling this row documents
+        r = (
+            dedup.incremental_admission(batch, existing)
+            .agg(F.count(F.lit(1)), F.sum(F.length("verdict")))
+            .collect()[0]
+        )
+        return int(r[0])
 
     part = read_table(spark, sf, "part").cache()
     part.count()

@@ -163,7 +163,7 @@ ADM_PREFIX = "t_admstream"
 
 
 def _drop_admission(spark, prefix=ADM_PREFIX):
-    for suffix in ("_fps", "_verdicts", "__meta"):
+    for suffix in ("_verdicts", "__meta"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
 
 
@@ -185,9 +185,14 @@ def _run_admission(spark, docs_dir, index_prefix, **kw):
     )
     q = streaming_admission_maintainer(stream, index_prefix, **kw)
     q.awaitTermination(120)
+    # foreachBatch writes run in a cloned session; refresh the outer
+    # session's file-index cache before reading (see admitted_fps)
+    spark.catalog.refreshTable(f"{index_prefix}_verdicts")
 
 
 def test_streaming_admission_equals_batch_admitted_set(spark, adm_index):
+    from demv_spark.streaming.dedup_stream import admitted_fps
+
     d = tempfile.mkdtemp(prefix="demv_admstream_")
     try:
         # fps with planted dups across and within batches
@@ -218,8 +223,8 @@ def test_streaming_admission_equals_batch_admitted_set(spark, adm_index):
         assert got == want == set(range(7))   # first id per fp wins
         # every input row got exactly one verdict
         assert spark.table(f"{adm_index}_verdicts").count() == 20
-        # the store holds exactly the admitted fingerprints
-        fps = {r["fp"] for r in spark.table(f"{adm_index}_fps").collect()}
+        # the derived store holds exactly the admitted fingerprints
+        fps = {r["fp"] for r in admitted_fps(spark, adm_index).collect()}
         assert fps == {f"fp{i}" for i in range(7)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -234,21 +239,54 @@ def test_streaming_admission_replay_is_idempotent(spark, adm_index):
         b1.coalesce(1).write.mode("append").parquet(d)
         _run_admission(spark, d, adm_index)
         n_verdicts = spark.table(f"{adm_index}_verdicts").count()
-        n_fps = spark.table(f"{adm_index}_fps").count()
 
         # replay: a fresh run on the same directory restarts batch
         # ids at 0 (new implicit checkpoint), so every batch id is
         # <= the stored high-water mark and merge() must skip it —
-        # verdicts and store must be EXACTLY unchanged
+        # the verdict log must be EXACTLY unchanged
         _run_admission(spark, d, adm_index)
         assert spark.table(f"{adm_index}_verdicts").count() == n_verdicts
-        assert spark.table(f"{adm_index}_fps").count() == n_fps
-        # and no fp was ever admitted twice
-        admitted = (
-            spark.table(f"{adm_index}_verdicts")
-            .filter("verdict = 'admitted'")
-            .select("fp")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_admission_crash_replay_duplicates_exactly(spark, adm_index):
+    """Simulated crash-before-meta-advance: drop the high-water mark
+    after a completed run and replay the whole feed. Every batch must
+    recompute BYTE-IDENTICAL verdict rows (store = admitted of
+    strictly-earlier batches only), so the log holds exactly 2x each
+    original row — never a contradictory verdict — and the DISTINCT
+    read surface (admitted_fps) is unchanged: admission stays
+    exactly-once even though delivery is at-least-once."""
+    from collections import Counter
+
+    from demv_spark.streaming.dedup_stream import admitted_fps
+
+    d = tempfile.mkdtemp(prefix="demv_admstream_")
+    try:
+        rows = [(i, f"fp{i % 3}") for i in range(6)]
+        b1 = spark.createDataFrame(rows[:4], "doc_id long, fp string")
+        b1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        b2 = spark.createDataFrame(rows[4:], "doc_id long, fp string")
+        b2.coalesce(1).write.mode("append").parquet(d)
+        _run_admission(spark, d, adm_index)
+        before = Counter(
+            map(tuple, spark.table(f"{adm_index}_verdicts").collect())
         )
-        assert admitted.count() == admitted.distinct().count()
+        fps_before = sorted(
+            r["fp"] for r in admitted_fps(spark, adm_index).collect()
+        )
+
+        spark.sql(f"DROP TABLE IF EXISTS {adm_index}__meta")  # the crash
+        _run_admission(spark, d, adm_index)
+
+        after = Counter(
+            map(tuple, spark.table(f"{adm_index}_verdicts").collect())
+        )
+        assert after == Counter({k: 2 * v for k, v in before.items()})
+        assert sorted(
+            r["fp"] for r in admitted_fps(spark, adm_index).collect()
+        ) == fps_before
     finally:
         shutil.rmtree(d, ignore_errors=True)

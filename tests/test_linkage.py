@@ -121,3 +121,18 @@ def test_best_match_validates_columns(spark):
     pairs = spark.createDataFrame([(1, 2, 0)], "pk_a long, pk_b long, edit_dist int")
     with pytest.raises(ValueError, match="name_x"):
         best_match(pairs, dist_col="name_x")
+
+
+def test_blocked_fuzzy_join_rejects_internal_name_collisions(spark):
+    from demv_spark.operators.linkage import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "a b", 0)], "lid long, lname string, edit_dist int"
+    )
+    right = spark.createDataFrame([(2, "a c")], "rid long, rname string")
+    with pytest.raises(ValueError, match="edit_dist"):
+        blocked_fuzzy_join(left, right, "lname", "rname", 2)
+    blk = spark.createDataFrame([(2, "a c", "x")],
+                                "rid long, rname string, __blk string")
+    with pytest.raises(ValueError, match="__blk"):
+        blocked_fuzzy_join(left.drop("edit_dist"), blk, "lname", "rname", 2)
