@@ -504,8 +504,14 @@ def shard_assignment(
 
     Scale shape: ONE shuffle (the per-shard rank window). Shards are
     hash-balanced by construction, so the rank tasks are uniform —
-    no salting needed (contrast cap_per_key's hot user-keys). Feed
-    ``shard`` to ``write_corpus(partition_cols=["shard"])`` and
+    no salting needed (contrast cap_per_key's hot user-keys). Rank
+    PARALLELISM equals ``n_shards`` (each shard's rank is one task):
+    size shards like output files (1–4 GB), so a 100 TB corpus uses
+    tens of thousands of shards and the rank is fully parallel — a
+    small ``n_shards`` over a huge corpus concentrates each shard's
+    sort in one task (raise n_shards, or skip positions and let the
+    writer sort within files). Feed ``shard`` to
+    ``write_corpus(partition_cols=["shard"])`` and
     ``sort_cols=[pos_col]`` to materialize the layout.
     """
     if n_shards < 1:

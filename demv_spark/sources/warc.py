@@ -1,0 +1,218 @@
+"""Native WARC (Web ARChive) source with zero third-party deps — the
+canonical 100 TB crawl-ingest format (Common-Crawl-style corpora ship
+as .warc / .warc.gz), parsed entirely with stdlib ``zlib`` + bytes
+ops so the container needs no warcio.
+
+Scale topology: a crawl corpus is many ~1 GB WARC files; the natural
+parallel unit is the FILE (records inside one file are a sequential
+byte stream — per-record gzip members must be walked in order), so
+``read_warc`` loads files via Spark's ``binaryFile`` source and
+parses each file's records inside one Arrow-batched ``mapInPandas``
+task: parallelism = number of files, exactly how warcio-based
+pipelines shard. No driver-side parsing at any size.
+
+Malformed input follows the JSONL-quarantine convention
+(sources/readers.py): a file that stops parsing mid-way yields the
+records recovered so far plus ONE error row (``error`` column set,
+payload NULL) — never a dead read.
+
+Format notes (public WARC/1.0-1.1 spec): each record is
+``WARC/1.x\\r\\n`` + header lines + blank line + exactly
+``Content-Length`` payload bytes + ``\\r\\n\\r\\n``. A .warc.gz is a
+concatenation of per-record gzip MEMBERS — stdlib ``zlib``
+decompresses member-by-member via ``unused_data``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, Optional
+
+WARC_SCHEMA = (
+    "file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, payload binary, error string"
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz
+    layout) into one byte stream. Non-gzip input passes through."""
+    if not data.startswith(_GZIP_MAGIC):
+        return data
+    out = []
+    rest = data
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        if not d.eof:          # truncated member: emit what we got
+            break
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers: dict = {}
+    for line in block.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    return headers
+
+
+def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
+    """Parse one WARC file's bytes into WARC_SCHEMA tuples. Pure
+    function — usable driver-side in tests and executor-side in
+    ``read_warc``. Tolerates \\n line endings and a truncated tail
+    (recovered records + one error row)."""
+    data = gunzip_members(data)
+    rows: list[tuple] = []
+
+    def error_row(msg: str):
+        return (file, None, None, None, None, None, None, None, msg)
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record separators
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            rows.append(error_row(f"expected WARC/ magic at byte {pos}"))
+            break
+        # header block ends at the first blank line
+        sep = data.find(b"\r\n\r\n", pos)
+        sep_n = data.find(b"\n\n", pos)
+        if sep == -1 or (sep_n != -1 and sep_n < sep):
+            sep, sep_len = sep_n, 2
+        else:
+            sep_len = 4
+        if sep == -1:
+            rows.append(error_row(f"unterminated header block at byte {pos}"))
+            break
+        headers = _parse_headers(data[pos:sep])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            rows.append(error_row(f"missing/invalid Content-Length at byte {pos}"))
+            break
+        body_start = sep + sep_len
+        body_end = body_start + length
+        if body_end > n:
+            rows.append(error_row(
+                f"truncated payload at byte {body_start} "
+                f"(want {length}, have {n - body_start})"
+            ))
+            break
+        rows.append((
+            file,
+            headers.get("warc-record-id"),
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("content-type"),
+            length,
+            data[body_start:body_end],
+            None,
+        ))
+        pos = body_end
+    return rows
+
+
+def read_warc(spark, path: str):
+    """Distributed WARC reader: ``binaryFile`` scan → one
+    ``mapInPandas`` parse task per file. Returns WARC_SCHEMA rows;
+    filter ``error IS NULL`` for clean records, keep the error rows
+    as the quarantine census."""
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [
+            "file", "record_id", "warc_type", "target_uri", "warc_date",
+            "content_type", "content_length", "payload", "error",
+        ]
+        for b in batches:
+            out = []
+            for _, r in b.iterrows():
+                out.extend(parse_warc_records(bytes(r["content"]), r["path"]))
+            yield pd.DataFrame(out, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def http_response_body(payload: Optional[bytes]) -> Optional[bytes]:
+    """Body of an HTTP response payload (a WARC ``response`` record
+    wraps status line + headers + body): bytes after the first blank
+    line; payloads without one pass through unchanged."""
+    if payload is None:
+        return None
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        i = payload.find(sep)
+        if i != -1:
+            return payload[i + len(sep):]
+    return payload
+
+
+def response_texts(df, encoding: str = "utf-8"):
+    """WARC records → (file, target_uri, text) for ``response`` /
+    ``resource`` records, HTTP envelope stripped, decoded with
+    replacement — the handoff into the text-curation operators.
+    Arrow-batched; stays one map task per input partition."""
+    import pandas as pd  # noqa: F401
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            keep = b[b["error"].isna() & b["warc_type"].isin(["response", "resource"])]
+            texts = [
+                (http_response_body(p) or b"").decode(encoding, "replace")
+                for p in keep["payload"]
+            ]
+            yield pd.DataFrame({
+                "file": keep["file"].values,
+                "target_uri": keep["target_uri"].values,
+                "text": texts,
+            })
+
+    return df.mapInPandas(extract, "file string, target_uri string, text string")
+
+
+def write_warc(path: str, records: "list[dict]", gzip_members: bool = False) -> None:
+    """Test/fixture writer: serialize records ({headers...,
+    'payload': bytes}) into a spec-shaped .warc or per-member-gzip
+    .warc.gz."""
+    chunks = []
+    for rec in records:
+        payload = rec.get("payload", b"")
+        head = [b"WARC/1.0"]
+        hdrs = {
+            "WARC-Type": rec.get("warc_type", "response"),
+            "WARC-Record-ID": rec.get("record_id", "<urn:uuid:0>"),
+            "WARC-Date": rec.get("warc_date", "2026-01-01T00:00:00Z"),
+            "Content-Type": rec.get("content_type", "application/http"),
+            "Content-Length": str(len(payload)),
+        }
+        if rec.get("target_uri"):
+            hdrs["WARC-Target-URI"] = rec["target_uri"]
+        for k, v in hdrs.items():
+            head.append(f"{k}: {v}".encode())
+        raw = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        if gzip_members:
+            import gzip as _gzip
+
+            raw = _gzip.compress(raw)
+        chunks.append(raw)
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))

@@ -1,0 +1,81 @@
+"""Native WARC source: record parsing, per-member gzip, HTTP envelope
+stripping, distributed read, and the malformed-input quarantine."""
+
+import os
+import tempfile
+
+import pytest
+
+from demv_spark.sources import warc
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+RECORDS = [
+    {"warc_type": "warcinfo", "record_id": "<urn:uuid:info>",
+     "content_type": "application/warc-fields",
+     "payload": b"software: demv-spark-test\r\n"},
+    {"warc_type": "response", "record_id": "<urn:uuid:r1>",
+     "target_uri": "https://example.com/a",
+     "payload": _http(b"<html>alpha page</html>")},
+    {"warc_type": "request", "record_id": "<urn:uuid:q1>",
+     "target_uri": "https://example.com/a",
+     "payload": b"GET /a HTTP/1.1\r\n"},
+    {"warc_type": "response", "record_id": "<urn:uuid:r2>",
+     "target_uri": "https://example.com/b",
+     "payload": _http("<html>unicode éè</html>".encode())},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_parse(tmp_path, gz):
+    p = str(tmp_path / ("t.warc.gz" if gz else "t.warc"))
+    warc.write_warc(p, RECORDS, gzip_members=gz)
+    rows = warc.parse_warc_records(open(p, "rb").read(), p)
+    assert [r[2] for r in rows] == ["warcinfo", "response", "request", "response"]
+    assert all(r[8] is None for r in rows)          # no errors
+    assert rows[1][3] == "https://example.com/a"
+    assert rows[1][7] == _http(b"<html>alpha page</html>")
+    assert rows[1][6] == len(rows[1][7])
+
+
+def test_truncated_tail_quarantines_not_raises(tmp_path):
+    p = str(tmp_path / "t.warc")
+    warc.write_warc(p, RECORDS)
+    data = open(p, "rb").read()[:-40]               # chop mid-payload
+    rows = warc.parse_warc_records(data, p)
+    clean = [r for r in rows if r[8] is None]
+    errs = [r for r in rows if r[8] is not None]
+    assert len(clean) >= 2 and len(errs) == 1       # recovered + 1 quarantine
+    assert "truncated" in errs[0][8]
+
+
+def test_garbage_input_quarantines(tmp_path):
+    rows = warc.parse_warc_records(b"this is not a warc file", "x")
+    assert len(rows) == 1 and "WARC/ magic" in rows[0][8]
+    assert warc.parse_warc_records(b"", "x") == []
+
+
+def test_http_response_body():
+    assert warc.http_response_body(_http(b"abc")) == b"abc"
+    assert warc.http_response_body(b"no envelope") == b"no envelope"
+    assert warc.http_response_body(None) is None
+
+
+def test_read_warc_distributed_and_response_texts(spark, tmp_path):
+    d = str(tmp_path)
+    warc.write_warc(os.path.join(d, "a.warc"), RECORDS)
+    warc.write_warc(os.path.join(d, "b.warc.gz"), RECORDS, gzip_members=True)
+    df = warc.read_warc(spark, d)
+    rows = df.collect()
+    assert len(rows) == 8                            # 4 records x 2 files
+    assert {os.path.basename(r["file"]).split(".")[0] for r in rows} == {"a", "b"}
+    assert all(r["error"] is None for r in rows)
+
+    texts = warc.response_texts(df).collect()
+    assert len(texts) == 4                           # 2 responses x 2 files
+    got = {(r["target_uri"], r["text"]) for r in texts}
+    assert ("https://example.com/a", "<html>alpha page</html>") in got
+    assert ("https://example.com/b", "<html>unicode éè</html>") in got
