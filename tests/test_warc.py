@@ -79,3 +79,35 @@ def test_read_warc_distributed_and_response_texts(spark, tmp_path):
     got = {(r["target_uri"], r["text"]) for r in texts}
     assert ("https://example.com/a", "<html>alpha page</html>") in got
     assert ("https://example.com/b", "<html>unicode éè</html>") in got
+
+
+def test_crawl_to_corpus_composition(spark, tmp_path):
+    """The full crawl handoff: WARC bytes -> response texts -> quality
+    score + exact dedup, proving the source composes with the
+    curation operators in one DAG."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators import dedup, text
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:uuid:p{i}>",
+         "target_uri": f"https://site{i % 3}.example/p{i}",
+         "payload": _http(
+             b"duplicate body shared across mirrors" if i % 3 == 0
+             else f"unique page {i} with enough words to score".encode())}
+        for i in range(9)
+    ]
+    p = str(tmp_path / "crawl.warc.gz")
+    warc.write_warc(p, recs, gzip_members=True)
+
+    texts = warc.response_texts(warc.read_warc(spark, p))
+    docs = texts.withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).select("doc_id", "text", "target_uri")
+    scored = text.quality_score(docs)
+    kept = dedup.exact_dedup(scored)
+    out = kept.collect()
+    # 3 mirror copies collapse to 1; 6 unique pages survive
+    assert len(out) == 7
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    assert sum("duplicate body" in r["text"] for r in out) == 1
