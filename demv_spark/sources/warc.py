@@ -36,6 +36,11 @@ WARC_SCHEMA = (
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# header blocks are small (a dozen short lines); 64 KB bounds the
+# per-record separator search so a hostile/corrupt record can't make
+# one record's parse scan the rest of the file
+_MAX_HEADER = 64 * 1024
+
 
 def gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the .warc.gz
@@ -88,9 +93,13 @@ def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
         if not data.startswith(b"WARC/", pos):
             rows.append(error_row(f"expected WARC/ magic at byte {pos}"))
             break
-        # header block ends at the first blank line
-        sep = data.find(b"\r\n\r\n", pos)
-        sep_n = data.find(b"\n\n", pos)
+        # header block ends at the first blank line. Both searches are
+        # BOUNDED to a 64 KB header window — an unbounded find would
+        # rescan the remaining FILE per record whenever a payload
+        # lacks the sought separator, turning the parse O(file^2)
+        limit = min(pos + _MAX_HEADER, n)
+        sep = data.find(b"\r\n\r\n", pos, limit)
+        sep_n = data.find(b"\n\n", pos, sep + 4 if sep != -1 else limit)
         if sep == -1 or (sep_n != -1 and sep_n < sep):
             sep, sep_len = sep_n, 2
         else:
