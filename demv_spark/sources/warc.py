@@ -136,14 +136,12 @@ def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
     return rows
 
 
-def read_warc(spark, path: str):
-    """Distributed WARC reader: ``binaryFile`` scan → one
-    ``mapInPandas`` parse task per file. Returns WARC_SCHEMA rows;
-    filter ``error IS NULL`` for clean records, keep the error rows
-    as the quarantine census."""
-    import pandas as pd  # noqa: F401 (Arrow batch interface)
+def _parse_files(files):
+    """(path, content) DataFrame → WARC_SCHEMA via one Arrow-batched
+    parse task per file; shared by the batch and streaming readers so
+    the two cannot drift."""
 
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def parse(batches):
         import pandas as pd
 
         cols = [
@@ -156,8 +154,16 @@ def read_warc(spark, path: str):
                 out.extend(parse_warc_records(bytes(r["content"]), r["path"]))
             yield pd.DataFrame(out, columns=cols)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_warc(spark, path: str):
+    """Distributed WARC reader: ``binaryFile`` scan → one
+    ``mapInPandas`` parse task per file. Returns WARC_SCHEMA rows;
+    filter ``error IS NULL`` for clean records, keep the error rows
+    as the quarantine census."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _parse_files(files)
 
 
 def http_response_body(payload: Optional[bytes]) -> Optional[bytes]:
@@ -225,3 +231,35 @@ def write_warc(path: str, records: "list[dict]", gzip_members: bool = False) -> 
         chunks.append(raw)
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
+
+
+def read_warc_stream(spark, path: str):
+    """Streaming twin of ``read_warc``: watch a directory for new
+    crawl files (the continuous-ingest shape) and parse each arriving
+    file with the SAME per-file mapInPandas task, so stream and batch
+    rows are identical by construction (pinned in tests). Compose
+    with ``response_texts`` and the streaming curation operators for
+    live crawl-to-corpus. binaryFile streaming requires the explicit
+    file schema; maxFilesPerTrigger etc. apply as usual."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .load(path)
+        .select("path", "content")
+    )
+    return _parse_files(files)

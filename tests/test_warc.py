@@ -111,3 +111,25 @@ def test_crawl_to_corpus_composition(spark, tmp_path):
     assert len(out) == 7
     assert all(0.0 <= r["quality"] <= 1.0 for r in out)
     assert sum("duplicate body" in r["text"] for r in out) == 1
+
+
+def test_streaming_warc_equals_batch(spark, tmp_path):
+    """read_warc_stream shares the batch parser, so streamed rows
+    must equal batch rows exactly; composition with response_texts
+    stays stateless (works on the streaming frame)."""
+    d = str(tmp_path)
+    warc.write_warc(os.path.join(d, "a.warc"), RECORDS)
+    warc.write_warc(os.path.join(d, "b.warc.gz"), RECORDS, gzip_members=True)
+
+    got = []
+    stream = warc.response_texts(warc.read_warc_stream(spark, d))
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: got.extend(map(tuple, b.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = sorted(map(tuple, warc.response_texts(warc.read_warc(spark, d)).collect()))
+    assert sorted(got) == want and len(want) == 4
