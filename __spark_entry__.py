@@ -1346,6 +1346,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_training_prep_e2e"] = _corpus_training_prep_e2e
 
+    # HTML→text strip: documents wrapped in a deterministic HTML
+    # envelope (title/style/comment/script/entities), then the
+    # map-only strip chain recovers the visible text
+    def _web_html_to_text(spark, sf):
+        from demv_spark.operators.web import html_to_text
+
+        d = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head>"
+                  "<body><!-- hidden --><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><script>var a='<b>';</script>"
+                  "&nbsp;tail&amp;end</body></html>"),
+        )
+        return d.select("doc_id", html_to_text(html, "clean"))
+
+    q["q_web_html_to_text"] = _web_html_to_text
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -2459,10 +2479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_drift_monitor",
         # plans changed this round: re-earn the driver row
         "q_etl_quantile_label", "q_ml_fold_sizes", "q_dataset_law",
-        # DEMV flagship (adasyn + multi + eg rotate out this round —
-        # all multi-round/r5 green; the family keeps the census,
-        # smote, and rows-only smote seats)
-        "q_demv_rebalance_census", "q_demv_smote_census",
+        # DEMV flagship (adasyn + multi + eg + smote-census rotate
+        # out this round — all multi-round/r5 green; the family keeps
+        # the closed-form census row and the rows-only smote seat)
+        "q_demv_rebalance_census",
         # fairness + threshold-free metrics (weighted suite and AUC
         # rotate out — both r5 green, and the rank-metric family
         # earned three r5 rows: auc, auc_by_group, calibration;
@@ -2493,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_vocab_coverage", "q_linkage_fuzzy_join",
         "q_dedup_incremental", "q_linkage_best_match",
         "q_text_packing_efficiency", "q_corpus_training_prep_e2e",
+        "q_web_html_to_text",
     ]
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3953,6 +3974,24 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT domain) AS n_domains
         FROM sp GROUP BY split, admitted
     """
+
+    # html-strip twin: the SAME pattern/entity constants render the
+    # SQL chain, so the two engines cannot drift (parity additionally
+    # fuzz-pinned in tests/test_web_quality_clf.py)
+    from demv_spark.operators.web import HTML_ENTITIES, HTML_STRIP_PATTERNS
+
+    _h = ("'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+          "'</title><style>p{color:red}</style></head>"
+          "<body><!-- hidden --><p>' || coalesce(text, '') || "
+          "'</p><script>var a=''<b>'';</script>"
+          "&nbsp;tail&amp;end</body></html>'")
+    for _pat, _rep in HTML_STRIP_PATTERNS:
+        _h = f"regexp_replace({_h}, '{_pat}', '{_rep}', 'g')"
+    for _ent, _rep in HTML_ENTITIES:
+        _rep_sql = _rep.replace("'", "''")
+        _h = f"replace({_h}, '{_ent}', '{_rep_sql}')"
+    _h = rf"trim(regexp_replace({_h}, '\s+', ' ', 'g'))"
+    o["q_web_html_to_text"] = f"SELECT doc_id, {_h} AS clean FROM documents"
 
     # training-prep e2e twin: dedup rank=1 → token gate → split CASE
     # → shard md5 rank, all chained

@@ -113,6 +113,8 @@ HEADLINE = [
     # composed training-prep e2e: dedup -> quality gate -> split ->
     # shards in one DAG (the flagship composition for the train side)
     "q_corpus_training_prep_e2e",
+    # map-only HTML strip (WARC handoff into the text operators)
+    "q_web_html_to_text",
 ]
 
 

@@ -170,3 +170,45 @@ def canonicalize_url(url: Column | str, out: str | None = None) -> Column:
         F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
     )
     return canon.alias(out) if out else canon
+
+
+# html_to_text regex chain — Java∩RE2 common subset, applied in
+# order. (?is) = case-insensitive + dotall; non-greedy .*? bounds
+# each block. Comments/script/style vanish with their contents;
+# every other tag becomes a space (block boundaries must not glue
+# words); a small fixed entity set decodes via plain replace.
+HTML_STRIP_PATTERNS: "list[tuple[str, str]]" = [
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+HTML_ENTITIES: "list[tuple[str, str]]" = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST
+]
+
+
+def html_to_text(html: Column | str, out: str | None = None) -> Column:
+    """Visible text of an HTML document: comments, script and style
+    blocks removed WITH their contents, every remaining tag replaced
+    by a space, the common entity set decoded (&amp; last, so
+    '&amp;lt;' correctly yields '&lt;', not '<'), whitespace
+    collapsed and trimmed. The handoff from WARC response bodies
+    (``sources.warc.response_texts``) into the text operators —
+    intentionally a fast curation-grade stripper, not an HTML5 tree
+    parser: malformed nesting degrades to extra spaces, never to an
+    error.
+
+    Map-only projection (regexp_replace + replace chain) inside
+    whole-stage codegen; every regex is in the Java∩RE2 common
+    subset, so the SQL twin is the same chain with
+    ``regexp_replace(..., 'gis')`` flags. NULL html → NULL out.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    for pat, rep in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c.alias(out) if out else c

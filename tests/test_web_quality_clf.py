@@ -378,3 +378,65 @@ def test_cap_per_key_salted_keeps_null_keys(spark):
     assert p == s
     null_admitted = sum(r["admitted"] for r in salted if r["domain"] is None)
     assert null_admitted == 3  # NULL key gets its own quota
+
+
+def test_html_to_text_semantics(spark):
+    from demv_spark.operators.web import html_to_text
+
+    cases = {
+        1: ("<p>Hello <b>world</b></p>", "Hello world"),
+        2: ("<script>var x='<p>';</script>after", "after"),
+        3: ("<style>p{color:red}</style>text", "text"),
+        4: ("<!-- hidden -->shown", "shown"),
+        5: ("A&amp;B &lt;tag&gt; &amp;lt;esc", "A&B <tag> &lt;esc"),
+        6: ("a<br/>b<BR>c", "a b c"),
+        7: ("no markup", "no markup"),
+        8: ("", ""),
+        9: (None, None),
+        10: ("<SCRIPT>UPPER()</SCRIPT>x<STYLE>y</STYLE>z", "x z"),
+        11: ("word<div>glue</div>check", "word glue check"),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "i long, html string"
+    )
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text("html", "t")).collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
+
+
+def test_html_to_text_matches_duckdb_on_fuzz(spark):
+    """Cross-engine parity of the strip chain under deterministic
+    fuzz: tag fragments, nested/unclosed markup, entity near-misses,
+    unicode — the same pattern strings must transform identically in
+    Java regex and RE2."""
+    import random
+
+    import duckdb
+
+    from demv_spark.operators.web import (
+        HTML_ENTITIES,
+        HTML_STRIP_PATTERNS,
+        html_to_text,
+    )
+
+    rng = random.Random(13)
+    pieces = ["<p>", "</p>", "<script>", "</script >", "<style>", "</style>",
+              "<!--", "-->", "&amp;", "&lt;", "&nbsp;", "<div class='x'>",
+              "word", " é京 ", "a<b", ">", "<", "text\n", "<BR/>", "&#39;"]
+    rows = [(i, "".join(rng.choice(pieces) for _ in range(rng.randint(0, 25))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["i", "html"])
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text("html", "t")).collect()}
+
+    con = duckdb.connect()
+    for i, html in rows:
+        v = html
+        for pat, rep in HTML_STRIP_PATTERNS:
+            (v,) = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [v, pat, rep]
+            ).fetchone()
+        for ent, rep in HTML_ENTITIES:
+            v = v.replace(ent, rep)
+        (v,) = con.execute(
+            r"SELECT trim(regexp_replace(?, '\s+', ' ', 'g'))", [v]
+        ).fetchone()
+        assert got[i] == v, (i, html)
