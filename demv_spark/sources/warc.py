@@ -42,21 +42,41 @@ _GZIP_MAGIC = b"\x1f\x8b"
 _MAX_HEADER = 64 * 1024
 
 
-def gunzip_members(data: bytes) -> bytes:
+def _gunzip_members_ex(data: bytes) -> "tuple[bytes, Optional[str]]":
     """Decompress a concatenation of gzip members (the .warc.gz
-    layout) into one byte stream. Non-gzip input passes through."""
+    layout) into one byte stream. Non-gzip input passes through.
+    Returns (bytes, error): corrupt members and non-gzip junk between
+    members surface as an error message alongside whatever
+    decompressed cleanly — quarantine material, never an exception."""
     if not data.startswith(_GZIP_MAGIC):
-        return data
+        return data, None
     out = []
     rest = data
+    member = 0
     while rest[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
-        if not d.eof:          # truncated member: emit what we got
-            break
+        try:
+            out.append(d.decompress(rest))
+            out.append(d.flush())
+        except zlib.error as e:
+            return b"".join(out), f"corrupt gzip member {member}: {e}"
+        if not d.eof:
+            return b"".join(out), f"truncated gzip member {member}"
         rest = d.unused_data
-    return b"".join(out)
+        member += 1
+    if rest:
+        return (
+            b"".join(out),
+            f"{len(rest)} non-gzip bytes after member {member - 1}",
+        )
+    return b"".join(out), None
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Bytes-only view of ``_gunzip_members_ex`` (clean decompression
+    of whatever is recoverable; see that function for the error
+    channel the parser uses)."""
+    return _gunzip_members_ex(data)[0]
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -76,7 +96,7 @@ def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
     function — usable driver-side in tests and executor-side in
     ``read_warc``. Tolerates \\n line endings and a truncated tail
     (recovered records + one error row)."""
-    data = gunzip_members(data)
+    data, gz_err = _gunzip_members_ex(data)
     rows: list[tuple] = []
 
     def error_row(msg: str):
@@ -111,6 +131,11 @@ def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
+            # a negative length would move pos BACKWARD — with a
+            # crafted file that is an infinite parse loop, so it is
+            # rejected like any other malformed record
             rows.append(error_row(f"missing/invalid Content-Length at byte {pos}"))
             break
         body_start = sep + sep_len
@@ -133,6 +158,8 @@ def parse_warc_records(data: bytes, file: str = "") -> "list[tuple]":
             None,
         ))
         pos = body_end
+    if gz_err is not None:
+        rows.append(error_row(gz_err))
     return rows
 
 
@@ -172,11 +199,20 @@ def http_response_body(payload: Optional[bytes]) -> Optional[bytes]:
     line; payloads without one pass through unchanged."""
     if payload is None:
         return None
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        i = payload.find(sep)
-        if i != -1:
-            return payload[i + len(sep):]
-    return payload
+    # split at the EARLIEST blank line of either convention: checking
+    # CRLF first would let a CRLF blank line deep in the BODY win
+    # over the real LF-LF header terminator and silently truncate
+    i_crlf = payload.find(b"\r\n\r\n")
+    i_lf = payload.find(b"\n\n")
+    candidates = [
+        (i, sep_len)
+        for i, sep_len in ((i_crlf, 4), (i_lf, 2))
+        if i != -1
+    ]
+    if not candidates:
+        return payload
+    i, sep_len = min(candidates)
+    return payload[i + sep_len:]
 
 
 def response_texts(df, encoding: str = "utf-8"):
@@ -184,7 +220,6 @@ def response_texts(df, encoding: str = "utf-8"):
     ``resource`` records, HTTP envelope stripped, decoded with
     replacement — the handoff into the text-curation operators.
     Arrow-batched; stays one map task per input partition."""
-    import pandas as pd  # noqa: F401
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -133,3 +133,42 @@ def test_streaming_warc_equals_batch(spark, tmp_path):
 
     want = sorted(map(tuple, warc.response_texts(warc.read_warc(spark, d)).collect()))
     assert sorted(got) == want and len(want) == 4
+
+
+def test_negative_content_length_quarantined_not_infinite_loop():
+    # crafted record whose negative length would move the parse
+    # cursor BACKWARD — must quarantine, never loop
+    data = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -95\r\n"
+            b"\r\npayload")
+    rows = warc.parse_warc_records(data, "x")
+    assert len(rows) == 1 and "Content-Length" in rows[0][8]
+
+
+def test_corrupt_gzip_member_quarantined_not_fatal(tmp_path):
+    import gzip as _gzip
+
+    p = str(tmp_path / "t.warc.gz")
+    warc.write_warc(p, RECORDS[:2], gzip_members=True)
+    good = open(p, "rb").read()
+    # valid member then a corrupt one: recover the good records plus
+    # exactly one quarantine row
+    rows = warc.parse_warc_records(good + b"\x1f\x8b" + b"garbage!", "x")
+    clean = [r for r in rows if r[8] is None]
+    errs = [r for r in rows if r[8] is not None]
+    assert len(clean) == 2 and len(errs) == 1
+    assert "gzip member" in errs[0][8]
+    # junk BETWEEN members must not silently drop later members
+    m1 = _gzip.compress(b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab\r\n\r\n")
+    rows = warc.parse_warc_records(m1 + b"JUNK" + m1, "x")
+    assert sum(r[8] is None for r in rows) == 1
+    assert any(r[8] is not None and "non-gzip bytes" in r[8] for r in rows)
+
+
+def test_http_response_body_earliest_separator_wins():
+    # LF-LF header terminator, CRLF blank line later in the BODY:
+    # the body must keep the CRLF section, not be cut at it
+    p = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>part1\r\n\r\npart2</html>"
+    assert warc.http_response_body(p) == b"<html>part1\r\n\r\npart2</html>"
+    # and the symmetric case
+    p2 = b"HTTP/1.1 200 OK\r\n\r\nbody\n\ntail"
+    assert warc.http_response_body(p2) == b"body\n\ntail"
