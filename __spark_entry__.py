@@ -1366,6 +1366,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_web_html_to_text"] = _web_html_to_text
 
+    # WARC export/ingest round-trip: wrap every document as an HTTP
+    # response record, export DISTRIBUTED (one shard per task, the
+    # inverse of read_warc's file-per-task topology), re-ingest
+    # through the full parse + envelope-strip chain, and census per
+    # host — a hash match against the source aggregate proves the
+    # crawl-archive hop preserves every row, id and unicode codepoint
+    # and that nothing was quarantined
+    def _warc_roundtrip(spark, sf):
+        from demv_spark.sources.warc import (
+            read_warc,
+            response_texts,
+            write_warc_dataset,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+        # export parallelism = 4 shards (sized like a real crawl
+        # export: tasks ~ target shard bytes, here fixed + small)
+        recs = d.repartition(4, "doc_id").select(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit("/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("target_uri"),
+            F.encode(
+                F.concat(
+                    F.lit("HTTP/1.1 200 OK\r\n"
+                          "Content-Type: text/plain; charset=utf-8\r\n\r\n"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        path = _scratch_dir("warc", sf)
+        write_warc_dataset(recs, path, gzip_members=True)
+        back = response_texts(read_warc(spark, path))
+        pat = r"^http://([^/]*)/doc/(\d+)$"
+        return back.select(
+            F.regexp_extract("target_uri", pat, 1).alias("source"),
+            F.regexp_extract("target_uri", pat, 2).cast("long").alias("did"),
+            F.length("text").alias("n"),
+        ).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("did").cast("long").alias("id_sum"),
+            F.sum("n").cast("long").alias("chars"),
+        )
+
+    q["q_warc_roundtrip"] = _warc_roundtrip
+
+    # generic Hamming near-dup over ANY 64-bit hash column (the core
+    # behind simhash pairs, reusable for dHash / audio FP / sign
+    # sketches): planted portable hashes — 97 base groups, 0-4 bits
+    # flipped at distinct positions — banded 4x16 bits by pigeonhole,
+    # candidates from per-band equi-joins, exact bit_count verify.
+    # Oracle = brute-force cross join on the SAME md5-derived hashes
+    def _dedup_hamming_pairs(spark, sf):
+        from demv_spark.functions.compat import portable_hash
+        from demv_spark.operators.dedup import hamming_near_dup
+
+        base = portable_hash((F.col("doc_id") % 97).cast("string"))
+        mask = None
+        for i in range(4):
+            bit = F.when(
+                (F.col("doc_id") % 5) > i,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({i} * 15 + doc_id % 15 AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+            mask = bit if mask is None else mask + bit
+        d = _t(spark, sf, "documents").select(
+            "doc_id", base.bitwiseXOR(mask).alias("h")
+        )
+        return hamming_near_dup(d, "doc_id", "h", max_hamming=3)
+
+    q["q_dedup_hamming_pairs"] = _dedup_hamming_pairs
+
+    # image near-dup: REAL decoded pixels → integer-exact dHash hex →
+    # hex-banded Hamming pairs (pigeonhole on 2-hex-char chunks) —
+    # the multimodal composition of the generic core; oracle chains
+    # the closed-form dHash SQL with a brute-force popcount join
+    def _media_near_dup(spark, sf):
+        from demv_spark.operators.dedup import hamming_near_dup_hex
+        from demv_spark.operators.multimodal import (
+            image_dhash,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        dh = image_dhash(synthesize_media_real(ids, "n_nationkey", kind="image"))
+        return hamming_near_dup_hex(
+            dh, "media_id", "dhash_hex", n_hex=16, max_hamming=4
+        )
+
+    q["q_media_near_dup"] = _media_near_dup
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -3993,6 +4087,40 @@ def oracle_sql() -> dict[str, str]:
     _h = rf"trim(regexp_replace({_h}, '\s+', ' ', 'g'))"
     o["q_web_html_to_text"] = f"SELECT doc_id, {_h} AS clean FROM documents"
 
+    # WARC round-trip is identity on (source, doc_id, text): the
+    # oracle is the same census straight off the source table —
+    # LENGTH counts codepoints in both engines, NULL text ≡ ''
+    o["q_warc_roundtrip"] = """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    """
+
+    # generic Hamming near-dup: brute-force popcount cross join on
+    # the SAME md5-derived planted hashes (portable_hash twin +
+    # distinct-position bit flips — no carries, so + is exact OR)
+    _flip = " + ".join(
+        f"(CASE WHEN doc_id % 5 > {i} THEN (CAST(1 AS BIGINT) << "
+        f"CAST({i} * 15 + doc_id % 15 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(4)
+    )
+    o["q_dedup_hamming_pairs"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   xor(CAST(concat('0x', substr(md5(CAST(doc_id % 97
+                                 AS VARCHAR)), 1, 15)) AS BIGINT),
+                       {_flip}) AS h
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS dist
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+    """
+
+
     # training-prep e2e twin: dedup rank=1 → token gate → split CASE
     # → shard md5 rank, all chained
     o["q_corpus_training_prep_e2e"] = f"""
@@ -4079,6 +4207,25 @@ def oracle_sql() -> dict[str, str]:
                string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
                           '' ORDER BY nib) AS dhash_hex
         FROM nibbles GROUP BY 1, 2, 3
+    """
+
+    # image near-dup: the closed-form dHash SQL (same CTE the dhash
+    # row uses) chained into a brute-force popcount join over 32-bit
+    # hex slices — value-checks decode → hash → banded-pairs end-2-end
+    o["q_media_near_dup"] = f"""
+        WITH dh AS ({o["q_media_dhash"]}),
+        p AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(
+                            CAST(concat('0x', substr(a.dhash_hex, 1, 8)) AS BIGINT),
+                            CAST(concat('0x', substr(b.dhash_hex, 1, 8)) AS BIGINT)))
+                      + bit_count(xor(
+                            CAST(concat('0x', substr(a.dhash_hex, 9, 8)) AS BIGINT),
+                            CAST(concat('0x', substr(b.dhash_hex, 9, 8)) AS BIGINT)))
+                        AS INT) AS dist
+            FROM dh a JOIN dh b ON a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, dist FROM p WHERE dist <= 4
     """
 
     o["q_ml_auc"] = """

@@ -115,6 +115,12 @@ HEADLINE = [
     "q_corpus_training_prep_e2e",
     # map-only HTML strip (WARC handoff into the text operators)
     "q_web_html_to_text",
+    # crawl-archive round-trip: distributed WARC export (4 shards) +
+    # re-ingest + census — measures the full serialize/gzip/parse hop
+    "q_warc_roundtrip",
+    # generic 64-bit Hamming near-dup (banded equi-join + popcount
+    # verify; 54k pairs at sf0.1 — the perceptual-hash dedup core)
+    "q_dedup_hamming_pairs",
 ]
 
 

@@ -239,33 +239,108 @@ def response_texts(df, encoding: str = "utf-8"):
     return df.mapInPandas(extract, "file string, target_uri string, text string")
 
 
+def _record_bytes(rec: dict, gzip_member: bool = False) -> bytes:
+    """One spec-shaped WARC record (optionally its own gzip member —
+    a .warc.gz is a concatenation of per-record members). Shared by
+    the driver-side fixture writer and the distributed sink so the
+    two byte layouts cannot drift."""
+    payload = rec.get("payload") or b""
+    head = [b"WARC/1.0"]
+    hdrs = {
+        "WARC-Type": rec.get("warc_type", "response"),
+        "WARC-Record-ID": rec.get("record_id", "<urn:uuid:0>"),
+        "WARC-Date": rec.get("warc_date", "2026-01-01T00:00:00Z"),
+        "Content-Type": rec.get("content_type", "application/http"),
+        "Content-Length": str(len(payload)),
+    }
+    if rec.get("target_uri"):
+        hdrs["WARC-Target-URI"] = rec["target_uri"]
+    for k, v in hdrs.items():
+        head.append(f"{k}: {v}".encode())
+    raw = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+    if gzip_member:
+        import gzip as _gzip
+
+        raw = _gzip.compress(raw)
+    return raw
+
+
 def write_warc(path: str, records: "list[dict]", gzip_members: bool = False) -> None:
     """Test/fixture writer: serialize records ({headers...,
     'payload': bytes}) into a spec-shaped .warc or per-member-gzip
     .warc.gz."""
-    chunks = []
-    for rec in records:
-        payload = rec.get("payload", b"")
-        head = [b"WARC/1.0"]
-        hdrs = {
-            "WARC-Type": rec.get("warc_type", "response"),
-            "WARC-Record-ID": rec.get("record_id", "<urn:uuid:0>"),
-            "WARC-Date": rec.get("warc_date", "2026-01-01T00:00:00Z"),
-            "Content-Type": rec.get("content_type", "application/http"),
-            "Content-Length": str(len(payload)),
-        }
-        if rec.get("target_uri"):
-            hdrs["WARC-Target-URI"] = rec["target_uri"]
-        for k, v in hdrs.items():
-            head.append(f"{k}: {v}".encode())
-        raw = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
-        if gzip_members:
-            import gzip as _gzip
-
-            raw = _gzip.compress(raw)
-        chunks.append(raw)
     with open(path, "wb") as f:
-        f.write(b"".join(chunks))
+        f.write(b"".join(_record_bytes(r, gzip_members) for r in records))
+
+
+def write_warc_dataset(
+    df,
+    path: str,
+    uri_col: str = "target_uri",
+    payload_col: str = "payload",
+    gzip_members: bool = True,
+) -> "list":
+    """Distributed WARC sink: every task serializes ITS partition's
+    (uri, payload) rows into one ``part-NNNNN.warc[.gz]`` shard under
+    ``path`` — the inverse of ``read_warc``'s file-per-task topology,
+    so export parallelism equals partition count and no row ever
+    moves to the driver. Returns the collected shard manifest (one
+    row per non-empty partition: path, n_records, n_bytes) — the only
+    driver-sized artifact.
+
+    Record ids are ``<urn:demv:PARTITION:SEQ>`` (deterministic given
+    a fixed partitioning); the byte layout is ``_record_bytes``, the
+    SAME serializer the fixture writer uses, so
+    ``read_warc(write_warc_dataset(df)) ≡ df`` by construction.
+    The target dir is recreated (overwrite semantics): shard names
+    depend on the partition count, so appending to a stale dir could
+    double-read old shards. Shard names are partition-deterministic,
+    so a task retry overwrites its own shard (idempotent). Tasks
+    write with plain ``open()`` — ``path`` must be a filesystem every
+    executor can reach (local mode, NFS, fuse-mounted object store);
+    a pure-HDFS deployment would swap the ``open()`` for the Hadoop
+    FileSystem API, everything else unchanged."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(path):
+        _shutil.rmtree(path)
+    _os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def dump(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for b in batches:
+            for uri, payload in zip(b[uri_col], b[payload_col]):
+                chunks.append(_record_bytes(
+                    {
+                        "target_uri": None if uri is None else str(uri),
+                        "payload": None if payload is None else bytes(payload),
+                        "record_id": f"<urn:demv:{pid}:{n}>",
+                    },
+                    gzip_members,
+                ))
+                n += 1
+        if n == 0:  # no empty shards: read_warc treats 0-byte files as clean
+            yield pd.DataFrame({"path": [], "n_records": [], "n_bytes": []})
+            return
+        out = _os.path.join(path, f"part-{pid:05d}{ext}")
+        data = b"".join(chunks)
+        with open(out, "wb") as f:
+            f.write(data)
+        yield pd.DataFrame(
+            {"path": [out], "n_records": [n], "n_bytes": [len(data)]}
+        )
+
+    manifest = df.select(uri_col, payload_col).mapInPandas(
+        dump, "path string, n_records long, n_bytes long"
+    )
+    return manifest.collect()
 
 
 def read_warc_stream(spark, path: str):

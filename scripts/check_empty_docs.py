@@ -92,7 +92,7 @@ def main() -> int:
             n
             for n in qs
             if n in oracles
-            and any(w in n for w in ("text", "corpus", "dedup", "web", "quality", "sim", "pii"))
+            and any(w in n for w in ("text", "corpus", "dedup", "web", "quality", "sim", "pii", "warc"))
         ]
         n_fail = 0
         for name in doc_queries:

@@ -967,3 +967,90 @@ def test_packing_efficiency_zero_token_docs_cost_nothing(spark):
         text.packing_efficiency(df, [0])
     with pytest.raises(ValueError):
         text.packing_efficiency(df, [])
+
+
+def _brute_hamming(rows, max_d):
+    out = {}
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_d:
+                out[(a, b)] = d
+    return out
+
+
+def test_hamming_near_dup_matches_brute_force(spark):
+    """Banded candidates + exact verify == brute force on 64-bit
+    hashes, including NEGATIVE longs (sign bit set)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) for _ in range(12)]
+    rows = []
+    rid = 0
+    for h in base:
+        for flips in (0, 1, 3, 4, 9):
+            m = 0
+            for i in range(flips):
+                m |= 1 << ((rid * 13 + i * 17) % 64)
+            v = (h ^ m) & ((1 << 64) - 1)
+            # store as signed long, the Spark representation
+            rows.append((rid, v - (1 << 64) if v >= (1 << 63) else v))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.hamming_near_dup(df, "id", "h", max_hamming=3).collect()
+    }
+    want = _brute_hamming(
+        [(i, h & ((1 << 64) - 1)) for i, h in rows], 3
+    )
+    assert got == want and want  # non-trivial fixture
+
+
+def test_hamming_near_dup_hex_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    rid = 0
+    for _ in range(10):
+        h = rng.getrandbits(64)
+        for flips in (0, 2, 5):
+            m = 0
+            for i in range(flips):
+                m |= 1 << ((rid * 7 + i * 19) % 64)
+            rows.append((rid, format(h ^ m, "016x")))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, hx string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.hamming_near_dup_hex(
+            df, "id", "hx", n_hex=16, max_hamming=4
+        ).collect()
+    }
+    want = _brute_hamming([(i, int(h, 16)) for i, h in rows], 4)
+    assert got == want and want
+
+
+def test_hamming_near_dup_guards_and_bucket_cap(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1 << 40), (4, None)],
+        "id long, h long",
+    )
+    with _pytest.raises(ValueError):
+        dedup.hamming_near_dup(df, "id", "h", max_hamming=3, bands=2)
+    # NULL hash dropped; all-zero hashes pair up exactly
+    got = dedup.hamming_near_dup(df, "id", "h", max_hamming=1).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in ids and (0, 2) in ids and (1, 2) in ids
+    assert not any(4 in p for p in ids)
+    # a cap of 2 kills the 3-row degenerate bucket (0,1,2 share every
+    # band) but keeps smaller buckets alive
+    capped = dedup.hamming_near_dup(
+        df, "id", "h", max_hamming=64, max_bucket=2
+    ).collect()
+    assert not any({r["id_a"], r["id_b"]} <= {0, 1, 2} for r in capped)
