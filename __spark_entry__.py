@@ -1460,6 +1460,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_near_dup"] = _media_near_dup
 
+    # ORC interchange round-trip on the COMPLEX-typed table: write
+    # embeddings (array<float>) to ORC with Spark's native
+    # distributed writer, read back, census per label with an exact
+    # float-content signature — floor(x * 2^20) is a power-of-two
+    # scale, exact in binary64 and truncation-convention-free, so
+    # the oracle (reading the parquet ORIGINALS) hash-matches iff
+    # every array element survived the hop bit-identically
+    def _corpus_orc_roundtrip(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        path = _scratch_dir("orc", sf)
+        e.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        comp = F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1048576.0))
+                .cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        return back.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            F.sum(F.size("embedding")).cast("long").alias("dim_sum"),
+            F.sum(comp).cast("long").alias("content_fx"),
+        )
+
+    q["q_corpus_orc_roundtrip"] = _corpus_orc_roundtrip
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4096,6 +4126,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS chars
         FROM documents GROUP BY source
+    """
+
+    # ORC round-trip is identity on embeddings: same census straight
+    # off the parquet originals; floor(x * 2^20) exact in binary64.
+    # Empty-array guard: Spark's aggregate() folds [] to the init 0,
+    # DuckDB's list_sum([]) is NULL — the CASE pins [] ≡ 0 while a
+    # NULL array stays NULL (SUM-skipped) in BOTH engines
+    o["q_corpus_orc_roundtrip"] = """
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+               CAST(SUM(len(embedding)) AS BIGINT) AS dim_sum,
+               CAST(SUM(CASE WHEN embedding IS NULL THEN NULL
+                    ELSE COALESCE(list_sum(list_transform(embedding,
+                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576)
+                              AS BIGINT))), 0) END) AS BIGINT) AS content_fx
+        FROM embeddings GROUP BY label
     """
 
     # generic Hamming near-dup: brute-force popcount cross join on

@@ -121,6 +121,9 @@ HEADLINE = [
     # generic 64-bit Hamming near-dup (banded equi-join + popcount
     # verify; 54k pairs at sf0.1 — the perceptual-hash dedup core)
     "q_dedup_hamming_pairs",
+    # ORC interchange hop for the complex-typed table (native
+    # distributed writer; exact float-content signature)
+    "q_corpus_orc_roundtrip",
 ]
 
 
