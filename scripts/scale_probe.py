@@ -423,6 +423,39 @@ def main():
         )
         return blocked_fuzzy_join(left, dirty_fixed, "name_a", "name_b", 2).count()
 
+    # Hamming near-dup capacity: (a) BACKGROUND candidate volume on
+    # uncorrelated 64-bit hashes with the verify filter held open
+    # (max_hamming=64 admits every banded collision) — candidates ≈
+    # n²·bands/2^16 for 16-bit bands, i.e. the quadratic term carries
+    # a 1/16384 constant and the per-bucket join stays flat until a
+    # band bucket nears ~6·10⁴ rows; (b) the PLANTED driver-query
+    # shape (97 md5 base cliques, 0-4 bit flips) at the real
+    # threshold — output pairs grow ~K² by construction (cliques
+    # densify), so the honest signal is sec_kx tracking rows_kx, not
+    # staying flat.
+    from demv_spark.functions.compat import portable_hash
+
+    def run_hamming_random(d):
+        h = d.select("doc_id", F.xxhash64(F.col("doc_id")).alias("h"))
+        return dedup.hamming_near_dup(
+            h, "doc_id", "h", max_hamming=64, bands=4, strict=False
+        ).count()
+
+    def run_hamming_planted(d):
+        base = portable_hash((F.col("doc_id") % 97).cast("string"))
+        mask = None
+        for i in range(4):
+            bit = F.when(
+                (F.col("doc_id") % 5) > i,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({i} * 15 + doc_id % 15 AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+            mask = bit if mask is None else mask + bit
+        h = d.select("doc_id", base.bitwiseXOR(mask).alias("h"))
+        return dedup.hamming_near_dup(h, "doc_id", "h", max_hamming=3).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
         ("shard_assignment_64", run_shard_assignment, docs, docs_k),
@@ -453,7 +486,12 @@ def main():
          orders_skew, orders_skew_k),
         ("smote_exact_knn", run_smote_exact, clf_base, clf_k),
         ("smote_lsh", run_smote_lsh, clf_base, clf_k),
+        ("hamming_random_candidates", run_hamming_random, docs, docs_k),
+        ("hamming_planted_pairs", run_hamming_planted, docs, docs_k),
     ]
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    if only:
+        probes = [p for p in probes if any(s in p[0] for s in only)]
     for name, fn, d1, dk in probes:
         fn(d1)  # warm the plan shape (codegen) before timing
         r = probe(name, fn, d1, dk)
