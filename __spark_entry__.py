@@ -1490,6 +1490,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_orc_roundtrip"] = _corpus_orc_roundtrip
 
+    # BM25 ranked retrieval (integer-exact fixed-point: rational
+    # Robertson idf + tf saturation in one DECIMAL(38,0) integral
+    # divide — no transcendental, no float; map-side IN filter means
+    # only query-term postings ever shuffle; top-k is
+    # TakeOrderedAndProject). k1=1.2, b=0.75 — the Lucene defaults
+    def _text_bm25_topk(spark, sf):
+        from demv_spark.operators.text import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf, "documents"),
+            ["data", "join", "spark", "table"],
+            top_k=50,
+        )
+
+    q["q_text_bm25_topk"] = _text_bm25_topk
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4143,6 +4159,38 @@ def oracle_sql() -> dict[str, str]:
                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576)
                               AS BIGINT))), 0) END) AS BIGINT) AS content_fx
         FROM embeddings GROUP BY label
+    """
+
+    # BM25: the same rational fixed-point score in HUGEINT — the
+    # constants 11/4/20/6/18 are (k1n+k1d, bd, k1d·bd, k1n·(bd−bn),
+    # k1n·bn) for k1=6/5, b=3/4; // on positive HUGEINTs ≡ Spark's
+    # decimal `div`
+    o["q_text_bm25_topk"] = f"""
+        WITH tok AS (SELECT doc_id, UNNEST({_toks}) AS token FROM documents),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
+                       (SELECT COUNT(*) FROM t) AS T),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+               WHERE token IN ('data', 'join', 'spark', 'table')
+               GROUP BY 1, 2),
+        dft AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        s AS (
+            SELECT tf.doc_id,
+                   CAST((1000000::HUGEINT * (2*N - 2*df_docs + 1)
+                         * tf * 11 * 4 * T)
+                        // (CAST(2*df_docs + 1 AS HUGEINT)
+                            * (20::HUGEINT * T * tf
+                               + 6::HUGEINT * T
+                               + 18::HUGEINT * dl * N))
+                     AS BIGINT) AS sc
+            FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), tot
+        )
+        SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score_fx,
+               COUNT(*) AS n_terms
+        FROM s GROUP BY 1
+        ORDER BY score_fx DESC, doc_id
+        LIMIT 50
     """
 
     # generic Hamming near-dup: brute-force popcount cross join on

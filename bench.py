@@ -124,6 +124,9 @@ HEADLINE = [
     # ORC interchange hop for the complex-typed table (native
     # distributed writer; exact float-content signature)
     "q_corpus_orc_roundtrip",
+    # BM25 ranked retrieval: integer-exact fixed-point scoring,
+    # map-side postings filter, TakeOrderedAndProject top-k
+    "q_text_bm25_topk",
 ]
 
 

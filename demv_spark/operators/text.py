@@ -320,6 +320,106 @@ def tfidf_keywords(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    top_k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 ranked retrieval: the ``top_k`` documents for a bag of
+    query terms, scored with INTEGER-EXACT fixed-point arithmetic —
+    the engine's transcendental-free signature (same philosophy as
+    the integer-exact AUC and dHash). Robertson idf and the tf
+    saturation are both rational in (tf, df, dl, N, T) once k1 and b
+    are rationals (parsed exactly via Fraction(str(k1))), so each
+    per-term score is ONE integer division
+
+        score_fx = (scale·(2N−2df+1)·tf·(k1n+k1d)·bd·T)
+                   div ((2df+1)·(k1d·bd·T·tf + k1n·(bd−bn)·T
+                                 + k1n·bn·dl·N))
+
+    computed in DECIMAL(38,0) (fits to ~1e36, i.e. beyond 10^11 docs
+    × 10^14 tokens), quantized at 1/scale relative precision — the
+    idf uses ln-free rational Robertson weighting ((N−df+.5)/(df+.5))
+    directly; ln is monotone per term, so this changes multi-term sums
+    by a documented monotone reweighting, never by float nondeterminism.
+
+    Plan: map-side ``isin`` filter to query terms (only query-term
+    postings ever shuffle), one (doc, term) count, a broadcast-sized
+    per-term df table, one doc-keyed join against document lengths,
+    and a TakeOrderedAndProject top-k — no global sort, no UDF.
+    Output: (id_col, score_fx long, n_terms long), ties broken by
+    id asc for a total order."""
+    from fractions import Fraction
+
+    k1f, bf = Fraction(str(k1)), Fraction(str(b))
+    k1n, k1d = k1f.numerator, k1f.denominator
+    bn, bd = bf.numerator, bf.denominator
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("N"))
+    n_toks = toks.agg(F.count(F.lit(1)).alias("T"))
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+
+    j = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_toks))
+    )
+
+    def dec(x):
+        return x.cast("decimal(38,0)")
+
+    num = (
+        dec(F.lit(scale))
+        * dec(2 * F.col("N") - 2 * F.col("df_docs") + 1)
+        * dec(F.col("tf"))
+        * dec(F.lit(k1n + k1d))
+        * dec(F.lit(bd))
+        * dec(F.col("T"))
+    )
+    den = dec(2 * F.col("df_docs") + 1) * (
+        dec(F.lit(k1d * bd)) * dec(F.col("T")) * dec(F.col("tf"))
+        + dec(F.lit(k1n * (bd - bn))) * dec(F.col("T"))
+        + dec(F.lit(k1n * bn)) * dec(F.col("dl")) * dec(F.col("N"))
+    )
+    # Spark's IntegralDivide (`div`) has no DSL form — route the two
+    # decimal operands through named columns; `div` returns LONG,
+    # exact while the quotient fits signed-64 (BM25 quotients are
+    # ~scale·idf·(k1+1), far below it), and truncation == floor for
+    # the all-positive operands here
+    scored = (
+        j.withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn("__sc", F.expr("__num div __den"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__sc").cast("long").alias("score_fx"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_fx"), F.col(id_col))
+        .limit(top_k)
+    )
+
+
 # PII patterns shared by redact_pii and its oracle — restricted to
 # the regex subset Java (Spark) and RE2 (DuckDB) interpret
 # identically: character classes, bounded repeats, \b; no

@@ -1054,3 +1054,60 @@ def test_hamming_near_dup_guards_and_bucket_cap(spark):
         df, "id", "h", max_hamming=64, max_bucket=2
     ).collect()
     assert not any({r["id_a"], r["id_b"]} <= {0, 1, 2} for r in capped)
+
+
+def test_bm25_topk_matches_exact_python(spark):
+    """The fixed-point BM25 score equals an exact-Fraction Python
+    reimplementation of the documented formula on a hand corpus —
+    incl. NULL text (zero tokens, never retrieved) and a doc missing
+    some query terms."""
+    from fractions import Fraction
+
+    corpus = [
+        (1, "spark spark table join fast"),
+        (2, "table table table data"),
+        (3, "spark data data join join join"),
+        (4, "nothing relevant here at all"),
+        (5, None),
+        (6, "spark"),
+    ]
+    terms = ["spark", "table", "join", "data"]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score_fx"], r["n_terms"])
+        for r in text.bm25_topk(df, terms, top_k=10).collect()
+    }
+
+    toks = {i: (t or "").lower().split() for i, t in corpus}
+    N = len(corpus)
+    T = sum(len(v) for v in toks.values())
+    dfreq = {
+        q: sum(1 for v in toks.values() if q in v) for q in terms
+    }
+    k1, b = Fraction("1.2"), Fraction("0.75")
+    want = {}
+    for i, v in toks.items():
+        s, n = 0, 0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0:
+                continue
+            idf = Fraction(2 * N - 2 * dfreq[q] + 1, 2 * dfreq[q] + 1)
+            sat = Fraction(tf * (k1 + 1).numerator, (k1 + 1).denominator) / (
+                tf + k1 * (1 - b) + k1 * b * Fraction(len(v) * N, T)
+            )
+            s += int(1_000_000 * idf * sat)  # int() == floor for >=0
+            n += 1
+        if n:
+            want[i] = (s, n)
+    assert got == want
+    assert 5 not in got and 4 not in got
+
+
+def test_bm25_topk_total_order_and_k(spark):
+    df = spark.createDataFrame(
+        [(i, "common word") for i in range(20)], "doc_id long, text string"
+    )
+    out = text.bm25_topk(df, ["common"], top_k=5).collect()
+    # all scores tie → doc_id ascending breaks them deterministically
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
