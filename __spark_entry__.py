@@ -1382,10 +1382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents").select("doc_id", "text", "source")
         # export parallelism = 4 shards (sized like a real crawl
-        # export: tasks ~ target shard bytes, here fixed + small)
+        # export: tasks ~ target shard bytes, here fixed + small).
+        # NULL source ≡ '' (the engine-wide NULL-text canon) so a
+        # fixture regeneration planting NULL sources can't NULL the
+        # whole URI
         recs = d.repartition(4, "doc_id").select(
             F.concat(
-                F.lit("http://"), F.col("source"), F.lit("/doc/"),
+                F.lit("http://"),
+                F.coalesce(F.col("source"), F.lit("")),
+                F.lit("/doc/"),
                 F.col("doc_id").cast("string"),
             ).alias("target_uri"),
             F.encode(
@@ -1400,7 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = _scratch_dir("warc", sf)
         write_warc_dataset(recs, path, gzip_members=True)
         back = response_texts(read_warc(spark, path))
-        pat = r"^http://([^/]*)/doc/(\d+)$"
+        # GREEDY host group: everything up to the LAST '/doc/<id>'
+        # tail, so a source containing '/' (even '/doc/5') still
+        # round-trips to itself instead of silently degrading to ''
+        pat = r"^http://(.*)/doc/(\d+)$"
         return back.select(
             F.regexp_extract("target_uri", pat, 1).alias("source"),
             F.regexp_extract("target_uri", pat, 2).cast("long").alias("did"),
@@ -4137,24 +4145,30 @@ def oracle_sql() -> dict[str, str]:
     # oracle is the same census straight off the source table —
     # LENGTH counts codepoints in both engines, NULL text ≡ ''
     o["q_warc_roundtrip"] = """
-        SELECT source,
+        SELECT COALESCE(source, '') AS source,
                COUNT(*) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS chars
-        FROM documents GROUP BY source
+        FROM documents GROUP BY 1
     """
 
     # ORC round-trip is identity on embeddings: same census straight
     # off the parquet originals; floor(x * 2^20) exact in binary64.
-    # Empty-array guard: Spark's aggregate() folds [] to the init 0,
-    # DuckDB's list_sum([]) is NULL — the CASE pins [] ≡ 0 while a
-    # NULL array stays NULL (SUM-skipped) in BOTH engines
+    # Degenerate-array guards, all three classes pinned to Spark's
+    # aggregate() semantics: [] ≡ 0 (aggregate folds to the init,
+    # DuckDB list_sum([]) is NULL), NULL array stays NULL
+    # (SUM-skipped in both engines), and an array CONTAINING a NULL
+    # element is NULL (Spark's acc + NULL poisons the fold; DuckDB
+    # list_sum would skip the element)
     o["q_corpus_orc_roundtrip"] = """
         SELECT label,
                COUNT(*) AS n_vecs,
                CAST(SUM(vec_id) AS BIGINT) AS id_sum,
                CAST(SUM(len(embedding)) AS BIGINT) AS dim_sum,
-               CAST(SUM(CASE WHEN embedding IS NULL THEN NULL
+               CAST(SUM(CASE
+                    WHEN embedding IS NULL THEN NULL
+                    WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                         THEN NULL
                     ELSE COALESCE(list_sum(list_transform(embedding,
                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576)
                               AS BIGINT))), 0) END) AS BIGINT) AS content_fx

@@ -577,7 +577,13 @@ def hamming_near_dup_hex(
     if n_hex % bands != 0:
         raise ValueError(f"n_hex={n_hex} must divide into bands={bands}")
     chunk = n_hex // bands
-    sig = df.select(id_col, hex_col).filter(F.col(hex_col).isNotNull())
+    # case-normalize at entry: band equality is a string compare but
+    # the verify distance (conv) is case-insensitive — without this,
+    # 'A1..' vs 'a1..' would never become a candidate despite
+    # distance 0
+    sig = df.select(
+        id_col, F.lower(F.col(hex_col)).alias(hex_col)
+    ).filter(F.col(hex_col).isNotNull())
     banded = sig.select(
         id_col,
         hex_col,

@@ -359,7 +359,10 @@ def bm25_topk(
     k1f, bf = Fraction(str(k1)), Fraction(str(b))
     k1n, k1d = k1f.numerator, k1f.denominator
     bn, bd = bf.numerator, bf.denominator
-    terms = sorted(set(query_terms))
+    # corpus tokens are lowercased by tokens() — normalize the query
+    # bag through the same canon so "Spark" matches; duplicates
+    # collapse (a repeated query term does not double-score)
+    terms = sorted({str(t).strip().lower() for t in query_terms} - {""})
     if not terms:
         raise ValueError("query_terms must be non-empty")
 
@@ -368,7 +371,9 @@ def bm25_topk(
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_docs = df.agg(F.count(F.lit(1)).alias("N"))
-    n_toks = toks.agg(F.count(F.lit(1)).alias("T"))
+    # T = Σ dl: derived from the dl census, not a second full
+    # tokenize pass over the corpus
+    n_toks = dl.agg(F.sum("dl").cast("long").alias("T"))
     tf = (
         toks.filter(F.col("token").isin(terms))
         .groupBy(id_col, "token")

@@ -294,12 +294,21 @@ def write_warc_dataset(
     ``read_warc(write_warc_dataset(df)) ≡ df`` by construction.
     The target dir is recreated (overwrite semantics): shard names
     depend on the partition count, so appending to a stale dir could
-    double-read old shards. Shard names are partition-deterministic,
-    so a task retry overwrites its own shard (idempotent). Tasks
-    write with plain ``open()`` — ``path`` must be a filesystem every
-    executor can reach (local mode, NFS, fuse-mounted object store);
-    a pure-HDFS deployment would swap the ``open()`` for the Hadoop
-    FileSystem API, everything else unchanged."""
+    double-read old shards. Each task ATTEMPT streams its records
+    into an attempt-private dot-prefixed temp file (peak memory = one
+    record, not the shard) and atomically ``os.replace``s it onto the
+    final shard name — concurrent speculative attempts never
+    interleave bytes, the last completed attempt wins with a whole
+    file, and a hard-killed attempt leaves only a ``.part-*.tmp-*``
+    file Spark's file index ignores (hidden-file convention: names
+    starting with ``.`` or ``_`` are filtered from every scan). No job-level commit
+    protocol: a failed JOB leaves a partially-written dir (the same
+    caveat as any direct-write sink — write to a fresh dir and swap
+    for transactional swaps). Tasks write with plain ``open()`` —
+    ``path`` must be a filesystem every executor can reach (local
+    mode, NFS, fuse-mounted object store); a pure-HDFS deployment
+    would swap the ``open()`` for the Hadoop FileSystem API,
+    everything else unchanged."""
     import os as _os
     import shutil as _shutil
 
@@ -312,29 +321,46 @@ def write_warc_dataset(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        chunks: list[bytes] = []
-        n = 0
-        for b in batches:
-            for uri, payload in zip(b[uri_col], b[payload_col]):
-                chunks.append(_record_bytes(
-                    {
-                        "target_uri": None if uri is None else str(uri),
-                        "payload": None if payload is None else bytes(payload),
-                        "record_id": f"<urn:demv:{pid}:{n}>",
-                    },
-                    gzip_members,
-                ))
-                n += 1
-        if n == 0:  # no empty shards: read_warc treats 0-byte files as clean
-            yield pd.DataFrame({"path": [], "n_records": [], "n_bytes": []})
-            return
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         out = _os.path.join(path, f"part-{pid:05d}{ext}")
-        data = b"".join(chunks)
-        with open(out, "wb") as f:
-            f.write(data)
+        tmp = _os.path.join(
+            path, f".part-{pid:05d}{ext}.tmp-{ctx.taskAttemptId()}"
+        )
+        n = 0
+        n_bytes = 0
+        f = None
+        try:
+            for b in batches:
+                for uri, payload in zip(b[uri_col], b[payload_col]):
+                    raw = _record_bytes(
+                        {
+                            "target_uri": None if uri is None else str(uri),
+                            "payload": (
+                                None if payload is None else bytes(payload)
+                            ),
+                            "record_id": f"<urn:demv:{pid}:{n}>",
+                        },
+                        gzip_members,
+                    )
+                    if f is None:  # lazy: no empty shards ever appear
+                        f = open(tmp, "wb")
+                    f.write(raw)
+                    n += 1
+                    n_bytes += len(raw)
+            if f is None:
+                yield pd.DataFrame({"path": [], "n_records": [], "n_bytes": []})
+                return
+            f.close()
+            f = None
+            _os.replace(tmp, out)  # atomic: whole file or nothing
+        finally:
+            if f is not None:
+                f.close()
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
         yield pd.DataFrame(
-            {"path": [out], "n_records": [n], "n_bytes": [len(data)]}
+            {"path": [out], "n_records": [n], "n_bytes": [n_bytes]}
         )
 
     manifest = df.select(uri_col, payload_col).mapInPandas(

@@ -40,7 +40,13 @@ def test_orc_roundtrip_identity_with_degenerate_arrays(spark, tmp_path):
         (r["vec_id"], r["embedding"]) for r in back.collect()
     )
     b = sorted((i, e) for i, e, _ in rows)
-    assert a == b  # bit-identical floats incl. inf and -0.0 container
+    assert a == b
+    # == treats -0.0 == 0.0, so pin the sign bit explicitly: the
+    # inf/-0.0 row must come back with copysign intact
+    import math
+
+    neg_zero = dict(a)[5][1]
+    assert neg_zero == 0.0 and math.copysign(1.0, neg_zero) == -1.0
 
     # the census signature is write-order invariant and NULL-safe
     got = {

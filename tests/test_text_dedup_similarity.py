@@ -1111,3 +1111,26 @@ def test_bm25_topk_total_order_and_k(spark):
     out = text.bm25_topk(df, ["common"], top_k=5).collect()
     # all scores tie → doc_id ascending breaks them deterministically
     assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_bm25_topk_normalizes_query_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark spark TABLE"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    # mixed-case + duplicate terms: same result as the canonical bag
+    a = text.bm25_topk(df, ["Spark", "table", "SPARK"], top_k=5).collect()
+    b = text.bm25_topk(df, ["spark", "table"], top_k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a and a[0]["doc_id"] == 1 and a[0]["n_terms"] == 2
+
+
+def test_hamming_near_dup_hex_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "A1B2C3D4E5F60718"), (2, "a1b2c3d4e5f60718")],
+        "id long, hx string",
+    )
+    out = dedup.hamming_near_dup_hex(df, "id", "hx", n_hex=16, max_hamming=0)
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()] == [
+        (1, 2, 0)
+    ]

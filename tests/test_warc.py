@@ -229,3 +229,22 @@ def test_write_warc_dataset_overwrite_and_nulls(spark, tmp_path):
     assert back[0]["error"] is None
     assert back[0]["target_uri"] is None
     assert back[0]["payload"] == b""
+
+
+def test_read_warc_ignores_hidden_tmp_files(spark, tmp_path):
+    """A hard-killed write attempt leaves a dot-prefixed temp shard;
+    Spark's hidden-file convention must keep it out of every scan."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "out")
+    df = spark.range(5).select(
+        F.concat(F.lit("https://x.test/"), F.col("id").cast("string")).alias("target_uri"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("payload"),
+    )
+    warc.write_warc_dataset(df, d)
+    # simulate the orphan: garbage bytes under the temp naming scheme
+    with open(os.path.join(d, ".part-99999.warc.gz.tmp-123"), "wb") as f:
+        f.write(b"half-written garbage")
+    back = warc.read_warc(spark, d)
+    assert back.filter("error IS NOT NULL").count() == 0
+    assert back.count() == 5
