@@ -1514,6 +1514,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_bm25_topk"] = _text_bm25_topk
 
+    # batch multi-query BM25: one corpus pass scores three query
+    # bags; per-term df/dl compute once, postings fan out to queries
+    # via a broadcast term join, and the per-query top-k is the
+    # lossless salt-pruned two-phase rank (no task ranks a query's
+    # full match set). Oracle = per-query ROW_NUMBER, which the
+    # pruning provably equals
+    def _text_bm25_batch(spark, sf):
+        from demv_spark.operators.text import bm25_topk_batch
+
+        return bm25_topk_batch(
+            _t(spark, sf, "documents"),
+            {
+                "q1": ["spark", "table"],
+                "q2": ["join", "data", "fast"],
+                "q3": ["window", "batch"],
+            },
+            top_k=10,
+        )
+
+    q["q_text_bm25_batch"] = _text_bm25_batch
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4205,6 +4226,50 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1
         ORDER BY score_fx DESC, doc_id
         LIMIT 50
+    """
+
+    # batch BM25: same HUGEINT fixed point; per-(doc, term) scores
+    # join the query table and rank per query — the salt-pruned
+    # Spark rank is lossless, so plain ROW_NUMBER is its oracle
+    o["q_text_bm25_batch"] = f"""
+        WITH q(query_id, token) AS (
+            SELECT * FROM (VALUES
+                ('q1', 'spark'), ('q1', 'table'),
+                ('q2', 'join'), ('q2', 'data'), ('q2', 'fast'),
+                ('q3', 'window'), ('q3', 'batch'))
+        ),
+        tok AS (SELECT doc_id, UNNEST({_toks}) AS token FROM documents),
+        t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
+                       (SELECT COUNT(*) FROM t) AS T),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+               WHERE token IN (SELECT token FROM q)
+               GROUP BY 1, 2),
+        dft AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        s AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST((1000000::HUGEINT * (2*N - 2*df_docs + 1)
+                         * tf * 11 * 4 * T)
+                        // (CAST(2*df_docs + 1 AS HUGEINT)
+                            * (20::HUGEINT * T * tf
+                               + 6::HUGEINT * T
+                               + 18::HUGEINT * dl * N))
+                     AS BIGINT) AS sc
+            FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), tot
+        ),
+        pq AS (
+            SELECT q.query_id, s.doc_id,
+                   CAST(SUM(s.sc) AS BIGINT) AS score_fx,
+                   COUNT(*) AS n_terms
+            FROM s JOIN q USING (token) GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score_fx, n_terms,
+               CAST(rnk AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score_fx DESC, doc_id) AS rnk FROM pq)
+        WHERE rnk <= 10
     """
 
     # generic Hamming near-dup: brute-force popcount cross join on

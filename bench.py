@@ -127,6 +127,9 @@ HEADLINE = [
     # BM25 ranked retrieval: integer-exact fixed-point scoring,
     # map-side postings filter, TakeOrderedAndProject top-k
     "q_text_bm25_topk",
+    # batch multi-query BM25: one corpus pass, salt-pruned per-query
+    # top-k
+    "q_text_bm25_batch",
 ]
 
 

@@ -387,6 +387,26 @@ def bm25_topk(
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(n_toks))
     )
+    scored = _bm25_scored(j, scale, k1n, k1d, bn, bd)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__sc").cast("long").alias("score_fx"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_fx"), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def _bm25_scored(j, scale, k1n, k1d, bn, bd):
+    """Attach the fixed-point per-(doc, term) BM25 score ``__sc`` to a
+    frame carrying (tf, df_docs, dl, N, T). Spark's IntegralDivide
+    (`div`) has no DSL form — the two DECIMAL(38,0) operands route
+    through named columns; `div` returns LONG, exact while the
+    quotient fits signed-64 (BM25 quotients are ~scale·idf·(k1+1),
+    far below it), and truncation == floor for the all-positive
+    operands here."""
 
     def dec(x):
         return x.cast("decimal(38,0)")
@@ -404,24 +424,110 @@ def bm25_topk(
         + dec(F.lit(k1n * (bd - bn))) * dec(F.col("T"))
         + dec(F.lit(k1n * bn)) * dec(F.col("dl")) * dec(F.col("N"))
     )
-    # Spark's IntegralDivide (`div`) has no DSL form — route the two
-    # decimal operands through named columns; `div` returns LONG,
-    # exact while the quotient fits signed-64 (BM25 quotients are
-    # ~scale·idf·(k1+1), far below it), and truncation == floor for
-    # the all-positive operands here
-    scored = (
+    return (
         j.withColumn("__num", num)
         .withColumn("__den", den)
         .withColumn("__sc", F.expr("__num div __den"))
+        .drop("__num", "__den")
     )
-    return (
-        scored.groupBy(id_col)
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries,
+    top_k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+    prune_salt: int = 16,
+) -> DataFrame:
+    """Multi-query BM25 — the production retrieval shape: score MANY
+    query bags in one corpus pass. ``queries`` is a DataFrame
+    (query_id, term) or a dict {query_id: [terms]}; terms normalize
+    through the token canon (lowercase, duplicates collapse). The
+    scoring is the same integer-exact fixed point as ``bm25_topk``.
+
+    Scale shape: the postings filter is a broadcast semi-join against
+    the union of query terms (only matching postings ever shuffle);
+    per-term df and doc length compute ONCE regardless of query
+    count; the per-query fan-out is a broadcast join on term; and the
+    per-query top-k is the lossless two-phase salt-pruned rank
+    (``windowed_heavy_hitters``'s shape) — a local row_number within
+    (query_id, hash(doc) mod prune_salt) keeps k candidates per salt
+    (every true top-k doc wins its own salt partition), then the
+    final rank orders ≤ prune_salt·k rows per query. No task ever
+    ranks a query's full match set.
+
+    Output: (query_id, id_col, score_fx long, n_terms long,
+    rank ≤ top_k), ties broken by id asc."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    k1f, bf = Fraction(str(k1)), Fraction(str(b))
+    k1n, k1d = k1f.numerator, k1f.denominator
+    bn, bd = bf.numerator, bf.denominator
+    if isinstance(queries, dict):
+        rows = [
+            (qid, t) for qid, ts in queries.items() for t in ts
+        ]
+        if not rows:
+            raise ValueError("queries must be non-empty")
+        qdf = df.sparkSession.createDataFrame(rows, ["query_id", "term"])
+    else:
+        qdf = queries
+    qdf = (
+        qdf.select(
+            "query_id", F.lower(F.trim(F.col("term"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = qdf.select("token").distinct()
+
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("N"))
+    n_toks = dl.agg(F.sum("dl").cast("long").alias("T"))
+    tf = (
+        toks.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+
+    j = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_toks))
+        .join(F.broadcast(qdf), "token")  # fan out to queries
+    )
+    per_query = (
+        _bm25_scored(j, scale, k1n, k1d, bn, bd)
+        .groupBy("query_id", id_col)
         .agg(
             F.sum("__sc").cast("long").alias("score_fx"),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
-        .orderBy(F.desc("score_fx"), F.col(id_col))
-        .limit(top_k)
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(prune_salt))
+    w_local = Window.partitionBy("query_id", salt).orderBy(
+        F.desc("score_fx"), F.asc(id_col)
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fx"), F.asc(id_col)
+    )
+    return (
+        per_query.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= top_k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= top_k)
+        .drop("__lr")
     )
 
 

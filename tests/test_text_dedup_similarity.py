@@ -1134,3 +1134,42 @@ def test_hamming_near_dup_hex_case_insensitive(spark):
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()] == [
         (1, 2, 0)
     ]
+
+
+def test_bm25_batch_equals_single_and_salt_invariant(spark):
+    corpus = [
+        (i, f"spark table {'join ' * (i % 4)}data word{i % 7}")
+        for i in range(40)
+    ] + [(99, None)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    qs = {"a": ["spark", "data"], "b": ["join"], "c": ["word1", "table"]}
+
+    def rows(out):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score_fx"], r["n_terms"])
+            for r in out.collect()
+        )
+
+    base = rows(text.bm25_topk_batch(df, qs, top_k=7))
+    # lossless salt pruning: any salt width gives the same top-k
+    for s in (1, 4, 64):
+        assert rows(text.bm25_topk_batch(df, qs, top_k=7, prune_salt=s)) == base
+    # DataFrame query input == dict input (incl. case/dup normalize)
+    qdf = spark.createDataFrame(
+        [("a", "SPARK"), ("a", "data"), ("a", "spark"),
+         ("b", " join "), ("c", "word1"), ("c", "table")],
+        "query_id string, term string",
+    )
+    assert rows(text.bm25_topk_batch(df, qdf, top_k=7)) == base
+    # per-query parity with the single-query operator
+    for qid, terms in qs.items():
+        single = [
+            (r["doc_id"], r["score_fx"], r["n_terms"])
+            for r in text.bm25_topk(df, terms, top_k=7).collect()
+        ]
+        batch = [
+            (d, s_, n)
+            for (q_, _, d, s_, n) in base
+            if q_ == qid
+        ]
+        assert single == batch
