@@ -456,6 +456,18 @@ def main():
         h = d.select("doc_id", base.bitwiseXOR(mask).alias("h"))
         return dedup.hamming_near_dup(h, "doc_id", "h", max_hamming=3).count()
 
+    # batch BM25: cost should track the corpus tokenize (linear),
+    # not the query count or any per-query global rank
+    def run_bm25_batch(d):
+        from demv_spark.operators.text import bm25_topk_batch
+
+        return bm25_topk_batch(
+            d,
+            {"q1": ["spark", "table"], "q2": ["join", "data", "fast"],
+             "q3": ["window", "batch"]},
+            top_k=10,
+        ).count()
+
     probes = [
         ("exact_dedup", run_exact, docs, docs_k),
         ("shard_assignment_64", run_shard_assignment, docs, docs_k),
@@ -488,6 +500,7 @@ def main():
         ("smote_lsh", run_smote_lsh, clf_base, clf_k),
         ("hamming_random_candidates", run_hamming_random, docs, docs_k),
         ("hamming_planted_pairs", run_hamming_planted, docs, docs_k),
+        ("bm25_batch_3q", run_bm25_batch, docs, docs_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
