@@ -1535,6 +1535,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_text_bm25_batch"] = _text_bm25_batch
 
+    # smoothed + leave-one-out target encoding (the high-cardinality
+    # categorical feature transform), integer-exact: cross-multiplied
+    # rational shrinkage in DECIMAL(38,0), one census shuffle + one
+    # broadcast join back per variant
+    def _ml_target_encode(spark, sf):
+        from demv_spark.operators.etl import target_encode
+
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        enc = target_encode(o, "o_orderpriority", "y", m=20, out="te_fx")
+        enc = target_encode(
+            enc, "o_orderpriority", "y", m=20, leave_one_out=True,
+            out="te_loo_fx",
+        )
+        return enc.select("o_orderkey", "te_fx", "te_loo_fx")
+
+    q["q_ml_target_encode"] = _ml_target_encode
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4270,6 +4290,26 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY score_fx DESC, doc_id) AS rnk FROM pq)
         WHERE rnk <= 10
+    """
+
+    # target encoding: same cross-multiplied rational in HUGEINT;
+    # m=20, scale=1e6
+    o["q_ml_target_encode"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   CAST(o_totalprice > 150000 AS BIGINT) AS y
+            FROM orders
+        ),
+        c AS (SELECT cat, SUM(y) AS s, COUNT(y) AS n FROM base GROUP BY 1),
+        t AS (SELECT SUM(y) AS gs, COUNT(y) AS gn FROM base)
+        SELECT b.o_orderkey,
+               CAST((1000000::HUGEINT * (c.s * t.gn + 20 * t.gs))
+                    // (CAST(t.gn AS HUGEINT) * (c.n + 20))
+                 AS BIGINT) AS te_fx,
+               CAST((1000000::HUGEINT * ((c.s - b.y) * t.gn + 20 * t.gs))
+                    // (CAST(t.gn AS HUGEINT) * (c.n - 1 + 20))
+                 AS BIGINT) AS te_loo_fx
+        FROM base b JOIN c USING (cat), t
     """
 
     # generic Hamming near-dup: brute-force popcount cross join on

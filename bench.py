@@ -130,6 +130,9 @@ HEADLINE = [
     # batch multi-query BM25: one corpus pass, salt-pruned per-query
     # top-k
     "q_text_bm25_batch",
+    # smoothed + LOO target encoding: two census shuffles + broadcast
+    # joins over 150k orders
+    "q_ml_target_encode",
 ]
 
 

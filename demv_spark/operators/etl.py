@@ -221,6 +221,85 @@ def label_encode(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     return df.join(F.broadcast(codes), on=col, how="left")
 
 
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    y_col: str,
+    m: int = 20,
+    scale: int = 1_000_000,
+    leave_one_out: bool = False,
+    out: str | None = None,
+) -> DataFrame:
+    """Smoothed target encoding — the high-cardinality-categorical
+    feature transform (category → shrunk mean target), INTEGER-EXACT
+    in the engine's fixed-point signature so the feature is
+    bit-reproducible on any engine. ``y_col`` must be integral (a
+    binary label or integer target); the smoothed encoding
+
+        te = (s + m·S/N) / (n + m)
+           → te_fx = (scale·(s·N + m·S)) div (N·(n + m))
+
+    (s, n per category; S, N global; all-integer cross-multiplied,
+    computed in DECIMAL(38,0) — exact beyond 10^11 rows) and the
+    ``leave_one_out=True`` variant excludes the OWN row's target —
+    the standard leakage guard when the encoding feeds a model
+    trained on the same rows:
+
+        te_loo_fx = (scale·((s − y)·N + m·S)) div (N·(n − 1 + m))
+
+    Plan: one category census (single shuffle), a global-count
+    broadcast, one join back (broadcast when the category table is
+    small). NULL category encodes like any other value (its own
+    group); NULL y rows are excluded from s/S but still receive an
+    encoding. m ≥ 1 keeps the LOO denominator positive for n = 1."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    out = out or f"{cat_col}_te_fx"
+    y = F.col(y_col).cast("long")
+    # NULL categories form their own group: groupBy puts them in the
+    # NULL key, and the join back is NULL-SAFE (a plain equi-join
+    # would drop them to a NULL encoding)
+    census = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.sum(y).alias("__s"),
+        F.count(y).alias("__n"),
+    )
+    tot = df.agg(
+        F.sum(y).alias("__gs"), F.count(y).alias("__gn")
+    )
+
+    def dec(x):
+        return x.cast("decimal(38,0)")
+
+    j = df.join(
+        census, on=F.col(cat_col).eqNullSafe(F.col("__cat")), how="left"
+    ).drop("__cat").crossJoin(F.broadcast(tot))
+    if leave_one_out:
+        num = dec(F.lit(scale)) * (
+            (dec(F.col("__s")) - dec(F.coalesce(y, F.lit(0))))
+            * dec(F.col("__gn"))
+            + dec(F.lit(m)) * dec(F.col("__gs"))
+        )
+        # a NULL-y row contributes nothing to s/n, so LOO removes
+        # nothing for it: subtract 1 from n only when own y is set
+        den = dec(F.col("__gn")) * (
+            dec(F.col("__n"))
+            - dec(y.isNotNull().cast("long"))
+            + dec(F.lit(m))
+        )
+    else:
+        num = dec(F.lit(scale)) * (
+            dec(F.col("__s")) * dec(F.col("__gn"))
+            + dec(F.lit(m)) * dec(F.col("__gs"))
+        )
+        den = dec(F.col("__gn")) * (dec(F.col("__n")) + dec(F.lit(m)))
+    return (
+        j.withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn(out, F.expr("__num div __den"))
+        .drop("__num", "__den", "__s", "__n", "__gs", "__gn")
+    )
+
+
 def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """F5/A6 — z-score normalization ((x−μ)/σ, getdataset.py:172).
     Uses sample std (ddof=1) for parity with the reference's pandas

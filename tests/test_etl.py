@@ -229,3 +229,56 @@ def test_grouped_quantiles_matches_numpy(spark):
         assert out[k]["p25"] == pytest.approx(np.percentile(xs, 25), abs=1e-12)
         assert out[k]["p50"] == pytest.approx(np.percentile(xs, 50), abs=1e-12)
         assert out[k]["p90"] == pytest.approx(np.percentile(xs, 90), abs=1e-12)
+
+
+def test_target_encode_matches_exact_fraction(spark):
+    """Smoothed and leave-one-out target encodings equal an exact
+    Fraction reimplementation — incl. NULL category (its own group,
+    null-safe join back) and NULL y (excluded from sums, still
+    encoded, contributes no LOO exclusion)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from demv_spark.operators.etl import target_encode
+
+    rows = [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", None),
+            ("c", 1), (None, 0), (None, 1)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    S = sum(y for _, y in rows if y is not None)
+    N = sum(1 for _, y in rows if y is not None)
+    s, n = defaultdict(int), defaultdict(int)
+    for c, y in rows:
+        if y is not None:
+            s[c] += y
+            n[c] += 1
+    for loo in (False, True):
+        got = {
+            (r["cat"], r["y"]): r["cat_te_fx"]
+            for r in target_encode(
+                df, "cat", "y", m=3, leave_one_out=loo
+            ).collect()
+        }
+        want = {}
+        for c, y in rows:
+            if loo:
+                sy, ny = s[c] - (y or 0), n[c] - (1 if y is not None else 0)
+            else:
+                sy, ny = s[c], n[c]
+            want[(c, y)] = int(
+                Fraction(1_000_000) * (Fraction(sy) * N + 3 * S)
+                / (N * (ny + 3))
+            )
+        assert got == want, loo
+
+
+def test_target_encode_guards(spark):
+    import pytest as _pytest
+
+    from demv_spark.operators.etl import target_encode
+
+    df = spark.createDataFrame([("a", 1)], "cat string, y int")
+    with _pytest.raises(ValueError):
+        target_encode(df, "cat", "y", m=0)
+    # n=1 with LOO: denominator stays positive via m
+    out = target_encode(df, "cat", "y", m=1, leave_one_out=True).collect()
+    assert out[0]["cat_te_fx"] == 1_000_000  # (0 + 1*1/1) / (0+1) = 1.0
