@@ -1555,6 +1555,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ml_target_encode"] = _ml_target_encode
 
+    # OLAP cube census: every grouping set of (priority, status) in
+    # one partially-aggregated pass; gid is the SQL-standard grouping
+    # bitmask (Spark grouping_id ≡ DuckDB GROUPING) — the dataset-
+    # card rollup shape
+    def _olap_census_cube(spark, sf):
+        from demv_spark.functions.counting import census_cube
+
+        return census_cube(
+            _t(spark, sf, "orders"),
+            ["o_orderpriority", "o_orderstatus"],
+            unit_col="o_totalprice",
+        )
+
+    q["q_olap_census_cube"] = _olap_census_cube
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4290,6 +4305,18 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY score_fx DESC, doc_id) AS rnk FROM pq)
         WHERE rnk <= 10
+    """
+
+    # OLAP cube: GROUP BY CUBE with the SQL-standard GROUPING mask;
+    # unit sum through the canonical exact-DECIMAL float emission
+    o["q_olap_census_cube"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS VARCHAR) AS DOUBLE) AS units
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
     """
 
     # target encoding: same cross-multiplied rational in HUGEINT;

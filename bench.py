@@ -133,6 +133,8 @@ HEADLINE = [
     # smoothed + LOO target encoding: two census shuffles + broadcast
     # joins over 150k orders
     "q_ml_target_encode",
+    # OLAP cube census: 4 grouping sets, one partially-aggregated pass
+    "q_olap_census_cube",
 ]
 
 

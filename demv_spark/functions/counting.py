@@ -256,3 +256,41 @@ def windowed_heavy_hitters(
         .filter(F.col("rank") <= top_k)
         .drop("__lr")
     )
+
+
+def census_cube(
+    df: DataFrame,
+    dims: Sequence[str],
+    unit_col: "str | None" = None,
+    sets: str = "cube",
+) -> DataFrame:
+    """OLAP cube/rollup census: exact counts (plus an
+    order-independent unit sum) for every grouping set of ``dims`` in
+    ONE pass — the dataset-card rollup (per-source × per-lang ×
+    total in a single job). ``sets="cube"`` covers all 2^d subsets,
+    ``"rollup"`` the d+1 hierarchical prefixes.
+
+    ``gid`` is the SQL-standard grouping bitmask (bit = 1 when that
+    dim is aggregated away), which disambiguates a REAL NULL
+    dimension value from an aggregated-away dimension — Spark's
+    grouping_id() and DuckDB's GROUPING() emit the identical mask
+    (parity pinned by the q_olap_census_cube oracle).
+
+    Scale: Spark evaluates CUBE/ROLLUP by expanding each input row to
+    its grouping sets ahead of ONE partially-aggregated shuffle — map
+    -side combine still applies, no per-set rescan of the input. The
+    expansion factor is 2^d (cube) or d+1 (rollup): keep d small, as
+    in any OLAP cube. The unit sum goes through the exact DECIMAL
+    path (``stable_sum``) so float emission is canonical."""
+    from demv_spark.functions.compat import stable_sum
+
+    if sets not in ("cube", "rollup"):
+        raise ValueError(f"sets must be 'cube' or 'rollup', got {sets!r}")
+    base = df.cube(*dims) if sets == "cube" else df.rollup(*dims)
+    aggs = [
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if unit_col is not None:
+        aggs.append(stable_sum(unit_col).alias("units"))
+    return base.agg(*aggs)

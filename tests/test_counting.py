@@ -162,3 +162,34 @@ def test_windowed_heavy_hitters_pruning_lossless(spark):
             assert got == base
     assert len(base) > 0
     assert all(r[3] <= 2 for r in base)
+
+
+def test_census_cube_and_rollup(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.functions.counting import census_cube
+
+    df = spark.createDataFrame(
+        [("p", None, 1.5), ("p", "q", 2.0), (None, "q", 4.0)],
+        "a string, b string, x double",
+    )
+    cube = {
+        (r["a"], r["b"], r["gid"]): (r["n"], r["units"])
+        for r in census_cube(df, ["a", "b"], unit_col="x").collect()
+    }
+    # 2^2 grouping sets; gid disambiguates real NULL vs aggregated
+    assert cube[(None, None, 3)] == (3, 7.5)          # grand total
+    assert cube[("p", None, 1)] == (2, 3.5)           # a='p' rollup
+    assert cube[(None, None, 2)] == (1, 1.5)          # a IS NULL group
+    assert cube[("p", None, 0)] == (1, 1.5)           # real (p, NULL) cell
+    assert len(cube) == 8
+    roll = {
+        (r["a"], r["b"], r["gid"])
+        for r in census_cube(df, ["a", "b"], sets="rollup").collect()
+    }
+    # rollup: no b-only set (gid=2 with a aggregated)
+    assert all(g != 2 for _, _, g in roll) and (None, None, 3) in roll
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        census_cube(df, ["a"], sets="nope")
