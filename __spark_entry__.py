@@ -1570,6 +1570,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_olap_census_cube"] = _olap_census_cube
 
+    # robust dispersion: per-source median absolute deviation of doc
+    # length (two exact grouped percentiles sharing the key, |groups|-
+    # row broadcast back) — outlier gate input where stddev is
+    # poisoned by the outliers being hunted
+    def _etl_grouped_mad(spark, sf):
+        from demv_spark.operators.etl import grouped_mad
+
+        return grouped_mad(_t(spark, sf, "documents"), ["source"], "n_chars")
+
+    q["q_etl_grouped_mad"] = _etl_grouped_mad
+
+    # per-group winsorization: doc length clipped to its source's
+    # exact [5%, 95%] percentiles + a clip-direction flag
+    def _etl_winsorize(spark, sf):
+        from demv_spark.operators.etl import winsorized_clip
+
+        return winsorized_clip(
+            _t(spark, sf, "documents"), ["source"], "n_chars"
+        ).select("doc_id", "n_chars_w", "n_chars_w_clipped")
+
+    q["q_etl_winsorize"] = _etl_winsorize
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4317,6 +4339,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
                     AS VARCHAR) AS DOUBLE) AS units
         FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """
+
+    # MAD: two percentile_cont passes — the percentile ≡
+    # percentile_cont bit-parity is the same one grouped_quantiles
+    # pins; MAX(med) mirrors Spark's constant-within-group max
+    o["q_etl_grouped_mad"] = """
+        WITH med AS (
+            SELECT source,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)
+                       AS med
+            FROM documents GROUP BY 1
+        )
+        SELECT d.source, MAX(m.med) AS med,
+               percentile_cont(0.5) WITHIN GROUP (
+                   ORDER BY ABS(d.n_chars - m.med)) AS mad
+        FROM documents d JOIN med m USING (source)
+        GROUP BY d.source
+    """
+
+    o["q_etl_winsorize"] = """
+        WITH cuts AS (
+            SELECT source,
+                   percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
+                       AS lo,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
+                       AS hi
+            FROM documents GROUP BY 1
+        )
+        SELECT d.doc_id,
+               LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), c.lo), c.hi)
+                   AS n_chars_w,
+               CASE WHEN CAST(d.n_chars AS DOUBLE) < c.lo THEN -1
+                    WHEN CAST(d.n_chars AS DOUBLE) > c.hi THEN 1
+                    ELSE 0 END AS n_chars_w_clipped
+        FROM documents d JOIN cuts c USING (source)
     """
 
     # target encoding: same cross-multiplied rational in HUGEINT;

@@ -135,6 +135,8 @@ HEADLINE = [
     "q_ml_target_encode",
     # OLAP cube census: 4 grouping sets, one partially-aggregated pass
     "q_olap_census_cube",
+    # robust stats: per-group MAD (two exact grouped percentiles)
+    "q_etl_grouped_mad",
 ]
 
 

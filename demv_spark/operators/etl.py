@@ -580,3 +580,59 @@ def grouped_quantiles(
     for i, p in enumerate(probs):
         out = out.withColumn(_nm(p), F.col("__qs")[i])
     return out.drop("__qs")
+
+
+def grouped_mad(
+    df: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Per-group median absolute deviation — the robust dispersion
+    for outlier gates (quality-score spread per domain, length
+    spread per source) where stddev is poisoned by the very outliers
+    being hunted. med = exact per-group median; mad = exact median
+    of |x − med|. Two grouped aggregates on the SAME key (the join
+    back is against a |groups|-row table) — cross-engine bit-equal
+    via the percentile ≡ percentile_cont parity grouped_quantiles
+    pins. Output: keys…, med, mad."""
+    med = df.groupBy(*list(keys)).agg(
+        F.expr(f"percentile(`{col}`, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), list(keys)).withColumn(
+        "__ad", F.abs(F.col(col) - F.col("med"))
+    )
+    return dev.groupBy(*list(keys)).agg(
+        F.max("med").alias("med"),  # constant within group
+        F.expr("percentile(`__ad`, 0.5)").alias("mad"),
+    )
+
+
+def winsorized_clip(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out: "str | None" = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``col`` to its group's exact
+    [lo, hi] percentiles — the heavy-tail tamer before averaging
+    quality signals. Adds ``out`` (clipped value, double) and
+    ``{out}_clipped`` (−1 low / 0 kept / 1 high). One grouped
+    percentile aggregate + one broadcast join back; the clip itself
+    is least/greatest, bit-equal cross-engine."""
+    out = out or f"{col}_w"
+    cuts = df.groupBy(*list(keys)).agg(
+        F.expr(f"percentile(`{col}`, {float(lo)})").alias("__lo"),
+        F.expr(f"percentile(`{col}`, {float(hi)})").alias("__hi"),
+    )
+    c = F.col(col).cast("double")
+    return (
+        df.join(F.broadcast(cuts), list(keys))
+        .withColumn(out, F.least(F.greatest(c, F.col("__lo")), F.col("__hi")))
+        .withColumn(
+            f"{out}_clipped",
+            F.when(c < F.col("__lo"), F.lit(-1))
+            .when(c > F.col("__hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .drop("__lo", "__hi")
+    )

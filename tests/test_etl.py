@@ -282,3 +282,25 @@ def test_target_encode_guards(spark):
     # n=1 with LOO: denominator stays positive via m
     out = target_encode(df, "cat", "y", m=1, leave_one_out=True).collect()
     assert out[0]["cat_te_fx"] == 1_000_000  # (0 + 1*1/1) / (0+1) = 1.0
+
+
+def test_grouped_mad_and_winsorize(spark):
+    from demv_spark.operators.etl import grouped_mad, winsorized_clip
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+         ("b", 5.0), ("b", 5.0)],
+        "g string, x double",
+    )
+    mad = {r["g"]: (r["med"], r["mad"]) for r in grouped_mad(df, ["g"], "x").collect()}
+    # a: med=2.5 (interp), |x-2.5| = [1.5, .5, .5, 97.5] → mad=1.0
+    assert mad["a"] == (2.5, 1.0)
+    assert mad["b"] == (5.0, 0.0)  # constant group: robust zero spread
+
+    w = winsorized_clip(df, ["g"], "x", lo=0.25, hi=0.75)
+    rows = {(r["g"], r["x"]): (r["x_w"], r["x_w_clipped"]) for r in w.collect()}
+    # a: p25=1.75, p75=27.25 → 1.0 clips up, 100.0 clips down
+    assert rows[("a", 1.0)] == (1.75, -1)
+    assert rows[("a", 100.0)] == (27.25, 1)
+    assert rows[("a", 2.0)] == (2.0, 0)
+    assert rows[("b", 5.0)] == (5.0, 0)
