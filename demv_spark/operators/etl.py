@@ -259,12 +259,16 @@ def target_encode(
     # NULL categories form their own group: groupBy puts them in the
     # NULL key, and the join back is NULL-SAFE (a plain equi-join
     # would drop them to a NULL encoding)
+    # coalesce sums to 0: SUM over an all-NULL group (or an all-NULL
+    # target column) is NULL, but the documented semantics are
+    # s = 0, n = 0 → the encoding falls back to the global prior
     census = df.groupBy(F.col(cat_col).alias("__cat")).agg(
-        F.sum(y).alias("__s"),
+        F.coalesce(F.sum(y), F.lit(0)).alias("__s"),
         F.count(y).alias("__n"),
     )
     tot = df.agg(
-        F.sum(y).alias("__gs"), F.count(y).alias("__gn")
+        F.coalesce(F.sum(y), F.lit(0)).alias("__gs"),
+        F.count(y).alias("__gn"),
     )
 
     def dec(x):
@@ -596,12 +600,32 @@ def grouped_mad(
     med = df.groupBy(*list(keys)).agg(
         F.expr(f"percentile(`{col}`, 0.5)").alias("med")
     )
-    dev = df.join(F.broadcast(med), list(keys)).withColumn(
+    # NULL group keys are real groups in groupBy — the join back must
+    # be null-safe or the NULL group silently vanishes
+    dev = _null_safe_key_join(df, med, keys).withColumn(
         "__ad", F.abs(F.col(col) - F.col("med"))
     )
     return dev.groupBy(*list(keys)).agg(
         F.max("med").alias("med"),  # constant within group
         F.expr("percentile(`__ad`, 0.5)").alias("mad"),
+    )
+
+
+def _null_safe_key_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Inner BROADCAST join on group keys where NULL matches NULL
+    (groupBy treats NULL as a real group, a plain equi-join does
+    not). The broadcast hint is applied AFTER the renames so it
+    survives; the right side's key columns are dropped after the
+    join."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__k_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(r), on=cond, how="inner").drop(
+        *[f"__k_{k}" for k in keys]
     )
 
 
@@ -626,7 +650,7 @@ def winsorized_clip(
     )
     c = F.col(col).cast("double")
     return (
-        df.join(F.broadcast(cuts), list(keys))
+        _null_safe_key_join(df, cuts, keys)
         .withColumn(out, F.least(F.greatest(c, F.col("__lo")), F.col("__hi")))
         .withColumn(
             f"{out}_clipped",

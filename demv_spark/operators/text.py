@@ -464,23 +464,35 @@ def bm25_topk_batch(
     rank ≤ top_k), ties broken by id asc."""
     from fractions import Fraction
 
-    from pyspark.sql import Window
-
     k1f, bf = Fraction(str(k1)), Fraction(str(b))
     k1n, k1d = k1f.numerator, k1f.denominator
     bn, bd = bf.numerator, bf.denominator
     if isinstance(queries, dict):
-        rows = [
-            (qid, t) for qid, ts in queries.items() for t in ts
-        ]
+        # normalize dict input in Python with the SAME canon as the
+        # single-query operator (str.strip().lower()), and raise on a
+        # query whose terms all normalize away — mirroring
+        # bm25_topk's ValueError instead of silently dropping it
+        rows = []
+        for qid, ts in queries.items():
+            terms = sorted({str(t).strip().lower() for t in ts} - {""})
+            if not terms:
+                raise ValueError(f"query {qid!r} has no non-empty terms")
+            rows.extend((qid, t) for t in terms)
         if not rows:
             raise ValueError("queries must be non-empty")
         qdf = df.sparkSession.createDataFrame(rows, ["query_id", "term"])
     else:
         qdf = queries
+    # DataFrame input normalizes plan-side: \s-trim (not F.trim,
+    # which strips ASCII spaces only) + lower; a query whose terms
+    # all normalize away is data-dependent and yields no rows for
+    # that query (documented — can't raise cheaply inside a plan)
     qdf = (
         qdf.select(
-            "query_id", F.lower(F.trim(F.col("term"))).alias("token")
+            "query_id",
+            F.lower(
+                F.regexp_replace(F.col("term"), r"^\s+|\s+$", "")
+            ).alias("token"),
         )
         .filter(F.col("token") != "")
         .distinct()

@@ -304,3 +304,39 @@ def test_grouped_mad_and_winsorize(spark):
     assert rows[("a", 100.0)] == (27.25, 1)
     assert rows[("a", 2.0)] == (2.0, 0)
     assert rows[("b", 5.0)] == (5.0, 0)
+
+
+def test_mad_winsorize_target_encode_null_keys_and_all_null_targets(spark):
+    """NULL group keys are real groups (null-safe join backs), and a
+    category whose targets are ALL NULL encodes to the global prior
+    rather than NULL."""
+    from fractions import Fraction
+
+    from demv_spark.operators.etl import (
+        grouped_mad,
+        target_encode,
+        winsorized_clip,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "g string, x double",
+    )
+    mad = {r["g"]: (r["med"], r["mad"]) for r in grouped_mad(df, ["g"], "x").collect()}
+    assert mad[None] == (15.0, 5.0)      # NULL group reported
+    assert mad["a"] == (2.0, 1.0)
+    w = winsorized_clip(df, ["g"], "x", lo=0.0, hi=1.0)
+    assert w.count() == 4                # row-preserving incl. NULL key
+
+    te = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("c", None), ("c", None)],
+        "cat string, y int",
+    )
+    got = {
+        r["cat"]: r["cat_te_fx"]
+        for r in target_encode(te, "cat", "y", m=3).collect()
+    }
+    # c: s=0, n=0 → prior = S/N = 1/2 → floor(1e6 * (0*2+3*1)/(2*3))
+    assert got["c"] == int(Fraction(1_000_000) * 3 / 6)
+    # a: s=1, n=2, S=1, N=2 → (1·2 + 3·1)/(2·(2+3)) = 1/2
+    assert got["a"] == int(Fraction(1_000_000) * (1 * 2 + 3 * 1) / (2 * 5))

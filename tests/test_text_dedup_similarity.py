@@ -1173,3 +1173,26 @@ def test_bm25_batch_equals_single_and_salt_invariant(spark):
             if q_ == qid
         ]
         assert single == batch
+
+
+def test_bm25_batch_normalization_parity_and_guards(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "join the table"), (2, "no match")], "doc_id long, text string"
+    )
+    # tab-padded dict term normalizes like the single-query canon
+    a = text.bm25_topk_batch(df, {"q": ["\tjoin"]}, top_k=3).collect()
+    b = text.bm25_topk(df, ["\tjoin"], top_k=3).collect()
+    assert [(r["doc_id"], r["score_fx"]) for r in a] == [
+        (r["doc_id"], r["score_fx"]) for r in b
+    ]
+    # a dict query with no usable terms raises, like the single op
+    with _pytest.raises(ValueError):
+        text.bm25_topk_batch(df, {"q1": ["join"], "q2": ["  "]})
+    # DataFrame input: \s-trim happens plan-side
+    qdf = spark.createDataFrame([("q", "\tJOIN ")], "query_id string, term string")
+    c = text.bm25_topk_batch(df, qdf, top_k=3).collect()
+    assert [(r["doc_id"], r["score_fx"]) for r in c] == [
+        (r["doc_id"], r["score_fx"]) for r in b
+    ]
