@@ -1592,6 +1592,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_etl_winsorize"] = _etl_winsorize
 
+    # per-user trailing-hour sliding census: for every event, the
+    # count + exact-decimal value sum of that user's events in the
+    # preceding hour (ANSI RANGE frame over epoch seconds — tie
+    # groups included identically in both engines)
+    def _events_rolling(spark, sf):
+        from demv_spark.operators.temporal import rolling_census
+
+        out = rolling_census(
+            _t(spark, sf, "events"), ["user_id"], "ts",
+            width="1 hour", value_col="value",
+        )
+        return out.select("event_id", "n_trail", "sum_trail")
+
+    q["q_events_rolling"] = _events_rolling
+
+    # parquet schema evolution: two dataset generations (v1 narrow,
+    # v2 adds lang + n_chars) written separately, read back through
+    # mergeSchema — the census proves legacy rows surface with NULL
+    # new columns, nothing is lost, and new-generation values land
+    # intact. The real pipeline concern when a corpus adds columns
+    # mid-life
+    def _corpus_schema_evolution(spark, sf):
+        d = _t(spark, sf, "documents")
+        path = _scratch_dir("schevo", sf)
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source") \
+            .write.mode("overwrite").parquet(f"{path}/gen1")
+        d.filter(F.col("doc_id") % 2 == 1) \
+            .select("doc_id", "source", "lang", "n_chars") \
+            .write.mode("overwrite").parquet(f"{path}/gen2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/gen1", f"{path}/gen2"
+        )
+        return merged.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.col("n_chars").isNull().cast("long"))
+            .cast("long").alias("n_legacy"),
+            F.sum("n_chars").cast("long").alias("chars_new"),
+        )
+
+    q["q_corpus_schema_evolution"] = _corpus_schema_evolution
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4339,6 +4381,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
                     AS VARCHAR) AS DOUBLE) AS units
         FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """
+
+    # schema evolution is identity on the source table with the
+    # v1/v2 split re-derived from the parity rule; NULL n_chars in a
+    # v2 row would shift n_legacy — the census pins generation
+    # membership, not just row counts
+    o["q_corpus_schema_evolution"] = """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_legacy,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                 AS BIGINT) AS chars_new
+        FROM documents GROUP BY source
+    """
+
+    # rolling census: identical RANGE frame over epoch seconds; the
+    # value sum goes through the same DECIMAL(28,6) canon as
+    # stable_sum so the double emission is bit-equal
+    o["q_events_rolling"] = """
+        SELECT event_id,
+               COUNT(*) OVER w AS n_trail,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                    AS VARCHAR) AS DOUBLE) AS sum_trail
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(epoch(ts) AS BIGINT)
+            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     """
 
     # MAD: two percentile_cont passes — the percentile ≡

@@ -137,6 +137,10 @@ HEADLINE = [
     "q_olap_census_cube",
     # robust stats: per-group MAD (two exact grouped percentiles)
     "q_etl_grouped_mad",
+    # per-user trailing-hour sliding census over 100k events
+    "q_events_rolling",
+    # two-generation mergeSchema read-back census
+    "q_corpus_schema_evolution",
 ]
 
 

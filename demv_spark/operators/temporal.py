@@ -335,3 +335,46 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def rolling_census(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    width: str = "1 hour",
+    value_col: "str | None" = None,
+) -> DataFrame:
+    """Per-key SLIDING-window aggregates over event time: for EVERY
+    event, the count (and optional exact-decimal value sum) of that
+    key's events in the trailing ``width`` window, current event
+    included — rate-limit checks, burst detection, trailing-activity
+    features. The frame is ``RANGE BETWEEN (w−1) PRECEDING AND
+    CURRENT ROW`` over integer epoch seconds: ANSI semantics, so
+    Spark and any SQL engine agree bit-for-bit, including ties
+    (equal timestamps within a key are peers — every engine includes
+    the whole peer group).
+
+    Scale: one shuffle partitioning by key; within a key Spark
+    evaluates the RANGE frame in a single ordered pass (no per-row
+    rescan). A pathologically hot key serializes its own partition —
+    the standard mitigations (pre-aggregate to coarser ticks, or
+    bound with the tumbling ``windowed_group_census``) apply; normal
+    key cardinality needs none. NULL timestamps are dropped at entry
+    (no position in event time)."""
+    width_s = _interval_seconds(width)
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    base = df.filter(F.col(ts_col).isNotNull()).withColumn("__sec", sec)
+    w = (
+        Window.partitionBy(*list(key_cols))
+        .orderBy("__sec")
+        .rangeBetween(-(width_s - 1), 0)
+    )
+    out = base.withColumn("n_trail", F.count(F.lit(1)).over(w))
+    if value_col is not None:
+        from demv_spark.functions.compat import DECIMAL_T
+
+        out = out.withColumn(
+            "sum_trail",
+            F.sum(F.col(value_col).cast(DECIMAL_T)).over(w).cast("double"),
+        )
+    return out.drop("__sec")

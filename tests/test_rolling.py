@@ -1,0 +1,44 @@
+"""Per-key sliding-window census: ANSI RANGE-frame semantics pinned
+against a hand fixture, incl. timestamp ties (peer groups) and the
+trailing-window boundary (w-1 PRECEDING keeps exactly one width)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from demv_spark.operators.temporal import rolling_census
+
+
+def _ts(m, s=0):
+    base = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    return base + datetime.timedelta(minutes=m, seconds=s)
+
+
+def test_rolling_census_hand_fixture(spark):
+    rows = [
+        (1, 7, _ts(0), 1.0),
+        (2, 7, _ts(30), 2.0),     # 30 min later: inside 1h of e1
+        (3, 7, _ts(59, 59), 4.0), # 59:59 after e1: still inside
+        (4, 7, _ts(60), 8.0),     # exactly 1h after e1: e1 EXCLUDED
+        (5, 9, _ts(30), 16.0),    # other key: independent
+        (6, 7, _ts(60), 32.0),    # tie with e4: peers, both included
+        (7, 7, None, 64.0),       # NULL ts: dropped at entry
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["n_trail"], r["sum_trail"])
+        for r in rolling_census(
+            df, ["user_id"], "ts", "1 hour", value_col="value"
+        ).collect()
+    }
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 3.0)
+    assert out[3] == (3, 7.0)
+    # e4 and e6 are peers at +60:00: window covers (00:01..60:00] —
+    # e1 (at 00:00) ages out, e2/e3 remain, both peers included
+    assert out[4] == (4, 46.0)
+    assert out[6] == (4, 46.0)
+    assert out[5] == (1, 16.0)
+    assert 7 not in out
