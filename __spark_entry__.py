@@ -1634,6 +1634,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_corpus_schema_evolution"] = _corpus_schema_evolution
 
+    # exact KS separation (AUC's CDF-gap companion) over the same
+    # score/label as q_ml_auc — range-bucketed inclusive prefix, all
+    # integer cross-products
+    def _ml_ks(spark, sf):
+        from demv_spark.functions.metrics import ks_statistic
+
+        base = _t(spark, sf, "orders").select(
+            (F.col("o_totalprice") + (F.col("o_orderkey") % 5000))
+            .cast("double").alias("score"),
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        return ks_statistic(base, "score", "y")
+
+    q["q_ml_ks"] = _ml_ks
+
+    # Cohen's kappa between two categorical columns (rater-agreement
+    # / label-quality audit) as exact integer components — no
+    # division ever leaves the rational form
+    def _ml_kappa(spark, sf):
+        from demv_spark.functions.metrics import cohens_kappa
+
+        return cohens_kappa(
+            _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus"
+        )
+
+    q["q_ml_kappa"] = _ml_kappa
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4396,6 +4423,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
                  AS BIGINT) AS chars_new
         FROM documents GROUP BY source
+    """
+
+    # KS: plain global cum window in the oracle (DuckDB needs no
+    # scale trick); HUGEINT cross products
+    o["q_ml_ks"] = """
+        WITH base AS (
+            SELECT CAST(o_totalprice + (o_orderkey % 5000) AS DOUBLE) AS s,
+                   CAST(o_totalprice > 150000 AS INT) AS y
+            FROM orders
+        ),
+        g AS (SELECT s, COUNT(*) AS c,
+                     SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p
+              FROM base GROUP BY 1),
+        cum AS (SELECT s, SUM(p) OVER (ORDER BY s) AS cp,
+                       SUM(c - p) OVER (ORDER BY s) AS cn FROM g),
+        tot AS (SELECT CAST(SUM(p) AS HUGEINT) AS P,
+                       CAST(SUM(c - p) AS HUGEINT) AS Nn FROM g)
+        SELECT CAST(MAX(ABS(CAST(cp AS HUGEINT) * Nn
+                            - CAST(cn AS HUGEINT) * P)) AS BIGINT) AS d_num,
+               CAST(P AS BIGINT) AS n_pos,
+               CAST(Nn AS BIGINT) AS n_neg,
+               CAST((1000000::HUGEINT
+                     * MAX(ABS(CAST(cp AS HUGEINT) * Nn
+                               - CAST(cn AS HUGEINT) * P)))
+                    // (P * Nn) AS BIGINT) AS ks_fx
+        FROM cum, tot GROUP BY P, Nn
+    """
+
+    # kappa: same confusion-census algebra in HUGEINT; orders has no
+    # NULL labels so plain = matches Spark's eqNullSafe diagonal
+    o["q_ml_kappa"] = """
+        WITH cm AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                           COUNT(*) AS n
+                    FROM orders GROUP BY 1, 2),
+        r AS (SELECT a, SUM(n) AS ra FROM cm GROUP BY 1),
+        c AS (SELECT b, SUM(n) AS cb FROM cm GROUP BY 1),
+        ch AS (SELECT COALESCE(SUM(CAST(ra AS HUGEINT) * cb), 0)
+                   AS chance
+               FROM r JOIN c ON r.a = c.b),
+        t AS (SELECT CAST(SUM(n) AS HUGEINT) AS N,
+                     COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS agree
+              FROM cm)
+        SELECT CAST(N * agree - chance AS BIGINT) AS kappa_num,
+               CAST(N * N - chance AS BIGINT) AS kappa_den,
+               CAST(N AS BIGINT) AS n,
+               CAST(agree AS BIGINT) AS agree
+        FROM t, ch
     """
 
     # rolling census: identical RANGE frame over epoch seconds; the

@@ -141,6 +141,8 @@ HEADLINE = [
     "q_events_rolling",
     # two-generation mergeSchema read-back census
     "q_corpus_schema_evolution",
+    # exact KS separation over 150k scores (bucketed inclusive prefix)
+    "q_ml_ks",
 ]
 
 

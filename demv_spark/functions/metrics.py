@@ -564,6 +564,147 @@ def auc_exact(
     return joined.groupBy(*gcols).agg(*aggs) if gcols else joined.agg(*aggs)
 
 
+def ks_statistic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    positive=1,
+) -> DataFrame:
+    """Exact Kolmogorov–Smirnov separation between the positive- and
+    negative-class score distributions — AUC's companion for score
+    quality (max CDF gap instead of rank probability), in the same
+    integer-exact components: at every distinct score t (thresholds
+    between scores add nothing — the CDF gap only moves AT scores),
+    the cross-multiplied gap |cum_pos·n_neg − cum_neg·n_pos| is an
+    INTEGER; D = max gap / (n_pos·n_neg). Emits one row
+    (d_num, n_pos, n_neg, ks_fx) with ks_fx = (10⁶·d_num) div
+    (n_pos·n_neg) — d_num fits a signed 64-bit while each class is
+    under ~3·10⁹ rows (the cross product is computed in
+    DECIMAL(38,0); only the emission casts down).
+
+    Scale shape: same as auc_exact — one aggregation by distinct
+    score, then an INCLUSIVE range-bucketed prefix over the score
+    census (1024 local cumsums + a 1024-row offset window), never a
+    global single-task sort. NULL scores are excluded (no rank);
+    NULL labels count as not-positive."""
+    df = df.filter(F.col(score_col).isNotNull())
+    s = F.col(score_col).cast("double")
+    lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
+    n_buckets = 1024
+    g = df.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        # coalesce BEFORE the sum: NULL == positive is NULL, and a
+        # NULL group-sum would poison the cumulative at that score
+        # (unlike auc_exact, where the skipped NULL contribution is
+        # absorbed by the total)
+        F.sum(
+            F.coalesce(
+                (F.col(label_col) == F.lit(positive)).cast("long"), F.lit(0)
+            )
+        ).alias("__p"),
+    )
+    if lo is None or hi is None or hi == lo:
+        bucket = F.lit(0)
+    else:
+        span = float(hi) - float(lo)
+        bucket = F.least(
+            F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(span) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+    g = g.withColumn("__bk", bucket)
+    w_local = (
+        Window.partitionBy("__bk")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)  # INCLUSIVE cum
+    )
+    cum_c = F.sum("__c").over(w_local)
+    cum_p = F.sum("__p").over(w_local)
+    totals = g.groupBy("__bk").agg(
+        F.sum("__c").alias("__bn"), F.sum("__p").alias("__bp")
+    )
+    w_off = Window.partitionBy().orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        totals.withColumn(
+            "__offc", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+        )
+        .withColumn("__offp", F.coalesce(F.sum("__bp").over(w_off), F.lit(0)))
+        .drop("__bn", "__bp")
+    )
+    tot = g.agg(F.sum("__c").alias("__tc"), F.sum("__p").alias("__tp"))
+    j = g.join(F.broadcast(offsets), "__bk").crossJoin(F.broadcast(tot))
+    cp = (cum_p + F.col("__offp")).cast("decimal(38,0)")
+    cn = (cum_c + F.col("__offc")).cast("decimal(38,0)") - cp
+    npos = F.col("__tp").cast("decimal(38,0)")
+    nneg = (F.col("__tc") - F.col("__tp")).cast("decimal(38,0)")
+    gap = F.abs(cp * nneg - cn * npos)
+    stats = j.select(
+        gap.alias("__gap"), F.col("__tp"), (F.col("__tc") - F.col("__tp")).alias("__tn")
+    ).agg(
+        F.max("__gap").alias("__d"),
+        F.max("__tp").alias("n_pos"),   # constant columns
+        F.max("__tn").alias("n_neg"),
+    )
+    return stats.select(
+        F.col("__d").cast("long").alias("d_num"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * __d AS DECIMAL(38,0)) "
+            "div (CAST(n_pos AS DECIMAL(38,0)) * CAST(n_neg AS DECIMAL(38,0)))"
+        ).alias("ks_fx"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns (rater
+    agreement / label-quality audit), as EXACT INTEGER components:
+    with N total rows, agree = Σ_k n_kk, and chance = Σ_k row_k·col_k
+    (marginal products), kappa = (N·agree − chance)/(N² − chance) —
+    emit (kappa_num, kappa_den, n, agree) and let the caller divide,
+    so the (possibly negative) ratio never meets an engine-specific
+    integer-division convention. NULL labels form a real category
+    (null-safe equality for the agreement diagonal). One confusion
+    census shuffle; the marginals reduce driver-free via two tiny
+    re-aggregations of the |A|·|B|-row census."""
+    cm = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    rows = cm.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cols = cm.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    chance = (
+        rows.join(cols, F.col("__a").eqNullSafe(F.col("__b")), "inner")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ra").cast("decimal(38,0)")
+                    * F.col("__cb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__chance")
+        )
+    )
+    base = cm.agg(
+        F.sum("__n").alias("__N"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("__n"))),
+            F.lit(0),
+        ).alias("__agree"),
+    )
+    j = base.crossJoin(F.broadcast(chance))
+    nn = F.col("__N").cast("decimal(38,0)")
+    return j.select(
+        (nn * F.col("__agree").cast("decimal(38,0)") - F.col("__chance"))
+        .cast("long").alias("kappa_num"),
+        (nn * nn - F.col("__chance")).cast("long").alias("kappa_den"),
+        F.col("__N").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("agree"),
+    )
+
+
 def calibration_census(
     df: DataFrame,
     prob_col: str,

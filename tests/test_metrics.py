@@ -292,3 +292,41 @@ def test_calibration_census_clamps_out_of_range_probs(spark):
            calibration_census(df, "p", "y", n_bins=10).collect()}
     assert got == {0: 3, 9: 2}
     assert all(b >= 0 for b in got)
+
+
+def test_ks_statistic_hand_cases(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.functions.metrics import ks_statistic
+
+    # perfect separation → D = 1
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    r = ks_statistic(df, "s", "y").collect()[0]
+    assert (r["d_num"], r["n_pos"], r["n_neg"], r["ks_fx"]) == (4, 2, 2, 1_000_000)
+    # ties + overlap: pos {1,3}, neg {1,2} → D = 0.5 at t=2
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (3.0, 1), (1.0, 0), (2.0, 0)], "s double, y int"
+    )
+    r2 = ks_statistic(df2, "s", "y").collect()[0]
+    assert (r2["d_num"], r2["ks_fx"]) == (2, 500_000)
+    # NULL scores excluded, NULL labels count as negative
+    df3 = spark.createDataFrame(
+        [(None, 1), (1.0, None), (2.0, 1)], "s double, y int"
+    )
+    r3 = ks_statistic(df3, "s", "y").collect()[0]
+    assert (r3["n_pos"], r3["n_neg"], r3["ks_fx"]) == (1, 1, 1_000_000)
+
+
+def test_cohens_kappa_hand_case(spark):
+    from demv_spark.functions.metrics import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"), (None, None)],
+        "a string, b string",
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # N=5, agree=4 (NULL==NULL is the diagonal), marginals A{x:2,y:2,∅:1}
+    # B{x:1,y:3,∅:1} → chance=2+6+1=9 → num=20−9=11, den=25−9=16
+    assert tuple(r) == (11, 16, 5, 4)
