@@ -1661,6 +1661,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ml_kappa"] = _ml_kappa
 
+    # sliding (hop) window census: every event lands in 4 overlapping
+    # hour windows sliding by 15 min — the smoothed streaming trend
+    # view, batch-exact through the same native F.window call; the
+    # oracle re-derives epoch-aligned hop membership arithmetically
+    def _events_hop_census(spark, sf):
+        from demv_spark.streaming.monitor import hop_window_census
+
+        return hop_window_census(
+            _t(spark, sf, "events"), ["event_type"], "ts",
+            width="1 hour", slide="15 minutes", unit_col="value",
+        )
+
+    q["q_events_hop_census"] = _events_hop_census
+
     # per-source document-length quantile profile: Spark's exact
     # `percentile` vs ANSI percentile_cont — same pos/interpolation
     # definition, bit-equal (the crime cascade proved the pairing)
@@ -4425,6 +4439,30 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY source
     """
 
+    # hop census: epoch-aligned hop starts re-derived arithmetically
+    # (st multiple of slide, sec−width < st ≤ sec); positive epochs
+    # make // ≡ Spark's alignment floor
+    o["q_events_hop_census"] = """
+        WITH e AS (
+            -- FLOOR before the cast: CAST(epoch(..)) ROUNDS
+            -- fractional seconds, Spark's unix_timestamp truncates
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value
+            FROM events WHERE ts IS NOT NULL
+        ),
+        x AS (
+            SELECT event_type, value,
+                   ((sec // 900) - i.i) * 900 AS st
+            FROM e, LATERAL (SELECT UNNEST(range(4)) AS i) i
+            WHERE ((sec // 900) - i.i) * 900 > sec - 3600
+        )
+        SELECT st AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR)
+                 AS DOUBLE) AS units
+        FROM x GROUP BY 1, 2
+    """
+
     # KS: plain global cum window in the oracle (DuckDB needs no
     # scale trick); HUGEINT cross products
     o["q_ml_ks"] = """
@@ -4484,7 +4522,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts IS NOT NULL
         WINDOW w AS (
             PARTITION BY user_id
-            ORDER BY CAST(epoch(ts) AS BIGINT)
+            -- FLOOR: CAST(epoch) rounds fractional seconds, Spark's
+            -- unix_timestamp truncates (latent boundary divergence)
+            ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     """
 

@@ -143,6 +143,8 @@ HEADLINE = [
     "q_corpus_schema_evolution",
     # exact KS separation over 150k scores (bucketed inclusive prefix)
     "q_ml_ks",
+    # sliding hop-window census (4 hops/event over 100k events)
+    "q_events_hop_census",
 ]
 
 

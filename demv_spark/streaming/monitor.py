@@ -395,3 +395,55 @@ def windowed_pii_census(
             *[f"total_{n}" for n in names],
         )
     )
+
+
+def hop_window_census(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    unit_col: "str | None" = None,
+) -> DataFrame:
+    """Per-(hop-window, keys…) census over SLIDING windows — the
+    smoothed trend view (each event lands in width/slide overlapping
+    windows, so rates move every ``slide`` instead of jumping every
+    ``width``). Uses Spark's native ``F.window(ts, width, slide)``,
+    so the SAME call is streaming-capable (watermarked, append-mode;
+    state per open hop × key) and batch-exact; on a batch frame the
+    watermark is a no-op.
+
+    Window starts are epoch-aligned multiples of ``slide`` (Spark's
+    TimeWindow origin), which makes the SQL twin pure arithmetic:
+    st ∈ {(sec div s − i)·s : i < w/s, st > sec − w} — pinned by the
+    q_events_hop_census oracle. ``width`` must be a multiple of
+    ``slide``. Emits (window_start epoch-seconds long, keys…, n
+    [, units])."""
+    from demv_spark.operators.temporal import _interval_seconds
+
+    w_s, s_s = _interval_seconds(width), _interval_seconds(slide)
+    if w_s % s_s != 0:
+        raise ValueError(
+            f"width ({w_s}s) must be a multiple of slide ({s_s}s)"
+        )
+    wm = _watermarked(df.filter(F.col(ts_col).isNotNull()), ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if unit_col is not None:
+        aggs.append(
+            F.sum(F.col(unit_col).cast("decimal(28,6)"))
+            .cast("double").alias("units")
+        )
+    return (
+        wm.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            # NTZ-safe epoch emission (a bare long cast is illegal on
+            # TIMESTAMP_NTZ; unix_timestamp after a plain-timestamp
+            # cast matches the rolling_census convention)
+            F.unix_timestamp(F.col("w.start").cast("timestamp"))
+            .alias("window_start"),
+            *keys,
+            *(["n"] + (["units"] if unit_col is not None else [])),
+        )
+    )

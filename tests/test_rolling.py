@@ -42,3 +42,48 @@ def test_rolling_census_hand_fixture(spark):
     assert out[6] == (4, 46.0)
     assert out[5] == (1, 16.0)
     assert 7 not in out
+
+
+def test_rolling_census_fractional_second_truncation(spark):
+    """unix_timestamp TRUNCATES fractional seconds (DuckDB's bare
+    CAST(epoch) would round) — an event at +59:59.9 must still count
+    the t=0.5 event as inside the trailing hour (both truncate to a
+    59:59 gap), pinning the truncation convention the oracles now
+    FLOOR-match."""
+    base = datetime.datetime(2026, 1, 1, 10, 0, 0, 500000)
+    rows = [
+        (1, 5, base, 1.0),
+        (2, 5, base + datetime.timedelta(seconds=3599, microseconds=400000), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["n_trail"]
+        for r in rolling_census(df, ["user_id"], "ts", "1 hour").collect()
+    }
+    # truncated secs: 0 and 3599 → gap 3599 ≤ 3599 → inside
+    assert out[2] == 2
+
+
+def test_hop_window_census_membership(spark):
+    from demv_spark.streaming.monitor import hop_window_census
+
+    rows = [
+        (1, "a", datetime.datetime(2026, 1, 1, 10, 7)),
+        (2, "a", datetime.datetime(2026, 1, 1, 10, 22)),
+        (3, None, datetime.datetime(2026, 1, 1, 10, 0)),  # NULL key kept
+        (4, "a", None),                                   # NULL ts dropped
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp")
+    out = {}
+    for r in hop_window_census(df, ["k"], width="1 hour", slide="15 minutes").collect():
+        out.setdefault(r["k"], []).append((r["window_start"], r["n"]))
+    # every event lands in exactly width/slide = 4 hops
+    assert sum(n for _, n in out["a"]) == 8
+    assert sum(n for _, n in out[None]) == 4
+    # all starts are slide-aligned
+    assert all(ws % 900 == 0 for v in out.values() for ws, _ in v)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hop_window_census(df, ["k"], width="50 minutes", slide="15 minutes")
