@@ -1616,9 +1616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _corpus_schema_evolution(spark, sf):
         d = _t(spark, sf, "documents")
         path = _scratch_dir("schevo", sf)
-        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source") \
+        # pmod: a negative odd doc_id gives % 2 == -1 in Spark, which
+        # would land in NEITHER generation; pmod keeps the split a
+        # partition of the table for any sign
+        even = F.pmod(F.col("doc_id"), 2) == 0
+        d.filter(even).select("doc_id", "source") \
             .write.mode("overwrite").parquet(f"{path}/gen1")
-        d.filter(F.col("doc_id") % 2 == 1) \
+        d.filter(~even) \
             .select("doc_id", "source", "lang", "n_chars") \
             .write.mode("overwrite").parquet(f"{path}/gen2")
         merged = spark.read.option("mergeSchema", "true").parquet(
@@ -4425,16 +4429,20 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # schema evolution is identity on the source table with the
-    # v1/v2 split re-derived from the parity rule; NULL n_chars in a
-    # v2 row would shift n_legacy — the census pins generation
-    # membership, not just row counts
+    # v1/v2 split re-derived from the parity rule. The Spark side
+    # counts n_chars IS NULL in the MERGED read, which is v1 rows
+    # PLUS any v2 row whose source n_chars is NULL — the OR mirrors
+    # that exactly instead of silently assuming the table invariant;
+    # sign-safe parity: even ⟺ doc_id % 2 = 0 in DuckDB for any sign
+    # (matches Spark's pmod split)
     o["q_corpus_schema_evolution"] = """
         SELECT source,
                COUNT(*) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 OR n_chars IS NULL
+                             THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_legacy,
-               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+               CAST(SUM(CASE WHEN doc_id % 2 != 0 THEN n_chars END)
                  AS BIGINT) AS chars_new
         FROM documents GROUP BY source
     """
@@ -4444,10 +4452,12 @@ def oracle_sql() -> dict[str, str]:
     # make // ≡ Spark's alignment floor
     o["q_events_hop_census"] = """
         WITH e AS (
-            -- FLOOR before the cast: CAST(epoch(..)) ROUNDS
-            -- fractional seconds, Spark's unix_timestamp truncates
+            -- TRUNC before the cast: CAST(epoch(..)) ROUNDS
+            -- fractional seconds; Spark's unix_timestamp truncates
+            -- TOWARD ZERO (pre-epoch -0.5s -> 0, probed), and
+            -- DuckDB trunc() matches that for every sign
             SELECT event_type,
-                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value
+                   CAST(trunc(epoch(ts)) AS BIGINT) AS sec, value
             FROM events WHERE ts IS NOT NULL
         ),
         x AS (
@@ -4522,9 +4532,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE ts IS NOT NULL
         WINDOW w AS (
             PARTITION BY user_id
-            -- FLOOR: CAST(epoch) rounds fractional seconds, Spark's
-            -- unix_timestamp truncates (latent boundary divergence)
-            ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+            -- TRUNC: CAST(epoch) rounds fractional seconds; Spark's
+            -- unix_timestamp truncates TOWARD ZERO (probed incl.
+            -- pre-epoch), which trunc() matches for every sign
+            ORDER BY CAST(trunc(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     """
 

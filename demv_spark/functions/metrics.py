@@ -518,11 +518,45 @@ def auc_exact(
     # scores span many decades, pre-transform (rank/log) before
     # calling, or the per-bucket windows skew.
     lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
-    n_buckets = 1024
     g = df.groupBy(*gcols, s.alias("__s")).agg(
         F.count(F.lit(1)).alias("__c"),
         F.sum((F.col(label_col) == F.lit(positive)).cast("long")).alias("__p"),
     )
+    joined = _bucketed_prefix(g, gcols, ["__c"], lo, hi, inclusive=False)
+    cum = F.col("__c_pre")
+    contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
+    joined = joined.withColumn("__contrib", contrib)
+    aggs = [
+        F.sum("__contrib").alias("s2"),
+        F.sum("__p").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).alias("n_neg"),
+    ]
+    return joined.groupBy(*gcols).agg(*aggs) if gcols else joined.agg(*aggs)
+
+
+def _bucketed_prefix(
+    g: DataFrame,
+    gcols: "Sequence[str]",
+    cum_cols: "Sequence[str]",
+    lo,
+    hi,
+    inclusive: bool,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Shared range-bucketed prefix scaffold behind auc_exact and
+    ks_statistic: per-row global running sums of ``cum_cols`` over
+    the distinct-score census ``g`` (ordered by ``__s``, partitioned
+    by ``gcols``) WITHOUT a global single-task sort — each of
+    ``n_buckets`` equal-width score ranges cumsums locally, and a
+    tiny per-bucket offset window (n_buckets rows per group) restores
+    the exact global prefix. ``inclusive`` picks whether the running
+    sum includes the current row (KS CDFs) or stops before it (AUC
+    rank bases). Adds ``<col>_pre`` per cum col. Offsets join back
+    through the NULL-safe group idiom (compat) so NULL-valued
+    sensitive groups keep their rows."""
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    gcols = list(gcols)
     if lo is None or hi is None or hi == lo:
         bucket = F.lit(0)
     else:
@@ -532,36 +566,32 @@ def auc_exact(
             F.lit(n_buckets - 1),
         ).cast("int")
     g = g.withColumn("__bk", bucket)
+    end = 0 if inclusive else -1
     w_local = (
         Window.partitionBy(*gcols, "__bk")
         .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, end)
     )
-    local_cum = F.coalesce(F.sum("__c").over(w_local), F.lit(0))
-    totals = g.groupBy(*gcols, "__bk").agg(F.sum("__c").alias("__bn"))
+    totals = g.groupBy(*gcols, "__bk").agg(
+        *[F.sum(c).alias(f"__bt{c}") for c in cum_cols]
+    )
     w_off = (
         Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     ).orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
-    ).drop("__bn")
-    cum = local_cum + F.col("__off")
-    contrib = F.col("__p") * (F.lit(2) * cum + F.col("__c") + F.lit(1))
-    # NULL-safe join on the group cols (shared idiom,
-    # compat.null_safe_broadcast_join): a plain equi-join would drop
-    # NULL-valued sensitive groups, so the parity output would
-    # silently have no row for that partition
-    from demv_spark.functions.compat import null_safe_broadcast_join
-
-    joined = null_safe_broadcast_join(
-        g, offsets, keys=gcols, eq_cols=["__bk"], carry=["__off"]
-    ).withColumn("__contrib", contrib)
-    aggs = [
-        F.sum("__contrib").alias("s2"),
-        F.sum("__p").alias("n_pos"),
-        (F.sum("__c") - F.sum("__p")).alias("n_neg"),
-    ]
-    return joined.groupBy(*gcols).agg(*aggs) if gcols else joined.agg(*aggs)
+    offsets = totals
+    for c in cum_cols:
+        offsets = offsets.withColumn(
+            f"__off{c}", F.coalesce(F.sum(f"__bt{c}").over(w_off), F.lit(0))
+        )
+    offsets = offsets.drop(*[f"__bt{c}" for c in cum_cols])
+    j = null_safe_broadcast_join(
+        g, offsets, keys=gcols, eq_cols=["__bk"],
+        carry=[f"__off{c}" for c in cum_cols],
+    )
+    for c in cum_cols:
+        local = F.coalesce(F.sum(c).over(w_local), F.lit(0))
+        j = j.withColumn(f"{c}_pre", local + F.col(f"__off{c}"))
+    return j.drop(*[f"__off{c}" for c in cum_cols])
 
 
 def ks_statistic(
@@ -590,7 +620,6 @@ def ks_statistic(
     df = df.filter(F.col(score_col).isNotNull())
     s = F.col(score_col).cast("double")
     lo, hi = df.agg(F.min(s), F.max(s)).collect()[0]
-    n_buckets = 1024
     g = df.groupBy(s.alias("__s")).agg(
         F.count(F.lit(1)).alias("__c"),
         # coalesce BEFORE the sum: NULL == positive is NULL, and a
@@ -603,39 +632,12 @@ def ks_statistic(
             )
         ).alias("__p"),
     )
-    if lo is None or hi is None or hi == lo:
-        bucket = F.lit(0)
-    else:
-        span = float(hi) - float(lo)
-        bucket = F.least(
-            F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(span) * n_buckets),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-    g = g.withColumn("__bk", bucket)
-    w_local = (
-        Window.partitionBy("__bk")
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, 0)  # INCLUSIVE cum
-    )
-    cum_c = F.sum("__c").over(w_local)
-    cum_p = F.sum("__p").over(w_local)
-    totals = g.groupBy("__bk").agg(
-        F.sum("__c").alias("__bn"), F.sum("__p").alias("__bp")
-    )
-    w_off = Window.partitionBy().orderBy("__bk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        totals.withColumn(
-            "__offc", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
-        )
-        .withColumn("__offp", F.coalesce(F.sum("__bp").over(w_off), F.lit(0)))
-        .drop("__bn", "__bp")
-    )
     tot = g.agg(F.sum("__c").alias("__tc"), F.sum("__p").alias("__tp"))
-    j = g.join(F.broadcast(offsets), "__bk").crossJoin(F.broadcast(tot))
-    cp = (cum_p + F.col("__offp")).cast("decimal(38,0)")
-    cn = (cum_c + F.col("__offc")).cast("decimal(38,0)") - cp
+    j = _bucketed_prefix(
+        g, [], ["__c", "__p"], lo, hi, inclusive=True
+    ).crossJoin(F.broadcast(tot))
+    cp = F.col("__p_pre").cast("decimal(38,0)")
+    cn = F.col("__c_pre").cast("decimal(38,0)") - cp
     npos = F.col("__tp").cast("decimal(38,0)")
     nneg = (F.col("__tc") - F.col("__tp")).cast("decimal(38,0)")
     gap = F.abs(cp * nneg - cn * npos)
@@ -666,7 +668,10 @@ def cohens_kappa(
     (marginal products), kappa = (N·agree − chance)/(N² − chance) —
     emit (kappa_num, kappa_den, n, agree) and let the caller divide,
     so the (possibly negative) ratio never meets an engine-specific
-    integer-division convention. NULL labels form a real category
+    integer-division convention. Emission bound: kappa_den ≤ N² must
+    fit a signed 64-bit, i.e. N under ~3.04·10⁹ rows (the same bound
+    ks_statistic documents; the internal algebra is DECIMAL(38,0) —
+    only the final cast narrows). NULL labels form a real category
     (null-safe equality for the agreement diagonal). One confusion
     census shuffle; the marginals reduce driver-free via two tiny
     re-aggregations of the |A|·|B|-row census."""

@@ -600,32 +600,16 @@ def grouped_mad(
     med = df.groupBy(*list(keys)).agg(
         F.expr(f"percentile(`{col}`, 0.5)").alias("med")
     )
-    # NULL group keys are real groups in groupBy — the join back must
-    # be null-safe or the NULL group silently vanishes
-    dev = _null_safe_key_join(df, med, keys).withColumn(
-        "__ad", F.abs(F.col(col) - F.col("med"))
-    )
+    # NULL group keys are real groups in groupBy — the join back is
+    # the shared null-safe broadcast idiom (compat), not a plain
+    # equi-join that would silently drop the NULL group
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    dev = null_safe_broadcast_join(df, med, keys=list(keys), carry=["med"])
+    dev = dev.withColumn("__ad", F.abs(F.col(col) - F.col("med")))
     return dev.groupBy(*list(keys)).agg(
         F.max("med").alias("med"),  # constant within group
         F.expr("percentile(`__ad`, 0.5)").alias("mad"),
-    )
-
-
-def _null_safe_key_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Inner BROADCAST join on group keys where NULL matches NULL
-    (groupBy treats NULL as a real group, a plain equi-join does
-    not). The broadcast hint is applied AFTER the renames so it
-    survives; the right side's key columns are dropped after the
-    join."""
-    r = right
-    for k in keys:
-        r = r.withColumnRenamed(k, f"__k_{k}")
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
-        cond = c if cond is None else (cond & c)
-    return left.join(F.broadcast(r), on=cond, how="inner").drop(
-        *[f"__k_{k}" for k in keys]
     )
 
 
@@ -644,13 +628,15 @@ def winsorized_clip(
     percentile aggregate + one broadcast join back; the clip itself
     is least/greatest, bit-equal cross-engine."""
     out = out or f"{col}_w"
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
     cuts = df.groupBy(*list(keys)).agg(
         F.expr(f"percentile(`{col}`, {float(lo)})").alias("__lo"),
         F.expr(f"percentile(`{col}`, {float(hi)})").alias("__hi"),
     )
     c = F.col(col).cast("double")
     return (
-        _null_safe_key_join(df, cuts, keys)
+        null_safe_broadcast_join(df, cuts, keys=list(keys), carry=["__lo", "__hi"])
         .withColumn(out, F.least(F.greatest(c, F.col("__lo")), F.col("__hi")))
         .withColumn(
             f"{out}_clipped",

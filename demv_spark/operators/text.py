@@ -483,15 +483,17 @@ def bm25_topk_batch(
         qdf = df.sparkSession.createDataFrame(rows, ["query_id", "term"])
     else:
         qdf = queries
-    # DataFrame input normalizes plan-side: \s-trim (not F.trim,
-    # which strips ASCII spaces only) + lower; a query whose terms
-    # all normalize away is data-dependent and yields no rows for
-    # that query (documented — can't raise cheaply inside a plan)
+    # DataFrame input normalizes plan-side with UNICODE whitespace
+    # semantics ((?U) turns Java \s into \p{IsWhite_Space}, matching
+    # Python str.strip() — NBSP/ideographic-space padded terms behave
+    # identically on both input paths); a query whose terms all
+    # normalize away is data-dependent and yields no rows for that
+    # query (documented — can't raise cheaply inside a plan)
     qdf = (
         qdf.select(
             "query_id",
             F.lower(
-                F.regexp_replace(F.col("term"), r"^\s+|\s+$", "")
+                F.regexp_replace(F.col("term"), r"(?U)^\s+|\s+$", "")
             ).alias("token"),
         )
         .filter(F.col("token") != "")

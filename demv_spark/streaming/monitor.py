@@ -430,10 +430,9 @@ def hop_window_census(
     wm = _watermarked(df.filter(F.col(ts_col).isNotNull()), ts_col, watermark)
     aggs = [F.count(F.lit(1)).alias("n")]
     if unit_col is not None:
-        aggs.append(
-            F.sum(F.col(unit_col).cast("decimal(28,6)"))
-            .cast("double").alias("units")
-        )
+        from demv_spark.functions.compat import stable_sum
+
+        aggs.append(stable_sum(unit_col).alias("units"))
     return (
         wm.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
         .agg(*aggs)

@@ -50,10 +50,10 @@ def test_rolling_census_fractional_second_truncation(spark):
     the t=0.5 event as inside the trailing hour (both truncate to a
     59:59 gap), pinning the truncation convention the oracles now
     FLOOR-match."""
-    base = datetime.datetime(2026, 1, 1, 10, 0, 0, 500000)
+    base = datetime.datetime(2026, 1, 1, 10, 0, 0, 400000)
     rows = [
         (1, 5, base, 1.0),
-        (2, 5, base + datetime.timedelta(seconds=3599, microseconds=400000), 1.0),
+        (2, 5, base + datetime.timedelta(seconds=3599, microseconds=500000), 1.0),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, value double"
@@ -62,7 +62,9 @@ def test_rolling_census_fractional_second_truncation(spark):
         r["event_id"]: r["n_trail"]
         for r in rolling_census(df, ["user_id"], "ts", "1 hour").collect()
     }
-    # truncated secs: 0 and 3599 → gap 3599 ≤ 3599 → inside
+    # fractions .4 and .9 DISCRIMINATE the conventions: truncation
+    # gives secs 0/3599 (gap 3599 → inside); round-half-up would give
+    # 0/3600 (gap 3600 → outside) — so a convention change fails here
     assert out[2] == 2
 
 

@@ -1196,3 +1196,22 @@ def test_bm25_batch_normalization_parity_and_guards(spark):
     assert [(r["doc_id"], r["score_fx"]) for r in c] == [
         (r["doc_id"], r["score_fx"]) for r in b
     ]
+
+
+def test_bm25_batch_unicode_whitespace_parity(spark):
+    """NBSP-padded terms must normalize identically on the dict path
+    (Python str.strip) and the DataFrame path ((?U) Java regex)."""
+    df = spark.createDataFrame(
+        [(1, "join the table"), (2, "no match")], "doc_id long, text string"
+    )
+    nbsp_term = "join "
+    a = text.bm25_topk_batch(df, {"q": [nbsp_term]}, top_k=3).collect()
+    qdf = spark.createDataFrame(
+        [("q", nbsp_term)], "query_id string, term string"
+    )
+    b = text.bm25_topk_batch(df, qdf, top_k=3).collect()
+    want = text.bm25_topk(df, ["join"], top_k=3).collect()
+    for got in (a, b):
+        assert [(r["doc_id"], r["score_fx"]) for r in got] == [
+            (r["doc_id"], r["score_fx"]) for r in want
+        ]
