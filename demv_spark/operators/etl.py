@@ -261,8 +261,13 @@ def target_encode(
     # would drop them to a NULL encoding)
     # coalesce sums to 0: SUM over an all-NULL group (or an all-NULL
     # target column) is NULL, but the documented semantics are
-    # s = 0, n = 0 → the encoding falls back to the global prior
-    census = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+    # s = 0, n = 0 → the encoding falls back to the global prior.
+    # The join back is the shared NULL-safe BROADCAST idiom — the
+    # category census is |categories| rows and must never force the
+    # big table through a sort-merge join (plan-asserted)
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    census = df.groupBy(cat_col).agg(
         F.coalesce(F.sum(y), F.lit(0)).alias("__s"),
         F.count(y).alias("__n"),
     )
@@ -274,9 +279,9 @@ def target_encode(
     def dec(x):
         return x.cast("decimal(38,0)")
 
-    j = df.join(
-        census, on=F.col(cat_col).eqNullSafe(F.col("__cat")), how="left"
-    ).drop("__cat").crossJoin(F.broadcast(tot))
+    j = null_safe_broadcast_join(
+        df, census, keys=[cat_col], carry=["__s", "__n"]
+    ).crossJoin(F.broadcast(tot))
     if leave_one_out:
         num = dec(F.lit(scale)) * (
             (dec(F.col("__s")) - dec(F.coalesce(y, F.lit(0))))

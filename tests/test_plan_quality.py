@@ -338,3 +338,100 @@ def test_vocab_coverage_corpus_shuffle_count(spark):
     # its <=64-bucket offsets, or the literal vocab sizes
     assert not s["has_python_udf"]
     assert s["n_broadcasts"] >= 2  # offsets + vocab sizes stay broadcast
+
+
+def test_bm25_topk_plan_is_take_ordered_not_global_sort(spark):
+    """BM25's top-k must compile to TakeOrderedAndProject (bounded
+    per-partition heaps + driver merge), never a global Sort; the
+    postings filter must be pushed into the token generate; no Python
+    UDF anywhere."""
+    from demv_spark.operators.text import bm25_topk
+    from demv_spark.plans.introspect import explain_str, plan_stats
+
+    df = spark.createDataFrame(
+        [(1, "spark table join"), (2, "spark data")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["spark", "table"], top_k=5)
+    plan = explain_str(out, "simple")
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the TakeOrdered operator
+    import re
+
+    assert not re.search(r"\n\s*\+?-?\s*Sort \[", plan)
+    assert "token" in plan and " IN (spark,table)" in plan.replace("'", "")
+    assert not plan_stats(out)["has_python_udf"]
+
+
+def test_bm25_batch_windows_are_salt_partitioned(spark):
+    """The per-query rank must run inside (query_id, salt) and
+    query_id partitions — never an unpartitioned window."""
+    from demv_spark.operators.text import bm25_topk_batch
+    from demv_spark.plans.introspect import explain_str
+
+    df = spark.createDataFrame(
+        [(1, "spark table"), (2, "data")], "doc_id long, text string"
+    )
+    out = bm25_topk_batch(df, {"q": ["spark"]}, top_k=3)
+    plan = explain_str(out, "simple")
+    assert "Window" in plan
+    # every window spec carries a partition list with query_id
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "query_id" in spec
+
+
+def test_hamming_near_dup_is_shuffle_equi_join(spark):
+    """Candidate generation must be a hash/sort-merge EQUI-join on the
+    band key — a nested-loop or cartesian node means the pigeonhole
+    banding degenerated to all-pairs."""
+    from demv_spark.operators.dedup import hamming_near_dup
+    from demv_spark.plans.introspect import explain_str
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "id long, h long")
+    plan = explain_str(hamming_near_dup(df, "id", "h"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_census_single_key_exchange(spark):
+    """One shuffle on the partition key; the RANGE frame evaluates in
+    the same stage (no extra exchange, no global sort)."""
+    import datetime
+
+    from demv_spark.operators.temporal import rolling_census
+    from demv_spark.plans.introspect import plan_stats
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2026, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    s = plan_stats(rolling_census(df, ["user_id"], "ts", value_col="value"))
+    assert s["n_exchanges"] == 1
+    assert not s["has_python_udf"]
+
+
+def test_census_cube_single_aggregation_pass(spark):
+    """CUBE expands rows to grouping sets BEFORE one partial-agg
+    shuffle — exactly one exchange, no join, no rescan per set."""
+    from demv_spark.functions.counting import census_cube
+    from demv_spark.plans.introspect import explain_str, plan_stats
+
+    df = spark.createDataFrame([("a", "b", 1.0)], "x string, y string, v double")
+    out = census_cube(df, ["x", "y"], unit_col="v")
+    s = plan_stats(out)
+    assert s["n_exchanges"] == 1
+    assert "Expand" in explain_str(out, "simple")
+
+
+def test_target_encode_broadcasts_census(spark):
+    """The category census and global totals join back as broadcasts —
+    the big table is never shuffled for the join."""
+    from demv_spark.operators.etl import target_encode
+    from demv_spark.plans.introspect import plan_stats
+
+    df = spark.createDataFrame([("a", 1)], "cat string, y int")
+    s = plan_stats(target_encode(df, "cat", "y"))
+    assert s["n_broadcasts"] >= 2
+    assert s["n_sort_merge_joins"] == 0
