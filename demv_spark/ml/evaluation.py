@@ -38,12 +38,15 @@ from pyspark.sql import DataFrame, Window
 from demv_spark.functions import metrics as M
 
 
+_warned_fold_default = False
+
+
 def assign_folds(
     df: DataFrame,
     k: int = 10,
     seed: int = 2,
     fold_col: str = "fold",
-    exact: bool = False,
+    exact: bool | None = None,
     portable_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Seeded fold-assignment column (E4, utils.py:137,145-148).
@@ -52,6 +55,11 @@ def assign_folds(
     to any size, fold sizes only approximately equal. The default is
     the 100 TB plan (VERDICT r5: a default must not be the
     scale-killer); the reference-parity regimes below are opt-in.
+    VERSIONING NOTE: the default FLIPPED from exact=True in round 6 —
+    callers relying on the old default silently got hash folds
+    instead of sklearn-KFold-equal sizes, so leaving ``exact``
+    unspecified now emits a one-time warning (pass it explicitly to
+    silence).
 
     exact=True: ntile(k) over rand(seed) — fold sizes identical to
     sklearn KFold (first n % k folds take the extra row). GLOBAL
@@ -64,6 +72,20 @@ def assign_folds(
     oracle-checked. SQL twin per row:
     ``CAST(concat('0x', substr(md5(concat_ws('|', key..., 'seed')),
     1, 15)) AS BIGINT) % k``."""
+    if exact is None:
+        global _warned_fold_default
+        if not _warned_fold_default and portable_key is None:
+            import warnings
+
+            warnings.warn(
+                "assign_folds: the default changed to exact=False "
+                "(shuffle-free hash folds) in round 6; pass "
+                "exact=True for sklearn-KFold-equal fold sizes or "
+                "exact=False to silence this one-time warning",
+                stacklevel=2,
+            )
+            _warned_fold_default = True
+        exact = False
     if portable_key is not None:
         from demv_spark.functions.compat import portable_hash
 

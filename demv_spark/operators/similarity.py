@@ -169,6 +169,23 @@ def cosine_topk_arrow(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
+    if dim is None:
+        # without an explicit dim, drop_invalid_vectors only excludes
+        # NULL/empty — a ragged batch would crash np.array() inside
+        # the kernel (a task failure, not the documented NULL-cos_sim
+        # contract). Infer dim from the query set when it is
+        # unanimous, else demand it explicitly (any "pick one" rule
+        # over a collect()'s nondeterministic row order would make
+        # results partitioning-dependent); the corpus is then
+        # length-filtered before the kernel ever sees a batch.
+        lengths = {len(r[vec_col]) for r in q_rows}
+        if len(lengths) > 1:
+            raise ValueError(
+                "cosine_topk_arrow: query vectors have mixed lengths "
+                f"{sorted(lengths)}; pass dim= to select one"
+            )
+        dim = lengths.pop()
+        corpus = drop_invalid_vectors(corpus, vec_col, dim)
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(qm, axis=1, keepdims=True)
@@ -912,6 +929,20 @@ def pq_encode(
     return g.withColumn(code_col, codes).drop("g_codes")
 
 
+def _assert_query_cap(q: DataFrame, max_query_rows: int, fn: str) -> None:
+    """Fail crisply instead of OOMing the broadcast when the "bounded
+    query set" assumption is violated — the module-wide convention
+    (``cosine_topk_arrow`` caps its driver collect the same way).
+    ``limit(cap+1).count()`` bounds the check itself: one cheap job
+    over at most cap+1 rows, never a full count of an unbounded set."""
+    if q.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"{fn}: query set exceeds the max_query_rows="
+            f"{max_query_rows} broadcast cap; chunk the queries or "
+            "route large query sets through the LSH/IVF paths"
+        )
+
+
 def pq_topk_fixed(
     queries: DataFrame,
     corpus: DataFrame,
@@ -920,6 +951,7 @@ def pq_topk_fixed(
     scale: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """PQ top-k (asymmetric distance with a grid-quantized query):
     dist(q, doc) = Σ_sub ||q_sub − centroid[sub][code_sub(doc)]||² —
@@ -947,6 +979,7 @@ def pq_topk_fixed(
     q = quantize_embeddings_grid(
         queries, dimq, scale, id_col, vec_col
     ).select(F.col(id_col).alias("query_id"), F.col("g_codes").alias("qg"))
+    _assert_query_cap(q, max_query_rows, "pq_topk_fixed")
     qg = F.col("qg")
     dist = F.aggregate(
         F.zip_with(
@@ -984,6 +1017,7 @@ def ivfpq_topk_fixed(
     scale: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ — the production ANN composition (FAISS's workhorse
     index): IVF cells prune the candidate set to ``n_probe``
@@ -1055,6 +1089,7 @@ def ivfpq_topk_fixed(
             n_probe,
         ).alias("__probes"),
     )
+    _assert_query_cap(q, max_query_rows, "ivfpq_topk_fixed")
     probed = q.select("query_id", "qg", F.explode("__probes").alias("__cell"))
     qg = F.col("qg")
     dist = F.aggregate(

@@ -215,6 +215,7 @@ def synthetic_rebalance_lsh(
     n_tables: int = 4,
     n_projs: int = 4,
     bucket_width: float | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SMOTE-style rebalance for groups too large for one executor —
     the scale path promised by the module docstring, now implemented.
@@ -239,6 +240,21 @@ def synthetic_rebalance_lsh(
        gap λ ∈ [0,1) derive from per-(row, ordinal) portable hashes.
        Rows whose bucket holds no neighbor fall back to duplication
        (the exact path's n==1 semantics).
+
+    Candidate volume is CAPPED (the ``hamming_near_dup`` lesson,
+    dedup.py): the neighbor SIDE of the bucket self-join keeps at
+    most ``max_bucket`` rows per (group, table, bucket), chosen by a
+    deterministic portable-hash rank — so a degenerate bucket (a
+    dense cluster at corpus scale) costs |bucket|·max_bucket, never
+    |bucket|², and total candidates are ≤ rows·n_tables·max_bucket —
+    strictly LINEAR in the data (the 8× probe: 4.4× wall at the old
+    flat 256 cap vs ~7.8× uncapped; the k-tied default below holds
+    it near-linear because per-base candidate count is constant
+    across scales once buckets saturate). Default ``max_bucket=None``
+    auto-sizes to ``max(8·k, 40)`` — a kNN needs k neighbors, so a
+    deterministic 8k-row sample of each bucket (×n_tables tables)
+    loses recall only when a row's true kNN all fall outside it;
+    raise ``max_bucket`` to trade cost for within-bucket exactness.
 
     Every choice is a pure function of the data (md5-derived), so the
     output is reproducible across engines, partitionings and retries.
@@ -327,9 +343,23 @@ def synthetic_rebalance_lsh(
     ).select(*keys, "__fid", "__x", F.col("tb.t").alias("__t"), F.col("tb.bk").alias("__bk"))
 
     # role-renamed projections (the embedding_near_dup pattern) keep
-    # the self-join unambiguous
+    # the self-join unambiguous. The NEIGHBOR side is capped per
+    # (group, table, bucket) by a deterministic portable-hash rank —
+    # see the docstring's candidate-volume contract; ranking a
+    # degenerate bucket is O(n log n) in one task vs the O(n²) join
+    # it prevents
+    if max_bucket is None:
+        max_bucket = max(8 * k, 40)
+    w_cap = Window.partitionBy(*keys, "__t", "__bk").orderBy(
+        portable_hash(F.concat(F.lit("cap:"), F.col("__fid")))
+    )
+    capped = (
+        banded.withColumn("__cn", F.row_number().over(w_cap))
+        .filter(F.col("__cn") <= max_bucket)
+        .drop("__cn")
+    )
     left = banded
-    right = banded.select(
+    right = capped.select(
         *[F.col(c).alias(f"__r_{i}") for i, c in enumerate(keys)],
         F.col("__fid").alias("__nfid"),
         F.col("__x").alias("__nx"),

@@ -184,13 +184,54 @@ def _parse_files(files):
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
-def read_warc(spark, path: str):
+"""Oversized-file contract: the parallel unit is the FILE (one
+mapInPandas task materializes the whole file's bytes), so a single
+oversized .warc has no split path — Spark's binaryFile source itself
+caps a file's ``content`` at 2 GiB (a single byte array). Crawl
+corpora honor this naturally (~1 GB rotation is the Common Crawl
+convention); files past ``max_file_bytes`` are QUARANTINED, not read:
+the length predicate is pushed down to the binaryFile scan, and the
+oversized branch selects only (path, length) — content is pruned, so
+the bytes never leave the filesystem. Pre-split oversized files
+upstream (a .warc.gz is a concatenation of independently-inflatable
+gzip members, so a byte-level member-boundary split is lossless)."""
+_MAX_FILE_BYTES = 1 << 31  # binaryFile's own hard ceiling
+
+
+def read_warc(spark, path: str, max_file_bytes: int = _MAX_FILE_BYTES):
     """Distributed WARC reader: ``binaryFile`` scan → one
     ``mapInPandas`` parse task per file. Returns WARC_SCHEMA rows;
     filter ``error IS NULL`` for clean records, keep the error rows
-    as the quarantine census."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return _parse_files(files)
+    as the quarantine census. Files larger than ``max_file_bytes``
+    (default: binaryFile's 2 GiB content ceiling) surface as one
+    quarantine error row each WITHOUT their bytes being read — see
+    the oversized-file contract above."""
+    import pyspark.sql.functions as F
+
+    scan = spark.read.format("binaryFile").load(path)
+    small = scan.filter(F.col("length") <= max_file_bytes).select("path", "content")
+    oversized = (
+        scan.filter(F.col("length") > max_file_bytes)
+        .select(
+            F.col("path").alias("file"),
+            *[F.lit(None).cast(t).alias(c) for c, t in (
+                ("record_id", "string"), ("warc_type", "string"),
+                ("target_uri", "string"), ("warc_date", "string"),
+                ("content_type", "string"),
+            )],
+            F.col("length").alias("content_length"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.concat(
+                F.lit("file exceeds max_file_bytes="),
+                F.lit(str(max_file_bytes)),
+                F.lit(" ("),
+                F.col("length").cast("string"),
+                F.lit(" bytes); pre-split the file (gzip members are "
+                      "independently inflatable)"),
+            ).alias("error"),
+        )
+    )
+    return _parse_files(small).unionByName(oversized)
 
 
 def http_response_body(payload: Optional[bytes]) -> Optional[bytes]:
@@ -217,9 +258,14 @@ def http_response_body(payload: Optional[bytes]) -> Optional[bytes]:
 
 def response_texts(df, encoding: str = "utf-8"):
     """WARC records → (file, target_uri, text) for ``response`` /
-    ``resource`` records, HTTP envelope stripped, decoded with
-    replacement — the handoff into the text-curation operators.
-    Arrow-batched; stays one map task per input partition."""
+    ``resource`` records, decoded with replacement — the handoff into
+    the text-curation operators. The HTTP envelope (status line +
+    headers) is stripped ONLY for ``response`` records — per the WARC
+    spec a ``resource`` record carries the raw retrieved payload with
+    no protocol envelope, so its bytes pass through whole (stripping
+    would silently drop everything before the first blank line, e.g.
+    a leading paragraph). Arrow-batched; stays one map task per input
+    partition."""
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -227,8 +273,11 @@ def response_texts(df, encoding: str = "utf-8"):
         for b in batches:
             keep = b[b["error"].isna() & b["warc_type"].isin(["response", "resource"])]
             texts = [
-                (http_response_body(p) or b"").decode(encoding, "replace")
-                for p in keep["payload"]
+                (
+                    (http_response_body(p) if t == "response" else p)
+                    or b""
+                ).decode(encoding, "replace")
+                for p, t in zip(keep["payload"], keep["warc_type"])
             ]
             yield pd.DataFrame({
                 "file": keep["file"].values,
@@ -239,11 +288,30 @@ def response_texts(df, encoding: str = "utf-8"):
     return df.mapInPandas(extract, "file string, target_uri string, text string")
 
 
+def _safe_header_value(v: str) -> str:
+    """Percent-encode control characters (C0 + DEL) in a header value
+    before serializing. A raw CR/LF in a value (e.g. a crafted
+    ``target_uri``) would inject header LINES into the written record
+    — ``'http://a/b\\r\\nWARC-Type: evil'`` round-trips with
+    ``warc_type='evil'`` otherwise. RFC 3986 already forbids raw
+    control chars in URIs, so legal URIs are untouched and the
+    ``read_warc(write_warc_dataset(df)) ≡ df`` invariant holds
+    byte-exactly for them; hostile values round-trip percent-encoded
+    (%0D%0A…) instead of corrupting the record structure."""
+    if not any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in v):
+        return v
+    return "".join(
+        f"%{ord(ch):02X}" if (ord(ch) < 0x20 or ord(ch) == 0x7F) else ch
+        for ch in v
+    )
+
+
 def _record_bytes(rec: dict, gzip_member: bool = False) -> bytes:
     """One spec-shaped WARC record (optionally its own gzip member —
     a .warc.gz is a concatenation of per-record members). Shared by
     the driver-side fixture writer and the distributed sink so the
-    two byte layouts cannot drift."""
+    two byte layouts cannot drift. Header values are sanitized via
+    ``_safe_header_value`` (CR/LF injection defense)."""
     payload = rec.get("payload") or b""
     head = [b"WARC/1.0"]
     hdrs = {
@@ -256,7 +324,7 @@ def _record_bytes(rec: dict, gzip_member: bool = False) -> bytes:
     if rec.get("target_uri"):
         hdrs["WARC-Target-URI"] = rec["target_uri"]
     for k, v in hdrs.items():
-        head.append(f"{k}: {v}".encode())
+        head.append(f"{k}: {_safe_header_value(str(v))}".encode())
     raw = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
     if gzip_member:
         import gzip as _gzip

@@ -6,10 +6,10 @@ THIS corpus duplicate each other"; an ingestion pipeline needs the
 online form: as documents arrive, is each one a near-dup of anything
 already accepted? This module maintains that index as three tables:
 
-  <prefix>_sigs     (doc_id, sig array<long>)   accepted signatures
-  <prefix>_bands    (doc_id, band, bucket)      joinable LSH index
-  <prefix>_matches  (doc_id, dup_of, est_jaccard) rejected docs
-  <prefix>__meta    (last_batch_id)             replay guard
+  <prefix>_sigs     (doc_id, sig array<long>, batch_id)   accepted signatures
+  <prefix>_bands    (doc_id, band, bucket, batch_id)      joinable LSH index
+  <prefix>_matches  (doc_id, dup_of, est_jaccard, batch_id) rejected docs
+  <prefix>__meta    (last_batch_id)             fast-skip mark
 
 Per micro-batch: signatures + band buckets are map-only over the
 batch; candidates come from ONE equi-join of the batch's bands
@@ -28,9 +28,18 @@ batch pipeline too (duplicate_clusters closes the same chain). The
 single-batch run therefore equals the batch rule "reject every doc
 that pairs with a smaller id", which tests assert directly.
 
-foreachBatch is at-least-once; the merge is idempotent via the
-``__meta`` batch-id guard (same pattern as monitor.census_maintainer,
-which documents the failure window).
+foreachBatch is at-least-once and plain append-only tables are not
+transactional, so the design makes replays HARMLESS rather than
+impossible (the ``streaming_admission_maintainer`` pattern): every
+row is tagged with its micro-batch id, and the index a batch is
+judged against is DERIVED — rows with ``batch_id < this batch``,
+deduped on read. A batch's output is a pure function of (strictly
+earlier batches, the batch itself), so a crash between the three
+appends and the ``__meta`` mark means the replay recomputes
+byte-identical rows and can only append EXACT duplicates — never a
+contradictory verdict. Fully-completed batches are skipped outright
+via the mark; read the tables through ``dedup_accepted`` /
+``dedup_matches``, whose dedup absorbs any crash-window duplicates.
 """
 
 from __future__ import annotations
@@ -106,17 +115,30 @@ def streaming_dedup_maintainer(
         hashable = sig.filter(F.element_at("sig", 1) != F.lit(_SENTINEL))
         banded = lsh_band_buckets(hashable, num_hashes, bands).persist()
 
-        # (a) against the accepted index
+        # (a) against the accepted index — DERIVED from strictly
+        # earlier batches' rows, deduped on read: a crashed attempt
+        # of THIS batch may have left a partial append tagged with
+        # this batch_id, which must not feed its own replay, and an
+        # earlier crash window may have left exact duplicates
         vs_index = spark.createDataFrame([], "id_a long, id_b long")
         if spark.catalog.tableExists(bands_table):
+            prior = F.col("batch_id") < F.lit(batch_id)
+            index_bands = (
+                spark.table(bands_table).filter(prior)
+                .select("doc_id", "band", "bucket").distinct()
+            )
+            index_sigs = (
+                spark.table(sigs_table).filter(prior)
+                .select("doc_id", "sig").dropDuplicates(["doc_id"])
+            )
             vs_index = (
-                spark.table(bands_table)
+                index_bands
                 .withColumnRenamed("doc_id", "id_a")
                 .join(banded.withColumnRenamed("doc_id", "id_b"), ["band", "bucket"])
                 .select("id_a", "id_b")
                 .distinct()
             )
-            vs_index = _est_jaccard(vs_index, spark.table(sigs_table), hashable)
+            vs_index = _est_jaccard(vs_index, index_sigs, hashable)
         else:
             vs_index = vs_index.withColumn("est_jaccard", F.lit(0.0))
 
@@ -137,9 +159,10 @@ def streaming_dedup_maintainer(
         accepted_sigs = sig.join(rejected, "doc_id", "left_anti")
         accepted_bands = banded.join(rejected, "doc_id", "left_anti")
 
-        hits.write.mode("append").saveAsTable(matches_table)
-        accepted_sigs.write.mode("append").saveAsTable(sigs_table)
-        accepted_bands.write.mode("append").saveAsTable(bands_table)
+        tag = F.lit(batch_id).cast("long").alias("batch_id")
+        hits.withColumn("batch_id", tag).write.mode("append").saveAsTable(matches_table)
+        accepted_sigs.withColumn("batch_id", tag).write.mode("append").saveAsTable(sigs_table)
+        accepted_bands.withColumn("batch_id", tag).write.mode("append").saveAsTable(bands_table)
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)
@@ -233,6 +256,29 @@ def streaming_admission_maintainer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_accepted(spark, index_prefix: str) -> DataFrame:
+    """Accepted (doc_id, sig) as of now — the exactly-once read
+    surface over the at-least-once index log: one row per doc even if
+    a crash-window replay appended exact duplicates (see module
+    docstring). Refreshes first — foreachBatch appends happen in a
+    cloned session, so the outer session's file index goes stale."""
+    table = f"{index_prefix}_sigs"
+    spark.catalog.refreshTable(table)
+    return spark.table(table).select("doc_id", "sig").dropDuplicates(["doc_id"])
+
+
+def dedup_matches(spark, index_prefix: str) -> DataFrame:
+    """Rejected (doc_id, dup_of, est_jaccard) as of now, deduped —
+    the exactly-once twin of ``dedup_accepted`` for the matches log."""
+    table = f"{index_prefix}_matches"
+    spark.catalog.refreshTable(table)
+    return (
+        spark.table(table)
+        .select("doc_id", "dup_of", "est_jaccard")
+        .dropDuplicates(["doc_id"])
+    )
 
 
 def admitted_fps(spark, index_prefix: str) -> DataFrame:

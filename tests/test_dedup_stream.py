@@ -290,3 +290,81 @@ def test_streaming_admission_crash_replay_duplicates_exactly(spark, adm_index):
         ) == fps_before
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_maintainer_crash_replay_duplicates_exactly(spark, index):
+    """ADVICE r6: a crash between the three appends and the __meta
+    advance used to leave PERMANENT duplicate index rows. With the
+    batch_id-tagged derived-store design, a replayed batch recomputes
+    byte-identical rows (its own partial append is excluded by
+    batch_id < current), so the logs gain only exact duplicates and
+    the deduping read surfaces are unchanged."""
+    from collections import Counter
+
+    from demv_spark.streaming import dedup_stream as ds
+
+    captured = {}
+
+    class _FakeWriter:
+        def outputMode(self, _):
+            return self
+
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def trigger(self, **_):
+            return self
+
+        def start(self):
+            return None
+
+    class _FakeStream:
+        writeStream = _FakeWriter()
+
+    ds.streaming_dedup_maintainer(_FakeStream(), PREFIX)
+    merge = captured["fn"]
+
+    texts = [
+        (i, f"unique document number {i} with several distinct tokens inside it")
+        for i in range(6)
+    ]
+    b0 = spark.createDataFrame(texts[:4], "doc_id long, text string")
+    # 10 duplicates doc 0 (cross-batch), 4/5 fresh
+    b1 = spark.createDataFrame(
+        [(10, texts[0][1])] + texts[4:], "doc_id long, text string"
+    )
+    merge(b0, 0)
+    merge(b1, 1)
+    accepted_before = sorted(
+        (r["doc_id"],) for r in ds.dedup_accepted(spark, PREFIX).collect()
+    )
+    matches_before = sorted(
+        map(tuple, ds.dedup_matches(spark, PREFIX).collect())
+    )
+    sig_counts = Counter(
+        r["doc_id"] for r in spark.table(f"{PREFIX}_sigs").collect()
+    )
+    assert matches_before == [(10, 0, 1.0)]
+
+    # the crash: batch 1's appends landed but __meta still says 0
+    spark.createDataFrame([(0,)], "last_batch_id long").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{PREFIX}__meta")
+    merge(b1, 1)  # replay
+
+    # logs: batch-1 rows exactly doubled, batch-0 rows untouched
+    sig_counts_after = Counter(
+        r["doc_id"] for r in spark.table(f"{PREFIX}_sigs").collect()
+    )
+    for doc in (0, 1, 2, 3):
+        assert sig_counts_after[doc] == sig_counts[doc]
+    for doc in (4, 5):
+        assert sig_counts_after[doc] == 2 * sig_counts[doc]
+    # verdicts: same single match, never contradictory, read surfaces unchanged
+    assert sorted(
+        map(tuple, ds.dedup_matches(spark, PREFIX).collect())
+    ) == matches_before
+    assert sorted(
+        (r["doc_id"],) for r in ds.dedup_accepted(spark, PREFIX).collect()
+    ) == accepted_before
