@@ -29,6 +29,12 @@ from demv_spark.operators import corpus, dedup, etl, similarity, text
 from demv_spark.operators.balancer import DEMV
 
 
+# queries born in round 7 — appended to the driver window as they
+# land so every new oracled row earns its driver seat in its birth
+# round (the no-new-backlog rule; see the window comment in queries())
+_R7_BIRTHS: list[str] = []
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from demv_spark.sources.readers import read_table
 
@@ -2770,64 +2776,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pin the verdict cites is q_sim_near_dup, whose 0.45 threshold
     # NEEDS narrow bands for recall (p-per-plane ≈ 0.65 ⇒ a 16-bit
     # band collides with prob ≈ 1e-3). Both are in-window this round.
+    # Round-7 rotation (VERDICT r6 item 1): the 15 third-wave rows
+    # that have never held a driver seat take the front of the window
+    # (gate-green tri-scale since round 6; COVERAGE.md:309 planned
+    # these seats). The 5 spent rows-only seats rotate out (the
+    # driver recorded no verdict for them — their invariant/portable
+    # twins cover them locally), as do the r6-green single-purpose
+    # rows whose families keep another representative. Three rows
+    # hold their seats one more round per VERDICT item 4 (plans
+    # changed in r6; a second green pins the change the way the
+    # HUGEINT trio was pinned). Remaining seats: one flagship per
+    # family + every query born THIS round (the no-new-backlog rule).
     window = [
-        # formerly-red trio: second consecutive round to pin the fix
-        "q_count_group_weights",
-        "q_text_corpus_profile", "q_corpus_mixture_report",
-        # never-driver-verified: r5 families first
-        "q_validate_report", "q_validate_dup_keys",
-        "q_skew_heavy_hitters", "q_skew_profile",
-        "q_events_retention", "q_events_trending",
-        "q_events_funnel_subseq", "q_events_funnel_depths",
-        "q_sim_quantized_topk",
-        "q_corpus_temperature_mix", "q_corpus_jsonl_roundtrip",
-        "q_corpus_write_manifest", "q_monitor_census_shift",
-        # never-driver-verified: older gate-only rows
-        "q_corpus_mixture_epochs", "q_dedup_ngram_containment",
-        "q_events_funnel", "q_media_frame_sample",
-        # never-driver-verified: rows-only (sketch/model/sampling
-        # outputs — driver records the weaker rows+schema check)
-        "q_count_distinct_sketch", "q_demv_rebalance_smote",
-        "q_ml_out_of_fold", "q_sim_ivf_topk", "q_sim_near_dup",
-        "q_stream_drift_monitor",
-        # plans changed this round: re-earn the driver row
-        "q_etl_quantile_label", "q_ml_fold_sizes", "q_dataset_law",
-        # DEMV flagship (adasyn + multi + eg + smote-census rotate
-        # out this round — all multi-round/r5 green; the family keeps
-        # the closed-form census row and the rows-only smote seat)
-        "q_demv_rebalance_census",
-        # fairness + threshold-free metrics (weighted suite and AUC
-        # rotate out — both r5 green, and the rank-metric family
-        # earned three r5 rows: auc, auc_by_group, calibration;
-        # fairness_suite keeps the threshold family's seat)
-        "q_metric_fairness_suite",
-        # dedup + similarity parity rows (near-dup at wide defaults;
-        # NEW PQ top-k takes IVF-fixed's seat — same family, IVF-fixed
-        # is multi-round green; LSH planted parity rotates out after
-        # its r5 green — the family keeps containment + incremental)
-        "q_sim_embed_near_dup", "q_sim_pq_topk", "q_sim_ivfpq_topk",
-        # streaming: the NEW composed curate twin (VERDICT r5 item 7;
-        # census-shift + drift are in the never-verified block above
-        # — 3 streaming-family rows; sessionize and quota rotate out
-        # after their r4/r5 greens)
-        "q_stream_curate_e2e",
-        # NEW round-6 curation families take the remaining seats so
-        # they earn driver rows in their birth round (no new backlog;
-        # the multi-round-green adult/cmc recipes, as-of join,
-        # multiclass quota and media features rotate out — every
-        # family they represent keeps another in-window row)
-        "q_pii_counts", "q_pii_redact",
-        "q_text_strip_boilerplate", "q_text_lm_surprisal",
-        "q_text_script_profile", "q_web_pagerank",
-        # round-6 second wave, seated in their birth round: shard
-        # assignment, snapshot diff, tokenizer coverage curve, and
-        # blocked fuzzy join (record linkage)
-        "q_corpus_shard_assignment", "q_corpus_diff",
-        "q_text_vocab_coverage", "q_linkage_fuzzy_join",
-        "q_dedup_incremental", "q_linkage_best_match",
-        "q_text_packing_efficiency", "q_corpus_training_prep_e2e",
-        "q_web_html_to_text",
-    ]
+        # third-wave: first driver seats (birthright, VERDICT item 1)
+        "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
+        "q_corpus_orc_roundtrip", "q_text_bm25_topk", "q_text_bm25_batch",
+        "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
+        "q_etl_winsorize", "q_events_rolling", "q_corpus_schema_evolution",
+        "q_ml_ks", "q_ml_kappa", "q_events_hop_census",
+        # held one more round: re-earned on NEW plans in r6
+        # (range-bucketed NTILE; portable-md5 folds; HUGEINT-cast fix)
+        "q_etl_quantile_label", "q_ml_fold_sizes", "q_count_group_weights",
+        # flagship representatives, one per family (all driver-green
+        # r6 or earlier; the rest of each family rotates out)
+        "q_demv_rebalance_census",      # DEMV censuses
+        "q_metric_fairness_suite",      # fairness metrics
+        "q_dataset_law",                # dataset recipes
+        "q_dedup_ngram_containment",    # text dedup
+        "q_dedup_incremental",          # ingest admission
+        "q_sim_embed_near_dup",         # embedding LSH
+        "q_sim_ivfpq_topk",             # ANN (PQ family)
+        "q_stream_curate_e2e",          # streaming composition
+        "q_events_retention",           # temporal
+        "q_text_corpus_profile",        # corpus-level text stats
+        "q_corpus_mixture_report",      # mixture sampling
+        "q_web_pagerank",               # web/graph
+        "q_pii_redact",                 # PII
+        "q_validate_report",            # data contracts
+        "q_linkage_best_match",         # record linkage
+        "q_text_lm_surprisal",          # LM scoring
+        "q_corpus_training_prep_e2e",   # training-prep composition
+        # round-7 births take the remaining seats (appended below as
+        # they land, keeping the never-driver-verified backlog at 0)
+    ] + _R7_BIRTHS
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
