@@ -32,7 +32,10 @@ from demv_spark.operators.balancer import DEMV
 # queries born in round 7 — appended to the driver window as they
 # land so every new oracled row earns its driver seat in its birth
 # round (the no-new-backlog rule; see the window comment in queries())
-_R7_BIRTHS: list[str] = []
+_R7_BIRTHS: list[str] = [
+    "q_web_pagerank_redistribute",
+    "q_stream_admission_log",
+]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1206,6 +1209,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank_integer(fwd.unionByName(back), iterations=5)
 
     q["q_web_pagerank"] = _web_pagerank
+
+    # textbook variant (round 7, VERDICT r6 item 5): dangling mass
+    # redistributes uniformly each iteration instead of decaying.
+    # The fixture ADDS true dangling sinks (sink0/sink1 — every
+    # doc_id%5==0 source links one, nothing links out of them) so the
+    # redistribution term is live, not a no-op
+    def _web_pagerank_redistribute(spark, sf):
+        from demv_spark.operators.graph import pagerank_integer
+
+        d = _t(spark, sf, "documents")
+        fwd = d.select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+            F.lower("source").alias("dst"),
+        )
+        sinks = d.filter(F.col("doc_id") % 5 == 0).select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("sink"), (F.col("doc_id") % 2).cast("string")).alias("dst"),
+        )
+        return pagerank_integer(
+            fwd.unionByName(back).unionByName(sinks),
+            iterations=5,
+            redistribute_dangling=True,
+        )
+
+    q["q_web_pagerank_redistribute"] = _web_pagerank_redistribute
+
+    # batch-replayed admission log (round 7, VERDICT r6 item 7): the
+    # streaming admission maintainer's verdict log, re-derived by
+    # folding incremental_admission over an ordered 3-batch split
+    # with the store derived from earlier batches — the maintainer's
+    # exact per-batch step (stream ≡ batch pinned in tests)
+    def _stream_admission_log(spark, sf):
+        from demv_spark.streaming.dedup_stream import admission_log_replay
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("fp"), (F.col("doc_id") % 37).cast("string")).alias("fp"),
+        )
+        batches = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        return admission_log_replay(batches)
+
+    q["q_stream_admission_log"] = _stream_admission_log
 
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
@@ -3914,6 +3963,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # textbook variant: identical unrolled recurrence plus the
+    # per-iteration dangling scalar — Σ rank over no-out-edge nodes,
+    # integer-divided by N and added to every node's incoming sum
+    # before damping (mirrors graph.pagerank_integer's
+    # redistribute_dangling=True arithmetic exactly)
+    _pr_iter_rd = """
+        r{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * (COALESCE(s.in_sum, 0)
+                        + (SELECT COALESCE(SUM(r.rank_int), 0)
+                           FROM r{p} r LEFT JOIN deg dd ON dd.src = r.node
+                           WHERE dd.src IS NULL)
+                          // (SELECT COUNT(*) FROM nodes))) // 100
+                        AS BIGINT) AS rank_int
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank_int // d.out_deg) AS in_sum
+                FROM e JOIN r{p} r ON r.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )"""
+    o["q_web_pagerank_redistribute"] = (
+        """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lower(source) AS src,
+                       'hub' || CAST(doc_id % 7 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'hub' || CAST(doc_id % 7 AS VARCHAR),
+                       lower(source)
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT lower(source),
+                       'sink' || CAST(doc_id % 2 AS VARCHAR)
+                FROM documents WHERE doc_id % 5 = 0
+            )
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_int FROM nodes),"""
+        + ",".join(_pr_iter_rd.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT node, rank_int FROM r5
+    """
+    )
+
+    # batch-replayed admission log: first-wins over the ORDERED
+    # 3-batch fold — per fp the (batch_id, doc_id)-lexicographic
+    # winner is admitted; same-batch losers are dup_batch, later
+    # batches dup_corpus (the store already holds the fp)
+    o["q_stream_admission_log"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'fp' || CAST(doc_id % 37 AS VARCHAR) AS fp,
+                   CAST(doc_id % 3 AS BIGINT) AS batch_id
+            FROM documents
+        ), rk AS (
+            SELECT doc_id, fp, batch_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fp ORDER BY batch_id, doc_id) AS rn,
+                   FIRST_VALUE(batch_id) OVER (
+                       PARTITION BY fp ORDER BY batch_id, doc_id) AS fb
+            FROM d
+        )
+        SELECT doc_id, fp,
+               CASE WHEN rn = 1 THEN 'admitted'
+                    WHEN batch_id = fb THEN 'dup_batch'
+                    ELSE 'dup_corpus' END AS verdict,
+               batch_id
+        FROM rk
+    """
 
     # PQ top-k: the whole chain — global-grid codes, seed codebook,
     # per-sub argmin encode, ADC integer distance, rank — re-derived

@@ -145,6 +145,11 @@ HEADLINE = [
     "q_ml_ks",
     # sliding hop-window census (4 hops/event over 100k events)
     "q_events_hop_census",
+    # round-7: textbook PageRank (per-iteration dangling-mass scalar
+    # folded back as a literal; graph tables cached once)
+    "q_web_pagerank_redistribute",
+    # round-7: 3-batch replayed admission log (derived-store fold)
+    "q_stream_admission_log",
 ]
 
 

@@ -24,9 +24,16 @@ Semantics notes (all mirrored by the SQL twin, oracle-checked):
 - A fixed ITERATION COUNT, not convergence detection — the 100 TB
   regime runs a known number of passes (convergence tests would need
   a float norm, reintroducing order-dependence).
-- Dangling nodes (no out-edges) keep receiving rank but redistribute
-  none — the simple formulation; their mass decays into the damping
-  floor. Documented, deterministic, twinned.
+- Dangling nodes (no out-edges): two regimes, both exact and both
+  oracle-twinned. Default (``redistribute_dangling=False``): they
+  keep receiving rank but redistribute none — their mass decays into
+  the damping floor, so ranks are NOT comparable to textbook
+  PageRank numbers (NetworkX/GraphFrames). With
+  ``redistribute_dangling=True`` their mass is split uniformly over
+  ALL nodes each iteration (the textbook formulation): one extra
+  per-iteration scalar aggregate (Σ rank over dangling nodes,
+  integer-divided by N), total mass is conserved up to the integer
+  remainders, and ranks/scale converge to the standard values.
 - Duplicate edges count once (the edge set is made distinct) — link
   COUNTS are spam-sensitive, link EXISTENCE is the authority signal.
 
@@ -52,11 +59,22 @@ def pagerank_integer(
     dst: str = "dst",
     iterations: int = 5,
     scale: int = 1_000_000,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer PageRank over a (src, dst) edge table. Returns
     (node, rank_int) for every node appearing on either edge side;
     rank_int is on the ``scale`` grid (scale = rank 1.0 under the
-    uniform start). Exact: same integers every run, every engine."""
+    uniform start). Exact: same integers every run, every engine.
+
+    ``redistribute_dangling=True`` is the TEXTBOOK formulation:
+    each iteration's dangling mass (Σ rank over no-out-edge nodes)
+    is integer-divided by N and added to every node's incoming sum
+    before damping — ranks/scale then match standard PageRank
+    (NetworkX/GraphFrames) up to the integer grid. The default keeps
+    the round-6 decay semantics (dangling mass bleeds into the
+    damping floor) for back-compat with existing oracle rows. Cost
+    of the flag: one extra |nodes|-row anti-join aggregate (a 1-row
+    scalar) broadcast back per iteration — no new data shuffle."""
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
@@ -68,8 +86,23 @@ def pagerank_integer(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
+    if redistribute_dangling:
+        # iterative-graph convention: cache the graph tables once —
+        # the redistribution variant materializes ranks per iteration
+        # (see below), which would otherwise re-scan and re-distinct
+        # the raw edges 2× per iteration
+        e = e.persist()
+        nodes = nodes.persist()
+        deg = deg.persist()
+    n_nodes = nodes.count() if redistribute_dangling else None
     ranks = nodes.withColumn("rank_int", F.lit(int(scale)).cast("long"))
     for _ in range(int(iterations)):
+        if redistribute_dangling:
+            # the update reads ranks TWICE (contributions + dangling
+            # scalar); without materialization the lazy plan doubles
+            # per iteration (2^iterations leaf scans). ranks is
+            # |nodes|-sized — persisting it is the cheap fix
+            ranks = ranks.persist()
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -80,16 +113,46 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({DAMPING_NUM} * coalesce(in_sum, 0L)) div {DAMPING_DEN}"
-                    )
-                ).alias("rank_int"),
+        if redistribute_dangling:
+            # the dangling mass is a 1-row scalar (census-sized
+            # collect, the module convention): folding it back as a
+            # LITERAL keeps each iteration to one join+agg, where a
+            # crossJoin(broadcast(scalar)) would add a broadcast job
+            # per iteration. This materializes ranks per iteration —
+            # which the scalar forces anyway — so the persisted
+            # ranks/graph tables above are what make it cheap.
+            dang_val = (
+                ranks.join(
+                    deg.select(F.col("src").alias("node")), "node", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long"))
+                .collect()[0][0]
             )
-        )
+            share = int(dang_val) // int(n_nodes)
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({DAMPING_NUM} * (coalesce(in_sum, 0L) "
+                            f"+ {share}L)) div {DAMPING_DEN}"
+                        )
+                    ).alias("rank_int"),
+                )
+            )
+        else:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({DAMPING_NUM} * coalesce(in_sum, 0L)) div {DAMPING_DEN}"
+                        )
+                    ).alias("rank_int"),
+                )
+            )
     return ranks

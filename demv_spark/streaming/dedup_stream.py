@@ -258,6 +258,37 @@ def streaming_admission_maintainer(
     return writer.start()
 
 
+def admission_log_replay(
+    batches: "list[DataFrame]",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Batch replay of ``streaming_admission_maintainer``'s verdict
+    log: fold ``incremental_admission`` over an ORDERED micro-batch
+    list with the store derived from earlier batches' admitted rows —
+    the SAME per-batch step the maintainer's merge runs, minus the
+    table plumbing. Returns the full verdict log (batch columns +
+    verdict + batch_id), so the maintainer's multi-batch semantics
+    are value-checkable end-to-end without a running stream (the
+    driver row q_stream_admission_log oracles this; stream ≡ batch
+    symmetry is pinned in tests/test_dedup_stream.py)."""
+    from demv_spark.operators.dedup import incremental_admission
+
+    if not batches:
+        raise ValueError("admission_log_replay: empty batch list")
+    spark = batches[0].sparkSession
+    store = spark.createDataFrame([], f"{fp_col} string")
+    out = None
+    for i, b in enumerate(batches):
+        v = incremental_admission(b, store, id_col=id_col, fp_col=fp_col)
+        v = v.withColumn("batch_id", F.lit(i).cast("long"))
+        out = v if out is None else out.unionByName(v)
+        store = store.unionByName(
+            v.filter(F.col("verdict") == "admitted").select(fp_col)
+        )
+    return out
+
+
 def dedup_accepted(spark, index_prefix: str) -> DataFrame:
     """Accepted (doc_id, sig) as of now — the exactly-once read
     surface over the at-least-once index log: one row per doc even if

@@ -56,3 +56,88 @@ def test_dangling_node_keeps_receiving(spark):
 def test_no_python_udf(chain):
     s = plan_stats(pagerank_integer(chain, iterations=2))
     assert not s["has_python_udf"]
+
+
+def _py_pagerank_int(edges, iterations, scale=1_000_000, redistribute=False):
+    """Pure-python mirror of the integer recurrence (test oracle)."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    base = scale * 15 // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        incoming = {n: 0 for n in nodes}
+        for s, d in e:
+            incoming[d] += r[s] // out[s]
+        share = (
+            sum(r[n] for n in nodes if n not in out) // len(nodes)
+            if redistribute else 0
+        )
+        r = {n: base + (85 * (incoming[n] + share)) // 100 for n in nodes}
+    return r
+
+
+def test_redistribute_dangling_matches_python_reference(spark):
+    """VERDICT r6 item 5: the textbook variant splits each
+    iteration's dangling mass uniformly. Exact integer parity with a
+    pure-python mirror of the recurrence; ranks/scale within the
+    integer grid of float textbook PageRank."""
+    edges = [("a", "b"), ("b", "c"), ("d", "c"), ("c", "a"), ("e", "c")]
+    # c->a makes a cycle; e and d dangle after their single out-edge?
+    # no: d and e HAVE out-edges; add a true dangling sink
+    edges += [("a", "sink")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_int"] for r in
+           pagerank_integer(df, iterations=4, redistribute_dangling=True).collect()}
+    want = _py_pagerank_int(edges, 4, redistribute=True)
+    assert got == want
+
+    # float textbook power iteration (same 4 steps, uniform start)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out.setdefault(s, []).append(_)
+    fr = {n: 1.0 for n in nodes}
+    for _ in range(4):
+        inc = {n: 0.0 for n in nodes}
+        for s, d in set(edges):
+            inc[d] += fr[s] / len(out[s])
+        share = sum(fr[n] for n in nodes if n not in out) / len(nodes)
+        fr = {n: 0.15 + 0.85 * (inc[n] + share) for n in nodes}
+    for n in nodes:
+        assert abs(got[n] / 1e6 - fr[n]) < 1e-3, (n, got[n] / 1e6, fr[n])
+
+
+def test_redistribute_conserves_total_mass(spark):
+    """With redistribution, Σ rank stays ≈ N·scale (lost only to
+    integer-division remainders, bounded per iteration)."""
+    edges = [("a", "b"), ("b", "sink"), ("c", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    n = 4  # a b c sink
+    for it in (1, 3, 5):
+        tot = sum(
+            r["rank_int"]
+            for r in pagerank_integer(
+                df, iterations=it, redistribute_dangling=True
+            ).collect()
+        )
+        # per iteration each of N nodes can lose <1 unit to the div
+        # 100, plus N to the share div and one per contrib div
+        assert n * 1_000_000 - tot < it * (3 * n + len(edges)) * 100
+        assert tot <= n * 1_000_000
+
+
+def test_redistribute_default_off_unchanged(spark):
+    df = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+    a = sorted(map(tuple, pagerank_integer(df, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank_integer(
+        df, iterations=3, redistribute_dangling=False).collect()))
+    assert a == b
+
+
+def test_redistribute_no_python_udf(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    s = plan_stats(pagerank_integer(df, iterations=2, redistribute_dangling=True))
+    assert not s["has_python_udf"]

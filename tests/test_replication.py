@@ -150,3 +150,50 @@ def test_park_real_data_replication(spark):
     # the park regime is genuinely biased pre-debias (the paper's
     # premise for including it): disparity visible before DEMV
     assert base["disp_imp"] < 1.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DATA),
+    reason="reference data not available",
+)
+def test_adult_real_data_replication(spark):
+    """Third real-data regime (VERDICT r6 item 8): the REAL adult
+    table (BASELINE.md:41 — 32,561 × 15, binary income label, the
+    reference's LARGEST loader) through the driver-green recipe and
+    the same 10-fold logistic harness. As with park, the reference
+    publishes quality CSVs only for cmc, so the checks are the
+    paper's directional claims with the shared tolerance structure
+    (stat_par toward 0, disp_imp up, accuracy holds within 0.05) on
+    the sex=0 ∧ race=0 unprivileged pairing — bounding the
+    MLlib-vs-sklearn gap on the largest, most-cited regime."""
+    from demv_spark.operators.balancer import DEMV
+    from demv_spark.sources import recipes as R
+
+    data = R.load_adult(spark, f"{REF_DATA}/adult.data").cache()
+    cfg = R.FAIRNESS["adult"]
+    unpriv_group = cfg["unpriv"][2]              # {sex: 0, race: 0}
+    sensitive = list(unpriv_group)
+    unpriv = (F.col("sex") == 0) & (F.col("race") == 0)
+    features = [c for c in data.columns if c != cfg["label"]]
+
+    def run(debias=None):
+        clf = E.build_classifier("logistic", cfg["label"], "__features", 2)
+        per_fold = E.cross_val(
+            data, features, cfg["label"], clf,
+            unpriv=unpriv, positive_label=cfg["positive_label"],
+            sensitive=sensitive, k=10, debias=debias,
+        )
+        return {r["metric"]: r["mean"] for r in E.metrics_report(per_fold).collect()}
+
+    base = run()
+    demv = run(
+        lambda t: DEMV(sensitive, label=cfg["label"], seed=5).fit_transform(t)
+    )
+    assert abs(demv["stat_par"]) <= abs(base["stat_par"]) + 0.02
+    assert demv["disp_imp"] >= base["disp_imp"] - 0.02
+    assert demv["acc"] >= base["acc"] - 0.05
+    # adult's income bias against the (sex=0, race=0) group is the
+    # canonical fairness-benchmark premise: visible pre-debias
+    assert base["stat_par"] < 0
+    assert base["disp_imp"] < 1.0
