@@ -35,6 +35,14 @@ from demv_spark.operators.balancer import DEMV
 _R7_BIRTHS: list[str] = [
     "q_web_pagerank_redistribute",
     "q_stream_admission_log",
+    "q_cdc_snapshot",
+    "q_cdc_scd2",
+    "q_layout_zorder",
+    "q_privacy_k_anon",
+    "q_privacy_l_diversity",
+    "q_privacy_anon_report",
+    "q_dedup_dup_rate",
+    "q_dedup_best_of_cluster",
 ]
 
 
@@ -1255,6 +1263,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return admission_log_replay(batches)
 
     q["q_stream_admission_log"] = _stream_admission_log
+
+    # ---- CDC changelog compaction (round 7) ----
+    # the events table AS a changelog: key = user_id, change time =
+    # (ts, event_id), op derived deterministically from event_id
+    def _cdc_log(spark, sf):
+        return _t(spark, sf, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+            .when(F.col("event_id") % 3 == 0, F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("op"),
+        )
+
+    def _cdc_snapshot(spark, sf):
+        from demv_spark.operators.cdc import cdc_snapshot
+
+        return cdc_snapshot(
+            _cdc_log(spark, sf), ["user_id"], "ts", seq_col="event_id"
+        ).select("user_id", "ts", "event_id", "event_type", "value", "op")
+
+    q["q_cdc_snapshot"] = _cdc_snapshot
+
+    def _cdc_scd2(spark, sf):
+        from demv_spark.operators.cdc import scd2_history
+
+        return scd2_history(
+            _cdc_log(spark, sf), ["user_id"], "ts", seq_col="event_id"
+        ).select(
+            "user_id", "event_id", "op", "valid_from", "valid_to", "is_current"
+        )
+
+    q["q_cdc_scd2"] = _cdc_scd2
+
+    # ---- Z-order layout (round 7) ----
+    # Morton key over (customer bucket, order-day bucket) + the
+    # skip-effectiveness census a range-partitioned write would show:
+    # per z-prefix bucket, each dimension's min/max — the parquet
+    # footer stats predicate pushdown consults
+    def _layout_zorder(spark, sf):
+        from demv_spark.operators.layout import zorder_pruning_stats
+
+        d = _t(spark, sf, "orders").select(
+            F.pmod(F.col("o_custkey"), F.lit(1024)).alias("a"),
+            F.pmod(
+                F.expr("unix_timestamp(o_orderdate) div 86400"), F.lit(1024)
+            ).alias("b"),
+        )
+        return zorder_pruning_stats(d, ["a", "b"], bits=10, prefix_bits=4)
+
+    q["q_layout_zorder"] = _layout_zorder
+
+    # ---- structured-data privacy screens (round 7) ----
+    def _privacy_quasi(spark, sf):
+        return _t(spark, sf, "orders").select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.pmod(F.col("o_custkey"), F.lit(12)).alias("cust_bucket"),
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).alias("price_band"),
+        )
+
+    def _privacy_k_anon(spark, sf):
+        from demv_spark.operators.privacy import k_anonymity_census
+
+        return k_anonymity_census(
+            _privacy_quasi(spark, sf), ["status", "priority", "cust_bucket"], k=30
+        )
+
+    q["q_privacy_k_anon"] = _privacy_k_anon
+
+    def _privacy_l_diversity(spark, sf):
+        from demv_spark.operators.privacy import l_diversity_census
+
+        return l_diversity_census(
+            _privacy_quasi(spark, sf),
+            ["status", "priority", "cust_bucket"],
+            "price_band",
+            l=4,
+        )
+
+    q["q_privacy_l_diversity"] = _privacy_l_diversity
+
+    def _privacy_report(spark, sf):
+        from demv_spark.operators.privacy import anonymity_report
+
+        return anonymity_report(
+            _privacy_quasi(spark, sf),
+            ["status", "priority", "cust_bucket"],
+            ks=[10, 30, 100],
+        )
+
+    q["q_privacy_anon_report"] = _privacy_report
 
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
@@ -2792,6 +2891,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_clusters"] = _dedup_clusters
 
+    # ---- cross-corpus n-gram duplication rate (round 7) ----
+    # the C4/RefinedWeb "duplicated n-gram fraction" signal: integer
+    # (n_ngrams, n_shared) per doc; n=2 matches the containment row's
+    # shingle convention so the oracle shares its slice arithmetic
+    def _dedup_dup_rate(spark, sf):
+        return dedup.cross_doc_dup_rate(
+            _t(spark, sf, "documents"), n=2
+        )
+
+    q["q_dedup_dup_rate"] = _dedup_dup_rate
+
+    # ---- quality-canonical duplicate selection (round 7) ----
+    # same portable-LSH clusters as q_dedup_clusters, winner by
+    # (n_chars desc, doc_id asc) — production dedup keeps the BEST
+    # copy, not the smallest id
+    def _dedup_best_of_cluster(spark, sf):
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs_portable(
+            d, num_hashes=32, bands=8, shingle_n=3
+        )
+        clusters = dedup.duplicate_clusters(pairs)
+        return dedup.best_of_cluster(
+            clusters, d.select("doc_id", F.col("n_chars").alias("quality"))
+        )
+
+    q["q_dedup_best_of_cluster"] = _dedup_best_of_cluster
+
     # ---- driver verification-window ordering policy ----
     # The external driver value-checks only the FIRST 50 entries of
     # this dict in insertion order (observed: CORRECTNESS_r01.json has
@@ -3685,6 +3811,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
     """
+    o["q_dedup_dup_rate"] = rf"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh_all AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                               i -> array_to_string(t[i:i+1], ' ')))) AS sh
+            FROM toks
+        ),
+        cnt AS (SELECT sh, COUNT(*) AS dfc FROM sh_all GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM sh_all JOIN cnt USING (sh) GROUP BY 1
+    """
+    o["q_dedup_best_of_cluster"] = f"""
+        WITH RECURSIVE {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        cpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cpairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM cpairs
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        clus AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        m AS (
+            SELECT c.doc_id, c.cluster_id, d.n_chars AS quality
+            FROM clus c JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+        FROM m
+    """
     o["q_dedup_simhash_portable"] = f"""
         WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
         hl AS (
@@ -4036,6 +4209,98 @@ def oracle_sql() -> dict[str, str]:
                batch_id
         FROM rk
     """
+
+    # Z-order pruning census: the interleave expression is generated
+    # by the SAME loop as the Spark column (layout.zorder_key_sql),
+    # so the two bit layouts cannot drift
+    from demv_spark.operators.layout import zorder_key_sql as _zk_sql
+
+    o["q_layout_zorder"] = f"""
+        WITH d AS (
+            SELECT CAST(o_custkey % 1024 AS BIGINT) AS a,
+                   CAST((CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+                        % 1024 AS BIGINT) AS b
+            FROM orders
+        ), z AS (
+            SELECT a, b, CAST({_zk_sql(['a', 'b'], 10)} AS BIGINT) AS zk
+            FROM d
+        )
+        SELECT zk >> 16 AS bucket, COUNT(*) AS n,
+               MIN(a) AS min_a, MAX(a) AS max_a,
+               MIN(b) AS min_b, MAX(b) AS max_b
+        FROM z GROUP BY 1
+    """
+
+    # privacy screens: plain counting algebra over a derived quasi
+    # table; CAST truncation vs FLOOR handled explicitly (positive
+    # prices, FLOOR on both sides)
+    _privacy_quasi_sql = """
+        quasi AS (
+            SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                   CAST(o_custkey % 12 AS BIGINT) AS cust_bucket,
+                   CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_band
+            FROM orders
+        )"""
+    o["q_privacy_k_anon"] = (
+        "WITH" + _privacy_quasi_sql + """
+        SELECT status, priority, cust_bucket,
+               COUNT(*) AS n, COUNT(*) >= 30 AS anonymous
+        FROM quasi GROUP BY 1, 2, 3
+    """
+    )
+    o["q_privacy_l_diversity"] = (
+        "WITH" + _privacy_quasi_sql + """
+        SELECT status, priority, cust_bucket,
+               COUNT(*) AS n,
+               COUNT(DISTINCT price_band) AS n_sensitive,
+               COUNT(DISTINCT price_band) >= 4 AS diverse
+        FROM quasi GROUP BY 1, 2, 3
+    """
+    )
+    o["q_privacy_anon_report"] = (
+        "WITH" + _privacy_quasi_sql + """
+        , census AS (
+            SELECT COUNT(*) AS n FROM quasi GROUP BY status, priority, cust_bucket
+        )
+        SELECT k, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+               CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_below
+        FROM census CROSS JOIN (VALUES (CAST(10 AS BIGINT)), (30), (100)) ks(k)
+        GROUP BY k
+    """
+    )
+
+    # CDC compaction: latest-wins row_number over (ts, event_id) desc
+    _cdc_log_sql = """
+        log AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN event_id % 7 = 0 THEN 'delete'
+                        WHEN event_id % 3 = 0 THEN 'update'
+                        ELSE 'insert' END AS op
+            FROM events
+        )"""
+    o["q_cdc_snapshot"] = (
+        "WITH" + _cdc_log_sql + """
+        SELECT user_id, ts, event_id, event_type, value, op FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log
+        ) WHERE rn = 1 AND op <> 'delete'
+    """
+    )
+    o["q_cdc_scd2"] = (
+        "WITH" + _cdc_log_sql + """
+        SELECT user_id, event_id, op,
+               ts AS valid_from,
+               next_ts AS valid_to,
+               next_ts IS NULL AS is_current
+        FROM (
+            SELECT *, LEAD(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM log
+        ) WHERE op <> 'delete'
+    """
+    )
 
     # PQ top-k: the whole chain — global-grid codes, seed codebook,
     # per-sub argmin encode, ADC integer distance, rank — re-derived

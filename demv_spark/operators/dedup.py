@@ -1059,3 +1059,80 @@ def incremental_admission(
         .otherwise(F.lit("admitted"))
     )
     return j.select(*batch.columns, verdict.alias(verdict_col))
+
+
+def cross_doc_dup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram duplication: of the doc's
+    DISTINCT word n-grams, how many occur in at least one OTHER
+    document — the C4/RefinedWeb "duplicated n-gram fraction"
+    curation signal (docs that mostly restate corpus-common text are
+    boilerplate/spam candidates even when no single pair clears a
+    near-dup threshold). Returns (id, n_ngrams, n_shared) as exact
+    integers; divide downstream for the rate. Docs with fewer than
+    ``n`` tokens have no n-grams and are absent (the family's
+    convention, same as ngram_containment_pairs).
+
+    Plan: distinct (doc, shingle) explode (linear) → document-
+    frequency via a count window over the shingle key → per-doc
+    re-aggregate. Two shuffles total; the window keeps rows so the
+    shingle exchange feeds the shared-flag directly (the
+    ngram_jaccard_pairs lesson: a census + re-join would shuffle the
+    shingle set twice more). No pair explosion anywhere — cost is
+    linear in total distinct shingle occurrences at any corpus size."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"),
+    )
+    w = Window.partitionBy("__sh")
+    flagged = sh.withColumn(
+        "__shared", (F.count(F.lit(1)).over(w) >= 2).cast("long")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("__shared").alias("n_shared"),
+    )
+
+
+def best_of_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Per-cluster canonical selection by QUALITY: production dedup
+    keeps the BEST copy of a duplicate group, not the smallest id —
+    e.g. the longest / highest-quality-score variant of a mirrored
+    page. Winner = (max quality, tie → min id); returns every cluster
+    member as (doc_id, cluster_id, quality, keep) so both the
+    keep-set and the drop-set are one filter away.
+
+    ``clusters`` is ``duplicate_clusters`` output (doc_id,
+    cluster_id); ``quality`` is any (id, quality) table — ints or
+    floats (ints recommended for cross-engine exactness). Plan: one
+    id-keyed join of membership to quality, then a partial-aggregate
+    argmax per cluster (max_by on a (quality, -id) struct — the
+    linkage best-match pattern, NOT a window: the shuffle carries one
+    partial winner per cluster per map task) joined back to flag
+    members. Rows of ``clusters`` with no quality row are dropped
+    (inner join) — score everything upstream."""
+    qd = quality.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+    )
+    m = clusters.join(qd, "doc_id")
+    winners = m.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("__winner")
+    )
+    return (
+        m.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("doc_id") == F.col("__winner")).alias("keep"),
+        )
+    )

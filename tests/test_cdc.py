@@ -1,0 +1,72 @@
+"""CDC changelog compaction: latest-wins snapshot + SCD2 history."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators.cdc import cdc_snapshot, scd2_history
+from demv_spark.plans.introspect import plan_stats
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # key 1: insert -> update -> update       (live, v3 wins)
+    # key 2: insert -> delete                 (gone)
+    # key 3: insert -> delete -> insert       (resurrected, v3 wins)
+    # key 4: insert only                      (live)
+    rows = [
+        (1, 10, "insert", "a1"), (1, 20, "update", "a2"), (1, 30, "update", "a3"),
+        (2, 10, "insert", "b1"), (2, 25, "delete", "b1"),
+        (3, 10, "insert", "c1"), (3, 20, "delete", "c1"), (3, 30, "insert", "c2"),
+        (4, 15, "insert", "d1"),
+    ]
+    return spark.createDataFrame(rows, "k long, ts long, op string, v string")
+
+
+def test_snapshot_latest_wins_and_delete_drops(log):
+    got = {r["k"]: (r["v"], r["ts"]) for r in
+           cdc_snapshot(log, ["k"], "ts").collect()}
+    assert got == {1: ("a3", 30), 3: ("c2", 30), 4: ("d1", 15)}
+
+
+def test_snapshot_seq_breaks_ts_ties(spark):
+    rows = [(1, 10, 1, "insert", "x"), (1, 10, 2, "update", "y")]
+    log = spark.createDataFrame(rows, "k long, ts long, seq long, op string, v string")
+    got = cdc_snapshot(log, ["k"], "ts", seq_col="seq").collect()
+    assert len(got) == 1 and got[0]["v"] == "y"
+
+
+def test_scd2_intervals(log):
+    got = {
+        (r["k"], r["valid_from"]): (r["valid_to"], r["is_current"], r["v"])
+        for r in scd2_history(log, ["k"], "ts").collect()
+    }
+    assert got[(1, 10)] == (20, False, "a1")
+    assert got[(1, 20)] == (30, False, "a2")
+    assert got[(1, 30)] == (None, True, "a3")
+    # delete closes key 2's interval but emits no row itself
+    assert got[(2, 10)] == (25, False, "b1")
+    assert (2, 25) not in got
+    # resurrection: c1 closed by the delete, c2 open
+    assert got[(3, 10)] == (20, False, "c1")
+    assert got[(3, 30)] == (None, True, "c2")
+    assert got[(4, 15)] == (None, True, "d1")
+
+
+def test_scd2_current_equals_snapshot(log):
+    snap = {(r["k"], r["v"]) for r in cdc_snapshot(log, ["k"], "ts").collect()}
+    cur = {(r["k"], r["v"]) for r in
+           scd2_history(log, ["k"], "ts").filter("is_current").collect()}
+    assert snap == cur
+
+
+def test_one_shuffle_no_python_udf(log):
+    s = plan_stats(cdc_snapshot(log, ["k"], "ts"))
+    assert not s["has_python_udf"]
+    s2 = plan_stats(scd2_history(log, ["k"], "ts"))
+    assert not s2["has_python_udf"]
+
+
+def test_deterministic_under_repartition(log):
+    a = sorted(map(tuple, cdc_snapshot(log, ["k"], "ts").collect()))
+    b = sorted(map(tuple, cdc_snapshot(log.repartition(7), ["k"], "ts").collect()))
+    assert a == b

@@ -149,3 +149,77 @@ def test_incremental_admission_idempotent_across_reruns(spark):
     store2 = store.union(admitted)
     second = incremental_admission(batch, store2)
     assert second.filter("verdict = 'admitted'").count() == 0
+
+
+def test_cross_doc_dup_rate_hand_computed(spark):
+    from demv_spark.operators.dedup import cross_doc_dup_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # bigrams: the cat, cat sat, sat on, on the, the mat
+            (2, "the cat ran"),                   # the cat, cat ran
+            (3, "a dog sat on the mat"),          # a dog, dog sat, sat on, on the, the mat
+            (4, "zz"),                            # < 2 tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_shared"]) for r in
+           cross_doc_dup_rate(docs, n=2).collect()}
+    # doc1: 5 distinct bigrams; shared: "the cat"(d2), "sat on"(d3),
+    # "on the"(d3), "the mat"(d3) -> 4
+    assert got[1] == (5, 4)
+    assert got[2] == (2, 1)       # "the cat"
+    assert got[3] == (5, 3)       # sat on, on the, the mat
+    assert 4 not in got
+
+
+def test_cross_doc_dup_rate_duplicate_ngrams_within_doc_count_once(spark):
+    from demv_spark.operators.dedup import cross_doc_dup_rate
+
+    docs = spark.createDataFrame(
+        [(1, "go go go go"), (2, "go go")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_shared"]) for r in
+           cross_doc_dup_rate(docs, n=2).collect()}
+    # doc1 has one DISTINCT bigram "go go" (appearing 3x) -> counts once
+    assert got[1] == (1, 1) and got[2] == (1, 1)
+
+
+def test_best_of_cluster_quality_argmax(spark):
+    from demv_spark.operators.dedup import best_of_cluster, duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(pairs)
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 1), (11, 1)],
+        "doc_id long, quality long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           best_of_cluster(clusters, quality).collect()}
+    # cluster {1,2,3}: max quality 9 tied between 2 and 3 -> min id 2
+    assert got[1] == (1, False) and got[2] == (1, True) and got[3] == (1, False)
+    # cluster {10,11}: tie -> 10
+    assert got[10] == (10, True) and got[11] == (10, False)
+
+
+def test_best_of_cluster_deterministic_and_no_udf(spark):
+    from demv_spark.operators.dedup import best_of_cluster, duplicate_clusters
+    from demv_spark.plans.introspect import plan_stats
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(0, 40, 2)],
+                                  "id_a long, id_b long")
+    quality = spark.createDataFrame([(i, i % 7) for i in range(50)],
+                                    "doc_id long, quality long")
+    clusters = duplicate_clusters(pairs)
+    a = sorted(map(tuple, best_of_cluster(clusters, quality).collect()))
+    b = sorted(map(tuple, best_of_cluster(
+        clusters.repartition(5), quality.repartition(3)).collect()))
+    assert a == b
+    assert not plan_stats(best_of_cluster(clusters, quality))["has_python_udf"]
+    # exactly one keep per cluster
+    from collections import Counter
+    keeps = Counter(r[1] for r in a if r[3])
+    assert all(v == 1 for v in keeps.values())
