@@ -43,6 +43,8 @@ _R7_BIRTHS: list[str] = [
     "q_privacy_anon_report",
     "q_dedup_dup_rate",
     "q_dedup_best_of_cluster",
+    "q_corpus_pack_sequences",
+    "q_etl_grouped_corr",
 ]
 
 
@@ -1354,6 +1356,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_privacy_anon_report"] = _privacy_report
+
+    # ---- GPT-style sequence packing (round 7) ----
+    # every doc's exact coordinates in the concatenated-and-cut
+    # training layout: 4 hash shards, 2048-token sequences, offsets
+    # as exact per-shard prefix sums in portable-hash order
+    def _corpus_pack_sequences(spark, sf):
+        from demv_spark.operators.corpus import assign_sequences
+        from demv_spark.operators.text import token_count
+
+        d = token_count(_t(spark, sf, "documents"), "text", "n_tokens")
+        return assign_sequences(
+            d.select("doc_id", "n_tokens"),
+            "n_tokens", seq_len=2048, key_cols=["doc_id"], n_shards=4,
+        )
+
+    q["q_corpus_pack_sequences"] = _corpus_pack_sequences
+
+    # ---- exact grouped correlation components (round 7) ----
+    def _etl_grouped_corr(spark, sf):
+        from demv_spark.operators.etl import grouped_corr
+
+        return grouped_corr(
+            _t(spark, sf, "lineitem"),
+            ["l_returnflag"], "l_quantity", "l_extendedprice",
+        )
+
+    q["q_etl_grouped_corr"] = _etl_grouped_corr
 
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
@@ -4229,6 +4258,50 @@ def oracle_sql() -> dict[str, str]:
                MIN(a) AS min_a, MAX(a) AS max_a,
                MIN(b) AS min_b, MAX(b) AS max_b
         FROM z GROUP BY 1
+    """
+
+    # sequence packing: the same md5 shard hash as shard_assignment,
+    # exclusive prefix sums via ROWS window, integer div coordinates
+    o["q_corpus_pack_sequences"] = rf"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len({_toks}) AS BIGINT) AS n_tokens,
+                   CAST(concat('0x', substr(md5(
+                       concat_ws(':', 'pack42', CAST(doc_id AS VARCHAR))
+                   ), 1, 15)) AS BIGINT) AS hv
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, n_tokens,
+                   CAST(hv % 4 AS INTEGER) AS shard,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY hv % 4 ORDER BY hv, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS token_offset
+            FROM d
+        )
+        SELECT doc_id, n_tokens, shard, token_offset,
+               token_offset // 2048 AS seq_first,
+               (CASE WHEN n_tokens > 0 THEN token_offset + n_tokens - 1
+                     ELSE token_offset END) // 2048 AS seq_last,
+               token_offset % 2048 AS offset_in_seq
+        FROM sh
+    """
+
+    # grouped correlation: sufficient statistics via decimal-stable
+    # sums (the sqrt stays outside the hash surface)
+    from demv_spark.functions.compat import sql_stable_sum as _sss
+
+    o["q_etl_grouped_corr"] = f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {_sss('l_quantity')} AS sum_x,
+               {_sss('l_extendedprice')} AS sum_y,
+               {_sss('l_quantity * l_quantity')} AS sum_xx,
+               {_sss('l_extendedprice * l_extendedprice')} AS sum_yy,
+               {_sss('l_quantity * l_extendedprice')} AS sum_xy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY 1
     """
 
     # privacy screens: plain counting algebra over a derived quasi

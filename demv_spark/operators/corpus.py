@@ -592,3 +592,69 @@ def corpus_diff_census(
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def assign_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    key_cols: Sequence[str],
+    n_shards: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's
+    tokens in a deterministic per-shard order and cut the stream
+    every ``seq_len`` tokens — documents SPAN sequence boundaries
+    (the standard causal-LM pretraining layout; packing_efficiency
+    is the no-split planner for the padded alternative). Each doc
+    gets its exact coordinates in that layout:
+
+      shard         portable_hash(seed:keys) mod n_shards (the
+                    shard_assignment convention — stable, balanced)
+      token_offset  tokens before it in its shard's stream
+      seq_first     token_offset div seq_len
+      seq_last      (token_offset + n_tokens − 1) div seq_len
+                    (= seq_first for empty docs: zero tokens occupy
+                    no space but keep an auditable coordinate)
+      offset_in_seq token_offset mod seq_len
+
+    All integers — a training loader can slice any sequence id
+    directly from the shard files without replaying the stream, and
+    a resumed run reproduces identical batches.
+
+    Scale shape: ONE shuffle (the per-shard cumulative-sum window,
+    hash-balanced like shard_assignment's rank; same n_shards sizing
+    guidance). Cumulative sums are int64: a shard would need 2^63
+    tokens to overflow."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    h = portable_hash(
+        F.concat_ws(
+            ":", F.lit(f"pack{seed}"),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    out = df.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nt = F.col(tokens_col).cast("long")
+    out = out.withColumn(
+        "token_offset",
+        F.coalesce(F.sum(nt).over(w), F.lit(0)).cast("long"),
+    )
+    off = F.col("token_offset")
+    last_tok = F.when(nt > 0, off + nt - 1).otherwise(off).cast("long")
+    return (
+        out.withColumn("__last_tok", last_tok)
+        .withColumn("seq_first", F.expr(f"token_offset div {int(seq_len)}"))
+        .withColumn("seq_last", F.expr(f"__last_tok div {int(seq_len)}"))
+        .withColumn(
+            "offset_in_seq", F.pmod(off, F.lit(int(seq_len))).cast("long")
+        )
+        .drop("__last_tok")
+    )

@@ -651,3 +651,36 @@ def winsorized_clip(
         )
         .drop("__lo", "__hi")
     )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group Pearson components — the feature-screening
+    aggregate (which numeric features co-move, per segment) emitted
+    as its sufficient statistics: (n, Σx, Σy, Σx², Σy², Σxy), all
+    decimal-stable so every double is bit-identical across engines
+    and partitionings. The correlation itself is
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²))`` — one
+    driver-side (or downstream-column) step; the sqrt is the only
+    non-rational op and is deliberately outside the oracle-hash
+    surface. Rows where either side is NULL are excluded (pairwise-
+    complete, the pandas/DuckDB corr convention). ONE aggregation
+    pass, partial map-side combine — the cheapest possible shape at
+    any scale."""
+    from demv_spark.functions.compat import stable_sum
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    scoped = df.filter(x.isNotNull() & y.isNotNull())
+    return scoped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum(x).alias("sum_x"),
+        stable_sum(y).alias("sum_y"),
+        stable_sum(x * x).alias("sum_xx"),
+        stable_sum(y * y).alias("sum_yy"),
+        stable_sum(x * y).alias("sum_xy"),
+    )

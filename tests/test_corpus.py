@@ -347,3 +347,76 @@ def test_corpus_diff_properties_random_snapshots(spark):
     assert rev == {k: flip[v] for k, v in fwd.items()}
     self_diff = corpus.corpus_diff(old, old, ["doc_id"]).collect()
     assert all(r["verdict"] == "unchanged" for r in self_diff)
+
+
+def test_assign_sequences_hand_computed(spark):
+    """Single shard: offsets are exact prefix sums in portable-hash
+    order; docs span sequence boundaries; empty docs occupy nothing."""
+    from demv_spark.operators.corpus import assign_sequences
+    from demv_spark.functions.compat import portable_hash
+
+    df = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 0), (4, 10)], "doc_id long, n_tokens long"
+    )
+    out = assign_sequences(df, "n_tokens", seq_len=8, key_cols=["doc_id"]).collect()
+    # reconstruct the hash order driver-side
+    order = [
+        r["doc_id"]
+        for r in df.select(
+            "doc_id",
+            portable_hash(
+                F.concat_ws(":", F.lit("pack42"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        ).orderBy("h", "doc_id").collect()
+    ]
+    toks = {1: 6, 2: 3, 3: 0, 4: 10}
+    offset, want = 0, {}
+    for d in order:
+        nt = toks[d]
+        last = offset + nt - 1 if nt > 0 else offset
+        want[d] = (offset, offset // 8, last // 8, offset % 8)
+        offset += nt
+    got = {
+        r["doc_id"]: (r["token_offset"], r["seq_first"], r["seq_last"],
+                      r["offset_in_seq"])
+        for r in out
+    }
+    assert got == want
+    # total stream length: 19 tokens -> last sequence id is 2
+    assert max(r["seq_last"] for r in out) == (19 - 1) // 8
+
+
+def test_assign_sequences_multi_shard_deterministic(spark):
+    from demv_spark.operators.corpus import assign_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("n_tokens")
+    )
+    a = sorted(map(tuple, assign_sequences(
+        df, "n_tokens", 128, ["doc_id"], n_shards=4).collect()))
+    b = sorted(map(tuple, assign_sequences(
+        df.repartition(7), "n_tokens", 128, ["doc_id"], n_shards=4).collect()))
+    assert a == b
+    # per-shard offsets are dense prefix sums: within a shard, sorting
+    # by token_offset gives consecutive non-overlapping spans
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in assign_sequences(df, "n_tokens", 128, ["doc_id"], n_shards=4).collect():
+        by_shard[r["shard"]].append((r["token_offset"], r["n_tokens"]))
+    for rows in by_shard.values():
+        rows.sort()
+        pos = 0
+        for off, nt in rows:
+            assert off == pos
+            pos += nt
+
+
+def test_assign_sequences_guards(spark):
+    from demv_spark.operators.corpus import assign_sequences
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seq_len"):
+        assign_sequences(df, "n_tokens", 0, ["doc_id"])
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_sequences(df, "n_tokens", 8, ["doc_id"], n_shards=0)

@@ -340,3 +340,50 @@ def test_mad_winsorize_target_encode_null_keys_and_all_null_targets(spark):
     assert got["c"] == int(Fraction(1_000_000) * 3 / 6)
     # a: s=1, n=2, S=1, N=2 → (1·2 + 3·1)/(2·(2+3)) = 1/2
     assert got["a"] == int(Fraction(1_000_000) * (1 * 2 + 3 * 1) / (2 * 5))
+
+
+def test_grouped_corr_components_match_numpy(spark):
+    import numpy as np
+
+    from demv_spark.operators.etl import grouped_corr
+
+    rows = [("a", float(i), float(2 * i + (i % 3))) for i in range(50)]
+    rows += [("b", float(i), float(-i)) for i in range(30)]
+    rows += [("a", None, 1.0), ("b", 2.0, None)]     # pairwise-dropped
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in grouped_corr(df, ["g"], "x", "y").collect()}
+    # hand reconstruction
+    import math
+    for g in ("a", "b"):
+        pts = [(x, y) for gg, x, y in rows if gg == g and x is not None and y is not None]
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts); syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        r = got[g]
+        assert r["n"] == n
+        assert r["sum_x"] == pytest.approx(sx, rel=1e-12)
+        assert r["sum_xy"] == pytest.approx(sxy, rel=1e-12)
+        # assembled correlation matches numpy corrcoef
+        num = n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        den = math.sqrt((n * r["sum_xx"] - r["sum_x"] ** 2)
+                        * (n * r["sum_yy"] - r["sum_y"] ** 2))
+        want = np.corrcoef([p[0] for p in pts], [p[1] for p in pts])[0, 1]
+        assert num / den == pytest.approx(want, abs=1e-9)
+    # b is perfectly anti-correlated
+    rb = got["b"]
+    numb = rb["n"] * rb["sum_xy"] - rb["sum_x"] * rb["sum_y"]
+    assert numb < 0
+
+
+def test_grouped_corr_deterministic_under_repartition(spark):
+    from demv_spark.operators.etl import grouped_corr
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"),
+        (F.rand(7) * 100).alias("x"),
+        (F.rand(8) * 100).alias("y"),
+    ).cache()
+    a = sorted(map(tuple, grouped_corr(df, ["g"], "x", "y").collect()))
+    b = sorted(map(tuple, grouped_corr(df.repartition(13), ["g"], "x", "y").collect()))
+    assert a == b       # bit-identical doubles, not approx
