@@ -45,6 +45,8 @@ _R7_BIRTHS: list[str] = [
     "q_dedup_best_of_cluster",
     "q_corpus_pack_sequences",
     "q_etl_grouped_corr",
+    "q_text_dedup_lines",
+    "q_sim_rrf_fusion",
 ]
 
 
@@ -1383,6 +1385,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_etl_grouped_corr"] = _etl_grouped_corr
+
+    # ---- intra-document line dedup (round 7) ----
+    # planted repeated boilerplate lines: every doc becomes
+    # [text, NAV, prefix, NAV, text] — dedup keeps the first NAV and
+    # first text only; the repeat ratio is the spam signal
+    def _text_dedup_lines(spark, sf):
+        from demv_spark.operators.text import dedup_lines
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("NAV | HOME | ABOUT"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 24),
+                F.lit("NAV | HOME | ABOUT"),
+                F.coalesce(F.col("text"), F.lit("")),
+            ).alias("text"),
+        )
+        return dedup_lines(d).select(
+            "doc_id", "n_lines", "n_unique", "text_dedup"
+        )
+
+    q["q_text_dedup_lines"] = _text_dedup_lines
+
+    # ---- hybrid-retrieval rank fusion (round 7) ----
+    # RRF over the two shipped ANN rankers (int8 cosine + PQ/ADC):
+    # the fused fixed-point score hashes exactly because each
+    # reciprocal is one IEEE div and the terms add in a fixed order
+    def _sim_rrf_fusion(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        qz = similarity.quantized_cosine_topk(queries, emb, dim=64, k=10)
+        cents = similarity.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
+        pq = similarity.pq_topk_fixed(queries, emb, cents, k=10)
+        return similarity.rrf_fuse([qz, pq], k=60, top_k=10).select(
+            "query_id", "neighbor_id", "rrf_fx", "rank"
+        )
+
+    q["q_sim_rrf_fusion"] = _sim_rrf_fusion
 
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
@@ -4287,6 +4329,33 @@ def oracle_sql() -> dict[str, str]:
         FROM sh
     """
 
+    # intra-doc line dedup: first-occurrence filter via list_position
+    # (= Spark array_distinct's keep-first order, pinned in pytest)
+    o["q_text_dedup_lines"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       coalesce(text, ''),
+                       'NAV | HOME | ABOUT',
+                       substr(coalesce(text, ''), 1, 24),
+                       'NAV | HOME | ABOUT',
+                       coalesce(text, '')) AS text
+            FROM documents
+        ), ls AS (
+            SELECT doc_id, string_split(text, chr(10)) AS l FROM d
+        )
+        SELECT doc_id,
+               CAST(len(l) AS INTEGER) AS n_lines,
+               CAST(len(list_distinct(l)) AS INTEGER) AS n_unique,
+               array_to_string(
+                   list_transform(
+                       list_filter(range(1, len(l) + 1),
+                                   i -> list_position(l, l[i]) = i),
+                       i -> l[i]),
+                   chr(10)) AS text_dedup
+        FROM ls
+    """
+
     # grouped correlation: sufficient statistics via decimal-stable
     # sums (the sqrt stays outside the hash surface)
     from demv_spark.functions.compat import sql_stable_sum as _sss
@@ -4659,6 +4728,34 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         )
         SELECT doc_id, domain, CAST(rn <= 10 AS INT) AS admitted FROM r
+    """
+
+    # RRF hybrid fusion: the two ANN oracles nest as CTE subqueries
+    # (one source of truth — the component rankings cannot drift from
+    # their own oracle rows); reciprocals added in the SAME fixed
+    # order as the Spark expression, floor to the shared 1e12 grid
+    o["q_sim_rrf_fusion"] = f"""
+        WITH qz AS ({o["q_sim_quantized_topk"]}),
+        pq AS ({o["q_sim_pq_topk"]}),
+        f AS (
+            SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                   COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                   (CASE WHEN a.rank IS NOT NULL
+                         THEN 1.0 / (60.0 + a.rank) ELSE 0.0 END
+                  + CASE WHEN b.rank IS NOT NULL
+                         THEN 1.0 / (60.0 + b.rank) ELSE 0.0 END) AS s
+            FROM qz a FULL OUTER JOIN pq b
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rrf_fx, rank FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(FLOOR(s * 1e12) AS BIGINT) AS rrf_fx,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(FLOOR(s * 1e12) AS BIGINT) DESC,
+                                neighbor_id ASC) AS INTEGER) AS rank
+            FROM f
+        ) WHERE rank <= 10
     """
 
     o["q_corpus_split_hash"] = """

@@ -150,6 +150,21 @@ HEADLINE = [
     "q_web_pagerank_redistribute",
     # round-7: 3-batch replayed admission log (derived-store fold)
     "q_stream_admission_log",
+    # round-7 third wave: CDC latest-wins compaction (one key
+    # shuffle), Z-order pruning census (map-only key + one agg),
+    # k-anonymity census, cross-doc duplicated-ngram rate (window DF
+    # census), quality-argmax cluster canonicalization, GPT sequence
+    # packing (per-shard prefix sums), exact grouped correlation
+    # components, intra-doc line dedup (map-only), RRF hybrid fusion
+    "q_cdc_snapshot",
+    "q_layout_zorder",
+    "q_privacy_k_anon",
+    "q_dedup_dup_rate",
+    "q_dedup_best_of_cluster",
+    "q_corpus_pack_sequences",
+    "q_etl_grouped_corr",
+    "q_text_dedup_lines",
+    "q_sim_rrf_fusion",
 ]
 
 

@@ -1116,3 +1116,60 @@ def ivfpq_topk_fixed(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    top_k: "int | None" = None,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-
+    retrieval combiner: fuse N per-query rankings (BM25, dense ANN,
+    …) into one by ``score = Σ_r 1/(k + rank_r)``, candidates missing
+    from a ranking contribute nothing. Returns (query_id,
+    neighbor_id, rrf_fx, rank): ``rrf_fx`` = floor(score·1e12) — the
+    reciprocals are single IEEE divisions added in a FIXED order (one
+    coalesced term per input ranking, never a SUM aggregation), so
+    the double is bit-identical across engines/partitionings and the
+    scaled-int emission hashes exactly. Final rank by (score desc,
+    id asc); ``top_k`` truncates per query.
+
+    Plan: N−1 full-outer joins on (query, id) — each ranking is
+    already top-k-per-query sized (k·|Q| rows), so the joins are
+    candidate-sized, never corpus-sized — plus one per-query rank
+    window. Inputs must be 1-indexed ranks (the module's convention
+    throughout)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    sides = []
+    for i, r in enumerate(rankings):
+        sides.append(
+            r.select(
+                F.col(query_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.col(rank_col).cast("long").alias(f"__r{i}"),
+            )
+        )
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, ["query_id", "neighbor_id"], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    fused = fused.withColumn(
+        "rrf_fx", F.floor(score * F.lit(1e12)).cast("long")
+    ).drop(*[f"__r{i}" for i in range(len(sides))])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_fx").desc(), F.col("neighbor_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("int"))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out

@@ -1228,3 +1228,29 @@ def packing_efficiency(
         F.when(F.col("n_slots") > 0, F.col("n_tokens") / F.col("n_slots"))
         .alias("util"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_dedup",
+) -> DataFrame:
+    """Intra-document line dedup — drop every repeat of a line within
+    one document, keeping first occurrences in order (the curation
+    pass that strips repeated nav/boilerplate/chorus lines that
+    survive document-level dedup because each DOCUMENT is unique).
+    Adds ``n_lines``, ``n_unique`` (the repeat ratio is their
+    quotient — a strong spam signal on its own) and the deduped text.
+
+    MAP-ONLY: split + array_distinct + array_join in codegen —
+    ``array_distinct`` keeps first-occurrence order (pinned in
+    tests), which is exactly the keep-first rule. NULL text is
+    canonically '' (one empty line), matching the module's NULL
+    convention."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    uniq = F.array_distinct(lines)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_unique", F.size(uniq))
+        .withColumn(out, F.array_join(uniq, "\n"))
+    )

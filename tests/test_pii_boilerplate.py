@@ -190,3 +190,32 @@ def test_redact_identity_when_no_pii(spark):
     got = {r["doc_id"]: r["text_redacted"] for r in pii.redact_pii(df).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == text, doc_id
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from demv_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nnav bar\nbeta\nnav bar\nalpha\ngamma"),
+            (2, "only one line"),
+            (3, None),
+            (4, "x\n\nx\n\ny"),   # blank lines dedupe too
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_unique"], r["text_dedup"])
+           for r in dedup_lines(df).collect()}
+    assert got[1] == (6, 4, "alpha\nnav bar\nbeta\ngamma")
+    assert got[2] == (1, 1, "only one line")
+    assert got[3] == (1, 1, "")
+    assert got[4] == (5, 3, "x\n\ny")
+
+
+def test_dedup_lines_map_only(spark):
+    from demv_spark.operators.text import dedup_lines
+    from demv_spark.plans.introspect import plan_stats
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    s = plan_stats(dedup_lines(df))
+    assert not s["has_python_udf"]

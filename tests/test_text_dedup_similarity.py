@@ -1266,3 +1266,65 @@ def test_pq_and_ivfpq_query_broadcast_cap(spark):
     cells = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     with _pytest.raises(ValueError, match="ivfpq_topk_fixed.*max_query_rows"):
         S.ivfpq_topk_fixed(df, df, cells, cents, k=2, max_query_rows=4)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from demv_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r["neighbor_id"]: (r["rrf_fx"], r["rank"])
+           for r in rrf_fuse([r1, r2], k=60).collect()}
+    import math
+    def fx(*ranks):
+        s = 0.0
+        for r in ranks:
+            s += 1.0 / (60.0 + r)
+        return math.floor(s * 1e12)
+    # 11 appears in both (ranks 2,1) -> highest fused score
+    assert got[11] == (fx(2, 1), 1)
+    assert got[10] == (fx(1), 2)
+    assert got[13] == (fx(2), 3)
+    assert got[12] == (fx(3), 4)
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from demv_spark.operators.similarity import rrf_fuse
+
+    # two candidates with identical contributions -> id asc breaks tie
+    r1 = spark.createDataFrame(
+        [(0, 5, 1), (0, 3, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    out = rrf_fuse([r1.filter("neighbor_id = 5"), r1.filter("neighbor_id = 3")],
+                   k=60, top_k=1).collect()
+    assert len(out) == 1 and out[0]["neighbor_id"] == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no rankings"):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_three_rankers_deterministic(spark):
+    from demv_spark.operators.similarity import rrf_fuse
+
+    import random
+    rnd = random.Random(4)
+    frames = []
+    for _ in range(3):
+        rows = []
+        for q in range(5):
+            ids = rnd.sample(range(100), 10)
+            rows += [(q, i, r + 1) for r, i in enumerate(ids)]
+        frames.append(spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int"))
+    a = sorted(map(tuple, rrf_fuse(frames, top_k=5).collect()))
+    b = sorted(map(tuple, rrf_fuse(
+        [f.repartition(3) for f in frames], top_k=5).collect()))
+    assert a == b
+    assert len(a) == 25
