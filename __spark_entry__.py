@@ -47,6 +47,7 @@ _R7_BIRTHS: list[str] = [
     "q_etl_grouped_corr",
     "q_text_dedup_lines",
     "q_sim_rrf_fusion",
+    "q_web_hits",
 ]
 
 
@@ -1425,6 +1426,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_sim_rrf_fusion"] = _sim_rrf_fusion
+
+    # ---- HITS hubs & authorities (round 7) ----
+    # same link fixture as q_web_pagerank; 4 max-normalized
+    # integer-exact iterations
+    def _web_hits(spark, sf):
+        from demv_spark.operators.graph import hits_integer
+
+        d = _t(spark, sf, "documents")
+        fwd = d.select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+            F.lower("source").alias("dst"),
+        )
+        return hits_integer(fwd.unionByName(back), iterations=4)
+
+    q["q_web_hits"] = _web_hits
 
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
@@ -4205,6 +4225,58 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
         + """
         SELECT node, rank_int FROM r5
+    """
+    )
+
+    # HITS: the max-normalized half-steps unroll — auth from current
+    # hubs, hubs from the NEW auths, each rescaled x·scale//max (the
+    # GREATEST(…,1) guard matches Spark's mx<=0 passthrough: both
+    # leave an all-zero vector untouched)
+    _hits_iter = """
+        a{i} AS (
+            SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(h.hub) AS v
+                FROM e JOIN hn{p} h ON h.node = e.src GROUP BY 1
+            ) s ON s.node = n.node
+        ),
+        an{i} AS (
+            SELECT node, CAST((auth * 1000000)
+                // GREATEST(MAX(auth) OVER (), 1) AS BIGINT) AS auth
+            FROM a{i}
+        ),
+        h{i} AS (
+            SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, SUM(a.auth) AS v
+                FROM e JOIN an{i} a ON a.node = e.dst GROUP BY 1
+            ) s ON s.node = n.node
+        ),
+        hn{i} AS (
+            SELECT node, CAST((hub * 1000000)
+                // GREATEST(MAX(hub) OVER (), 1) AS BIGINT) AS hub
+            FROM h{i}
+        )"""
+    o["q_web_hits"] = (
+        """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lower(source) AS src,
+                       'hub' || CAST(doc_id % 7 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'hub' || CAST(doc_id % 7 AS VARCHAR),
+                       lower(source)
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        hn0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),"""
+        + ",".join(_hits_iter.format(i=i, p=i - 1) for i in range(1, 5))
+        + """
+        SELECT n.node, a.auth AS auth_int, h.hub AS hub_int
+        FROM nodes n JOIN an4 a ON a.node = n.node
+                     JOIN hn4 h ON h.node = n.node
     """
     )
 

@@ -156,3 +156,85 @@ def pagerank_integer(
                 )
             )
     return ranks
+
+
+def hits_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) — the
+    complementary authority signal to PageRank for crawl-frontier
+    scoring: a good HUB links many good authorities (directory/index
+    pages), a good AUTHORITY is linked by many good hubs. Returns
+    (node, auth_int, hub_int) on the ``scale`` grid for every node on
+    either edge side.
+
+    Exactness: the textbook L2 normalization is irrational, so each
+    half-step MAX-normalizes instead — ``x·scale div max`` — keeping
+    every value an exact int64 in [0, scale] (bounded: no overflow at
+    any iteration count, since a sum is ≤ |edges|·scale ≪ 2⁶³). The
+    update order is the classic one: auth from CURRENT hubs, then
+    hubs from the NEW auths; each max is a 1-row scalar collected
+    driver-side and folded back as a literal (the pagerank
+    redistribute pattern — census-sized, keeps each half-step to one
+    join+agg). Duplicate edges count once.
+
+    Scale shape: graph tables persist once; per iteration two
+    shuffles (auth groupBy dst, hub groupBy src) and two scalar
+    aggregates. Fixed iteration count, bit-identical across engines —
+    the SQL twin unrolls the same recurrence."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        # eager localCheckpoint per half-step (the duplicate_clusters
+        # pattern): the scalar max forces materialization anyway, and
+        # plain persist() keeps the full logical tree alive — 8
+        # chained cached joins made Catalyst's tree rendering itself
+        # OOM. Checkpoint truncates lineage to the materialized rows.
+        scores = scores.localCheckpoint(eager=True)
+        mx = scores.agg(F.max(col)).collect()[0][0] or 0
+        if mx <= 0:
+            return scores
+        return scores.select(
+            "node",
+            F.expr(f"({col} * {int(scale)}L) div {int(mx)}L").alias(col),
+        )
+
+    hub = nodes.withColumn("hub_int", F.lit(int(scale)).cast("long"))
+    auth = nodes.withColumn("auth_int", F.lit(0).cast("long"))
+    for _ in range(int(iterations)):
+        auth = _norm(
+            nodes.join(
+                e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub_int").alias("__s")),
+                "node", "left",
+            ).select(
+                "node", F.coalesce("__s", F.lit(0)).cast("long").alias("auth_int")
+            ),
+            "auth_int",
+        )
+        hub = _norm(
+            nodes.join(
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth_int").alias("__s")),
+                "node", "left",
+            ).select(
+                "node", F.coalesce("__s", F.lit(0)).cast("long").alias("hub_int")
+            ),
+            "hub_int",
+        )
+    return auth.join(hub, "node")

@@ -141,3 +141,49 @@ def test_redistribute_no_python_udf(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
     s = plan_stats(pagerank_integer(df, iterations=2, redistribute_dangling=True))
     assert not s["has_python_udf"]
+
+
+def _py_hits_int(edges, iterations, scale=1_000_000):
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(d):
+        mx = max(d.values())
+        if mx <= 0:
+            return d
+        return {n: v * scale // mx for n, v in d.items()}
+
+    for _ in range(iterations):
+        auth = norm({n: sum(hub[s] for s, d in e if d == n) for n in nodes})
+        hub = norm({n: sum(auth[d] for s, d in e if s == n) for n in nodes})
+    return auth, hub
+
+
+def test_hits_matches_python_reference(spark):
+    edges = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+             ("h2", "a1"), ("h2", "a2"), ("x", "a3"), ("a1", "x")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from demv_spark.operators.graph import hits_integer
+
+    got = {r["node"]: (r["auth_int"], r["hub_int"])
+           for r in hits_integer(df, iterations=4).collect()}
+    auth, hub = _py_hits_int(edges, 4)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+    # structure: h1 is the best hub, a1/a2 the best authorities
+    assert got["h1"][1] == 1_000_000
+    assert max(got[n][0] for n in ("a1", "a2")) == 1_000_000
+    assert got["h1"][1] > got["x"][1]
+
+
+def test_hits_duplicate_edges_once_and_deterministic(spark):
+    from demv_spark.operators.graph import hits_integer
+
+    single = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    dup = spark.createDataFrame([("a", "b")] * 3 + [("b", "c")], ["src", "dst"])
+    a = sorted(map(tuple, hits_integer(single, iterations=3).collect()))
+    b = sorted(map(tuple, hits_integer(dup, iterations=3).collect()))
+    c = sorted(map(tuple, hits_integer(
+        single.repartition(5), iterations=3).collect()))
+    assert a == b == c
