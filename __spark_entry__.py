@@ -1271,9 +1271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- CDC changelog compaction (round 7) ----
     # the events table AS a changelog: key = user_id, change time =
-    # (ts, event_id), op derived deterministically from event_id
+    # (ts, event_id), op derived deterministically from event_id.
+    # NULL-ts rows are excluded on BOTH sides: Spark orders NULLs
+    # first on asc / last on desc while DuckDB defaults to last on
+    # both, so a NULL change time would be ordering-divergent (none
+    # exist in the fixtures; this pins the boundary)
     def _cdc_log(spark, sf):
-        return _t(spark, sf, "events").select(
+        return _t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
             "user_id", "ts", "event_id", "event_type", "value",
             F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
             .when(F.col("event_id") % 3 == 0, F.lit("update"))
@@ -4491,7 +4495,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 7 = 0 THEN 'delete'
                         WHEN event_id % 3 = 0 THEN 'update'
                         ELSE 'insert' END AS op
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         )"""
     o["q_cdc_snapshot"] = (
         "WITH" + _cdc_log_sql + """

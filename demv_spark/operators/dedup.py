@@ -1118,11 +1118,12 @@ def best_of_cluster(
     argmax per cluster (max_by on a (quality, -id) struct — the
     linkage best-match pattern, NOT a window: the shuffle carries one
     partial winner per cluster per map task) joined back to flag
-    members. Rows of ``clusters`` with no quality row are dropped
-    (inner join) — score everything upstream."""
+    members. Rows of ``clusters`` with no quality row — or a NULL
+    quality — are dropped (NULL struct fields order differently
+    across engines; score everything upstream)."""
     qd = quality.select(
         F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
-    )
+    ).filter(F.col("quality").isNotNull())
     m = clusters.join(qd, "doc_id")
     winners = m.groupBy("cluster_id").agg(
         F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("__winner")

@@ -86,6 +86,10 @@ def zorder_pruning_stats(
     to quantify what the curve buys. One aggregation pass."""
     z = zorder_key([F.col(c) for c in cols], bits)
     total = bits * len(cols)
+    if not 0 < prefix_bits <= total:
+        raise ValueError(
+            f"prefix_bits must be in [1, {total}] (got {prefix_bits})"
+        )
     bucket = F.shiftrightunsigned(z, total - prefix_bits)
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:

@@ -276,8 +276,9 @@ def admission_log_replay(
 
     if not batches:
         raise ValueError("admission_log_replay: empty batch list")
-    spark = batches[0].sparkSession
-    store = spark.createDataFrame([], f"{fp_col} string")
+    # empty store with the BATCH's fp type (a literal 'string' schema
+    # would type-clash the union for non-string fingerprints)
+    store = batches[0].select(fp_col).limit(0)
     out = None
     for i, b in enumerate(batches):
         v = incremental_admission(b, store, id_col=id_col, fp_col=fp_col)

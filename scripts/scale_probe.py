@@ -468,7 +468,50 @@ def main():
             top_k=10,
         ).count()
 
+    # round-7 additions: CDC latest-wins (one key shuffle), cross-doc
+    # dup-rate (window DF census), sequence packing (per-shard prefix
+    # sums), z-order pruning census (map-only + one agg), RRF fusion
+    # (candidate-sized joins — fixed query count, so Kx corpus should
+    # barely move it)
+    def run_cdc_snapshot(d):
+        from demv_spark.operators.cdc import cdc_snapshot
+
+        log = d.select(
+            (F.col("o_custkey") % 50000).alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+            .otherwise(F.lit("update")).alias("op"),
+            "o_totalprice",
+        )
+        return cdc_snapshot(log, ["k"], "ts", seq_col="seq").count()
+
+    def run_dup_rate(d):
+        return dedup.cross_doc_dup_rate(d, n=2).count()
+
+    def run_pack_sequences(d):
+        from demv_spark.operators.corpus import assign_sequences
+        from demv_spark.operators.text import token_count
+
+        t = token_count(d, "text", "n_tokens").select("doc_id", "n_tokens")
+        return assign_sequences(
+            t, "n_tokens", 2048, ["doc_id"], n_shards=32
+        ).count()
+
+    def run_zorder_census(d):
+        from demv_spark.operators.layout import zorder_pruning_stats
+
+        z = d.select(
+            F.pmod(F.col("o_custkey"), F.lit(1024)).alias("a"),
+            F.pmod(F.col("o_orderkey"), F.lit(1024)).alias("b"),
+        )
+        return zorder_pruning_stats(z, ["a", "b"], 10, 4).count()
+
     probes = [
+        ("cdc_snapshot", run_cdc_snapshot, orders, orders_k),
+        ("cross_doc_dup_rate", run_dup_rate, docs, docs_k),
+        ("pack_sequences_32shards", run_pack_sequences, docs, docs_k),
+        ("zorder_census", run_zorder_census, orders, orders_k),
         ("exact_dedup", run_exact, docs, docs_k),
         ("shard_assignment_64", run_shard_assignment, docs, docs_k),
         ("vocab_coverage", run_vocab_coverage, docs, docs_k),
