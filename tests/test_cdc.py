@@ -70,3 +70,69 @@ def test_deterministic_under_repartition(log):
     a = sorted(map(tuple, cdc_snapshot(log, ["k"], "ts").collect()))
     b = sorted(map(tuple, cdc_snapshot(log.repartition(7), ["k"], "ts").collect()))
     assert a == b
+
+
+CDC_PREFIX = "t_cdcstream"
+
+
+@pytest.fixture()
+def cdc_index(spark):
+    for s in ("_log", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {CDC_PREFIX}{s}")
+    yield CDC_PREFIX
+    for s in ("_log", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {CDC_PREFIX}{s}")
+
+
+def test_streaming_cdc_state_equals_batch_snapshot(spark, cdc_index):
+    import shutil
+    import tempfile
+    import time
+
+    from demv_spark.streaming.cdc_stream import cdc_state, streaming_cdc_maintainer
+
+    d = tempfile.mkdtemp(prefix="demv_cdcstream_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, 10, "insert", "a1"), (2, 10, "insert", "b1"), (1, 20, "update", "a2")],
+            "k long, ts long, op string, v string",
+        )
+        b1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        b2 = spark.createDataFrame(
+            [(2, 25, "delete", "b1"), (3, 30, "insert", "c1"), (1, 30, "update", "a3")],
+            "k long, ts long, op string, v string",
+        )
+        b2.coalesce(1).write.mode("append").parquet(d)
+
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = streaming_cdc_maintainer(stream, cdc_index)
+        q.awaitTermination(120)
+
+        got = {r["k"]: r["v"] for r in cdc_state(spark, cdc_index, ["k"], "ts").collect()}
+        assert got == {1: "a3", 3: "c1"}          # 2 deleted
+
+        whole = b1.unionByName(b2)
+        want = {r["k"]: r["v"] for r in cdc_snapshot(whole, ["k"], "ts").collect()}
+        assert got == want
+
+        # crash replay: drop the mark, rerun the whole feed — log rows
+        # duplicate exactly, derived state unchanged
+        n_log = spark.table(f"{cdc_index}_log").count()
+        spark.sql(f"DROP TABLE {cdc_index}__meta")
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q2 = streaming_cdc_maintainer(stream2, cdc_index)
+        q2.awaitTermination(120)
+        spark.catalog.refreshTable(f"{cdc_index}_log")
+        assert spark.table(f"{cdc_index}_log").count() == 2 * n_log
+        got2 = {r["k"]: r["v"] for r in cdc_state(spark, cdc_index, ["k"], "ts").collect()}
+        assert got2 == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
