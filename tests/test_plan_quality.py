@@ -435,3 +435,63 @@ def test_target_encode_broadcasts_census(spark):
     s = plan_stats(target_encode(df, "cat", "y"))
     assert s["n_broadcasts"] >= 2
     assert s["n_sort_merge_joins"] == 0
+
+
+def test_cdc_snapshot_one_key_exchange(spark):
+    from demv_spark.operators.cdc import cdc_snapshot
+
+    events = read_table(spark, SF, "events")
+    log = events.select(
+        "user_id", "ts", "event_id",
+        F.lit("insert").alias("op"),
+    )
+    base = plan_stats(log)["n_exchanges"]    # the reader's own repartition
+    s = plan_stats(cdc_snapshot(log, ["user_id"], "ts", seq_col="event_id"))
+    assert s["n_exchanges"] == base + 1          # adds the window partition only
+    assert len(s["read_schemas"]) == 1
+    assert not s["has_python_udf"]
+
+
+def test_assign_sequences_one_shard_exchange(spark):
+    from demv_spark.operators.corpus import assign_sequences
+
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    base = plan_stats(docs)["n_exchanges"]
+    s = plan_stats(assign_sequences(docs, "n_tokens", 2048, ["doc_id"], n_shards=8))
+    assert s["n_exchanges"] == base + 1          # adds the prefix-sum window only
+    assert not s["has_python_udf"]
+
+
+def test_grouped_corr_single_pass(spark):
+    from demv_spark.operators.etl import grouped_corr
+
+    li = read_table(spark, SF, "lineitem")
+    s = plan_stats(grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice"))
+    assert len(s["read_schemas"]) == 1
+    assert s["n_exchanges"] <= 2                 # partial + final agg
+    # column pruning: only the 3 needed columns reach the scan
+    assert all("l_orderkey" not in rs for rs in s["read_schemas"])
+
+
+def test_cross_doc_dup_rate_two_exchanges_no_pairs(spark):
+    from demv_spark.operators.dedup import cross_doc_dup_rate
+
+    docs = read_table(spark, SF, "documents")
+    s = plan_stats(cross_doc_dup_rate(docs, n=2))
+    # shingle-key window + per-doc agg; NO join anywhere (the point:
+    # the rate needs no pair generation)
+    assert s["n_exchanges"] <= 3
+    assert s["n_sort_merge_joins"] == 0
+    assert not s["has_python_udf"]
+
+
+def test_suppress_rare_groups_one_exchange(spark):
+    from demv_spark.operators.privacy import suppress_rare_groups
+
+    orders = read_table(spark, SF, "orders")
+    base = plan_stats(orders)["n_exchanges"]
+    s = plan_stats(suppress_rare_groups(orders, ["o_orderstatus", "o_orderpriority"], 5))
+    assert s["n_exchanges"] == base + 1
+    assert not s["has_python_udf"]
