@@ -87,3 +87,39 @@ def test_map_only_no_shuffle_no_udf(spark):
     s = plan_stats(df.select(zorder_key([F.col("a"), F.col("b")], 8).alias("z")))
     assert not s["has_python_udf"]
     assert s.get("n_exchanges", 0) == 0
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, tmp_path):
+    """End-to-end: range-partition by the z-key and write parquet —
+    every FILE's min/max range on BOTH dims must be narrower than a
+    single-dim layout achieves on its neglected dim (this is the
+    footer-stats pruning the operator exists for)."""
+    import glob
+    import os
+
+    rows = [((i * 37) % 256, (i * 101) % 256) for i in range(4096)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = zorder_key([F.col("a"), F.col("b")], 8)
+
+    zdir = str(tmp_path / "zorder")
+    (df.withColumn("z", z).repartitionByRange(16, "z")
+       .sortWithinPartitions("z").write.parquet(zdir))
+    adir = str(tmp_path / "bya")
+    (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+       .write.parquet(adir))
+
+    def file_ranges(d):
+        out = []
+        for p in glob.glob(os.path.join(d, "part-*.parquet")):
+            pdf = spark.read.parquet(p).agg(
+                F.min("a"), F.max("a"), F.min("b"), F.max("b")
+            ).collect()[0]
+            out.append((pdf[1] - pdf[0], pdf[3] - pdf[2]))
+        return out
+
+    zr = file_ranges(zdir)
+    ar = file_ranges(adir)
+    # z-order: every file narrow on BOTH dims (quarter-width here)
+    assert all(wa <= 96 and wb <= 96 for wa, wb in zr), zr
+    # single-dim: b stays full-width in most files
+    assert sum(1 for _, wb in ar if wb > 128) >= len(ar) // 2, ar
