@@ -165,6 +165,9 @@ HEADLINE = [
     "q_etl_grouped_corr",
     "q_text_dedup_lines",
     "q_sim_rrf_fusion",
+    # round-7: max-normalized integer HITS (4 iterations, 2 shuffles
+    # + 2 scalar aggregates each over the persisted domain graph)
+    "q_web_hits",
 ]
 
 
