@@ -1450,6 +1450,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_web_hits"] = _web_hits
 
+    # ---- exact-contract sketches (round 7; window full — these two
+    # take round-8 seats per the COVERAGE.md plan) ----
+    def _sketch_countmin(spark, sf):
+        from demv_spark.functions.sketches import (
+            countmin_counters,
+            countmin_estimate,
+        )
+
+        d = _t(spark, sf, "documents")
+        counters = countmin_counters(d, "source", depth=4, width=256)
+        probes = (
+            d.select(F.col("source").alias("k")).distinct()
+            .unionByName(
+                spark.createDataFrame(
+                    [("zzz-unseen-a",), ("zzz-unseen-b",)], "k string"
+                )
+            )
+        )
+        return countmin_estimate(
+            counters, probes, "k", depth=4, width=256
+        )
+
+    q["q_sketch_countmin"] = _sketch_countmin
+
+    def _sketch_bloom(spark, sf):
+        from demv_spark.functions.sketches import bloom_build, bloom_probe
+
+        d = _t(spark, sf, "documents").select(
+            F.lower(F.col("source")).alias("k")
+        ).distinct()
+        bf = bloom_build(d, "k", n_bits=1 << 14, n_hashes=4)
+        probes = d.unionByName(
+            spark.createDataFrame(
+                [(f"missing-{i}",) for i in range(50)], "k string"
+            )
+        )
+        return bloom_probe(bf, probes, "k", n_bits=1 << 14, n_hashes=4)
+
+    q["q_sketch_bloom"] = _sketch_bloom
+
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
     def _corpus_shard_assignment(spark, sf):
@@ -4231,6 +4271,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # exact-contract sketches: counters/words are pure integer
+    # functions of the data under the md5 portable hash — the
+    # minhash-twin playbook applied to CMS and Bloom
+    o["q_sketch_countmin"] = """
+        WITH probes AS (
+            SELECT DISTINCT source AS k FROM documents
+            UNION ALL SELECT 'zzz-unseen-a'
+            UNION ALL SELECT 'zzz-unseen-b'
+        ),
+        cells AS (
+            SELECT r.d,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'cm7',
+                       CAST(r.d AS VARCHAR), CAST(source AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 256 AS bucket,
+                   COUNT(*) AS counter
+            FROM documents CROSS JOIN range(0, 4) r(d)
+            GROUP BY 1, 2
+        ),
+        pb AS (
+            SELECT p.k, r.d,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'cm7',
+                       CAST(r.d AS VARCHAR), CAST(p.k AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 256 AS bucket
+            FROM probes p CROSS JOIN range(0, 4) r(d)
+        )
+        SELECT pb.k, CAST(MIN(COALESCE(c.counter, 0)) AS BIGINT) AS est_count
+        FROM pb LEFT JOIN cells c ON c.d = pb.d AND c.bucket = pb.bucket
+        GROUP BY pb.k
+    """
+    o["q_sketch_bloom"] = """
+        WITH members AS (SELECT DISTINCT lower(source) AS k FROM documents),
+        probes AS (
+            SELECT k FROM members
+            UNION ALL
+            SELECT 'missing-' || CAST(i AS VARCHAR) FROM range(0, 50) t(i)
+        ),
+        mbits AS (
+            SELECT CAST(concat('0x', substr(md5(concat_ws(':', 'bf7',
+                       CAST(r.i AS VARCHAR), CAST(k AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 16384 AS bit
+            FROM members CROSS JOIN range(0, 4) r(i)
+        ),
+        words AS (
+            SELECT bit // 32 AS word_idx,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+            FROM mbits GROUP BY 1
+        ),
+        pbits AS (
+            SELECT p.k,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'bf7',
+                       CAST(r.i AS VARCHAR), CAST(p.k AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 16384 AS bit
+            FROM probes p CROSS JOIN range(0, 4) r(i)
+        )
+        SELECT p.k,
+               CAST(MIN(CASE WHEN (COALESCE(w.word, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER)))
+                    = (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER))
+                    THEN 1 ELSE 0 END) AS BOOLEAN) AS might_contain
+        FROM pbits p LEFT JOIN words w ON w.word_idx = p.bit // 32
+        GROUP BY p.k
+    """
 
     # HITS: the max-normalized half-steps unroll — auth from current
     # hubs, hubs from the NEW auths, each rescaled x·scale//max (the

@@ -168,6 +168,9 @@ HEADLINE = [
     # round-7: max-normalized integer HITS (4 iterations, 2 shuffles
     # + 2 scalar aggregates each over the persisted domain graph)
     "q_web_hits",
+    # round-7: exact-contract sketches (bounded-cell shuffles)
+    "q_sketch_countmin",
+    "q_sketch_bloom",
 ]
 
 

@@ -1,0 +1,197 @@
+"""Probabilistic membership/frequency structures with EXACT contracts.
+
+Count-min sketches and Bloom filters are the workhorse summaries of a
+100 TB pipeline (pre-join pruning, hot-key detection, cheap frequency
+service over a corpus too big to index exactly). Their ESTIMATES are
+approximate, but given fixed hash functions their state is a pure
+integer function of the data — so, like the MinHash/SimHash portable
+twins (operators/dedup.py), everything here value-hashes against a
+SQL oracle: counters are exact BIGINT sums, filter words exact
+bit-ORs, estimates exact MINs. Hashing is the engine-portable
+md5-based ``portable_hash`` so the same structure can be built or
+probed by any SQL engine.
+
+Scale shape: building either structure is ONE groupBy over
+(row × depth/hashes) exploded hash coordinates — a bounded-key
+shuffle (depth·width / n_words cells at most), map-side combined.
+Probing joins the probe set's coordinates against the structure on
+the cell key: candidate-sized, never corpus-sized. No driver state;
+the sketch IS a DataFrame, so it unions/persists/broadcasts like any
+table (merge two sketches = union + re-aggregate — the counter/word
+algebra is associative).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from demv_spark.functions.compat import portable_hash
+
+# 32-bit filter words: positions stay in [0, 31], so every word is a
+# positive int64 in BOTH engines (position 63 would flip the sign bit
+# — identical two's complement either way, but positive words remove
+# the footgun entirely)
+_WORD_BITS = 32
+
+
+def _cm_bucket(key: Column, d: int, width: int, seed: int) -> Column:
+    return F.pmod(
+        portable_hash(
+            F.concat_ws(":", F.lit(f"cm{seed}"), F.lit(str(d)), key.cast("string"))
+        ),
+        F.lit(int(width)),
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Build a count-min sketch: (d, bucket, counter) for every
+    occupied cell — at most depth·width rows regardless of input
+    size. ``weight_col`` accumulates a weight instead of row counts
+    (token counts, bytes). NULL keys count like any value (they hash
+    as the string rendering of NULL → the empty concat); estimates
+    are upper bounds: counter ≥ true frequency, with the standard
+    (ε=e/width, δ=e^-depth) guarantee."""
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_bucket(key, d, width, seed).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("c"),
+        w.alias("__w"),
+    )
+    return (
+        cells.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-frequency estimates for every probe key: min over the
+    depth counters at the key's cells (0 when a cell is empty — the
+    sketch never saw anything hashing there). depth/width/seed must
+    match the build. Join is on the (d, bucket) cell key —
+    probe-sized — then one min per key."""
+    key = F.col(key_col)
+    pb = probes.select(
+        key.alias("__key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_bucket(key, d, width, seed).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("c"),
+    ).select("__key", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    joined = pb.join(counters, ["d", "bucket"], "left")
+    return (
+        joined.groupBy(F.col("__key").alias(key_col))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
+def _bloom_bit(key: Column, i: int, n_bits: int, seed: int) -> Column:
+    return F.pmod(
+        portable_hash(
+            F.concat_ws(":", F.lit(f"bf{seed}"), F.lit(str(i)), key.cast("string"))
+        ),
+        F.lit(int(n_bits)),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Build a Bloom filter as (word_idx, word) rows — 32-bit words
+    OR-ed from every key's ``n_hashes`` bit positions; at most
+    n_bits/32 rows. Being a DataFrame, the filter broadcasts into a
+    probe join (the classic pre-shuffle semi-join prune) and two
+    filters over the same config merge by union + re-OR."""
+    key = F.col(key_col)
+    bits = df.select(
+        F.explode(
+            F.array(*[
+                _bloom_bit(key, i, n_bits, seed) for i in range(n_hashes)
+            ])
+        ).alias("bit")
+    )
+    return (
+        bits.select(
+            F.expr(f"bit div {_WORD_BITS}").alias("word_idx"),
+            # shiftleft's bit-count arg must be column-valued here →
+            # SQL form (the python helper takes a literal int only)
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(bit % {_WORD_BITS} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Membership test for every probe key: ``might_contain`` is true
+    iff ALL the key's bits are set (no false negatives; false
+    positives at the standard (1−e^{−kn/m})^k rate). Probe bits join
+    the word table on word_idx (probe-sized; broadcast the filter —
+    it is ≤ n_bits/32 rows); one all-bits-set aggregate per key."""
+    key = F.col(key_col)
+    pb = probes.select(
+        key.alias("__key"),
+        F.explode(
+            F.array(*[
+                _bloom_bit(key, i, n_bits, seed) for i in range(n_hashes)
+            ])
+        ).alias("bit"),
+    ).select(
+        "__key",
+        F.expr(f"bit div {_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(bit % {_WORD_BITS} AS INT))"
+        ).alias("__m"),
+    )
+    joined = pb.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__m")) == F.col("__m"))
+    return (
+        joined.groupBy(F.col("__key").alias(key_col))
+        .agg(F.min(hit.cast("int")).cast("boolean").alias("might_contain"))
+    )
