@@ -1490,6 +1490,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sketch_bloom"] = _sketch_bloom
 
+    # ---- star-join revenue census (round 7; round-8 seat) ----
+    # the canonical warehouse shape: fact (orders) against two chained
+    # dims (customer → nation) — declared as plain joins and left to
+    # Catalyst, which broadcasts both dims (plan-asserted in
+    # tests/test_plan_quality.py); revenue sums are decimal-stable
+    def _olap_star_join(spark, sf):
+        from demv_spark.functions.compat import stable_sum
+
+        orders = _t(spark, sf, "orders")
+        customer = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        return (
+            orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"]
+            )
+            .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.floor(stable_sum(F.col("o_totalprice")) * F.lit(100.0))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+
+    q["q_olap_star_join"] = _olap_star_join
+
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
     def _corpus_shard_assignment(spark, sf):
@@ -4271,6 +4298,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # star join: decimal-stable revenue (the sum is exact through
+    # DECIMAL then floored onto the cents grid)
+    o["q_olap_star_join"] = """
+        SELECT n.n_name AS nation, o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(FLOOR(CAST(CAST(SUM(CAST(o.o_totalprice
+                   AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) * 100.0)
+                   AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """
 
     # exact-contract sketches: counters/words are pure integer
     # functions of the data under the md5 portable hash — the

@@ -495,3 +495,13 @@ def test_suppress_rare_groups_one_exchange(spark):
     s = plan_stats(suppress_rare_groups(orders, ["o_orderstatus", "o_orderpriority"], 5))
     assert s["n_exchanges"] == base + 1
     assert not s["has_python_udf"]
+
+
+def test_star_join_broadcasts_both_dims(spark):
+    import __spark_entry__ as entrymod
+
+    d = entrymod.queries()["q_olap_star_join"](spark, SF)
+    s = plan_stats(d)
+    assert s["n_broadcasts"] >= 2                # customer AND nation
+    assert s["n_sort_merge_joins"] == 0          # the fact never sorts
+    assert not s["has_python_udf"]
