@@ -1517,6 +1517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_olap_star_join"] = _olap_star_join
 
+    # KMV distinct sketch (round 7; round-8 seat): upgrades the
+    # distinct-sketch family from rows-only to a full value-hash
+    # contract — bottom-k portable hashes + one DECIMAL(38,0) division
+    def _sketch_kmv(spark, sf):
+        from demv_spark.functions.sketches import kmv_distinct
+
+        return kmv_distinct(
+            _t(spark, sf, "events"), "user_id",
+            group_cols=["event_type"], k=64,
+        )
+
+    q["q_sketch_kmv"] = _sketch_kmv
+
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
     def _corpus_shard_assignment(spark, sf):
@@ -4298,6 +4311,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # KMV: bottom-k hashes per group, estimate in HUGEINT with one
+    # integer division (mirrors the Spark DECIMAL(38,0) product)
+    o["q_sketch_kmv"] = """
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'kmv7',
+                       CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+            FROM events
+        ), rk AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+            FROM h
+        ), kept AS (SELECT event_type, hv FROM rk WHERE r <= 64)
+        SELECT event_type,
+               COUNT(*) AS n_kept,
+               MAX(hv) AS kth_hash,
+               CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                    ELSE (63 * CAST(1152921504606846976 AS HUGEINT)) // MAX(hv)
+                    END AS BIGINT) AS est_distinct
+        FROM kept GROUP BY 1
+    """
 
     # star join: decimal-stable revenue (the sum is exact through
     # DECIMAL then floored onto the cents grid)

@@ -171,6 +171,7 @@ HEADLINE = [
     # round-7: exact-contract sketches (bounded-cell shuffles)
     "q_sketch_countmin",
     "q_sketch_bloom",
+    "q_sketch_kmv",
     # round-7: broadcast star-join revenue census (plan-asserted
     # double-broadcast, no sort-merge join on the fact)
     "q_olap_star_join",

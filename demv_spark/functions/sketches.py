@@ -24,7 +24,7 @@ algebra is associative).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from demv_spark.functions.compat import portable_hash
 
@@ -195,3 +195,61 @@ def bloom_probe(
         joined.groupBy(F.col("__key").alias(key_col))
         .agg(F.min(hit.cast("int")).cast("boolean").alias("might_contain"))
     )
+
+
+# portable_hash is 15 hex chars of md5 = a uniform 60-bit value
+_HASH_SPACE = 1 << 60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: "list[str] | None" = None,
+    k: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch with an EXACT contract
+    (unlike HLL, whose register packing is engine-specific): the
+    state is the k smallest portable-hash values of the key domain
+    (per group), and the estimate is the classic KMV
+    ``(k−1)·SPACE div h_k`` — an exact integer division of exact
+    integers, so the whole row value-hashes cross-engine while the
+    METHOD stays approximate. Groups with fewer than k distinct
+    hashes report their exact distinct count instead (the sketch has
+    seen the whole domain). Returns (group…, n_kept, kth_hash,
+    est_distinct); merging two sketches = union the hash sets and
+    re-take the bottom k (associative, like the other sketches here).
+
+    Scale shape: one distinct over (group, hash) — fixed-width shuffle
+    keys — then a bottom-k rank window per group (state k rows/group)
+    and a 1-row-per-group aggregate. NULL keys hash like any value."""
+    groups = list(group_cols or [])
+    key = F.col(key_col)
+    h = portable_hash(
+        F.concat_ws(":", F.lit(f"kmv{seed}"), key.cast("string"))
+    )
+    hashed = df.select(*groups, h.alias("__h")).distinct()
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(F.col("__h").asc())
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(F.col("__h").asc())
+    kept = hashed.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    agg_keys = groups if groups else []
+    out = kept.groupBy(*agg_keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+    )
+    # (k−1)·2^60 exceeds int64 for k > 8 — the product runs in
+    # DECIMAL(38,0) with ONE integer division (the fixed-point
+    # cookbook; DuckDB's HUGEINT arithmetic mirrors it exactly)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * {_HASH_SPACE}) "
+            f"div kth_hash AS BIGINT)"
+        )
+    )
+    return out.withColumn("est_distinct", est.cast("long"))

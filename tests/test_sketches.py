@@ -93,3 +93,40 @@ def test_sketches_deterministic_and_no_udf(spark, keys):
     assert c == d
     assert not plan_stats(countmin_counters(keys, "k"))["has_python_udf"]
     assert not plan_stats(bloom_build(keys, "k"))["has_python_udf"]
+
+
+def test_kmv_exact_below_k(spark):
+    from demv_spark.functions.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    got = kmv_distinct(df, "k", k=64).collect()[0]
+    assert got["n_kept"] == 10
+    assert got["est_distinct"] == 10             # exact below k
+
+
+def test_kmv_estimate_above_k_is_close(spark):
+    from demv_spark.functions.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    got = kmv_distinct(df, "k", k=256).collect()[0]
+    assert got["n_kept"] == 256
+    # KMV std err ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(got["est_distinct"] - 5000) < 5000 * 0.25
+
+
+def test_kmv_grouped_and_merge(spark):
+    from demv_spark.functions.sketches import kmv_distinct
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(500)],
+        "g string, k long",
+    )
+    got = {r["g"]: (r["n_kept"], r["est_distinct"]) for r in
+           kmv_distinct(df, "k", group_cols=["g"], k=32).collect()}
+    assert got["a"] == (7, 7)
+    assert abs(got["b"][1] - 500) < 500 * 0.5
+    # determinism under repartition
+    a = sorted(map(tuple, kmv_distinct(df, "k", ["g"], k=32).collect()))
+    b = sorted(map(tuple, kmv_distinct(df.repartition(7), "k", ["g"], k=32).collect()))
+    assert a == b
