@@ -1530,6 +1530,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sketch_kmv"] = _sketch_kmv
 
+    # stratified seeded folds (round 7; round-8 seat): sklearn
+    # StratifiedKFold's per-label ±1 guarantee via round-robin over
+    # the per-stratum portable-hash rank
+    def _ml_stratified_folds(spark, sf):
+        from demv_spark.ml.evaluation import assign_folds_stratified
+
+        return assign_folds_stratified(
+            _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus"),
+            "o_orderstatus", k=5, key_cols=["o_orderkey"],
+        )
+
+    q["q_ml_stratified_folds"] = _ml_stratified_folds
+
+    # robust outlier gate (round 7; round-8 seat): modified z-score
+    # on exact per-group (median, MAD)
+    def _etl_robust_outliers(spark, sf):
+        from demv_spark.operators.etl import robust_outliers
+
+        return robust_outliers(
+            _t(spark, sf, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+            ),
+            ["l_returnflag"], "l_extendedprice", threshold=3.0,
+        )
+
+    q["q_etl_robust_outliers"] = _etl_robust_outliers
+
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
     def _corpus_shard_assignment(spark, sf):
@@ -4311,6 +4338,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # stratified folds: per-stratum md5 rank, round-robin mod k
+    o["q_ml_stratified_folds"] = """
+        SELECT o_orderkey, o_orderstatus,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY CAST(concat('0x', substr(md5(concat_ws('|',
+                       'sfold2', CAST(o_orderkey AS VARCHAR))), 1, 15))
+                       AS BIGINT),
+                       o_orderkey
+               ) - 1) % 5 AS INTEGER) AS fold
+        FROM orders
+    """
+
+    # robust outliers: the grouped-MAD oracle + one IEEE comparison
+    o["q_etl_robust_outliers"] = """
+        WITH med AS (
+            SELECT l_returnflag,
+                   percentile_cont(0.5) WITHIN GROUP (
+                       ORDER BY l_extendedprice) AS med
+            FROM lineitem GROUP BY 1
+        ), stats AS (
+            SELECT l.l_returnflag, MAX(m.med) AS med,
+                   percentile_cont(0.5) WITHIN GROUP (
+                       ORDER BY ABS(l.l_extendedprice - m.med)) AS mad
+            FROM lineitem l JOIN med m USING (l_returnflag)
+            GROUP BY l.l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               l.l_extendedprice, s.med, s.mad,
+               CASE WHEN l.l_extendedprice IS NULL THEN FALSE
+                    ELSE ABS(CAST(l_extendedprice AS DOUBLE) - s.med)
+                         > 3.0 * s.mad END AS is_outlier
+        FROM lineitem l JOIN stats s USING (l_returnflag)
+    """
 
     # KMV: bottom-k hashes per group, estimate in HUGEINT with one
     # integer division (mirrors the Spark DECIMAL(38,0) product)

@@ -172,6 +172,10 @@ HEADLINE = [
     "q_sketch_countmin",
     "q_sketch_bloom",
     "q_sketch_kmv",
+    # round-7: stratified folds (one stratum window) + robust outlier
+    # gate (grouped-MAD broadcast join back)
+    "q_ml_stratified_folds",
+    "q_etl_robust_outliers",
     # round-7: broadcast star-join revenue census (plan-asserted
     # double-broadcast, no sort-merge join on the fact)
     "q_olap_star_join",

@@ -101,6 +101,42 @@ def assign_folds(
     )
 
 
+def assign_folds_stratified(
+    df: DataFrame,
+    label_col: str,
+    k: int = 10,
+    seed: int = 2,
+    fold_col: str = "fold",
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Stratified seeded fold assignment — sklearn StratifiedKFold's
+    guarantee (every fold carries each label's share ±1 row) in
+    shuffle-bounded form: within each label stratum, rows rank by the
+    portable md5 hash of ``key_cols`` (default: all columns) and take
+    ``fold = (rank − 1) mod k`` — round-robin, so per-(label, fold)
+    counts differ by at most one, and membership is a pure function
+    of the data (oracle-checkable, partitioning-independent).
+
+    Scale shape: ONE window shuffle keyed on the label stratum. A
+    huge stratum ranks in one task — same hazard and remedy as
+    ``assign_folds(exact=True)``; prefer it only when class balance
+    across folds matters (imbalanced labels, the usual reason), else
+    the default hash folds are shuffle-free."""
+    from demv_spark.functions.compat import portable_hash
+
+    cols = list(key_cols) if key_cols is not None else list(df.columns)
+    h = portable_hash(
+        F.concat_ws(
+            "|", F.lit(f"sfold{seed}"),
+            *[F.col(c).cast("string") for c in cols],
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(h.asc(), *[F.col(c) for c in cols])
+    return df.withColumn(
+        fold_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )
+
+
 def build_classifier(name: str, label_col: str, features_col: str, n_classes: int, seed: int = 2):
     """E3 — classifier factory matching generatemetrics.py:172-184:
     logistic | gradient | svc | mlp (+ input layer sizes for mlp)."""

@@ -540,21 +540,15 @@ def zorder_key(
     plan-build time), identical in any engine with integer bit ops —
     oracle-exact. Columns must be >= 0 and < 2^bits for a faithful
     key; clamp or bucket upstream otherwise.
+
+    DataFrame-flavored wrapper over the canonical implementation in
+    ``operators/layout.py`` (bit layout identical — round 7
+    consolidated the two so the interleave cannot drift; layout.py
+    adds the generated SQL twin and the pruning-stats census).
     """
-    n = len(cols)
-    if bits * n > 63:
-        # JVM shift amounts wrap mod 64 SILENTLY — positions past bit
-        # 63 would alias onto the low interleave bits and corrupt keys
-        raise ValueError(
-            f"bits*len(cols) = {bits * n} exceeds the 63 usable bits of "
-            f"a signed long; lower bits (e.g. {63 // n}) or drop columns"
-        )
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
-    return df.withColumn(out, z)
+    from demv_spark.operators.layout import zorder_key as _zk
+
+    return df.withColumn(out, _zk([F.col(c) for c in cols], bits))
 
 
 def grouped_quantiles(
@@ -684,3 +678,33 @@ def grouped_corr(
         stable_sum(y * y).alias("sum_yy"),
         stable_sum(x * y).alias("sum_xy"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    threshold: float = 3.0,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group robust outlier flag: |x − med| > threshold · MAD
+    (the modified-z-score gate on exact per-group medians — stddev
+    gates are poisoned by the very outliers being hunted; see
+    grouped_mad). Every row passes through with the flag plus the
+    group's (med, mad) for auditability. An all-constant group has
+    MAD 0: only values different from the median flag there (the
+    conventional degenerate-case reading). NULL values never flag.
+
+    Plan: grouped_mad's two aggregates (tiny |groups|-row output) +
+    one null-safe broadcast join back — the corpus itself is never
+    shuffled. Cross-engine exact: the comparison runs on
+    threshold·mad as one IEEE product of exact-percentile doubles."""
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    stats = grouped_mad(df, keys, col)
+    out = null_safe_broadcast_join(df, stats, keys=list(keys), carry=["med", "mad"])
+    x = F.col(col).cast("double")
+    flag = F.when(x.isNull(), F.lit(False)).otherwise(
+        F.abs(x - F.col("med")) > F.lit(float(threshold)) * F.col("mad")
+    )
+    return out.withColumn(flag_col, flag)

@@ -387,3 +387,33 @@ def test_grouped_corr_deterministic_under_repartition(spark):
     a = sorted(map(tuple, grouped_corr(df, ["g"], "x", "y").collect()))
     b = sorted(map(tuple, grouped_corr(df.repartition(13), ["g"], "x", "y").collect()))
     assert a == b       # bit-identical doubles, not approx
+
+
+def test_robust_outliers_hand_computed(spark):
+    from demv_spark.operators.etl import robust_outliers
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]] + \
+           [("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 9.0)] + \
+           [("a", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["g"], r["x"]): r["is_outlier"] for r in
+           robust_outliers(df, ["g"], "x", threshold=3.0).collect()}
+    # group a: med 3.5, |x-med| = [2.5,1.5,.5,.5,1.5,96.5], mad 1.5
+    # -> only 100 exceeds 4.5
+    assert got[("a", 100.0)] is True
+    assert all(not got[("a", float(v))] for v in [1, 2, 3, 4, 5])
+    assert got[("a", None)] is False              # NULL never flags
+    # group b: med 7, mad 0 -> any deviation flags
+    assert got[("b", 9.0)] is True and got[("b", 7.0)] is False
+
+
+def test_robust_outliers_deterministic(spark):
+    from demv_spark.operators.etl import robust_outliers
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).alias("g"),
+        (F.rand(3) * 100).alias("x"),
+    ).cache()
+    a = sorted(map(tuple, robust_outliers(df, ["g"], "x").collect()))
+    b = sorted(map(tuple, robust_outliers(df.repartition(9), ["g"], "x").collect()))
+    assert a == b

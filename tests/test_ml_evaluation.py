@@ -270,3 +270,25 @@ def test_multiclass_quota_auto_skips_non_canonical_order(spark, monkeypatch):
     # window, no decomposition attempted
     out = pp.multiclass_quota_adjust(df, ["g"], "pred", ["pred", "skey"])
     assert out.count() == 40
+
+
+def test_assign_folds_stratified_balance_and_determinism(spark):
+    from demv_spark.ml.evaluation import assign_folds_stratified
+
+    # imbalanced labels: 90/10
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 10 == 0).cast("int").alias("y"),
+    ).cache()
+    out = assign_folds_stratified(df, "y", k=5, key_cols=["id"])
+    counts = {(r["y"], r["fold"]): r["count"] for r in
+              out.groupBy("y", "fold").count().collect()}
+    # every (label, fold) cell within 1 of the stratum's share
+    for y, total in ((0, 180), (1, 20)):
+        vals = [counts.get((y, f), 0) for f in range(5)]
+        assert max(vals) - min(vals) <= 1
+        assert sum(vals) == total
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, assign_folds_stratified(
+        df.repartition(7), "y", k=5, key_cols=["id"]).collect()))
+    assert a == b
