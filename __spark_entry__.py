@@ -1557,6 +1557,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_etl_robust_outliers"] = _etl_robust_outliers
 
+    # positional inverted index + exact phrase search (round 7;
+    # round-8 seats): planted phrase on doc_id%7==0, decoy (all terms
+    # present, not adjacent) on doc_id%7==1
+    def _phrase_docs(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" quick brown fox"))
+                .when(
+                    F.col("doc_id") % 7 == 1,
+                    F.lit(" quick brown shoes near a fox"),
+                )
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+
+    def _text_inverted_index(spark, sf):
+        from demv_spark.operators.text import inverted_index
+
+        idx = inverted_index(_phrase_docs(spark, sf))
+        return idx.filter(
+            F.col("term").isin("quick", "brown", "fox", "shoes", "the")
+        ).select(
+            "term", "doc_id",
+            F.transform("positions", lambda x: x.cast("long")).alias("positions"),
+            "tf",
+        )
+
+    q["q_text_inverted_index"] = _text_inverted_index
+
+    def _text_phrase_search(spark, sf):
+        from demv_spark.operators.text import inverted_index, phrase_search
+
+        return phrase_search(
+            inverted_index(_phrase_docs(spark, sf)), "quick brown fox"
+        )
+
+    q["q_text_phrase_search"] = _text_phrase_search
+
     # deterministic training shards: md5 shard id + exact intra-shard
     # write position (rank by hash = the intra-shard shuffle)
     def _corpus_shard_assignment(spark, sf):
@@ -4336,6 +4376,59 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
         + """
         SELECT node, rank_int FROM r5
+    """
+    )
+
+    # positional inverted index / phrase search: parallel UNNESTs zip
+    # term and position; adjacency as pure list algebra
+    _phrase_fixture_sql = r"""
+        d AS (
+            SELECT doc_id,
+                   coalesce(text, '') ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' quick brown fox'
+                        WHEN doc_id % 7 = 1
+                            THEN ' quick brown shoes near a fox'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM d
+        ),
+        pos AS (
+            SELECT doc_id, UNNEST(t) AS term,
+                   UNNEST(range(0, len(t))) AS pos
+            FROM toks
+        )"""
+    o["q_text_inverted_index"] = (
+        "WITH" + _phrase_fixture_sql + """
+        SELECT term, doc_id,
+               list(pos ORDER BY pos) AS positions,
+               COUNT(*) AS tf
+        FROM pos
+        WHERE term IN ('quick', 'brown', 'fox', 'shoes', 'the')
+        GROUP BY 1, 2
+    """
+    )
+    o["q_text_phrase_search"] = (
+        "WITH" + _phrase_fixture_sql + """
+        , p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS p FROM pos
+                 WHERE term = 'quick' GROUP BY 1),
+        p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS p FROM pos
+               WHERE term = 'brown' GROUP BY 1),
+        p2 AS (SELECT doc_id, list(pos ORDER BY pos) AS p FROM pos
+               WHERE term = 'fox' GROUP BY 1),
+        j AS (
+            SELECT p0.doc_id,
+                   list_filter(p0.p, x -> list_contains(p1.p, x + 1)
+                                      AND list_contains(p2.p, x + 2)) AS occ
+            FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(len(occ) AS BIGINT) AS n_matches,
+               CAST(occ[1] AS BIGINT) AS first_pos
+        FROM j WHERE len(occ) > 0
     """
     )
 

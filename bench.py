@@ -176,6 +176,9 @@ HEADLINE = [
     # gate (grouped-MAD broadcast join back)
     "q_ml_stratified_folds",
     "q_etl_robust_outliers",
+    # round-7: positional inverted index + exact phrase search
+    "q_text_inverted_index",
+    "q_text_phrase_search",
     # round-7: broadcast star-join revenue census (plan-asserted
     # double-broadcast, no sort-merge join on the fact)
     "q_olap_star_join",

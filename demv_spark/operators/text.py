@@ -1254,3 +1254,85 @@ def dedup_lines(
         .withColumn("n_unique", F.size(uniq))
         .withColumn(out, F.array_join(uniq, "\n"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: (term, id, positions array<int>,
+    tf) — the structure BM25 ranks against, materialized so phrase
+    and proximity queries run as joins instead of rescans. Positions
+    are 0-based token offsets in tokenization order (the module's
+    whitespace/lowercase ``tokens``).
+
+    Scale shape: posexplode (linear) + ONE groupBy on (term, id) —
+    partial-aggregated, so the shuffle carries per-(term, doc)
+    position lists, never raw text. Write it partitioned/bucketed BY
+    TERM and a query's postings fetch is a pruned scan."""
+    toks = tokens(text_col)
+    posed = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    return (
+        posed.groupBy("term", id_col)
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+    )
+
+
+def phrase_search(
+    index: DataFrame,
+    phrase: "str | list[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional ``inverted_index``:
+    documents where the phrase's tokens appear CONSECUTIVELY, with
+    the exact occurrence count and first position. The complement to
+    BM25's bag-of-words ranking (quote queries, benchmark-contam
+    phrase probes, boilerplate hunting).
+
+    Plan: one postings row per phrase term (k rows, fetched by an
+    ``isin`` filter a term-partitioned index turns into partition
+    pruning) joined on the doc id — candidate docs must contain ALL
+    terms (inner joins) — then adjacency checks run as pure array
+    algebra on the position lists: occurrence positions are
+    ``filter(pos_0, p -> array_contains(pos_j, p + j) ∀j)``. No
+    explode of positions, no window, no UDF; k−1 doc-keyed joins of
+    postings-sized tables. Duplicate phrase terms are handled
+    naturally (the same postings row joins under two roles)."""
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    sides = []
+    for j, t in enumerate(terms):
+        sides.append(
+            index.filter(F.col("term") == t).select(
+                F.col(id_col), F.col("positions").alias(f"__p{j}")
+            )
+        )
+    joined = sides[0]
+    for s in sides[1:]:
+        joined = joined.join(s, id_col)
+    # closure factory, NOT a default-arg lambda: a second parameter
+    # (even a defaulted one) makes PySpark treat the lambda as the
+    # (element, index) form and bind the default to the index column
+    def _adjacent(j: int):
+        return lambda p: F.array_contains(F.col(f"__p{j}"), p + j)
+
+    occ = F.col("__p0")
+    for j in range(1, len(terms)):
+        occ = F.filter(occ, _adjacent(j))
+    return (
+        joined.withColumn("__occ", occ)
+        .filter(F.size("__occ") > 0)
+        .select(
+            id_col,
+            F.size("__occ").cast("long").alias("n_matches"),
+            F.element_at("__occ", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -1328,3 +1328,56 @@ def test_rrf_fuse_three_rankers_deterministic(spark):
         [f.repartition(3) for f in frames], top_k=5).collect()))
     assert a == b
     assert len(a) == 25
+
+
+def test_inverted_index_positions_and_tf(spark):
+    from demv_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "THE the"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["term"], r["doc_id"]): (r["positions"], r["tf"]) for r in
+           inverted_index(docs).collect()}
+    assert got[("the", 1)] == ([0, 3], 2)
+    assert got[("cat", 1)] == ([1], 1)
+    assert got[("the", 2)] == ([0, 1], 2)      # lowercased
+    assert not any(d == 3 for _, d in got)     # NULL text -> no terms
+
+
+def test_phrase_search_exact_adjacency(spark):
+    from demv_spark.operators.text import inverted_index, phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown shoes and a brown fox"),
+            (3, "the quick red fox"),
+            (4, "quick brown fox quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = inverted_index(docs).cache()
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in
+           phrase_search(idx, "quick brown fox").collect()}
+    assert got == {1: (1, 1), 4: (2, 0)}       # 2 has the terms, not adjacent
+    # two-term and repeated-term phrases
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(idx, "brown fox").collect()}
+    assert got2 == {1: 1, 2: 1, 4: 2}
+    rep = spark.createDataFrame([(9, "ha ha ha")], "doc_id long, text string")
+    got3 = phrase_search(inverted_index(rep), "ha ha").collect()
+    assert got3[0]["n_matches"] == 2            # overlapping occurrences
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(idx, "")
+
+
+def test_phrase_search_no_udf_no_position_explode(spark):
+    from demv_spark.operators.text import inverted_index, phrase_search
+    from demv_spark.plans.introspect import plan_stats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    s = plan_stats(phrase_search(inverted_index(docs), "a b"))
+    assert not s["has_python_udf"]
