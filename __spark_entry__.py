@@ -4464,7 +4464,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN l.l_extendedprice IS NULL THEN FALSE
                     ELSE ABS(CAST(l_extendedprice AS DOUBLE) - s.med)
                          > 3.0 * s.mad END AS is_outlier
-        FROM lineitem l JOIN stats s USING (l_returnflag)
+        FROM lineitem l JOIN stats s
+          ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
     """
 
     # KMV: bottom-k hashes per group, estimate in HUGEINT with one
@@ -4579,7 +4580,7 @@ def oracle_sql() -> dict[str, str]:
             ) s ON s.node = n.node
         ),
         an{i} AS (
-            SELECT node, CAST((auth * 1000000)
+            SELECT node, CAST((CAST(auth AS HUGEINT) * 1000000)
                 // GREATEST(MAX(auth) OVER (), 1) AS BIGINT) AS auth
             FROM a{i}
         ),
@@ -4591,7 +4592,7 @@ def oracle_sql() -> dict[str, str]:
             ) s ON s.node = n.node
         ),
         hn{i} AS (
-            SELECT node, CAST((hub * 1000000)
+            SELECT node, CAST((CAST(hub AS HUGEINT) * 1000000)
                 // GREATEST(MAX(hub) OVER (), 1) AS BIGINT) AS hub
             FROM h{i}
         )"""

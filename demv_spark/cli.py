@@ -56,7 +56,7 @@ def _reduction_cross_val(
     """k-fold CV with a fit/predict reduction (EG / GridSearch) as the
     model — the exp=True branch of the reference's cross_val
     (utils.py:136-158 with the fairlearn wrapper)."""
-    folded = E.assign_folds(df, k, seed).cache()
+    folded = E.assign_folds(df, k, seed, exact=False).cache()
     rows = []
     for fold in range(k):
         train = folded.filter(F.col("fold") != fold)

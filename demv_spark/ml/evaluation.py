@@ -208,7 +208,7 @@ def out_of_fold_predictions(
 
     Returns df columns + `prediction` (double) + `y_true` (the label
     copied, matching the reference's column convention)."""
-    folded = assign_folds(df, k, seed, fold_col).cache()
+    folded = assign_folds(df, k, seed, fold_col, exact=False).cache()
     pipe = _pipeline(feature_cols, label_col, classifier)
     parts = []
     for fold in range(k):
@@ -295,7 +295,7 @@ def cross_val(
 
     Returns one row per fold: (fold, stat_par, disp_imp, eq_odds, acc,
     zero_one_loss)."""
-    folded = assign_folds(df, k, seed).cache()
+    folded = assign_folds(df, k, seed, exact=False).cache()
     pipe = _pipeline(feature_cols, label_col, classifier)
     rows = []
     for fold in range(k):

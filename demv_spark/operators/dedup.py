@@ -1125,8 +1125,17 @@ def best_of_cluster(
         F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
     ).filter(F.col("quality").isNotNull())
     m = clusters.join(qd, "doc_id")
-    winners = m.groupBy("cluster_id").agg(
-        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("__winner")
+    # two partial aggregates instead of max_by on (quality, -id):
+    # negation would break for the non-numeric ids duplicate_clusters
+    # legitimately carries — max quality first, then min id among the
+    # max-quality rows, both type-generic
+    winners = (
+        m.groupBy("cluster_id")
+        .agg(F.max("quality").alias("__qmax"))
+        .join(m, "cluster_id")
+        .filter(F.col("quality") == F.col("__qmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("__winner"))
     )
     return (
         m.join(winners, "cluster_id")

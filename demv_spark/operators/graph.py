@@ -100,9 +100,13 @@ def pagerank_integer(
         if redistribute_dangling:
             # the update reads ranks TWICE (contributions + dangling
             # scalar); without materialization the lazy plan doubles
-            # per iteration (2^iterations leaf scans). ranks is
-            # |nodes|-sized — persisting it is the cheap fix
-            ranks = ranks.persist()
+            # per iteration (2^iterations leaf scans). Eager
+            # localCheckpoint (the hits_integer/duplicate_clusters
+            # pattern) both cuts the lineage — chained cached joins
+            # made Catalyst's tree rendering itself OOM at depth ~8 —
+            # and lets prior iterations' blocks be released, unlike a
+            # persist-per-iteration chain that pins them all
+            ranks = ranks.localCheckpoint(eager=True)
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -128,7 +132,9 @@ def pagerank_integer(
                 .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long"))
                 .collect()[0][0]
             )
-            share = int(dang_val) // int(n_nodes)
+            # empty graph: no nodes, no mass — share 0 instead of a
+            # ZeroDivisionError (the default path returns empty too)
+            share = int(dang_val) // int(n_nodes) if n_nodes else 0
             ranks = (
                 nodes.join(contribs, "node", "left")
                 .select(
@@ -207,9 +213,16 @@ def hits_integer(
         mx = scores.agg(F.max(col)).collect()[0][0] or 0
         if mx <= 0:
             return scores
+        # the product runs in DECIMAL(38,0): pre-norm values reach
+        # maxdeg·scale, and ·scale again exceeds int64 once max
+        # in-degree passes ~9.2M — routine on web graphs (the
+        # kmv_distinct fixed-point pattern; the SQL twin uses HUGEINT)
         return scores.select(
             "node",
-            F.expr(f"({col} * {int(scale)}L) div {int(mx)}L").alias(col),
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {int(scale)}) "
+                f"div {int(mx)}L AS BIGINT)"
+            ).alias(col),
         )
 
     hub = nodes.withColumn("hub_int", F.lit(int(scale)).cast("long"))

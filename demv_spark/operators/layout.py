@@ -75,7 +75,6 @@ def zorder_pruning_stats(
     cols: Sequence[str],
     bits: int,
     prefix_bits: int,
-    key_col: str = "z_key",
 ) -> DataFrame:
     """Skip-effectiveness census: bucket rows by the top
     ``prefix_bits`` of their Z-key (a bucket ≈ one file of the
@@ -94,8 +93,4 @@ def zorder_pruning_stats(
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    return (
-        df.withColumn(key_col, z)
-        .groupBy(bucket.alias("bucket"))
-        .agg(*aggs)
-    )
+    return df.groupBy(bucket.alias("bucket")).agg(*aggs)

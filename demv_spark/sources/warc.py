@@ -195,7 +195,7 @@ oversized branch selects only (path, length) — content is pruned, so
 the bytes never leave the filesystem. Pre-split oversized files
 upstream (a .warc.gz is a concatenation of independently-inflatable
 gzip members, so a byte-level member-boundary split is lossless)."""
-_MAX_FILE_BYTES = 1 << 31  # binaryFile's own hard ceiling
+_MAX_FILE_BYTES = (1 << 31) - 1  # binaryFile's content ceiling (Int.MaxValue)
 
 
 def read_warc(spark, path: str, max_file_bytes: int = _MAX_FILE_BYTES):

@@ -223,3 +223,22 @@ def test_best_of_cluster_deterministic_and_no_udf(spark):
     from collections import Counter
     keeps = Counter(r[1] for r in a if r[3])
     assert all(v == 1 for v in keeps.values())
+
+
+def test_best_of_cluster_string_ids(spark):
+    """Review r7: the argmax tie-break must be type-generic — the
+    old max_by(doc_id, struct(quality, -doc_id)) negated the id and
+    failed at plan time for string ids."""
+    from demv_spark.operators.dedup import best_of_cluster, duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("urlA", "urlB"), ("urlB", "urlC")], "id_a string, id_b string"
+    )
+    clusters = duplicate_clusters(pairs)
+    quality = spark.createDataFrame(
+        [("urlA", 2), ("urlB", 5), ("urlC", 5)], "doc_id string, quality long"
+    )
+    got = {r["doc_id"]: r["keep"] for r in
+           best_of_cluster(clusters, quality).collect()}
+    # max quality 5 tied between B and C -> lexicographic min id B
+    assert got == {"urlA": False, "urlB": True, "urlC": False}

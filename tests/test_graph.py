@@ -187,3 +187,26 @@ def test_hits_duplicate_edges_once_and_deterministic(spark):
     c = sorted(map(tuple, hits_integer(
         single.repartition(5), iterations=3).collect()))
     assert a == b == c
+
+
+def test_hits_huge_scale_product_no_overflow(spark):
+    """Review r7: the max-normalization product (x·scale) must run in
+    DECIMAL — with scale = 2^31 even degree-2 sums overflow a plain
+    int64 product. Parity with the arbitrary-precision mirror."""
+    from demv_spark.operators.graph import hits_integer
+
+    edges = [("h", "a1"), ("h", "a2"), ("g", "a1"), ("a1", "h")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    big = 1 << 31
+    got = {r["node"]: (r["auth_int"], r["hub_int"])
+           for r in hits_integer(df, iterations=3, scale=big).collect()}
+    auth, hub = _py_hits_int(edges, 3, scale=big)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+
+
+def test_pagerank_redistribute_empty_graph_returns_empty(spark):
+    from demv_spark.operators.graph import pagerank_integer
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank_integer(empty, iterations=3, redistribute_dangling=True)
+    assert out.count() == 0
