@@ -507,7 +507,39 @@ def main():
         )
         return zorder_pruning_stats(z, ["a", "b"], 10, 4).count()
 
+    def run_countmin(d):
+        from demv_spark.functions.sketches import countmin_counters
+
+        return countmin_counters(d, "source", depth=4, width=1024).count()
+
+    def run_bloom_build(d):
+        from demv_spark.functions.sketches import bloom_build
+
+        return bloom_build(d, "doc_id", n_bits=1 << 18, n_hashes=4).count()
+
+    def run_kmv(d):
+        from demv_spark.functions.sketches import kmv_distinct
+
+        return kmv_distinct(d, "doc_id", group_cols=["source"], k=64).count()
+
+    def run_phrase_search(d):
+        from demv_spark.operators.text import inverted_index, phrase_search
+
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" quick brown fox"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return phrase_search(inverted_index(planted), "quick brown fox").count()
+
     probes = [
+        ("countmin_build", run_countmin, docs, docs_k),
+        ("bloom_build_256kbits", run_bloom_build, docs, docs_k),
+        ("kmv_grouped", run_kmv, docs, docs_k),
+        ("phrase_search_3gram", run_phrase_search, docs, docs_k),
         ("cdc_snapshot", run_cdc_snapshot, orders, orders_k),
         ("cross_doc_dup_rate", run_dup_rate, docs, docs_k),
         ("pack_sequences_32shards", run_pack_sequences, docs, docs_k),
