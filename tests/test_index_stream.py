@@ -1,0 +1,95 @@
+"""Streaming inverted-index maintenance: stream ≡ batch, re-fetch
+replacement, crash-replay idempotence."""
+
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from demv_spark.operators.text import inverted_index, phrase_search
+from demv_spark.streaming.index_stream import (
+    index_state,
+    streaming_index_maintainer,
+)
+
+PREFIX = "t_idxstream"
+
+
+@pytest.fixture()
+def idx(spark):
+    for s in ("_postings", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{s}")
+    yield PREFIX
+    for s in ("_postings", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{s}")
+
+
+def _run(spark, d, prefix):
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = streaming_index_maintainer(stream, prefix)
+    q.awaitTermination(120)
+
+
+def test_stream_index_equals_batch_and_refetch_replaces(spark, idx):
+    d = tempfile.mkdtemp(prefix="demv_idxstream_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "slow red fox")],
+            "doc_id long, text string",
+        )
+        b1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        # batch 2: new doc 3 + RE-FETCH of doc 2 with different text
+        b2 = spark.createDataFrame(
+            [(3, "quick brown fox again"), (2, "quick brown fox refetched")],
+            "doc_id long, text string",
+        )
+        b2.coalesce(1).write.mode("append").parquet(d)
+        _run(spark, d, idx)
+
+        state = index_state(spark, idx)
+        # doc 2's OLD terms (slow, red) are gone; new terms present
+        terms2 = {r["term"] for r in state.filter("doc_id = 2").collect()}
+        assert terms2 == {"quick", "brown", "fox", "refetched"}
+        # equals the batch index over the LATEST version of each doc
+        latest = spark.createDataFrame(
+            [(1, "the quick brown fox"),
+             (2, "quick brown fox refetched"),
+             (3, "quick brown fox again")],
+            "doc_id long, text string",
+        )
+        want = sorted(map(tuple, inverted_index(latest).collect()))
+        got = sorted(map(tuple, state.collect()))
+        assert got == want
+        # and phrase search runs on the derived state
+        hits = {r["doc_id"] for r in
+                phrase_search(state, "quick brown fox").collect()}
+        assert hits == {1, 2, 3}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_index_crash_replay_harmless(spark, idx):
+    d = tempfile.mkdtemp(prefix="demv_idxstream_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        )
+        b1.coalesce(1).write.mode("append").parquet(d)
+        _run(spark, d, idx)
+        before = sorted(map(tuple, index_state(spark, idx).collect()))
+        n_log = spark.table(f"{PREFIX}_postings").count()
+
+        spark.sql(f"DROP TABLE {PREFIX}__meta")          # the crash
+        _run(spark, d, idx)
+        spark.catalog.refreshTable(f"{PREFIX}_postings")
+        assert spark.table(f"{PREFIX}_postings").count() == 2 * n_log
+        assert sorted(map(tuple, index_state(spark, idx).collect())) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
