@@ -197,3 +197,44 @@ def test_adult_real_data_replication(spark):
     # canonical fairness-benchmark premise: visible pre-debias
     assert base["stat_par"] < 0
     assert base["disp_imp"] < 1.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_DATA),
+    reason="reference data not available",
+)
+def test_german_real_data_replication(spark):
+    """Fourth real-data regime: the REAL german credit table (1,000
+    rows — the smallest loader, stressing the opposite end of the
+    size range from adult) through the driver-green recipe and the
+    shared 10-fold logistic harness. No published CSVs beyond cmc, so
+    the checks are the paper's directional claims with the shared
+    tolerance structure on the sex=0 ∧ age=0 pairing."""
+    from demv_spark.operators.balancer import DEMV
+    from demv_spark.sources import recipes as R
+
+    data = R.load_german(spark, f"{REF_DATA}/german.csv").cache()
+    cfg = R.FAIRNESS["german"]
+    unpriv_group = cfg["unpriv"][2]              # {sex: 0, age: 0}
+    sensitive = list(unpriv_group)
+    unpriv = (F.col("sex") == 0) & (F.col("age") == 0)
+    features = [c for c in data.columns if c != cfg["label"]]
+
+    def run(debias=None):
+        clf = E.build_classifier("logistic", cfg["label"], "__features", 2)
+        per_fold = E.cross_val(
+            data, features, cfg["label"], clf,
+            unpriv=unpriv, positive_label=cfg["positive_label"],
+            sensitive=sensitive, k=10, debias=debias,
+        )
+        return {r["metric"]: r["mean"] for r in E.metrics_report(per_fold).collect()}
+
+    base = run()
+    demv = run(
+        lambda t: DEMV(sensitive, label=cfg["label"], seed=5).fit_transform(t)
+    )
+    assert abs(demv["stat_par"]) <= abs(base["stat_par"]) + 0.02
+    assert demv["disp_imp"] >= base["disp_imp"] - 0.02
+    assert demv["acc"] >= base["acc"] - 0.05
+    assert base["disp_imp"] < 1.0                # bias visible pre-debias
