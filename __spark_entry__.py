@@ -1422,9 +1422,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _sim_rrf_fusion(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
-        qz = similarity.quantized_cosine_topk(queries, emb, dim=64, k=10)
+        # the two component rankings are tiny (k·|Q| rows) but their
+        # PLANS re-score the corpus — persist them so the fused plan
+        # (and any second action the harness runs on the result) reads
+        # the cached candidates instead of recomputing both rankers
+        # (VERDICT r7 nit 2)
+        qz = similarity.quantized_cosine_topk(queries, emb, dim=64, k=10).persist()
         cents = similarity.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
-        pq = similarity.pq_topk_fixed(queries, emb, cents, k=10)
+        pq = similarity.pq_topk_fixed(queries, emb, cents, k=10).persist()
         return similarity.rrf_fuse([qz, pq], k=60, top_k=10).select(
             "query_id", "neighbor_id", "rrf_fx", "rank"
         )
@@ -1544,15 +1549,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_ml_stratified_folds"] = _ml_stratified_folds
 
     # robust outlier gate (round 7; round-8 seat): modified z-score
-    # on exact per-group (median, MAD)
+    # on exact per-group (median, MAD). The driver row is the per-group
+    # CENSUS (n, n_outliers, med, mad) — VERDICT r7 nit 1: the full
+    # flagged corpus as a driver row benched the 600k-row collect, not
+    # the operator; the census constrains the same flags (every row's
+    # verdict feeds n_outliers) at |groups| rows. Row-level users call
+    # robust_outliers directly — the operator is unchanged.
     def _etl_robust_outliers(spark, sf):
         from demv_spark.operators.etl import robust_outliers
 
-        return robust_outliers(
+        flagged = robust_outliers(
             _t(spark, sf, "lineitem").select(
                 "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
             ),
             ["l_returnflag"], "l_extendedprice", threshold=3.0,
+        )
+        return flagged.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
         )
 
     q["q_etl_robust_outliers"] = _etl_robust_outliers
@@ -4445,7 +4461,10 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
     """
 
-    # robust outliers: the grouped-MAD oracle + one IEEE comparison
+    # robust outliers: the grouped-MAD oracle + one IEEE comparison,
+    # folded to the per-group census (n, n_outliers, med, mad) — the
+    # row-level flag feeds n_outliers, so every row's verdict is still
+    # constrained at |groups| result rows (VERDICT r7 nit 1)
     o["q_etl_robust_outliers"] = """
         WITH med AS (
             SELECT l_returnflag,
@@ -4458,14 +4477,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ABS(l.l_extendedprice - m.med)) AS mad
             FROM lineitem l JOIN med m USING (l_returnflag)
             GROUP BY l.l_returnflag
+        ), flagged AS (
+            SELECT l.l_returnflag, s.med, s.mad,
+                   CASE WHEN l.l_extendedprice IS NULL THEN FALSE
+                        ELSE ABS(CAST(l_extendedprice AS DOUBLE) - s.med)
+                             > 3.0 * s.mad END AS is_outlier
+            FROM lineitem l JOIN stats s
+              ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
         )
-        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-               l.l_extendedprice, s.med, s.mad,
-               CASE WHEN l.l_extendedprice IS NULL THEN FALSE
-                    ELSE ABS(CAST(l_extendedprice AS DOUBLE) - s.med)
-                         > 3.0 * s.mad END AS is_outlier
-        FROM lineitem l JOIN stats s
-          ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               MAX(med) AS med, MAX(mad) AS mad
+        FROM flagged GROUP BY 1
     """
 
     # KMV: bottom-k hashes per group, estimate in HUGEINT with one
