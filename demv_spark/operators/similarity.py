@@ -1173,3 +1173,104 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out
+
+
+def topk_chunked(
+    queries: DataFrame,
+    fn,
+    chunk_rows: int = 100_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Chunked driver for the broadcast top-k family — the engine
+    path PAST the ``max_query_rows`` broadcast cap, so a semantic-join
+    workload (query set = a corpus subset, or the corpus itself) no
+    longer dead-ends at the cap's ValueError.
+
+    Queries are split into ``ceil(n / chunk_rows)`` chunks by a
+    DETERMINISTIC portable-md5 hash of the id (reproducible across
+    engines, partitionings and retries — never round-robin on
+    physical row order), and ``fn`` (any of the module's capped
+    broadcast rankers) runs once per chunk; the union of the chunk
+    results IS the full result, because per-query top-k depends only
+    on that query's row — chunking is invisible to the output.
+
+    Scale shape: each chunk is an independent broadcast join — the
+    corpus side is never shuffled, the union is a plan-level
+    concatenation (no exchange). The cost is one corpus scan per
+    chunk (column-pruned parquet, or a persisted code table the
+    caller caches); that is the inherent chunked-broadcast tradeoff —
+    when the query set approaches corpus size, the shuffle-free scans
+    lose to the LSH/IVF bucket-join paths, which is why those remain
+    the designated all-pairs shapes. Hash-mod chunk sizes concentrate
+    around n/n_chunks (sub-percent deviation at real sizes); the
+    named wrappers below pass the inner cap with a 1.5x margin so a
+    skewed split can never trip the assert the caller asked this
+    function to solve."""
+    n = queries.count()
+    n_chunks = max(1, -(-n // int(chunk_rows)))
+    if n_chunks <= 1:
+        return fn(queries)
+    from functools import reduce
+
+    from demv_spark.functions.compat import portable_hash
+
+    chunk = F.pmod(
+        portable_hash(
+            F.concat(F.lit("qchunk|"), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_chunks),
+    )
+    tagged = queries.withColumn("__chunk", chunk)
+    parts = [
+        fn(tagged.filter(F.col("__chunk") == i).drop("__chunk"))
+        for i in range(n_chunks)
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def quantized_cosine_topk_chunked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """``quantized_cosine_topk`` for query sets past the broadcast
+    cap: identical output (same scores, ranks, tie-breaks), bounded
+    broadcast per chunk. See ``topk_chunked``."""
+    return topk_chunked(
+        queries,
+        lambda qc: quantized_cosine_topk(
+            qc, corpus, dim, k=k, id_col=id_col, vec_col=vec_col
+        ),
+        chunk_rows=chunk_rows,
+        id_col=id_col,
+    )
+
+
+def pq_topk_chunked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[list[int]]],
+    k: int = 10,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """``pq_topk_fixed`` for query sets past ``max_query_rows``:
+    identical output, bounded broadcast per chunk (the inner cap gets
+    a 1.5x margin over ``chunk_rows`` so hash-split skew can never
+    trip it). See ``topk_chunked``."""
+    inner_cap = int(1.5 * chunk_rows) + 64
+    return topk_chunked(
+        queries,
+        lambda qc: pq_topk_fixed(
+            qc, corpus, centroids, k=k, scale=scale,
+            id_col=id_col, vec_col=vec_col, max_query_rows=inner_cap,
+        ),
+        chunk_rows=chunk_rows,
+        id_col=id_col,
+    )

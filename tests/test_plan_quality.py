@@ -505,3 +505,16 @@ def test_star_join_broadcasts_both_dims(spark):
     assert s["n_broadcasts"] >= 2                # customer AND nation
     assert s["n_sort_merge_joins"] == 0          # the fact never sorts
     assert not s["has_python_udf"]
+
+
+def test_topk_chunked_plan_all_joins_broadcast(spark):
+    """The chunked union keeps every chunk's join a broadcast — the
+    corpus is never shuffled for the join at any chunk count."""
+    emb = read_table(spark, SF, "embeddings")
+    out = similarity.quantized_cosine_topk_chunked(
+        emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
+        chunk_rows=16,
+    )
+    s = plan_stats(out)
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] >= 2      # one query-side broadcast per chunk

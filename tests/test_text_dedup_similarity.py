@@ -1381,3 +1381,71 @@ def test_phrase_search_no_udf_no_position_explode(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     s = plan_stats(phrase_search(inverted_index(docs), "a b"))
     assert not s["has_python_udf"]
+
+
+# ---- chunked broadcast top-k (past the max_query_rows cap) ----
+
+def test_topk_chunked_equals_unchunked(spark):
+    """Chunking is invisible to the output: hash-mod chunks of the
+    query set, unioned, equal the single-broadcast run row-for-row
+    (per-query top-k depends only on that query's row)."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    full = sorted(map(tuple, S.quantized_cosine_topk(qs, emb, dim=64, k=5).collect()))
+    chunked = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs, emb, dim=64, k=5, chunk_rows=16).collect()))
+    assert chunked == full
+    assert len(chunked) > 0
+
+
+def test_topk_chunked_single_chunk_passthrough(spark):
+    """chunk_rows >= |Q| short-circuits to one plain call — no tag
+    column leaks into the output."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = S.quantized_cosine_topk_chunked(qs, emb, dim=64, k=4, chunk_rows=10_000)
+    assert out.columns == ["query_id", "neighbor_id", "int_dot", "rank"]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, S.quantized_cosine_topk(qs, emb, dim=64, k=4).collect()))
+
+
+def test_pq_topk_chunked_past_cap(spark):
+    """The semantic-join workload that dead-ended at the cap's
+    ValueError (VERDICT r7 item 4): |Q| > max_query_rows raises on
+    the capped path, while the chunked path runs and matches the
+    uncapped result exactly."""
+    import pytest as _pytest
+
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
+    qs = emb.filter(F.col("vec_id") % 5 == 0)   # 100 queries > cap 30
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        S.pq_topk_fixed(qs, emb, cents, k=3, max_query_rows=30).collect()
+    chunked = sorted(map(tuple, S.pq_topk_chunked(
+        qs, emb, cents, k=3, chunk_rows=30).collect()))
+    full = sorted(map(tuple, S.pq_topk_fixed(
+        qs, emb, cents, k=3, max_query_rows=1_000_000).collect()))
+    assert chunked == full
+    assert len(chunked) > 0
+
+
+def test_topk_chunked_deterministic_under_repartition(spark):
+    """Chunk assignment is a portable-md5 of the id — physical row
+    order and partitioning can never change which chunk (and hence
+    which broadcast batch) a query lands in."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs, emb, dim=64, k=3, chunk_rows=16).collect()))
+    b = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs.repartition(7), emb.repartition(13), dim=64, k=3,
+        chunk_rows=16).collect()))
+    assert a == b
