@@ -61,6 +61,27 @@ def streaming_cdc_maintainer(
     return writer.start()
 
 
+def cdc_log_replay(batches: "list[DataFrame]") -> DataFrame:
+    """Batch replay of ``streaming_cdc_maintainer``'s log: tag each
+    micro-batch with its id and append — the maintainer's exact merge
+    step minus the table plumbing (the ``admission_log_replay``
+    pattern, dedup_stream.py). Returns the tagged log; derive current
+    state with ``cdc_snapshot`` over it, exactly as ``cdc_state``
+    does over the maintainer's table — the surviving rows (and their
+    ``batch_id`` provenance) are value-checkable end-to-end without a
+    running stream, and batch boundaries are provably invisible to
+    the derived state (latest-wins is order-independent over the
+    union). Stream ≡ batch symmetry is pinned in
+    tests/test_stateful_streaming.py."""
+    if not batches:
+        raise ValueError("cdc_log_replay: empty batch list")
+    out = None
+    for i, b in enumerate(batches):
+        t = b.withColumn("batch_id", F.lit(i).cast("long"))
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 def cdc_state(
     spark,
     index_prefix: str,

@@ -65,15 +65,15 @@ def streaming_index_maintainer(
     return writer.start()
 
 
-def index_state(spark, index_prefix: str) -> DataFrame:
-    """The queryable index as of now: per document, only its NEWEST
-    batch's postings survive (re-fetches fully replace the old text's
-    terms; crash-replay duplicates collapse to one row). Plug
-    straight into ``phrase_search``. Refreshes the table first
-    (foreachBatch writes happen in a cloned session)."""
-    table = f"{index_prefix}_postings"
-    spark.catalog.refreshTable(table)
-    log = spark.table(table)
+def resolve_index_log(log: DataFrame) -> DataFrame:
+    """Latest-batch resolution over a batch-tagged postings log —
+    the read surface's merge-on-read step, shared by the maintainer's
+    table (``index_state``) and the batch replay
+    (``index_log_replay``) so the two regimes cannot drift: per
+    document, only its NEWEST batch's postings survive (re-fetches
+    fully replace the old text's terms; crash-replay duplicates
+    collapse to one row). One per-doc max census + one doc-keyed
+    join — no window over the whole log."""
     latest = log.groupBy("doc_id").agg(F.max("batch_id").alias("__latest"))
     return (
         log.join(latest, "doc_id")
@@ -81,3 +81,39 @@ def index_state(spark, index_prefix: str) -> DataFrame:
         .select("term", "doc_id", "positions", "tf")
         .dropDuplicates(["term", "doc_id"])
     )
+
+
+def index_log_replay(
+    batches: "list[DataFrame]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch replay of ``streaming_index_maintainer``'s postings log:
+    fold the maintainer's per-batch step (batch-local
+    ``inverted_index`` + batch-id tag + append) over an ORDERED
+    micro-batch list — the same merge body minus the table plumbing,
+    so the maintainer's multi-batch semantics (including re-fetch
+    replacement) are value-checkable end-to-end without a running
+    stream (the ``admission_log_replay`` pattern, dedup_stream.py).
+    Returns the tagged log; derive the queryable index with
+    ``resolve_index_log`` (stream ≡ batch symmetry is pinned in
+    tests/test_index_stream.py)."""
+    if not batches:
+        raise ValueError("index_log_replay: empty batch list")
+    out = None
+    for i, b in enumerate(batches):
+        idx = inverted_index(b, text_col=text_col, id_col=id_col).withColumn(
+            "batch_id", F.lit(i).cast("long")
+        )
+        out = idx if out is None else out.unionByName(idx)
+    return out
+
+
+def index_state(spark, index_prefix: str) -> DataFrame:
+    """The queryable index as of now — ``resolve_index_log`` over the
+    maintainer's table. Plug straight into ``phrase_search``.
+    Refreshes the table first (foreachBatch writes happen in a cloned
+    session)."""
+    table = f"{index_prefix}_postings"
+    spark.catalog.refreshTable(table)
+    return resolve_index_log(spark.table(table))

@@ -136,3 +136,39 @@ def test_streaming_cdc_state_equals_batch_snapshot(spark, cdc_index):
         assert got2 == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_log_replay_batch_boundaries_invisible(spark):
+    """cdc_snapshot over the replayed tagged log equals the snapshot
+    over the raw changelog for ANY batch split, and each surviving
+    row carries the batch_id it arrived in."""
+    from demv_spark.operators.cdc import cdc_snapshot
+    from demv_spark.streaming.cdc_stream import cdc_log_replay
+
+    rows = [
+        ("a", 1, 10, "insert", 1.0),
+        ("a", 2, 11, "update", 2.0),
+        ("b", 1, 12, "insert", 3.0),
+        ("b", 3, 13, "delete", 0.0),
+        ("c", 1, 14, "insert", 4.0),
+        ("c", 2, 15, "update", 5.0),
+        ("c", 2, 16, "update", 6.0),   # seq tie-break on event_id
+    ]
+    log = spark.createDataFrame(
+        rows, "k string, ts long, event_id long, op string, v double"
+    )
+    want = sorted(
+        map(tuple, cdc_snapshot(log, ["k"], "ts", seq_col="event_id").collect())
+    )
+    for split in (2, 3):
+        batches = [log.filter(F.col("event_id") % split == i) for i in range(split)]
+        replayed = cdc_log_replay(batches)
+        snap = cdc_snapshot(replayed, ["k"], "ts", seq_col="event_id")
+        got = sorted(map(tuple, snap.drop("batch_id").collect()))
+        assert got == want
+        # provenance: the surviving row's tag is its arrival batch
+        for r in snap.collect():
+            assert r["batch_id"] == r["event_id"] % split
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty batch list"):
+        cdc_log_replay([])

@@ -93,3 +93,55 @@ def test_stream_index_crash_replay_harmless(spark, idx):
         assert sorted(map(tuple, index_state(spark, idx).collect())) == before
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_index_log_replay_matches_maintainer(spark, idx):
+    """The batch replay IS the maintainer's per-batch step: the same
+    two micro-batches through index_log_replay + resolve_index_log
+    equal the streamed index_state row-for-row."""
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from demv_spark.streaming.index_stream import (
+        index_log_replay,
+        resolve_index_log,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "slow red fox")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "quick brown fox again"), (2, "quick brown fox refetched")],
+        "doc_id long, text string",
+    )
+    replayed = resolve_index_log(index_log_replay([b1, b2]))
+
+    d = _tmp.mkdtemp(prefix="demv_idxreplay_")
+    try:
+        b1.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+        b2.coalesce(1).write.mode("append").parquet(d)
+        _run(spark, d, idx)
+        streamed = index_state(spark, idx)
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, streamed.collect()))
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_index_log_replay_refetch_and_empty(spark):
+    """Replay-only semantics: a later batch's re-fetch fully replaces
+    the doc's terms; an empty batch list raises."""
+    from demv_spark.streaming.index_stream import (
+        index_log_replay,
+        resolve_index_log,
+    )
+
+    b1 = spark.createDataFrame([(7, "alpha beta")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(7, "gamma")], "doc_id long, text string")
+    got = resolve_index_log(index_log_replay([b1, b2])).collect()
+    assert {r["term"] for r in got} == {"gamma"}
+    assert all(r["doc_id"] == 7 for r in got)
+    with pytest.raises(ValueError, match="empty batch list"):
+        index_log_replay([])
