@@ -2506,6 +2506,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_smote_rowcheck"] = _demv_smote_rowcheck
 
+    # ADASYN row-level verification (round 8, VERDICT r7 item 6): the
+    # same planted-line construction as the SMOTE rowcheck — ADASYN
+    # shares the interpolant x + gap·(nbr − x) (strategies.py
+    # _interpolate_group; only the BASE-point distribution differs:
+    # density-weighted instead of uniform), so its synthetic rows obey
+    # the same on-line / in-range invariants and the density weighting
+    # cannot push a row off the line without failing this census
+    def _demv_adasyn_rowcheck(spark, sf):
+        base = (
+            _t(spark, sf, "orders")
+            .select(
+                (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+                (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+                (F.col("o_orderkey") % 997).cast("double").alias("f1"),
+            )
+            .withColumn("f2", F.col("f1") * 3.0 + 7.0)
+        )
+        out = DEMV(
+            ["s"], label="y", round_level=1, strategy="adasyn", seed=42
+        ).fit_transform(base)
+        rng = base.groupBy("s", "y").agg(
+            F.min("f1").alias("lo"), F.max("f1").alias("hi")
+        )
+        return (
+            out.join(F.broadcast(rng), ["s", "y"])
+            .groupBy("s", "y")
+            .agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.sum(
+                    (
+                        F.abs(F.col("f2") - (F.col("f1") * 3.0 + 7.0)) > 1e-9
+                    ).cast("long")
+                ).alias("n_off_line"),
+                F.sum(
+                    ((F.col("f1") < F.col("lo")) | (F.col("f1") > F.col("hi")))
+                    .cast("long")
+                ).alias("n_out_of_range"),
+            )
+        )
+
+    q["q_demv_adasyn_rowcheck"] = _demv_adasyn_rowcheck
+
     # multi-valued sensitive attribute (5 priority classes × binary
     # label, y correlated with s): the reference hardcodes binary
     # {0,1} sensitive values (helpers.py:74,85) — the Spark census
@@ -6445,6 +6487,10 @@ def oracle_sql() -> dict[str, str]:
         "               CAST(0 AS BIGINT) AS n_off_line,\n"
         "               CAST(0 AS BIGINT) AS n_out_of_range\n",
     )
+    # ADASYN shares the interpolant (and so the planted invariants)
+    # with SMOTE — only the base-point distribution differs, which
+    # the census sizes already constrain
+    o["q_demv_adasyn_rowcheck"] = o["q_demv_smote_rowcheck"]
     o["q_demv_rebalance_census_multi"] = """
         WITH pred AS (
           SELECT o_orderpriority AS s,
