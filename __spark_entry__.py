@@ -50,6 +50,72 @@ _R7_BIRTHS: list[str] = [
     "q_web_hits",
 ]
 
+# the 8 round-7-late queries that ended round 7 with zero driver
+# evidence (the round-7 window was full at their birth; COVERAGE.md
+# planned these seats) — VERDICT r7 item 1 seats them FIRST
+_R8_QUEUE: list[str] = [
+    "q_sketch_countmin",
+    "q_sketch_bloom",
+    "q_sketch_kmv",
+    "q_olap_star_join",
+    "q_ml_stratified_folds",
+    "q_etl_robust_outliers",
+    "q_text_inverted_index",
+    "q_text_phrase_search",
+]
+
+# queries born in round 8 — every new oracled row earns its driver
+# seat in its birth round (the no-new-backlog rule, now an executable
+# invariant in tests/test_contract_consistency.py)
+_R8_BIRTHS: list[str] = [
+    "q_sim_topk_chunked",
+    "q_stream_index_log",
+    "q_stream_cdc_log",
+    "q_demv_adasyn_rowcheck",
+]
+
+# third-wave rows (first seated r7, one green round) held a second
+# consecutive round — the same first-green pin the r5/r6 rotations
+# applied; q_etl_winsorize rotates out to make room (the q_etl family
+# keeps grouped_mad / grouped_corr / robust_outliers seats)
+_R8_THIRD_WAVE_HOLDS: list[str] = [
+    "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
+    "q_corpus_orc_roundtrip", "q_text_bm25_topk", "q_text_bm25_batch",
+    "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
+    "q_events_rolling", "q_corpus_schema_evolution",
+    "q_ml_ks", "q_ml_kappa", "q_events_hop_census",
+]
+
+# one flagship per family whose other members all rotate out, so no
+# family loses every seat (executable invariant); q_dataset_adult
+# replaces q_dataset_law for recipe breadth (all ten loaders are
+# multi-round green), q_count_group_weights keeps the counting
+# family's seat after its third consecutive green
+_R8_FLAGSHIPS: list[str] = [
+    "q_demv_rebalance_census",
+    "q_metric_fairness_suite",
+    "q_dataset_adult",
+    "q_pii_redact",
+    "q_validate_report",
+    "q_linkage_best_match",
+    "q_text_lm_surprisal",
+    "q_corpus_training_prep_e2e",
+    "q_count_group_weights",
+]
+
+# the round-8 driver window, exactly 50 seats (the driver
+# value-checks the FIRST 50 queries() entries in insertion order).
+# Rotated out this round (all multi-round green, families keep other
+# seats): q_etl_quantile_label, q_ml_fold_sizes (their r6 plan
+# changes are now pinned by two consecutive greens), q_dataset_law,
+# q_dedup_ngram_containment, q_dedup_incremental,
+# q_sim_embed_near_dup, q_sim_ivfpq_topk, q_stream_curate_e2e,
+# q_events_retention, q_text_corpus_profile, q_corpus_mixture_report,
+# q_web_pagerank, q_etl_winsorize.
+_R8_WINDOW: list[str] = (
+    _R8_QUEUE + _R8_BIRTHS + _R7_BIRTHS + _R8_THIRD_WAVE_HOLDS + _R8_FLAGSHIPS
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from demv_spark.sources.readers import read_table
@@ -3327,49 +3393,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pin the verdict cites is q_sim_near_dup, whose 0.45 threshold
     # NEEDS narrow bands for recall (p-per-plane ≈ 0.65 ⇒ a 16-bit
     # band collides with prob ≈ 1e-3). Both are in-window this round.
-    # Round-7 rotation (VERDICT r6 item 1): the 15 third-wave rows
-    # that have never held a driver seat take the front of the window
-    # (gate-green tri-scale since round 6; COVERAGE.md:309 planned
-    # these seats). The 5 spent rows-only seats rotate out (the
-    # driver recorded no verdict for them — their invariant/portable
-    # twins cover them locally), as do the r6-green single-purpose
-    # rows whose families keep another representative. Three rows
-    # hold their seats one more round per VERDICT item 4 (plans
-    # changed in r6; a second green pins the change the way the
-    # HUGEINT trio was pinned). Remaining seats: one flagship per
-    # family + every query born THIS round (the no-new-backlog rule).
-    window = [
-        # third-wave: first driver seats (birthright, VERDICT item 1)
-        "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
-        "q_corpus_orc_roundtrip", "q_text_bm25_topk", "q_text_bm25_batch",
-        "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
-        "q_etl_winsorize", "q_events_rolling", "q_corpus_schema_evolution",
-        "q_ml_ks", "q_ml_kappa", "q_events_hop_census",
-        # held one more round: re-earned on NEW plans in r6
-        # (range-bucketed NTILE; portable-md5 folds; HUGEINT-cast fix)
-        "q_etl_quantile_label", "q_ml_fold_sizes", "q_count_group_weights",
-        # flagship representatives, one per family (all driver-green
-        # r6 or earlier; the rest of each family rotates out)
-        "q_demv_rebalance_census",      # DEMV censuses
-        "q_metric_fairness_suite",      # fairness metrics
-        "q_dataset_law",                # dataset recipes
-        "q_dedup_ngram_containment",    # text dedup
-        "q_dedup_incremental",          # ingest admission
-        "q_sim_embed_near_dup",         # embedding LSH
-        "q_sim_ivfpq_topk",             # ANN (PQ family)
-        "q_stream_curate_e2e",          # streaming composition
-        "q_events_retention",           # temporal
-        "q_text_corpus_profile",        # corpus-level text stats
-        "q_corpus_mixture_report",      # mixture sampling
-        "q_web_pagerank",               # web/graph
-        "q_pii_redact",                 # PII
-        "q_validate_report",            # data contracts
-        "q_linkage_best_match",         # record linkage
-        "q_text_lm_surprisal",          # LM scoring
-        "q_corpus_training_prep_e2e",   # training-prep composition
-        # round-7 births take the remaining seats (appended below as
-        # they land, keeping the never-driver-verified backlog at 0)
-    ] + _R7_BIRTHS
+    # Round-8 rotation (VERDICT r7 items 1 + 8): the 8 round-7-late
+    # queries with zero driver evidence take the front seats, the 4
+    # round-8 births follow (no-new-backlog), all 15 round-7 births
+    # hold a second consecutive round (the fourth-wave pin, plus
+    # q_sim_rrf_fusion re-earning its seat after this round's persist
+    # plan change), 14 third-wave rows hold their second round, and
+    # one flagship per remaining family keeps that family seated.
+    # The composition lives in the module-level _R8_* lists (top of
+    # file) so tests/test_contract_consistency.py can assert the
+    # rotation policy as executable invariants: exactly 50 seats, no
+    # never-driver-verified query outside the window, no family
+    # losing all its seats, no typo'd seat name.
+    window = _R8_WINDOW
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered

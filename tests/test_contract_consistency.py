@@ -82,3 +82,63 @@ def test_no_duplicate_query_or_oracle_registrations():
         keys = re.findall(rf'^\s+{var}\["(q_\w+)"\]\s*=', src, re.M)
         dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
         assert not dupes, f"duplicate {var}[...] registrations: {dupes}"
+
+
+# ---- round-8 rotation policy as executable invariants (VERDICT r7
+# item 9): window-seat pressure is structural (~200 queries, 50
+# seats, ~15 new per round), so the policy that kept every query
+# driver-verified is pinned here instead of living in prose ----
+
+def test_window_is_exactly_50_known_names():
+    """The driver value-checks the FIRST 50 queries() entries; the
+    pin list must be exactly 50 unique names and every name must
+    exist — queries() silently SKIPS unknown window names, so a typo
+    would shrink the window and hand a seat to an arbitrary query."""
+    names = list(entrymod.queries())
+    w = entrymod._R8_WINDOW
+    assert len(w) == 50, f"window pins {len(w)} seats, driver checks 50"
+    assert len(set(w)) == 50, "duplicate window seat"
+    assert names[:50] == w, (
+        "window head disagrees with the pin list — a seat name is "
+        f"misspelled or shadowed: {[n for n in w if n not in names[:50]]}"
+    )
+
+
+def test_window_no_unverified_backlog():
+    """No-new-backlog rule: every query that has NEVER held a driver
+    row (absent from every committed CORRECTNESS artifact) must be in
+    the current window, so it gets driver evidence in its birth round
+    — a rotation that strands a never-verified query fails here."""
+    import glob
+    import json
+
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    verified = set()
+    for p in sorted(glob.glob("CORRECTNESS_r*.json")):
+        with open(p) as f:
+            verified |= set(json.load(f))
+    backlog = sorted(
+        n for n in names if n not in verified and n not in window
+    )
+    assert backlog == [], (
+        f"queries with zero driver evidence stranded outside the window: {backlog}"
+    )
+
+
+def test_window_keeps_every_recent_family_seated():
+    """No family loses all its seats: every query-name family present
+    in the NEWEST driver artifact keeps at least one seat in the
+    current window (family = the q_<family>_... prefix token)."""
+    import glob
+    import json
+
+    artifacts = sorted(glob.glob("CORRECTNESS_r*.json"))
+    assert artifacts, "no CORRECTNESS artifacts committed"
+    with open(artifacts[-1]) as f:
+        prev = set(json.load(f))
+    fam = lambda n: n.split("_")[1]
+    prev_fams = {fam(n) for n in prev}
+    window_fams = {fam(n) for n in list(entrymod.queries())[:50]}
+    missing = sorted(prev_fams - window_fams)
+    assert not missing, f"families losing all window seats: {missing}"
