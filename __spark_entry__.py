@@ -72,18 +72,20 @@ _R8_BIRTHS: list[str] = [
     "q_stream_index_log",
     "q_stream_cdc_log",
     "q_demv_adasyn_rowcheck",
+    "q_media_jpeg_near_dup",
 ]
 
 # third-wave rows (first seated r7, one green round) held a second
 # consecutive round — the same first-green pin the r5/r6 rotations
-# applied; q_etl_winsorize rotates out to make room (the q_etl family
-# keeps grouped_mad / grouped_corr / robust_outliers seats)
+# applied; q_etl_winsorize and q_ml_kappa rotate out to make room for
+# the round-8 births (their families keep grouped_mad/grouped_corr/
+# robust_outliers and ks/target_encode/stratified_folds seats)
 _R8_THIRD_WAVE_HOLDS: list[str] = [
     "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
     "q_corpus_orc_roundtrip", "q_text_bm25_topk", "q_text_bm25_batch",
     "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
     "q_events_rolling", "q_corpus_schema_evolution",
-    "q_ml_ks", "q_ml_kappa", "q_events_hop_census",
+    "q_ml_ks", "q_events_hop_census",
 ]
 
 # one flagship per family whose other members all rotate out, so no
@@ -2021,6 +2023,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_media_near_dup"] = _media_near_dup
+
+    # JPEG near-dup (round 8, VERDICT r7 item 7): the same decode →
+    # dHash → hex-banded pairs composition over REAL baseline JPEG
+    # bytes decoded by the pure-stdlib codec (media_codecs.decode_jpeg
+    # — Huffman + dequant + IDCT; PIL takes over when importable).
+    # Fixtures are constant-8x8-tile grayscale images, which the lossy
+    # format round-trips bit-exactly (lone losslessly-coded DC per
+    # block), so the oracle re-derives the decoded pixels closed-form
+    def _media_jpeg_near_dup(spark, sf):
+        from demv_spark.operators.dedup import hamming_near_dup_hex
+        from demv_spark.operators.multimodal import (
+            image_dhash,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        dh = image_dhash(synthesize_media_real(ids, "n_nationkey", kind="jpeg"))
+        return hamming_near_dup_hex(
+            dh, "media_id", "dhash_hex", n_hex=16, max_hamming=4
+        )
+
+    q["q_media_jpeg_near_dup"] = _media_jpeg_near_dup
 
     # ORC interchange round-trip on the COMPLEX-typed table: write
     # embeddings (array<float>) to ORC with Spark's native
@@ -5894,6 +5918,66 @@ def oracle_sql() -> dict[str, str]:
     # hex slices — value-checks decode → hash → banded-pairs end-2-end
     o["q_media_near_dup"] = f"""
         WITH dh AS ({o["q_media_dhash"]}),
+        p AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(
+                            CAST(concat('0x', substr(a.dhash_hex, 1, 8)) AS BIGINT),
+                            CAST(concat('0x', substr(b.dhash_hex, 1, 8)) AS BIGINT)))
+                      + bit_count(xor(
+                            CAST(concat('0x', substr(a.dhash_hex, 9, 8)) AS BIGINT),
+                            CAST(concat('0x', substr(b.dhash_hex, 9, 8)) AS BIGINT)))
+                        AS INT) AS dist
+            FROM dh a JOIN dh b ON a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, dist FROM p WHERE dist <= 4
+    """
+
+    # JPEG dHash: the constant-tile fixture round-trips bit-exactly
+    # (see the query comment), so the decoded gray value is the
+    # closed-form g(x,y) = (id*7)%200 + ((x//8 + y//8 + id)%5)*11 and
+    # the dHash bits re-derive from integer block sums over the same
+    # floor-boundary 9x8 grid as the PNG oracle
+    _jpeg_dhash_sql = """
+        WITH m AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+                   CAST(n_nationkey % 64 + 16 AS INT) AS w,
+                   CAST(n_nationkey % 48 + 16 AS INT) AS h
+            FROM nation
+        ),
+        blocks AS (
+            SELECT m.media_id, m.w, m.h, i.i AS bi, j.j AS bj,
+                   SUM((m.media_id*7) % 200
+                       + ((x.x // 8 + y.y // 8 + m.media_id) % 5) * 11) AS bsum,
+                   COUNT(*) AS area
+            FROM m,
+                 LATERAL (SELECT UNNEST(range(8)) AS i) i,
+                 LATERAL (SELECT UNNEST(range(9)) AS j) j,
+                 LATERAL (SELECT UNNEST(range(m.h)) AS y) y,
+                 LATERAL (SELECT UNNEST(range(m.w)) AS x) x
+            WHERE y.y >= (i.i * m.h) // 8 AND y.y < ((i.i + 1) * m.h) // 8
+              AND x.x >= (j.j * m.w) // 9 AND x.x < ((j.j + 1) * m.w) // 9
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        bits AS (
+            SELECT l.media_id, l.w, l.h, l.bi, l.bj,
+                   CAST(l.bsum * r.area > r.bsum * l.area AS INT) AS bit
+            FROM blocks l JOIN blocks r
+              ON l.media_id = r.media_id AND l.bi = r.bi AND r.bj = l.bj + 1
+            WHERE l.bj < 8
+        ),
+        nibbles AS (
+            SELECT media_id, w, h, (bi*8 + bj) // 4 AS nib,
+                   SUM(bit << (3 - (bi*8 + bj) % 4)) AS nv
+            FROM bits GROUP BY 1, 2, 3, 4
+        )
+        SELECT media_id, w, h,
+               string_agg(substr('0123456789abcdef', CAST(nv + 1 AS INT), 1),
+                          '' ORDER BY nib) AS dhash_hex
+        FROM nibbles GROUP BY 1, 2, 3
+    """
+
+    o["q_media_jpeg_near_dup"] = f"""
+        WITH dh AS ({_jpeg_dhash_sql}),
         p AS (
             SELECT a.media_id AS id_a, b.media_id AS id_b,
                    CAST(bit_count(xor(

@@ -302,7 +302,372 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == JPEG_MAGIC:
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unrecognized image format and PIL unavailable; "
-        "supported without PIL: PNG (8-bit), BMP (24-bit), PPM (P6)"
+        "unrecognized image format and PIL unavailable; supported "
+        "without PIL: PNG (8-bit), BMP (24-bit), PPM (P6), JPEG "
+        "(baseline grayscale)"
     )
+
+
+# --------------------------------------------------------------- JPEG
+# Grayscale BASELINE JPEG (ITU T.81 sequential DCT, 8-bit, one
+# component) in pure stdlib+numpy — the dominant real-world image
+# format gets a real decode path even without PIL (when PIL imports,
+# decode_image prefers it and covers color/progressive too). The
+# boundary is crisp: multi-component (color), progressive (SOF2),
+# 12-bit and restart-interval streams raise NotImplementedError.
+#
+# The matching encoder exists for fixtures/tests: with the default
+# quant steps an image whose 8x8 tiles are CONSTANT round-trips
+# BIT-EXACTLY (each block quantizes to a lone DC coefficient that the
+# dc_step divides), which is what lets the driver oracle re-derive
+# decoded-pixel functions (dHash) in closed form despite JPEG being
+# lossy in general.
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# natural order index for each zigzag position (T.81 Figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard luminance Huffman tables (T.81 Annex K.3)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II matrix C (T.81 A.3.3 scaling):
+    F = C f Cᵀ, f = Cᵀ F C."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    c = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, for the decoder."""
+    return {(l, c): s for s, (c, l) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:       # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit category of a coefficient value (T.81 F.1.2.1.1)."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(
+    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+) -> bytes:
+    """Encode an (h, w) or (h, w, 1) uint8 array as a real baseline
+    grayscale JPEG (SOI/DQT/SOF0/DHT/SOS, standard Annex-K Huffman
+    tables, byte-stuffed entropy stream). Edge blocks pad by
+    replication. With ``dc_step`` dividing 8·(c−128) for every block
+    constant c — any integer c at the default dc_step=8 — an image of
+    constant 8x8 tiles survives encode→decode bit-exactly (all AC
+    coefficients are exactly 0; the DC quantizes losslessly)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3:
+        if arr.shape[2] != 1:
+            raise ValueError("JPEG encoder supports grayscale only")
+        arr = arr[:, :, 0]
+    h, w = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    # quant table in NATURAL order; zigzag index 0 is the DC
+    qnat = np.full((8, 8), int(ac_step), dtype=np.int32)
+    qnat[0, 0] = int(dc_step)
+    c = _jpeg_dct_matrix()
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = c @ block @ c.T
+            quant = np.rint(coef / qnat).astype(np.int64)
+            zz = [int(quant.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            # DC: category + appended bits of the difference
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            # AC: run-length of zeros, ZRL for 16, EOB at end
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zlen = ac_codes[0xF0]
+                    bw.write(zcode, zlen)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]   # EOB
+                bw.write(code, length)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out = bytearray(JPEG_MAGIC)                        # SOI
+    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    out += data
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte-stuffed entropy stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed 0xFF data byte
+                else:
+                    raise NotImplementedError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy "
+                        "stream (restart intervals unsupported)"
+                    )
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman stream")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1: map s received bits to a signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Decode a baseline grayscale JPEG to an (h, w, 1) uint8 array.
+
+    Supports the sequential-DCT 8-bit single-component stream the
+    encoder above emits (and any other grayscale baseline file using
+    in-file quant/Huffman tables). Color (multi-component),
+    progressive (SOF2), 12-bit, arithmetic-coded and restart-interval
+    streams raise NotImplementedError — install PIL for those."""
+    if payload[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = None
+    dc_id = ac_id = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:                       # DQT (possibly several)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                qtables[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:                     # DHT (possibly several)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nvals])
+                htables[(tc, th)] = _huff_decode_map(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:                     # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component (color) JPEG needs PIL; "
+                    "stdlib path decodes grayscale baseline only"
+                )
+            sampling, comp_q = body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
+                "extended/arithmetic) needs PIL"
+            )
+        elif marker == 0xDD:                     # DRI
+            (interval,) = struct.unpack(">H", body[:2])
+            if interval != 0:
+                raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:                     # SOS — entropy data follows
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-scan JPEG unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            pos += seglen
+            break
+        pos += seglen
+    if h is None or dc_id is None:
+        raise ValueError("truncated JPEG (missing SOF/SOS)")
+
+    q = qtables[comp_q]
+    qnat = np.zeros(64, dtype=np.int64)
+    for k in range(64):
+        qnat[_JPEG_ZIGZAG[k]] = q[k]
+    qnat = qnat.reshape(8, 8)
+    dc_tab = htables[(0, dc_id)]
+    ac_tab = htables[(1, ac_id)]
+    c = _jpeg_dct_matrix()
+
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(payload, pos)
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_read(br, dc_tab)
+            diff = _jpeg_extend(br.bits(s), s) if s else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:                   # EOB
+                    break
+                if rs == 0xF0:                   # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC index overrun")
+                zz[k] = _jpeg_extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZIGZAG] = zz
+            block = c.T @ (coef.reshape(8, 8) * qnat) @ c
+            pix = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
+    return out[:h, :w, None]

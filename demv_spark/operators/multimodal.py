@@ -119,7 +119,10 @@ def synthesize_media_real(
     and the PNG filter type cycles id%5 — every decode exercises one of
     the five scanline filters, and per-channel means are re-derivable
     exactly in SQL (integer sums over a generate_series grid), which is
-    what the driver oracle does. Audio samples follow
+    what the driver oracle does. ``kind="jpeg"`` emits real baseline
+    grayscale JPEG bytes built from constant 8x8 tiles (see the inline
+    comment) so even the lossy format round-trips its fixture pixels
+    bit-exactly. Audio samples follow
     ((id*31 + i*17) % 2048) - 1024 at ``sample_rate``."""
     from demv_spark.operators import media_codecs as C
 
@@ -139,6 +142,22 @@ def synthesize_media_real(
                     arr = (base[None, None, :] + grad[:, :, None]).astype(np.uint8)
                     payload = C.encode_png(arr, filter_type=mid % 5)
                     rows.append((mid, "image", "png", payload, w, h, None))
+                elif kind == "jpeg":
+                    # grayscale baseline JPEG of CONSTANT 8x8 tiles:
+                    # tile(by,bx) = (id*7)%200 + ((bx+by+id)%5)*11 —
+                    # constant tiles quantize to a lone losslessly-
+                    # coded DC, so the LOSSY format round-trips these
+                    # pixels bit-exactly and the dHash oracle can
+                    # re-derive decoded content in closed form
+                    w, h = mid % 64 + 16, mid % 48 + 16
+                    nby, nbx = -(-h // 8), -(-w // 8)
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    tiles = (
+                        (mid * 7) % 200 + ((bx + by + mid) % 5) * 11
+                    ).astype(np.uint8)
+                    arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+                    payload = C.encode_jpeg_gray(arr)
+                    rows.append((mid, "image", "jpeg", payload, w, h, None))
                 elif kind == "audio":
                     dur_ms = mid % 9000 + 1000
                     n = sample_rate * dur_ms // 1000

@@ -156,3 +156,91 @@ def test_audio_fingerprint_gain_invariant(spark):
     got = {r["media_id"]: r["fp_hex"] for r in audio_fingerprint(media).collect()}
     assert got[0] == got[1]
     assert got[0] != got[2]
+
+
+# ---- JPEG (baseline grayscale, pure stdlib) ----
+
+def _tile_image(mid, h, w):
+    nby, nbx = -(-h // 8), -(-w // 8)
+    by, bx = np.mgrid[0:nby, 0:nbx]
+    tiles = ((mid * 7) % 200 + ((bx + by + mid) % 5) * 11).astype(np.uint8)
+    return np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """An image of constant 8x8 tiles survives the LOSSY format
+    bit-exactly: every block quantizes to a lone DC that the default
+    dc_step codes losslessly — the property the driver oracle's
+    closed-form pixel model rests on."""
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        h, w = int(rng.randint(9, 70)), int(rng.randint(9, 70))
+        bh, bw = -(-h // 8), -(-w // 8)
+        tiles = rng.randint(0, 256, size=(bh, bw))
+        img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        dec = C.decode_jpeg(C.encode_jpeg_gray(img))
+        assert dec.shape == (h, w, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_general_image_near_lossless_at_unit_quant():
+    """With unit quant steps the only loss is DCT float rounding:
+    any image round-trips within ±2 — the general Huffman/IDCT path
+    is exercised on dense non-zero AC spectra, not just DC blocks."""
+    from demv_spark.operators import media_codecs as C
+
+    y = np.arange(40)[:, None] / 5.0
+    x = np.arange(56)[None, :] / 7.0
+    img = (128 + 80 * np.sin(y) * np.cos(x)).astype(np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg_gray(img, dc_step=1, ac_step=1))[:, :, 0]
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_dispatch_and_unsupported_variants():
+    """decode_image sniffs the 0xFFD8 magic; progressive (SOF2) and
+    multi-component streams raise with the stub boundary spelled out."""
+    from demv_spark.operators import media_codecs as C
+
+    enc = C.encode_jpeg_gray(_tile_image(3, 24, 32))
+    assert C.decode_image(enc).shape == (24, 32, 1)
+
+    sof = enc.find(b"\xff\xc0")
+    progressive = enc[:sof] + b"\xff\xc2" + enc[sof + 2:]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        C.decode_jpeg(progressive)
+    color = bytearray(enc)
+    color[sof + 9] = 3          # ncomp byte inside SOF0
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        C.decode_jpeg(bytes(color))
+
+
+def test_jpeg_fixture_media_pipeline(spark):
+    """synthesize_media_real(kind='jpeg') produces real JPEG bytes the
+    whole media pipeline consumes: extract_features decodes geometry +
+    exact means, image_dhash hashes the decoded pixels."""
+    from demv_spark.operators.multimodal import (
+        extract_features,
+        image_dhash,
+        synthesize_media_real,
+    )
+
+    ids = spark.range(6).withColumnRenamed("id", "mid")
+    media = synthesize_media_real(ids, "mid", kind="jpeg")
+    rows = media.collect()
+    assert all(bytes(r["payload"])[:2] == b"\xff\xd8" for r in rows)
+    assert all(r["format"] == "jpeg" for r in rows)
+
+    feats = {r["media_id"]: r for r in
+             extract_features(media, real_codecs=True).collect()}
+    for mid in range(6):
+        w, h = mid % 64 + 16, mid % 48 + 16
+        img = _tile_image(mid, h, w)
+        r = feats[mid]
+        assert (r["decoded_width"], r["decoded_height"], r["channels"]) == (w, h, 1)
+        assert r["mean_r"] == int(img.sum()) / (h * w)   # gray replicates
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"]
+
+    dh = {r["media_id"]: r["dhash_hex"] for r in image_dhash(media).collect()}
+    assert len(dh) == 6 and all(len(v) == 16 for v in dh.values())
