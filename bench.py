@@ -182,6 +182,16 @@ HEADLINE = [
     # round-7: broadcast star-join revenue census (plan-asserted
     # double-broadcast, no sort-merge join on the fact)
     "q_olap_star_join",
+    # round-8: chunked broadcast ANN (10 md5 chunks at sf0.1, corpus
+    # never shuffled), the two replayed streaming maintainers (index
+    # latest-batch resolution; CDC latest-wins over the tagged union),
+    # ADASYN planted-line rowcheck (density-weighted applyInPandas
+    # synthesis), and real JPEG decode -> dHash -> banded pairs
+    "q_sim_topk_chunked",
+    "q_stream_index_log",
+    "q_stream_cdc_log",
+    "q_demv_adasyn_rowcheck",
+    "q_media_jpeg_near_dup",
 ]
 
 

@@ -535,7 +535,68 @@ def main():
         )
         return phrase_search(inverted_index(planted), "quick brown fox").count()
 
+    # round-8 families: chunked broadcast ANN (queries grow K× →
+    # chunk count grows K×, corpus fixed — the semantic-join shape),
+    # the two replayed streaming maintainers (linear folds), and real
+    # JPEG decode → dHash throughput (mapInPandas, embarrassingly
+    # parallel)
+    def run_topk_chunked(qset):
+        from demv_spark.operators.similarity import (
+            quantized_cosine_topk_chunked,
+        )
+
+        return quantized_cosine_topk_chunked(
+            qset, vecs_1, dim=64, k=5, chunk_rows=2000
+        ).count()
+
+    def run_index_log_replay(d):
+        from demv_spark.streaming.index_stream import (
+            index_log_replay,
+            resolve_index_log,
+        )
+
+        batches = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        # batch 2 also re-fetches batch 0's docs (overlap exercises
+        # the latest-batch resolution, not just the union)
+        batches[2] = batches[2].unionByName(
+            batches[0].withColumn(
+                "text", F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2"))
+            )
+        )
+        batches = [b.select("doc_id", "text") for b in batches]
+        return resolve_index_log(index_log_replay(batches)).count()
+
+    def run_cdc_log_replay(o):
+        from demv_spark.operators.cdc import cdc_snapshot
+        from demv_spark.streaming.cdc_stream import cdc_log_replay
+
+        log = o.select(
+            (F.col("o_custkey") % 50000).alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+            .otherwise(F.lit("update")).alias("op"),
+        )
+        batches = [log.filter(F.col("seq") % 3 == i) for i in range(3)]
+        return cdc_snapshot(
+            cdc_log_replay(batches), ["k"], "ts", seq_col="seq"
+        ).count()
+
+    def run_jpeg_dhash(d):
+        from demv_spark.operators.multimodal import (
+            image_dhash,
+            synthesize_media_real,
+        )
+
+        ids = d.filter(F.col("doc_id") % 8 == 0).select("doc_id")
+        media = synthesize_media_real(ids, "doc_id", kind="jpeg")
+        return image_dhash(media).count()
+
     probes = [
+        ("topk_chunked_qx", run_topk_chunked, vecs_1, vecs_k),
+        ("index_log_replay_resolve", run_index_log_replay, docs, docs_k),
+        ("cdc_log_replay_snapshot", run_cdc_log_replay, orders, orders_k),
+        ("jpeg_encode_decode_dhash", run_jpeg_dhash, docs, docs_k),
         ("countmin_build", run_countmin, docs, docs_k),
         ("bloom_build_256kbits", run_bloom_build, docs, docs_k),
         ("kmv_grouped", run_kmv, docs, docs_k),

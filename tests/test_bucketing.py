@@ -14,13 +14,17 @@ T_SCORES = "t_bkt_scores"
 
 @pytest.fixture()
 def bucketed(spark):
+    from tests.conftest import drop_table_and_dir
+
+    for t in (T_DOCS, T_SCORES):
+        drop_table_and_dir(spark, t)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     scores = docs.select("doc_id", (F.col("n_chars") % 97).alias("score"))
     write_bucketed(docs, T_DOCS, ["doc_id"], 8, sort_cols=["doc_id"])
     write_bucketed(scores, T_SCORES, ["doc_id"], 8, sort_cols=["doc_id"])
     yield
     for t in (T_DOCS, T_SCORES):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        drop_table_and_dir(spark, t)
 
 
 def test_bucket_spec_roundtrip(spark, bucketed):

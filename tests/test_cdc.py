@@ -77,11 +77,13 @@ CDC_PREFIX = "t_cdcstream"
 
 @pytest.fixture()
 def cdc_index(spark):
+    from tests.conftest import drop_table_and_dir
+
     for s in ("_log", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {CDC_PREFIX}{s}")
+        drop_table_and_dir(spark, f"{CDC_PREFIX}{s}")
     yield CDC_PREFIX
     for s in ("_log", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {CDC_PREFIX}{s}")
+        drop_table_and_dir(spark, f"{CDC_PREFIX}{s}")
 
 
 def test_streaming_cdc_state_equals_batch_snapshot(spark, cdc_index):

@@ -15,8 +15,10 @@ PREFIX = "t_dedupstream"
 
 
 def _drop_index(spark, prefix=PREFIX):
+    from tests.conftest import drop_table_and_dir
+
     for suffix in ("_sigs", "_bands", "_matches", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        drop_table_and_dir(spark, f"{prefix}{suffix}")
 
 
 @pytest.fixture()
@@ -163,8 +165,10 @@ ADM_PREFIX = "t_admstream"
 
 
 def _drop_admission(spark, prefix=ADM_PREFIX):
+    from tests.conftest import drop_table_and_dir
+
     for suffix in ("_verdicts", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        drop_table_and_dir(spark, f"{prefix}{suffix}")
 
 
 @pytest.fixture()

@@ -19,11 +19,13 @@ PREFIX = "t_idxstream"
 
 @pytest.fixture()
 def idx(spark):
+    from tests.conftest import drop_table_and_dir
+
     for s in ("_postings", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{s}")
+        drop_table_and_dir(spark, f"{PREFIX}{s}")
     yield PREFIX
     for s in ("_postings", "__meta"):
-        spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{s}")
+        drop_table_and_dir(spark, f"{PREFIX}{s}")
 
 
 def _run(spark, d, prefix):
