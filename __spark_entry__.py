@@ -73,18 +73,24 @@ _R8_BIRTHS: list[str] = [
     "q_stream_cdc_log",
     "q_demv_adasyn_rowcheck",
     "q_media_jpeg_near_dup",
+    "q_sketch_hll",
+    "q_sketch_bloom_join",
+    "q_text_chunk_windows",
 ]
 
 # third-wave rows (first seated r7, one green round) held a second
 # consecutive round — the same first-green pin the r5/r6 rotations
-# applied; q_etl_winsorize and q_ml_kappa rotate out to make room for
-# the round-8 births (their families keep grouped_mad/grouped_corr/
-# robust_outliers and ks/target_encode/stratified_folds seats)
+# applied; q_etl_winsorize, q_ml_kappa, q_events_rolling,
+# q_text_bm25_batch and q_corpus_schema_evolution rotate out to make
+# room for the 8 round-8 births (every rotated family keeps 3+ seats:
+# etl grouped_mad/grouped_corr/robust_outliers, ml
+# ks/target_encode/stratified_folds, events hop_census, text
+# bm25_topk/inverted_index/phrase_search, corpus
+# orc_roundtrip/pack_sequences/training_prep)
 _R8_THIRD_WAVE_HOLDS: list[str] = [
     "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
-    "q_corpus_orc_roundtrip", "q_text_bm25_topk", "q_text_bm25_batch",
+    "q_corpus_orc_roundtrip", "q_text_bm25_topk",
     "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
-    "q_events_rolling", "q_corpus_schema_evolution",
     "q_ml_ks", "q_events_hop_census",
 ]
 
@@ -1662,6 +1668,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_sketch_kmv"] = _sketch_kmv
+
+    # HyperLogLog (round 8): register state as ROWS + the raw
+    # estimate as ONE exact integer division (rational alpha, the KMV
+    # fixed-point playbook) — the distinct-sketch family's industry
+    # default, value-hashed end-to-end; small-range correction is a
+    # downstream scalar decision over the emitted exact components
+    def _sketch_hll(spark, sf):
+        from demv_spark.functions.sketches import hll_estimate, hll_registers
+
+        regs = hll_registers(
+            _t(spark, sf, "events"), "user_id",
+            group_cols=["event_type"], p=8,
+        )
+        return hll_estimate(regs, group_cols=["event_type"], p=8)
+
+    q["q_sketch_hll"] = _sketch_hll
+
+    # Bloom semi-join pruning (round 8): THE pre-shuffle trick at
+    # 100 TB — the fact table filters against the dim side's Bloom
+    # words before any join shuffle; which rows pass (false positives
+    # included) is a pure md5 function of the data, so the pruned
+    # census value-hashes. n_true vs n_pruned exposes the FP rate
+    def _sketch_bloom_join(spark, sf):
+        from demv_spark.functions.sketches import bloom_build, bloom_prune
+
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        dim = cust.filter(F.col("c_nationkey") == 5).select(
+            F.col("c_custkey").alias("o_custkey")
+        )
+        bf = bloom_build(dim, "o_custkey", n_bits=1 << 14, n_hashes=4)
+        pruned = bloom_prune(orders, bf, "o_custkey", n_bits=1 << 14, n_hashes=4)
+        dimt = dim.withColumn("__true", F.lit(1))
+        return (
+            pruned.join(F.broadcast(dimt), "o_custkey", "left")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_pruned"),
+                F.sum(F.coalesce(F.col("__true"), F.lit(0)))
+                .cast("long")
+                .alias("n_true"),
+            )
+        )
+
+    q["q_sketch_bloom_join"] = _sketch_bloom_join
+
+    # RAG chunk windows (round 8): overlapping token windows with
+    # exact coordinates — map-only (split + per-row start sequence +
+    # explode + slice), the retrieval-corpus prep between curation
+    # and embedding
+    def _text_chunk_windows(spark, sf):
+        from demv_spark.operators.text import chunk_windows
+
+        return chunk_windows(
+            _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
+        )
+
+    q["q_text_chunk_windows"] = _text_chunk_windows
 
     # stratified seeded folds (round 7; round-8 seat): sklearn
     # StratifiedKFold's per-label ±1 guarantee via round-robin over
@@ -4767,6 +4831,114 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END) AS BOOLEAN) AS might_contain
         FROM pbits p LEFT JOIN words w ON w.word_idx = p.bit // 32
         GROUP BY p.k
+    """
+
+    # HLL: registers re-derived from the md5 hash split (top 8 bits =
+    # bucket, rho = 53 − bitlength of the 52-bit suffix, bin() is
+    # minimal-length in both engines), estimate = one HUGEINT integer
+    # division with the rational alpha cleared of denominators
+    o["q_sketch_hll"] = """
+        WITH h AS (
+            SELECT event_type,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'hll7',
+                       CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+            FROM events
+        ),
+        br AS (
+            SELECT event_type, hv // 4503599627370496 AS bucket,
+                   CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                        ELSE 53 - length(bin(hv % 4503599627370496))
+                   END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket, MAX(rho) AS max_rho
+            FROM br GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n_regs,
+                   SUM(CAST(1 AS BIGINT) << CAST(53 - max_rho AS INTEGER))
+                       AS s_present
+            FROM regs GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n_regs AS BIGINT) AS n_registers,
+               CAST(256 - n_regs AS BIGINT) AS n_zero_registers,
+               CAST(s_present + (256 - n_regs) * 9007199254740992 AS BIGINT)
+                   AS denom,
+               CAST((CAST(7213000 AS HUGEINT) * 16777216 * 9007199254740992)
+                    // (CAST(2570790000 AS HUGEINT)
+                        * CAST(s_present + (256 - n_regs) * 9007199254740992
+                               AS HUGEINT))
+                   AS BIGINT) AS est_raw
+        FROM agg
+    """
+
+    # Bloom semi-join: the dim side's words rebuilt from the same
+    # md5 bits, every distinct fact key probed, the pruned fact census
+    # labeled true-match vs false-positive by the real join
+    o["q_sketch_bloom_join"] = """
+        WITH dim AS (
+            SELECT c_custkey AS k FROM customer WHERE c_nationkey = 5
+        ),
+        mbits AS (
+            SELECT CAST(concat('0x', substr(md5(concat_ws(':', 'bf7',
+                       CAST(r.i AS VARCHAR), CAST(d.k AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 16384 AS bit
+            FROM dim d CROSS JOIN range(0, 4) r(i)
+        ),
+        words AS (
+            SELECT bit // 32 AS word_idx,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+            FROM mbits GROUP BY 1
+        ),
+        probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        pbits AS (
+            SELECT p.k,
+                   CAST(concat('0x', substr(md5(concat_ws(':', 'bf7',
+                       CAST(r.i AS VARCHAR), CAST(p.k AS VARCHAR))), 1, 15))
+                       AS BIGINT) % 16384 AS bit
+            FROM probe p CROSS JOIN range(0, 4) r(i)
+        ),
+        verdict AS (
+            SELECT p.k,
+                   MIN(CASE WHEN (COALESCE(w.word, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER)))
+                        = (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER))
+                        THEN 1 ELSE 0 END) AS pass
+            FROM pbits p LEFT JOIN words w ON w.word_idx = p.bit // 32
+            GROUP BY p.k
+        ),
+        pass_keys AS (SELECT k FROM verdict WHERE pass = 1)
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_pruned,
+               CAST(SUM(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true
+        FROM orders o JOIN pass_keys pk ON o.o_custkey = pk.k
+        LEFT JOIN dim d ON o.o_custkey = d.k
+        GROUP BY 1
+    """
+
+    # RAG chunk windows: per-row start sequence (stride 48 below the
+    # token count) + 1-based-inclusive list slicing
+    o["q_text_chunk_windows"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   CAST(s.s AS INT) AS start_tok,
+                   CAST(s.s // 48 AS INT) AS chunk_id
+            FROM toks, LATERAL (SELECT UNNEST(range(0, len(t), 48)) AS s) s
+        )
+        SELECT doc_id, chunk_id, start_tok,
+               CAST(len(t[start_tok + 1 : start_tok + 64]) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(t[start_tok + 1 : start_tok + 64], ' ')
+                   AS chunk_text
+        FROM starts
     """
 
     # HITS: the max-normalized half-steps unroll — auth from current

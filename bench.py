@@ -192,6 +192,12 @@ HEADLINE = [
     "q_stream_cdc_log",
     "q_demv_adasyn_rowcheck",
     "q_media_jpeg_near_dup",
+    # round-8 second wave: HLL (bounded-register shuffle + one
+    # HUGEINT-exact division), Bloom semi-join pruning (fact never
+    # shuffled, verdicts broadcast back), RAG chunk windows (map-only)
+    "q_sketch_hll",
+    "q_sketch_bloom_join",
+    "q_text_chunk_windows",
 ]
 
 

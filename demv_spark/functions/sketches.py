@@ -253,3 +253,128 @@ def kmv_distinct(
         )
     )
     return out.withColumn("est_distinct", est.cast("long"))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: "list[str] | None" = None,
+    p: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """HyperLogLog register state with an EXACT contract: registers
+    as ROWS (group…, bucket, max_rho) instead of an engine-specific
+    packed blob, so the state value-hashes cross-engine like the
+    other sketches here. bucket = the hash's top ``p`` bits; rho =
+    leading-zero count of the remaining 60−p bits + 1, computed as
+    ``61 − p − length(bin(suffix))`` (bin() renders minimal-length in
+    both Spark and DuckDB — no float log2 near power-of-two
+    boundaries). At most m = 2^p rows per group; merging two sketches
+    = union + re-max (associative). One bounded-key groupBy; NULL
+    keys hash like any value."""
+    groups = list(group_cols or [])
+    key = F.col(key_col)
+    h = portable_hash(
+        F.concat_ws(":", F.lit(f"hll{seed}"), key.cast("string"))
+    )
+    suffix_bits = 60 - p
+    bucket = F.expr(f"__h div {1 << suffix_bits}")
+    suffix = F.pmod(F.col("__h"), F.lit(1 << suffix_bits))
+    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(suffix))
+    )
+    hashed = df.select(*groups, h.alias("__h"))
+    return (
+        hashed.select(
+            *groups, bucket.alias("bucket"), rho.cast("int").alias("__rho")
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: "list[str] | None" = None,
+    p: int = 8,
+) -> DataFrame:
+    """Raw HyperLogLog estimate from ``hll_registers`` state as ONE
+    exact integer division: E = α_m·m²/Σ2^{−M_j} with α_m =
+    0.7213/(1 + 1.079/m) kept RATIONAL (7213·1000m / 10000(1000m+1079))
+    and the indicator sum cleared of its denominator —
+    Σ2^{−M_j} = (Σ2^{R−M_j}) / 2^R with R = 61−p the max rho, absent
+    registers contributing 2^R each — so
+
+        est_raw = ⌊7213·1000·m³·2^R / (10000·(1000m+1079)·denom)⌋
+
+    runs in DECIMAL(38,0) (DuckDB: HUGEINT) and value-hashes while
+    the METHOD stays approximate (same fixed-point playbook as
+    ``kmv_distinct``). Emits (group…, n_registers, n_zero_registers,
+    denom, est_raw): the small/large-range bias corrections (linear
+    counting when est_raw ≤ 2.5m and zeros exist) involve ln and are
+    a downstream scalar decision over these exact components — the
+    sketch state and raw estimator are the cross-engine contract."""
+    groups = list(group_cols or [])
+    m = 1 << p
+    big_r = 61 - p
+    out = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({big_r} - max_rho AS INT))")
+        ).cast("long").alias("__present"),
+    )
+    denom = (
+        F.col("__present")
+        + (F.lit(m) - F.col("n_registers")) * F.lit(1 << big_r)
+    ).cast("long")
+    out = out.withColumn("denom", denom).drop("__present")
+    num = 7213 * 1000 * (m ** 3) * (1 << big_r)
+    alpha_den = 10000 * (1000 * m + 1079)
+    est = F.expr(
+        f"CAST((CAST({num} AS DECIMAL(38,0))) "
+        f"div (CAST({alpha_den} AS DECIMAL(38,0)) * denom) AS BIGINT)"
+    )
+    return (
+        out.withColumn("n_zero_registers", (F.lit(m) - F.col("n_registers")).cast("long"))
+        .withColumn("est_raw", est)
+        .select(*groups, "n_registers", "n_zero_registers", "denom", "est_raw")
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Bloom semi-join pruning — THE pre-shuffle trick at 100 TB:
+    filter a huge fact table by a Bloom filter built on the dim side's
+    keys BEFORE the real join's shuffle, so non-matching fact rows
+    (usually the overwhelming majority) never leave their input
+    partitions. No false negatives: every matching row survives;
+    false positives pass at the filter's standard rate and are
+    eliminated by the real join downstream.
+
+    Plan: the fact's DISTINCT keys probe the broadcast word table
+    (``bloom_probe``), and survivors broadcast back as a semi-join
+    key list when small — here the membership verdict joins back on
+    the key, so the fact table itself is never shuffled (the verdict
+    table is |distinct keys| rows; Spark broadcasts it under AQE).
+    Bits are portable-hash-derived, so WHICH rows pass is a pure
+    function of the data — the pruned set value-hashes cross-engine
+    (false positives included, deterministically)."""
+    verdicts = bloom_probe(
+        bloom,
+        fact.select(F.col(key_col)).distinct(),
+        key_col,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        seed=seed,
+    ).filter(F.col("might_contain"))
+    from demv_spark.functions.compat import null_safe_broadcast_join
+
+    return null_safe_broadcast_join(
+        fact, verdicts.select(key_col), keys=[key_col]
+    )

@@ -1336,3 +1336,56 @@ def phrase_search(
             F.element_at("__occ", 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """RAG-style overlapping token windows with exact coordinates —
+    the retrieval-corpus prep step between curation and embedding:
+    every document splits into chunks of ``chunk_tokens`` whitespace
+    tokens advancing by ``stride = chunk_tokens − overlap``, so
+    consecutive chunks share ``overlap`` tokens and no answer span
+    longer than the overlap is ever cut. Emits (id, chunk_id,
+    start_tok, n_chunk_tokens, chunk_text): chunk_id is the 0-based
+    window index, start_tok its exact token offset — the coordinates
+    an answer-span attributor joins back on. Chunk starts are every
+    multiple of stride below the doc's token count (a short final
+    window keeps the tail; an empty/NULL doc yields one empty chunk,
+    the flag-not-filter canon). The overlap/coordinates are what
+    distinguish this from :func:`chunk_tokens` (disjoint fixed-width
+    packing) — retrieval chunking needs the shared margin.
+
+    Scale shape: MAP-ONLY — split, a per-row sequence of starts,
+    explode, slice + array_join; no shuffle, no UDF, no window. The
+    explode multiplies rows by ≈ n_tokens/stride, the same linear
+    blow-up the downstream embedder pays by design."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_windows: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    # tokens('') == [''] so n >= 1 always: the sequence end (largest
+    # multiple of stride <= n-1) is never negative
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        (n - 1) - F.pmod(n - 1, F.lit(stride)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

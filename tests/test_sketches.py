@@ -130,3 +130,130 @@ def test_kmv_grouped_and_merge(spark):
     a = sorted(map(tuple, kmv_distinct(df, "k", ["g"], k=32).collect()))
     b = sorted(map(tuple, kmv_distinct(df.repartition(7), "k", ["g"], k=32).collect()))
     assert a == b
+
+
+# ---- HyperLogLog (round 8): exact-register contract ----
+
+def _py_hll_register(key, p=8, seed=7):
+    import hashlib
+
+    h = int(hashlib.md5(f"hll{seed}:{key}".encode()).hexdigest()[:15], 16)
+    suffix_bits = 60 - p
+    bucket = h >> suffix_bits
+    suffix = h % (1 << suffix_bits)
+    rho = (suffix_bits + 1) - suffix.bit_length() if suffix else suffix_bits + 1
+    return bucket, rho
+
+
+def test_hll_registers_python_mirror(spark):
+    """Every (bucket, max_rho) row equals the md5 arithmetic computed
+    independently in Python — the register state is an exact integer
+    function of the data, not an engine artifact."""
+    from demv_spark.functions.sketches import hll_registers
+
+    keys = [str(i * 37) for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_registers(df, "k", p=8).collect()
+    }
+    want = {}
+    for k in keys:
+        b, rho = _py_hll_register(k)
+        want[b] = max(want.get(b, 0), rho)
+    assert got == set(want.items())
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """Raw estimate within the standard ~1.04/sqrt(m) band on a real
+    id domain, and the register algebra is associative: union of two
+    halves' registers re-maxed == the full build."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.functions.sketches import hll_estimate, hll_registers
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # raw-estimator regime (n >> 2.5m): the order-key domain
+    true = orders.select("o_orderkey").distinct().count()
+    regs = hll_registers(orders, "o_orderkey", p=8)
+    est = hll_estimate(regs, p=8).collect()[0]
+    assert true > 2.5 * 256
+    assert abs(est["est_raw"] - true) / true < 0.20   # 3 sigma at m=256
+    assert est["n_registers"] + est["n_zero_registers"] == 256
+
+    # small-range regime (the o_custkey domain, 150 distinct): the
+    # emitted exact components drive linear counting downstream —
+    # m*ln(m/V) recovers the truth where the raw estimator is biased
+    import math
+
+    small = hll_estimate(hll_registers(orders, "o_custkey", p=8), p=8).collect()[0]
+    true_small = orders.select("o_custkey").distinct().count()
+    v = small["n_zero_registers"]
+    assert v > 0
+    lc = 256 * math.log(256 / v)
+    assert abs(lc - true_small) / true_small < 0.15
+
+    a = hll_registers(orders.filter(F.col("o_orderkey") % 2 == 0), "o_orderkey", p=8)
+    b = hll_registers(orders.filter(F.col("o_orderkey") % 2 == 1), "o_orderkey", p=8)
+    merged = (
+        a.unionByName(b).groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect()))
+
+
+def test_hll_grouped_and_repartition_deterministic(spark):
+    from demv_spark.functions.sketches import hll_registers
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, hll_registers(
+        ev, "user_id", group_cols=["event_type"], p=6).collect()))
+    b = sorted(map(tuple, hll_registers(
+        ev.repartition(13), "user_id", group_cols=["event_type"], p=6).collect()))
+    assert a == b and len(a) > 0
+    # at most m rows per group
+    import collections
+    per = collections.Counter(r[0] for r in a)
+    assert max(per.values()) <= 64
+
+
+# ---- Bloom semi-join pruning (round 8) ----
+
+def test_bloom_prune_no_false_negatives_and_deterministic(spark):
+    """Every truly-matching fact row survives the prune; the pruned
+    set equals the bloom_probe verdicts exactly (false positives
+    included, deterministically) under any partitioning."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+        bloom_prune,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dim = cust.filter(F.col("c_nationkey") == 5).select(
+        F.col("c_custkey").alias("o_custkey"))
+    bf = bloom_build(dim, "o_custkey", n_bits=1 << 12, n_hashes=4)
+
+    pruned = bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4)
+    pruned_keys = {r["o_custkey"] for r in pruned.select("o_custkey").distinct().collect()}
+    true_keys = {r["o_custkey"] for r in
+                 orders.join(dim, "o_custkey", "left_semi")
+                 .select("o_custkey").distinct().collect()}
+    assert true_keys <= pruned_keys                    # no false negatives
+
+    verdict_keys = {
+        r["o_custkey"]
+        for r in bloom_probe(bf, orders.select("o_custkey").distinct(),
+                             "o_custkey", n_bits=1 << 12, n_hashes=4)
+        .filter("might_contain").collect()
+    }
+    assert pruned_keys == verdict_keys                 # prune == probe verdicts
+    # row counts survive intact (prune filters, never dedups)
+    n_again = bloom_prune(
+        orders.repartition(17), bf, "o_custkey", n_bits=1 << 12, n_hashes=4
+    ).count()
+    assert pruned.count() == n_again

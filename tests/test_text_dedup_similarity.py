@@ -1449,3 +1449,52 @@ def test_topk_chunked_deterministic_under_repartition(spark):
         qs.repartition(7), emb.repartition(13), dim=64, k=3,
         chunk_rows=16).collect()))
     assert a == b
+
+
+# ---- RAG chunking: overlapping token windows (round 8) ----
+
+def test_chunk_windows_hand_fixture(spark):
+    from demv_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: stride 2 -> starts 0,2,4,6,8
+    assert [rows[(1, i)]["start_tok"] for i in range(5)] == [0, 2, 4, 6, 8]
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    assert rows[(1, 4)]["chunk_text"] == "t8 t9"       # short tail kept
+    assert rows[(1, 4)]["n_chunk_tokens"] == 2
+    # consecutive chunks share exactly the overlap
+    for i in range(3):
+        a = rows[(1, i)]["chunk_text"].split()
+        b = rows[(1, i + 1)]["chunk_text"].split()
+        assert a[-2:] == b[:2]
+    # NULL doc -> one empty chunk (flag-not-filter)
+    assert rows[(2, 0)]["chunk_text"] == "" and len(rows) == 6
+    # full coverage: union of [start, start+len) is [0, 10)
+    covered = set()
+    for i in range(5):
+        r = rows[(1, i)]
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(10))
+
+
+def test_chunk_windows_overlap_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from demv_spark.operators.text import chunk_windows
+    from demv_spark.plans.introspect import plan_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_windows(docs, chunk_tokens=8, overlap=8)
+    out = chunk_windows(docs, chunk_tokens=64, overlap=16)
+    s = plan_stats(out)
+    assert s["n_exchanges"] <= 1     # read_table spread only: map-only op
+    assert s["n_sort_merge_joins"] == 0 and s["n_broadcasts"] == 0
+    # every document is represented
+    assert out.select("doc_id").distinct().count() == docs.count()
