@@ -592,7 +592,30 @@ def main():
         media = synthesize_media_real(ids, "doc_id", kind="jpeg")
         return image_dhash(media).count()
 
+    def run_hll(d):
+        from demv_spark.functions.sketches import hll_estimate, hll_registers
+
+        return hll_estimate(
+            hll_registers(d, "doc_id", group_cols=["source"], p=8),
+            group_cols=["source"], p=8,
+        ).count()
+
+    def run_bloom_prune(o):
+        from demv_spark.functions.sketches import bloom_build, bloom_prune
+
+        dim = o.filter(F.col("o_custkey") % 97 == 0).select("o_custkey").distinct()
+        bf = bloom_build(dim, "o_custkey", n_bits=1 << 16, n_hashes=4)
+        return bloom_prune(o, bf, "o_custkey", n_bits=1 << 16, n_hashes=4).count()
+
+    def run_chunk_windows(d):
+        from demv_spark.operators.text import chunk_windows
+
+        return chunk_windows(d, chunk_tokens=64, overlap=16).count()
+
     probes = [
+        ("hll_grouped_p8", run_hll, docs, docs_k),
+        ("bloom_prune_fact", run_bloom_prune, orders, orders_k),
+        ("chunk_windows_64_16", run_chunk_windows, docs, docs_k),
         ("topk_chunked_qx", run_topk_chunked, vecs_1, vecs_k),
         ("index_log_replay_resolve", run_index_log_replay, docs, docs_k),
         ("cdc_log_replay_snapshot", run_cdc_log_replay, orders, orders_k),

@@ -518,3 +518,17 @@ def test_topk_chunked_plan_all_joins_broadcast(spark):
     s = plan_stats(out)
     assert s["n_sort_merge_joins"] == 0
     assert s["n_broadcasts"] >= 2      # one query-side broadcast per chunk
+
+
+def test_bloom_prune_fact_side_never_shuffled(spark):
+    """The prune's joins are all broadcast (word table into the probe,
+    verdict keys back into the fact) — the fact table's rows never
+    enter an exchange; only its DISTINCT keys do."""
+    from demv_spark.functions.sketches import bloom_build, bloom_prune
+
+    orders = read_table(spark, SF, "orders")
+    dim = orders.filter(F.col("o_custkey") % 97 == 0).select("o_custkey").distinct()
+    bf = bloom_build(dim, "o_custkey", n_bits=1 << 12, n_hashes=4)
+    s = plan_stats(bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4))
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] >= 2
