@@ -76,6 +76,7 @@ _R8_BIRTHS: list[str] = [
     "q_sketch_hll",
     "q_sketch_bloom_join",
     "q_text_chunk_windows",
+    "q_demv_adasyn_lsh_rowcheck",
 ]
 
 # third-wave rows (first seated r7, one green round) held a second
@@ -88,7 +89,7 @@ _R8_BIRTHS: list[str] = [
 # bm25_topk/inverted_index/phrase_search, corpus
 # orc_roundtrip/pack_sequences/training_prep)
 _R8_THIRD_WAVE_HOLDS: list[str] = [
-    "q_warc_roundtrip", "q_dedup_hamming_pairs", "q_media_near_dup",
+    "q_warc_roundtrip", "q_dedup_hamming_pairs",
     "q_corpus_orc_roundtrip", "q_text_bm25_topk",
     "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
     "q_ml_ks", "q_events_hop_census",
@@ -2701,6 +2702,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_demv_adasyn_rowcheck"] = _demv_adasyn_rowcheck
+
+    # ADASYN LSH scale path (round 8): the same planted-line contract
+    # over the NO-UDF density-weighted variant
+    # (strategies.synthetic_rebalance_lsh(strategy="adasyn") —
+    # density-apportioned base quotas, shared interpolant), so the
+    # pure-DataFrame scale shape is driver-constrained exactly like
+    # the exact applyInPandas path: census sizes are the fixed-point
+    # walk, on-line / in-range violations provably 0
+    def _demv_adasyn_lsh_rowcheck(spark, sf):
+        from demv_spark.operators.balancer import group_targets
+        from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+        base = (
+            _t(spark, sf, "orders")
+            .select(
+                (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+                (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+                "o_orderkey",
+                (F.col("o_orderkey") % 997).cast("double").alias("f1"),
+            )
+            .withColumn("f2", F.col("f1") * 3.0 + 7.0)
+        )
+        targets = group_targets(base, ["s"], "y", 1, 10000)
+        out = synthetic_rebalance_lsh(
+            base, ["s"], "y", targets,
+            id_cols=["o_orderkey"], strategy="adasyn", seed=42,
+        )
+        rng = base.groupBy("s", "y").agg(
+            F.min("f1").alias("lo"), F.max("f1").alias("hi")
+        )
+        return (
+            out.join(F.broadcast(rng), ["s", "y"])
+            .groupBy("s", "y")
+            .agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.sum(
+                    (
+                        F.abs(F.col("f2") - (F.col("f1") * 3.0 + 7.0)) > 1e-9
+                    ).cast("long")
+                ).alias("n_off_line"),
+                F.sum(
+                    ((F.col("f1") < F.col("lo")) | (F.col("f1") > F.col("hi")))
+                    .cast("long")
+                ).alias("n_out_of_range"),
+            )
+        )
+
+    q["q_demv_adasyn_lsh_rowcheck"] = _demv_adasyn_lsh_rowcheck
 
     # multi-valued sensitive attribute (5 priority classes × binary
     # label, y correlated with s): the reference hardcodes binary
@@ -6783,6 +6832,10 @@ def oracle_sql() -> dict[str, str]:
     # with SMOTE — only the base-point distribution differs, which
     # the census sizes already constrain
     o["q_demv_adasyn_rowcheck"] = o["q_demv_smote_rowcheck"]
+    # the LSH scale path shares the fixed-point census AND the
+    # interpolation invariants (x + λ(nbr − x) between same-group
+    # originals), so the same oracle constrains it
+    o["q_demv_adasyn_lsh_rowcheck"] = o["q_demv_smote_rowcheck"]
     o["q_demv_rebalance_census_multi"] = """
         WITH pred AS (
           SELECT o_orderpriority AS s,

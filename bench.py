@@ -198,6 +198,9 @@ HEADLINE = [
     "q_sketch_hll",
     "q_sketch_bloom_join",
     "q_text_chunk_windows",
+    # round-8: the ADASYN LSH scale path (no-UDF density-weighted
+    # apportionment over the banded candidate graph)
+    "q_demv_adasyn_lsh_rowcheck",
 ]
 
 

@@ -216,9 +216,25 @@ def synthetic_rebalance_lsh(
     n_projs: int = 4,
     bucket_width: float | None = None,
     max_bucket: int | None = None,
+    strategy: str = "smote",
 ) -> DataFrame:
     """SMOTE-style rebalance for groups too large for one executor —
     the scale path promised by the module docstring, now implemented.
+
+    ``strategy="adasyn"`` switches BASE-POINT selection from the
+    uniform seeded-rank round-robin to density-weighted apportionment
+    (the ADASYN idea — synthesize more where the space is sparse):
+    each row's density proxy is its mean approximate-kNN distance²,
+    each row's quota of the group's (target − n) synthetic rows is
+    ``n_new·dens/Σdens`` apportioned by largest remainder (overflow
+    wraps round-robin over the remainder rank, so the group emits
+    EXACTLY n_new rows even when n_new ≫ n or every density is 0 —
+    the zero-density degenerate falls back to the uniform split).
+    Deterministic like everything here: the density sums are
+    decimal-stable, the remainder rank ties break on portable hashes
+    — a pure function of the data across engines and partitionings.
+    Neighbor choice, λ and the interpolant are SHARED with the smote
+    path, so the planted-line invariants hold for both.
 
     The exact path's grouped ``applyInPandas`` must hold a whole
     (sensitive…, label) group in one worker and pays O(n²) for the
@@ -269,6 +285,8 @@ def synthetic_rebalance_lsh(
     from demv_spark.operators.balancer import _join_targets, rebalance
     from demv_spark.operators.similarity import _hyperplanes
 
+    if strategy not in ("smote", "adasyn"):
+        raise ValueError(f"unknown strategy: {strategy}")
     keys = [*sensitive, label]
     # id_cols are identity, not geometry: excluded from interpolation
     # (synthetic rows inherit their base row's ids)
@@ -398,23 +416,78 @@ def synthetic_rebalance_lsh(
         .agg(F.sort_array(F.collect_list(F.struct("__rk", "__nx"))).alias("__nbrs"))
     )
 
-    # seeded-rank base selection with round-robin wraparound: group g
-    # of size n emits exactly (target − n) synthetic ordinals
-    w_rank = Window.partitionBy(*keys).orderBy(
-        portable_hash(F.concat(F.lit(f"smote{seed}:"), F.col("__fid")))
-    )
-    r = F.row_number().over(w_rank) - 1
     n_new = (F.col("__target") - F.col("__n")).cast("long")
-    repeats = F.when(
-        n_new > r, ((n_new - r - F.lit(1)) / F.col("__n")).cast("long") + 1
-    ).otherwise(F.lit(0))
-    seeds_df = (
-        rows.withColumn("__r", r)
-        .withColumn("__rep", repeats)
-        .filter(F.col("__rep") > 0)
-        .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
-        .withColumn("__j", F.col("__r") + (F.col("__e") - 1) * F.col("__n"))
-    )
+    if strategy == "adasyn":
+        # density-weighted apportionment (see docstring): quota =
+        # floor(n_new·dens/W) + largest-remainder bonus, overflow
+        # wrapped round-robin over the remainder rank so the group
+        # emits exactly n_new ordinals in every regime
+        dens_tbl = topk.groupBy("__fid").agg(
+            stable_sum(F.col("__d2")).alias("__ds"),
+            F.count(F.lit(1)).alias("__dk"),
+        )
+        wsum = Window.partitionBy(*keys)
+        w_rem = Window.partitionBy(*keys).orderBy(
+            F.col("__rem").desc(),
+            portable_hash(F.concat(F.lit(f"adasyn{seed}:"), F.col("__fid"))),
+        )
+        rows_d = (
+            rows.join(dens_tbl, "__fid", "left")
+            .withColumn(
+                "__dens",
+                F.coalesce(F.col("__ds") / F.col("__dk"), F.lit(0.0)),
+            )
+            # order-independent float sum: decimal-cast window total
+            .withColumn(
+                "__wtot",
+                F.sum(F.col("__dens").cast("decimal(38,18)")).over(wsum)
+                .cast("double"),
+            )
+            .withColumn(
+                "__share",
+                F.when(
+                    F.col("__wtot") > 0,
+                    n_new * F.col("__dens") / F.col("__wtot"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn("__q", F.floor("__share").cast("long"))
+            .withColumn("__rem", F.col("__share") - F.col("__q"))
+            .withColumn("__L", n_new - F.sum("__q").over(wsum))
+            .withColumn("__rr", F.row_number().over(w_rem) - 1)
+            .withColumn(
+                "__rep",
+                F.col("__q")
+                + F.expr("__L div __n")
+                + F.when(
+                    F.col("__rr") < F.pmod(F.col("__L"), F.col("__n")),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+        )
+        seeds_df = (
+            rows_d.filter(F.col("__rep") > 0)
+            .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+            .withColumn("__j", F.col("__rr") + (F.col("__e") - 1) * F.col("__n"))
+            .drop("__ds", "__dk", "__dens", "__wtot", "__share",
+                  "__q", "__rem", "__L", "__rr")
+        )
+    else:
+        # seeded-rank base selection with round-robin wraparound:
+        # group g of size n emits exactly (target − n) ordinals
+        w_rank = Window.partitionBy(*keys).orderBy(
+            portable_hash(F.concat(F.lit(f"smote{seed}:"), F.col("__fid")))
+        )
+        r = F.row_number().over(w_rank) - 1
+        repeats = F.when(
+            n_new > r, ((n_new - r - F.lit(1)) / F.col("__n")).cast("long") + 1
+        ).otherwise(F.lit(0))
+        seeds_df = (
+            rows.withColumn("__r", r)
+            .withColumn("__rep", repeats)
+            .filter(F.col("__rep") > 0)
+            .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+            .withColumn("__j", F.col("__r") + (F.col("__e") - 1) * F.col("__n"))
+        )
 
     # join on __fid ALONE: it is globally unique (concat of id_cols),
     # so it determines the group — and a [*keys, __fid] equi-join

@@ -216,6 +216,12 @@ def main():
             id_cols=["__rid"], k=5,
         ).count()
 
+    def run_adasyn_lsh(d):
+        return synthetic_rebalance_lsh(
+            d, ["s0"], "y", _smote_targets(d),
+            id_cols=["__rid"], k=5, strategy="adasyn",
+        ).count()
+
     # round-4 curation ops: cap_per_key (windowed quota, plain vs
     # salted) and the two map-only ops (split assignment + canonical
     # URL), probed on the documents table with a synthesized domain
@@ -657,6 +663,7 @@ def main():
          orders_skew, orders_skew_k),
         ("smote_exact_knn", run_smote_exact, clf_base, clf_k),
         ("smote_lsh", run_smote_lsh, clf_base, clf_k),
+        ("adasyn_lsh", run_adasyn_lsh, clf_base, clf_k),
         ("hamming_random_candidates", run_hamming_random, docs, docs_k),
         ("hamming_planted_pairs", run_hamming_planted, docs, docs_k),
         ("bm25_batch_3q", run_bm25_batch, docs, docs_k),

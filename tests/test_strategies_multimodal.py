@@ -255,3 +255,78 @@ def test_lsh_smote_max_bucket_cap_bounds_candidates(spark):
             if ok:
                 break
         assert ok, f"synthetic {pt} not on any original segment"
+
+
+def test_lsh_adasyn_density_weighted_apportionment(spark):
+    """The adasyn LSH flavor sends synthesis where the space is
+    sparse: a tight cluster (identical points, kNN distance 0) gets
+    ZERO quota while the spread cluster absorbs the whole n_new; the
+    group still emits exactly target rows, deterministically under
+    repartitioning, and the planted-line geometry is shared with the
+    smote path."""
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+    rows = []
+    # group (1,1): 20 identical (dense) + 20 spread points on the
+    # line f1 = 2*f0 + 1 so interpolants stay on the line
+    for i in range(20):
+        rows.append((1, 1, i, 0.0, 1.0))                 # tight cluster
+    for i in range(1, 21):
+        rows.append((1, 1, 100 + i, 3.0 * i, 6.0 * i + 1.0))  # spread
+    for i in range(30):
+        rows.append((0, 1, 200 + i, float(i), 2.0 * i + 1.0))  # static group
+    df = spark.createDataFrame(
+        rows, "s0 int, y int, row_id long, f0 double, f1 double"
+    )
+    targets = [
+        {"s0": 1, "y": 1, "n": 40, "target": 80},
+        {"s0": 0, "y": 1, "n": 30, "target": 30},
+    ]
+    args = dict(id_cols=["row_id"], k=3, seed=9, strategy="adasyn")
+    out = synthetic_rebalance_lsh(df, ["s0"], "y", targets, **args).cache()
+    got = {(r["s0"], r["y"]): r["count"]
+           for r in out.groupBy("s0", "y").count().collect()}
+    assert got == {(1, 1): 80, (0, 1): 30}
+
+    # quota follows density: every synthetic row's base (inherited
+    # row_id) is a spread point — the zero-distance cluster got none
+    per_id = {r["row_id"]: r["count"]
+              for r in out.groupBy("row_id").count().collect()}
+    assert all(per_id[i] == 1 for i in range(20))          # tight: originals only
+    assert sum(per_id[100 + i] - 1 for i in range(1, 21)) == 40
+
+    # shared interpolant: synthetics stay on the planted line and in
+    # the spread cluster's f0 range
+    synth = out.exceptAll(df.filter("s0 = 1 AND y = 1")).filter("s0 = 1")
+    for r in synth.collect():
+        assert abs(r["f1"] - (2.0 * r["f0"] + 1.0)) < 1e-9
+        assert 3.0 - 1e-9 <= r["f0"] <= 60.0 + 1e-9
+
+    out2 = synthetic_rebalance_lsh(
+        df.repartition(7), ["s0"], "y", targets, **args)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect()))
+
+
+def test_lsh_adasyn_zero_density_fallback_and_validation(spark):
+    """All-identical group (every density 0) falls back to the
+    uniform round-robin split and still emits exactly target rows;
+    an unknown strategy raises."""
+    import pytest as _pytest
+
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+    df = spark.createDataFrame(
+        [(1, 1, i, 5.0, 11.0) for i in range(10)],
+        "s0 int, y int, row_id long, f0 double, f1 double",
+    )
+    targets = [{"s0": 1, "y": 1, "n": 10, "target": 25}]
+    out = synthetic_rebalance_lsh(
+        df, ["s0"], "y", targets, id_cols=["row_id"], strategy="adasyn")
+    assert out.count() == 25
+    # identical points: synthesis degenerates to duplication
+    vals = {(r["f0"], r["f1"]) for r in out.collect()}
+    assert vals == {(5.0, 11.0)}
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        synthetic_rebalance_lsh(
+            df, ["s0"], "y", targets, id_cols=["row_id"], strategy="borderline")
