@@ -2723,11 +2723,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("o_orderkey") % 997).cast("double").alias("f1"),
             )
             .withColumn("f2", F.col("f1") * 3.0 + 7.0)
+            # five subtrees re-read this lineage (targets census,
+            # shrink, grow, range census, final join) — cache it once
+            .persist()
         )
         targets = group_targets(base, ["s"], "y", 1, 10000)
+        # the planted LINE is 1-dimensional, so every row lands in a
+        # handful of LSH buckets and the candidate volume saturates
+        # its rows·tables·max_bucket bound — tight knobs (k=3, 2
+        # tables, 8-row bucket sample) keep the driver row at the
+        # pipeline's shape cost, not the pathological-fixture ceiling;
+        # the planted-line contract is invariant to all three knobs
         out = synthetic_rebalance_lsh(
             base, ["s"], "y", targets,
             id_cols=["o_orderkey"], strategy="adasyn", seed=42,
+            k=3, n_tables=2, max_bucket=8,
         )
         rng = base.groupBy("s", "y").agg(
             F.min("f1").alias("lo"), F.max("f1").alias("hi")
