@@ -77,6 +77,7 @@ _R8_BIRTHS: list[str] = [
     "q_sketch_bloom_join",
     "q_text_chunk_windows",
     "q_demv_adasyn_lsh_rowcheck",
+    "q_stream_hll_log",
 ]
 
 # third-wave rows (first seated r7, one green round) held a second
@@ -89,7 +90,7 @@ _R8_BIRTHS: list[str] = [
 # bm25_topk/inverted_index/phrase_search, corpus
 # orc_roundtrip/pack_sequences/training_prep)
 _R8_THIRD_WAVE_HOLDS: list[str] = [
-    "q_warc_roundtrip", "q_dedup_hamming_pairs",
+    "q_warc_roundtrip",
     "q_corpus_orc_roundtrip", "q_text_bm25_topk",
     "q_ml_target_encode", "q_olap_census_cube", "q_etl_grouped_mad",
     "q_ml_ks", "q_events_hop_census",
@@ -1685,6 +1686,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hll_estimate(regs, group_cols=["event_type"], p=8)
 
     q["q_sketch_hll"] = _sketch_hll
+
+    # streaming HLL batch twin (round 8): the maintainer's register
+    # log folded over a 3-batch split, state derived by re-max —
+    # MAX-merge is associative and idempotent, so the derived
+    # estimates PROVABLY equal the one-shot batch sketch; the oracle
+    # is therefore q_sketch_hll's, verbatim (the strongest possible
+    # stream ≡ batch pin: byte-identical contract)
+    def _stream_hll_log(spark, sf):
+        from demv_spark.functions.sketches import hll_estimate
+        from demv_spark.streaming.hll_stream import (
+            hll_log_replay,
+            resolve_hll_log,
+        )
+
+        ev = _t(spark, sf, "events")
+        batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+        regs = resolve_hll_log(
+            hll_log_replay(batches, "user_id", group_cols=["event_type"], p=8),
+            group_cols=["event_type"],
+        )
+        return hll_estimate(regs, group_cols=["event_type"], p=8)
+
+    q["q_stream_hll_log"] = _stream_hll_log
 
     # Bloom semi-join pruning (round 8): THE pre-shuffle trick at
     # 100 TB — the fact table filters against the dim side's Bloom
@@ -4932,6 +4956,11 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS est_raw
         FROM agg
     """
+
+    # streaming HLL replay: register MAX-merge is associative and
+    # idempotent, so the replayed state equals the one-shot batch
+    # sketch — same oracle verbatim
+    o["q_stream_hll_log"] = o["q_sketch_hll"]
 
     # Bloom semi-join: the dim side's words rebuilt from the same
     # md5 bits, every distinct fact key probed, the pruned fact census

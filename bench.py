@@ -201,6 +201,9 @@ HEADLINE = [
     # round-8: the ADASYN LSH scale path (no-UDF density-weighted
     # apportionment over the banded candidate graph)
     "q_demv_adasyn_lsh_rowcheck",
+    # round-8: streaming HLL replay (bounded-register fold; equals
+    # the one-shot sketch by MAX-merge algebra)
+    "q_stream_hll_log",
 ]
 
 
