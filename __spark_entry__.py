@@ -1832,16 +1832,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- chunked broadcast ANN (round 8, VERDICT r7 item 4) ----
     # the semantic-join shape: a quarter of the corpus queries the
-    # corpus, split into deterministic md5 chunks of 50 (3 chunks at
-    # sf0.001/0.01, 10 at sf0.1 — always >1, so the driver row
+    # corpus, split into deterministic md5 chunks of 100 (2 chunks at
+    # sf0.001/0.01, 5 at sf0.1 — always >1, so the driver row
     # exercises the chunk-union path, never the passthrough); the
     # result equals the single-broadcast run row-for-row, so the
-    # oracle is the plain brute-force quantized-cosine SQL
+    # oracle is the plain brute-force quantized-cosine SQL and each
+    # chunk is pure fixed overhead (plan branch + broadcast build) —
+    # at real scale the chunks are cap-sized and the overhead
+    # amortizes, so the row shouldn't pay 10 branches on 500 queries
     def _sim_topk_chunked(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return similarity.quantized_cosine_topk_chunked(
             emb.filter(F.col("vec_id") % 4 == 0), emb,
-            dim=64, k=5, chunk_rows=50,
+            dim=64, k=5, chunk_rows=100,
         )
 
     q["q_sim_topk_chunked"] = _sim_topk_chunked
