@@ -194,3 +194,81 @@ def test_temperature_targets_feasible_and_flattening(avails):
     ranked = sorted(pos, key=lambda g: pos[g])
     for g1, g2 in zip(ranked, ranked[1:]):
         assert t[g1] <= t[g2] or pos[g1] == pos[g2]
+
+
+# ---- round-8 pure-Python cores ----
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 80),
+    w=st.integers(1, 80),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_constant_tiles_roundtrip_exact_property(h, w, seed):
+    """ANY image of constant 8x8 tiles (any dims incl. non-multiples
+    of 8, any tile values) survives encode->decode bit-exactly — the
+    lossless corner the driver oracle's closed-form pixel model rests
+    on, hammered across the dimension/value space."""
+    import numpy as np
+
+    from demv_spark.operators.media_codecs import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(seed)
+    tiles = rng.randint(0, 256, size=(-(-h // 8), -(-w // 8)))
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray(img))
+    assert dec.shape == (h, w, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_jpeg_unit_quant_near_lossless_property(seed):
+    """Arbitrary (non-tile) images at unit quant steps round-trip
+    within +-2: the general Huffman/run-length/IDCT path is exercised
+    on dense random AC spectra, not just DC-only blocks."""
+    import numpy as np
+
+    from demv_spark.operators.media_codecs import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(seed)
+    h, w = rng.randint(8, 48), rng.randint(8, 48)
+    # smooth-ish field: random low-frequency mix keeps coefficients
+    # in the encodable range while still populating most AC slots
+    y, x = np.mgrid[0:h, 0:w]
+    img = 128.0
+    for _ in range(4):
+        fy, fx = rng.uniform(0, 0.5, 2)
+        img = img + rng.uniform(-40, 40) * np.sin(fy * y + fx * x + rng.uniform(0, 6))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray(img, dc_step=1, ac_step=1))[:, :, 0]
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    p=st.sampled_from([4, 6, 8]),
+    regs=st.lists(st.integers(1, 57), min_size=1, max_size=64),
+)
+def test_hll_estimate_fixed_point_equals_fraction(p, regs):
+    """The integer-division estimate (rational alpha cleared of
+    denominators) equals floor(alpha_m * m^2 / sum(2^-M_j)) computed
+    in exact Fractions, for any register multiset — pins the
+    fixed-point algebra the Spark DECIMAL(38,0) / DuckDB HUGEINT
+    expressions implement."""
+    from fractions import Fraction
+
+    m = 1 << p
+    big_r = 61 - p
+    regs = [min(r, big_r) for r in regs[:m]]
+    n_regs = len(regs)
+    denom = sum(1 << (big_r - r) for r in regs) + (m - n_regs) * (1 << big_r)
+    # the engine expression
+    num = 7213 * 1000 * (m ** 3) * (1 << big_r)
+    alpha_den = 10000 * (1000 * m + 1079)
+    est_engine = num // (alpha_den * denom)
+    # the textbook formula in exact rationals
+    alpha = Fraction(7213, 10000) / (1 + Fraction(1079, 1000 * m))
+    indicator = sum(Fraction(1, 1 << r) for r in regs) + (m - n_regs)
+    est_ref = int(alpha * m * m / indicator)  # floor for positives
+    assert est_engine == est_ref
