@@ -532,3 +532,36 @@ def test_bloom_prune_fact_side_never_shuffled(spark):
     s = plan_stats(bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4))
     assert s["n_sort_merge_joins"] == 0
     assert s["n_broadcasts"] >= 2
+
+
+def test_hll_sketch_single_scan_no_joins(spark):
+    """HLL registers + estimate: one input scan, two bounded-key
+    aggregations, no join anywhere — the cheapest possible
+    distinct-sketch shape."""
+    from demv_spark.functions.sketches import hll_estimate, hll_registers
+
+    ev = read_table(spark, SF, "events")
+    s = plan_stats(hll_estimate(
+        hll_registers(ev, "user_id", group_cols=["event_type"], p=8),
+        group_cols=["event_type"], p=8))
+    assert len(s["read_schemas"]) == 1
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] == 0
+
+
+def test_cdc_log_replay_snapshot_no_joins(spark):
+    """Snapshot over the replayed tagged log: batch union + ONE
+    key-window — no join operator at all (latest-wins is pure window
+    algebra over the union)."""
+    from demv_spark.operators.cdc import cdc_snapshot
+    from demv_spark.streaming.cdc_stream import cdc_log_replay
+
+    ev = read_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id",
+        F.lit("update").alias("op"),
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    s = plan_stats(cdc_snapshot(
+        cdc_log_replay(batches), ["user_id"], "ts", seq_col="event_id"))
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] == 0
