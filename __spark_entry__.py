@@ -3568,11 +3568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEEDS narrow bands for recall (p-per-plane ≈ 0.65 ⇒ a 16-bit
     # band collides with prob ≈ 1e-3). Both are in-window this round.
     # Round-8 rotation (VERDICT r7 items 1 + 8): the 8 round-7-late
-    # queries with zero driver evidence take the front seats, the 4
+    # queries with zero driver evidence take the front seats, the 10
     # round-8 births follow (no-new-backlog), all 15 round-7 births
     # hold a second consecutive round (the fourth-wave pin, plus
     # q_sim_rrf_fusion re-earning its seat after this round's persist
-    # plan change), 14 third-wave rows hold their second round, and
+    # plan change), 8 third-wave rows hold their second round, and
     # one flagship per remaining family keeps that family seated.
     # The composition lives in the module-level _R8_* lists (top of
     # file) so tests/test_contract_consistency.py can assert the

@@ -364,17 +364,21 @@ def bloom_prune(
     table is |distinct keys| rows; Spark broadcasts it under AQE).
     Bits are portable-hash-derived, so WHICH rows pass is a pure
     function of the data — the pruned set value-hashes cross-engine
-    (false positives included, deterministically)."""
+    (false positives included, deterministically).
+
+    NULL-keyed fact rows are DROPPED, deliberately: the prune exists
+    to feed an equi-join, and NULL never equi-joins — keeping such
+    rows (the flag-not-filter default elsewhere) would only hand the
+    downstream join rows it must discard, and would diverge from the
+    SQL oracle's plain-equality semantics."""
     verdicts = bloom_probe(
         bloom,
-        fact.select(F.col(key_col)).distinct(),
+        fact.select(F.col(key_col)).filter(F.col(key_col).isNotNull()).distinct(),
         key_col,
         n_bits=n_bits,
         n_hashes=n_hashes,
         seed=seed,
     ).filter(F.col("might_contain"))
-    from demv_spark.functions.compat import null_safe_broadcast_join
-
-    return null_safe_broadcast_join(
-        fact, verdicts.select(key_col), keys=[key_col]
+    return fact.join(
+        F.broadcast(verdicts.select(key_col)), [key_col], "left_semi"
     )

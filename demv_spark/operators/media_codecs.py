@@ -576,8 +576,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
-        marker = payload[pos + 1]
-        pos += 2
+        pos += 1
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede the
+        # marker code — legal in conformant files, skip them
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        marker = payload[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])

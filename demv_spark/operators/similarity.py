@@ -1205,7 +1205,15 @@ def topk_chunked(
     around n/n_chunks (sub-percent deviation at real sizes); the
     named wrappers below pass the inner cap with a 1.5x margin so a
     skewed split can never trip the assert the caller asked this
-    function to solve."""
+    function to solve.
+
+    The query side is PERSISTED for the call's lifetime: the count
+    plus every chunk's filter re-read it, and for a derived query set
+    (the advertised corpus-subset workload) n_chunks+1 re-scans of
+    the source lineage would dwarf the chunking win. The cache entry
+    is query-set-sized and lives until session eviction — the same
+    tradeoff the RRF driver row documents."""
+    queries = queries.persist()
     n = queries.count()
     n_chunks = max(1, -(-n // int(chunk_rows)))
     if n_chunks <= 1:
@@ -1214,9 +1222,12 @@ def topk_chunked(
 
     from demv_spark.functions.compat import portable_hash
 
+    # concat_ws, not concat: concat propagates NULL, which would give
+    # NULL-id rows a NULL chunk and silently drop them from every
+    # filter — the repo-wide NULL-keys-hash-like-any-value rule
     chunk = F.pmod(
         portable_hash(
-            F.concat(F.lit("qchunk|"), F.col(id_col).cast("string"))
+            F.concat_ws(":", F.lit("qchunk"), F.col(id_col).cast("string"))
         ),
         F.lit(n_chunks),
     )

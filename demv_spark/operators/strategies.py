@@ -425,7 +425,11 @@ def synthetic_rebalance_lsh(
         # topk feeds BOTH the density census and the neighbor
         # aggregation below — persist the narrow candidate rows
         # (ids + scalar d², ≤ k rows per base) so the banded join
-        # computes once, not twice (measured 10.6 → ~5 s at sf0.1)
+        # computes once, not twice. The entry stays cached until
+        # session eviction (the function returns a lazy plan, so
+        # there is no safe unpersist point); it is candidate-sized,
+        # and repeated fits in one session accumulate entries — the
+        # documented cost of the one-source-of-truth choice
         topk = topk.persist()
         dens_tbl = topk.groupBy("__fid").agg(
             stable_sum(F.col("__d2")).alias("__ds"),

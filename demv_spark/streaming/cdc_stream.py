@@ -73,13 +73,9 @@ def cdc_log_replay(batches: "list[DataFrame]") -> DataFrame:
     the derived state (latest-wins is order-independent over the
     union). Stream ≡ batch symmetry is pinned in
     tests/test_stateful_streaming.py."""
-    if not batches:
-        raise ValueError("cdc_log_replay: empty batch list")
-    out = None
-    for i, b in enumerate(batches):
-        t = b.withColumn("batch_id", F.lit(i).cast("long"))
-        out = t if out is None else out.unionByName(t)
-    return out
+    from demv_spark.streaming.replay import tagged_batch_union
+
+    return tagged_batch_union(batches)
 
 
 def cdc_state(

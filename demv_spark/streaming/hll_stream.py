@@ -89,15 +89,15 @@ def hll_log_replay(
     ``hll_estimate`` — value-checkable end-to-end without a running
     stream, and provably equal to the one-shot batch sketch (MAX over
     a union is MAX of MAXes)."""
-    if not batches:
-        raise ValueError("hll_log_replay: empty batch list")
+    from demv_spark.streaming.replay import tagged_batch_union
+
     groups = list(group_cols or [])
-    out = None
-    for i, b in enumerate(batches):
-        regs = hll_registers(b, key_col, group_cols=groups, p=p, seed=seed)
-        regs = regs.withColumn("batch_id", F.lit(i).cast("long"))
-        out = regs if out is None else out.unionByName(regs)
-    return out
+    return tagged_batch_union(
+        batches,
+        per_batch=lambda b: hll_registers(
+            b, key_col, group_cols=groups, p=p, seed=seed
+        ),
+    )
 
 
 def hll_state(

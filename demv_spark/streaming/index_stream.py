@@ -98,15 +98,12 @@ def index_log_replay(
     Returns the tagged log; derive the queryable index with
     ``resolve_index_log`` (stream ≡ batch symmetry is pinned in
     tests/test_index_stream.py)."""
-    if not batches:
-        raise ValueError("index_log_replay: empty batch list")
-    out = None
-    for i, b in enumerate(batches):
-        idx = inverted_index(b, text_col=text_col, id_col=id_col).withColumn(
-            "batch_id", F.lit(i).cast("long")
-        )
-        out = idx if out is None else out.unionByName(idx)
-    return out
+    from demv_spark.streaming.replay import tagged_batch_union
+
+    return tagged_batch_union(
+        batches,
+        per_batch=lambda b: inverted_index(b, text_col=text_col, id_col=id_col),
+    )
 
 
 def index_state(spark, index_prefix: str) -> DataFrame:

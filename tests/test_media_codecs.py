@@ -244,3 +244,16 @@ def test_jpeg_fixture_media_pipeline(spark):
 
     dh = {r["media_id"]: r["dhash_hex"] for r in image_dhash(media).collect()}
     assert len(dh) == 6 and all(len(v) == 16 for v in dh.values())
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code — a conformant file using them must decode
+    identically, not misparse."""
+    enc = C.encode_jpeg_gray(_tile_image(5, 24, 32))
+    want = C.decode_jpeg(enc)
+    # insert fill bytes before the DQT and SOS markers
+    filled = enc.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    filled = filled.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    got = C.decode_jpeg(filled)
+    assert np.array_equal(got, want)

@@ -257,3 +257,20 @@ def test_bloom_prune_no_false_negatives_and_deterministic(spark):
         orders.repartition(17), bf, "o_custkey", n_bits=1 << 12, n_hashes=4
     ).count()
     assert pruned.count() == n_again
+
+
+def test_bloom_prune_drops_null_keys(spark):
+    """NULL-keyed fact rows are pruned by design: the prune feeds an
+    equi-join, and NULL never equi-joins — matching the SQL oracle's
+    plain-equality semantics (a null-safe keep would diverge)."""
+    from demv_spark.functions.sketches import bloom_build, bloom_prune
+
+    dim = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (99, "d")], "k long, v string"
+    )
+    bf = bloom_build(dim, "k", n_bits=1 << 10, n_hashes=4)
+    got = {(r["k"], r["v"]) for r in
+           bloom_prune(fact, bf, "k", n_bits=1 << 10, n_hashes=4).collect()}
+    assert (1, "a") in got and (2, "b") in got
+    assert (None, "c") not in got

@@ -1498,3 +1498,21 @@ def test_chunk_windows_overlap_validation_and_plan(spark):
     assert s["n_sort_merge_joins"] == 0 and s["n_broadcasts"] == 0
     # every document is represented
     assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_topk_chunked_keeps_null_id_rows(spark):
+    """Chunk assignment hashes NULL ids like any value (concat_ws,
+    never concat): with an identity fn, the chunk union is exactly
+    the input — a NULL-id row lands in a chunk instead of vanishing
+    from every filter."""
+    from demv_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(None,)], "vec_id long"
+    )
+    out = S.topk_chunked(df, lambda q: q, chunk_rows=3, id_col="vec_id")
+    got = sorted((r["vec_id"] for r in out.collect()),
+                 key=lambda v: (v is None, v))
+    assert got == sorted((r["vec_id"] for r in df.collect()),
+                         key=lambda v: (v is None, v))
+    assert None in got
