@@ -362,6 +362,11 @@ class DEMV:
         the largest group exceeds ~4M rows (too big for one ranking
         task), rank within that many salt buckets instead. An int
         forces that many buckets; None forces the single-window path.
+    lsh_id_cols : Sequence[str] | None
+        When set (smote/adasyn only), synthesis routes through the
+        no-UDF LSH scale path (strategies.synthetic_rebalance_lsh)
+        keyed on these identity columns — the shape for groups too
+        large for one executor's grouped applyInPandas worker.
     """
 
     # mirrors the module-level AUTO_SALT_GROUP_ROWS as a class
@@ -379,9 +384,15 @@ class DEMV:
         shuffle_output: bool = False,
         skew_salt: int | str | None = "auto",
         verbose: bool = False,
+        lsh_id_cols: "Sequence[str] | None" = None,
     ):
         if strategy not in ("uniform", "smote", "adasyn"):
             raise ValueError(f"unknown strategy: {strategy}")
+        if lsh_id_cols is not None and strategy == "uniform":
+            raise ValueError(
+                "lsh_id_cols applies to smote/adasyn only: the uniform "
+                "strategy has no synthesis step to scale out"
+            )
         self.sensitive_vars = list(sensitive_vars)
         self.label = label
         self.round_level = round_level
@@ -391,6 +402,7 @@ class DEMV:
         self.shuffle_output = shuffle_output
         self.skew_salt = skew_salt
         self.debug = verbose
+        self.lsh_id_cols = list(lsh_id_cols) if lsh_id_cols is not None else None
         self.iter = 0
         self.disparities: list[dict] = []
 
@@ -432,6 +444,17 @@ class DEMV:
             out = rebalance(
                 df, self.sensitive_vars, self.label, self._targets,
                 seed=self.seed, skew_salt=self._resolve_salt(),
+            )
+        elif self.lsh_id_cols is not None:
+            # the NO-UDF scale path: a group never has to fit one
+            # executor's applyInPandas worker (strategies.py
+            # synthetic_rebalance_lsh — smote and adasyn flavors)
+            from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+            out = synthetic_rebalance_lsh(
+                df, self.sensitive_vars, self.label, self._targets,
+                id_cols=self.lsh_id_cols, strategy=self.strategy,
+                seed=self.seed,
             )
         else:
             from demv_spark.operators.strategies import synthetic_rebalance

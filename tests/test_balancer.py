@@ -261,3 +261,39 @@ def test_fit_from_census_with_zero_count_groups(spark):
     merged = merge_census([full, neg], ["s", "y"])  # contains an n=0 row
     d = DEMV(["s"], label="y").fit_from_census(merged)  # must not crash
     assert all(t["n"] > 0 for t in d._targets)
+
+
+def test_demv_lsh_id_cols_routes_to_scale_path(spark):
+    """DEMV(strategy=..., lsh_id_cols=[...]) reaches the no-UDF LSH
+    synthesis from the flagship API: censuses hit the same fixed-point
+    targets as the exact path, the plan has no Python UDF, and the
+    output equals the direct synthetic_rebalance_lsh call."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.balancer import DEMV
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+    from demv_spark.plans.introspect import plan_stats
+    from demv_spark.sources.generator import make_classification
+
+    df = make_classification(
+        spark, 400, n_features=3, n_classes=2, n_sensitive=1, seed=5
+    ).withColumn("rid", F.xxhash64("f0", "f1", "f2")).cache()
+
+    for strat in ("smote", "adasyn"):
+        est = DEMV(["s0"], label="y", round_level=1, strategy=strat,
+                   seed=11, lsh_id_cols=["rid"]).fit(df)
+        out = est.transform(df)
+        assert not plan_stats(out)["has_python_udf"]
+        got = {(r["s0"], r["y"]): r["count"]
+               for r in out.groupBy("s0", "y").count().collect()}
+        want = {(t["s0"], t["y"]): t["target"] for t in est._targets}
+        assert got == want
+        direct = synthetic_rebalance_lsh(
+            df, ["s0"], "y", est._targets, id_cols=["rid"],
+            strategy=strat, seed=11)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, direct.collect()))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lsh_id_cols"):
+        DEMV(["s0"], strategy="uniform", lsh_id_cols=["rid"])
