@@ -27,17 +27,24 @@ def exact_dedup(
     """Keep one representative (min id) per distinct text.
 
     `normalized=True` dedups on the md5 fingerprint of
-    whitespace/case-normalized text; False on raw text equality.
+    whitespace/case-normalized text; False on raw text equality, with
+    NULL text its own (single) identity group — the join back is
+    null-SAFE on the key, because a plain equi-join would silently
+    drop every NULL-text row instead of keeping one representative
+    (NULL == NULL is never true; the normalized path was already
+    immune via the fingerprint's coalesce).
     Plan: one groupBy on the key — partial aggregation means the
     shuffle carries (key, min_id) only, not documents."""
     keyed = fingerprint(df, text_col, "__key") if normalized else df.withColumn(
         "__key", F.col(text_col)
     )
     keep = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    cond = keyed["__key"].eqNullSafe(keep["__key"]) & (
+        keyed[id_col] == keep[id_col]
+    )
     return (
-        keyed.join(keep, ["__key", id_col], "inner")
-        .drop("__key")
-        .select(*df.columns)
+        keyed.join(keep, cond, "inner")
+        .select(*[keyed[c] for c in df.columns])
     )
 
 
@@ -286,8 +293,11 @@ def minhash_signatures(
     seed. At 100 TB this is a pure map stage that scales with input
     splits. (Shingle identity is by 64-bit hash; the collision rate is
     negligible relative to MinHash's own approximation error.)
-    Documents with fewer than ``shingle_n`` tokens get NULL signature
-    entries. Returns (id_col, sig array<long>)."""
+    Documents with fewer than ``shingle_n`` tokens get the SENTINEL
+    signature — every entry is (2^63 − 1), the fold's untouched init
+    — NOT NULL: filter degenerates by comparing element_at(sig, 1)
+    against the sentinel, as minhash_lsh_pairs does (an isNull test
+    matches nothing). Returns (id_col, sig array<long>)."""
     sh = F.array_distinct(shingle_hashes(text_col, shingle_n))
     seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
@@ -354,8 +364,11 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     # signatures feed BOTH sides of the self-join; as a pure map plan
     # they would be recomputed twice (no shuffle to reuse) — persist
-    # the tiny (id, 32×long) table instead. At warehouse scale this
-    # is the step you'd checkpoint to a table.
+    # the slim (id, 32×long) table instead. At warehouse scale this
+    # is the step you'd checkpoint to a table. The cache entry lives
+    # until session eviction (the function returns a lazy plan, so
+    # there is no safe unpersist point inside it) — long-lived
+    # sessions calling per-shard should checkpoint instead.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
     # docs with no shingles (fewer than shingle_n tokens) all carry
     # the sentinel signature and would spuriously pair with each
@@ -364,8 +377,8 @@ def minhash_lsh_pairs(
     sig = sig.filter(F.element_at("sig", 1) != sentinel)
     banded = lsh_band_buckets(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
     # dedup candidates on bare id pairs (ints), NOT on rows carrying
-    # two signature arrays — then broadcast the tiny signature table
-    # back for the overlap estimate
+    # two signature arrays — then join the signature table back for
+    # the overlap estimate
     cand = (
         banded.alias("a")
         .join(
@@ -380,10 +393,16 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # plain id-keyed joins, NOT F.broadcast: the signature table is
+    # one row PER DOCUMENT (it scales with the corpus, not with the
+    # candidate count), so a forced broadcast bypasses
+    # autoBroadcastJoinThreshold straight into the 8 GB broadcast
+    # ceiling / a driver OOM at the scale this module targets; AQE
+    # still picks a broadcast when the table is actually small
     sigs = sig.select(F.col(id_col), F.col("sig"))
     cand = (
-        cand.join(F.broadcast(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a")), "id_a")
-        .join(F.broadcast(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b")), "id_b")
+        cand.join(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
     )
     overlap = F.size(
         F.filter(
@@ -442,6 +461,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: "Optional[int]" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     `bands` chunks — any pair within hamming distance < bands shares
@@ -449,13 +469,23 @@ def simhash_near_pairs(
     chunk), then exact hamming filter via bit_count(xor). Historical
     contract: max_hamming MAY exceed bands-1, recall beyond the
     pigeonhole bound is then best-effort (strict=False on the generic
-    core)."""
+    core).
+
+    Empty/NULL/whitespace-only documents are EXCLUDED from pairing
+    (the minhash wrapper's sentinel rule): they all share one
+    signature, so m blank pages would otherwise mint m(m−1)/2
+    distance-0 pairs — the exact quadratic blow-up the banding
+    exists to avoid. ``max_bucket`` passes through to the generic
+    core's degenerate-bucket cap."""
+    nonempty = df.filter(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))) != ""
+    )
     # persist: both join sides read the signature table (see
     # minhash_lsh_pairs)
-    sig = simhash(df, text_col, id_col).persist()
+    sig = simhash(nonempty, text_col, id_col).persist()
     return hamming_near_dup(
         sig, id_col, "simhash", max_hamming=max_hamming, bands=bands,
-        strict=False,
+        max_bucket=max_bucket, strict=False,
     ).withColumnRenamed("dist", "hamming")
 
 
@@ -494,7 +524,28 @@ def hamming_near_dup(
             "pigeonhole guarantee breaks — candidates would miss "
             "pairs (pass strict=False for best-effort recall)"
         )
-    chunk = 64 // bands
+    if not 1 <= bands <= 64:
+        raise ValueError(
+            f"bands={bands} out of range: a 64-bit hash supports 1..64 "
+            "bands (more would make zero-width bands — every row in "
+            "one bucket, a silent all-pairs join)"
+        )
+    # distribute ALL 64 bits: the first 64 % bands bands are one bit
+    # wider, so no bit is left out of every band (uniform 64//bands
+    # chunks left the top remainder bits unbanded — hashes differing
+    # only there collided in every band, inflating candidates; and
+    # bands=1 needs the mask-free whole-hash band, since a 64-bit
+    # all-ones literal overflows a Java long)
+    base, rem = divmod(64, bands)
+    widths = [base + 1 if b < rem else base for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+
+    def _band_val(b: int):
+        v = F.shiftrightunsigned(F.col(hash_col), offsets[b])
+        if widths[b] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        return v
+
     sig = df.select(id_col, hash_col).filter(F.col(hash_col).isNotNull())
     banded = sig.select(
         id_col,
@@ -503,9 +554,7 @@ def hamming_near_dup(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col(hash_col), b * chunk)
-                    .bitwiseAND(F.lit((1 << chunk) - 1))
-                    .alias("chunk"),
+                    _band_val(b).alias("chunk"),
                 )
                 for b in range(bands)
             ])
@@ -770,7 +819,9 @@ def minhash_lsh_pairs_portable(
     )
     sigs_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sigs_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    cand = cand.join(F.broadcast(sigs_a), "id_a").join(F.broadcast(sigs_b), "id_b")
+    # plain id-keyed joins (see minhash_lsh_pairs: the signature
+    # table is corpus-sized — never force-broadcast it)
+    cand = cand.join(sigs_a, "id_a").join(sigs_b, "id_b")
     overlap = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -943,7 +994,10 @@ def first_wins_matches(
     rejected, attributed to its SMALLEST matching id (deterministic).
     The batch twin of the streaming maintainer's per-batch rule
     (streaming/dedup_stream.py) — one filter + one min_by aggregate,
-    shuffle keyed on the rejected id only."""
+    shuffle keyed on the rejected id only. The score column keeps the
+    CALLER'S name (``est``): hardcoding est_jaccard would mislabel an
+    exact-jaccard input as an estimate and silently mix semantics in
+    a unionByName."""
     return (
         scored_pairs.filter(F.col(est) >= threshold)
         .groupBy(F.col(id_b).alias("doc_id"))
@@ -951,7 +1005,7 @@ def first_wins_matches(
         .select(
             "doc_id",
             F.col(f"m.{id_a}").alias("dup_of"),
-            F.col(f"m.{est}").alias("est_jaccard"),
+            F.col(f"m.{est}").alias(est),
         )
     )
 

@@ -1516,3 +1516,72 @@ def test_topk_chunked_keeps_null_id_rows(spark):
     assert got == sorted((r["vec_id"] for r in df.collect()),
                          key=lambda v: (v is None, v))
     assert None in got
+
+
+# ---- round-8 review-fix regressions (dedup.py) ----
+
+def test_exact_dedup_raw_keeps_one_null_text_row(spark):
+    """normalized=False must keep ONE representative of the NULL-text
+    group, not silently drop them all (the join back is null-safe)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in dedup.exact_dedup(df, normalized=False).collect())
+    assert got == [1, 3]
+    # and the normalized path agrees (NULL ≡ '' there)
+    got_n = sorted(r["doc_id"] for r in dedup.exact_dedup(df, normalized=True).collect())
+    assert got_n == [1, 3]
+
+
+def test_hamming_near_dup_exact_match_mode_and_band_bounds(spark):
+    """max_hamming=0 (bands=1, one mask-free whole-hash band) finds
+    exactly the equal-hash pairs instead of overflowing a Java long;
+    bands outside 1..64 raise instead of degenerating to an all-pairs
+    join."""
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -1), (4, -1), (5, 9)], "id long, h long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.hamming_near_dup(df, "id", "h", max_hamming=0).collect()}
+    assert got == {(1, 2), (3, 4)}
+    with pytest.raises(ValueError, match="bands"):
+        dedup.hamming_near_dup(df, "id", "h", max_hamming=64)
+
+
+def test_hamming_near_dup_remainder_bits_are_banded(spark):
+    """With bands not dividing 64, the top remainder bits belong to a
+    band: two hashes differing ONLY there no longer agree on every
+    band (precision), while true pairs keep the pigeonhole guarantee
+    (results identical to the divisible-bands configuration)."""
+    # (1<<62) vs (1<<62)|(sign bit): differ ONLY in bit 63 — the top
+    # remainder region the old uniform chunks never banded
+    rows = [(1, 1 << 62), (2, (1 << 62) - (1 << 63)), (3, 5), (4, 5)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    # bands=5 (64 = 13+13+13+13+12): pair (1,2) differs in one top
+    # bit -> dist 1 <= max_hamming, still found via the other bands
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           dedup.hamming_near_dup(df, "id", "h", max_hamming=4, bands=5).collect()}
+    assert got[(1, 2)] == 1 and got[(3, 4)] == 0
+
+
+def test_simhash_near_pairs_excludes_blank_docs(spark):
+    """m blank/NULL docs share one signature — they must not mint
+    m(m-1)/2 distance-0 pairs."""
+    df = spark.createDataFrame(
+        [(i, "") for i in range(10)] + [(20, None), (21, "   ")]
+        + [(30, "real text here"), (31, "real text here")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_near_pairs(df, max_hamming=2).collect()}
+    assert got == {(30, 31)}
+
+
+def test_first_wins_matches_keeps_caller_score_name(spark):
+    from demv_spark.operators.dedup import first_wins_matches
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8)], "id_a long, id_b long, jaccard double"
+    )
+    out = first_wins_matches(pairs, 0.5, est="jaccard")
+    assert out.columns == ["doc_id", "dup_of", "jaccard"]
