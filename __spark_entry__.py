@@ -1372,11 +1372,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.lit("zebra only").alias("text")
         )
         state = resolve_index_log(index_log_replay([b0, b1, b2]))
+        # positions emitted as a comma-joined STRING, not ARRAY<long>:
+        # the driver canonicalizer sorts emissions with pandas and
+        # cannot factorize list objects (round-8 `err`); the local
+        # checker tolerated lists, masking the shape violation
         return state.filter(
             F.col("term").isin("zebra", "refreshed", "only", "the")
         ).select(
             "term", "doc_id",
-            F.transform("positions", lambda x: x.cast("long")).alias("positions"),
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions"),
             "tf",
         )
 
@@ -1811,11 +1817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from demv_spark.operators.text import inverted_index
 
         idx = inverted_index(_phrase_docs(spark, sf))
+        # positions as comma-joined STRING (driver canon can't sort
+        # ARRAY columns — the round-8 err; see q_stream_index_log)
         return idx.filter(
             F.col("term").isin("quick", "brown", "fox", "shoes", "the")
         ).select(
             "term", "doc_id",
-            F.transform("positions", lambda x: x.cast("long")).alias("positions"),
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions"),
             "tf",
         )
 
@@ -2694,10 +2704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _interpolate_group; only the BASE-point distribution differs:
     # density-weighted instead of uniform), so its synthetic rows obey
     # the same on-line / in-range invariants and the density weighting
-    # cannot push a row off the line without failing this census
+    # cannot push a row off the line without failing this census.
+    # The fixture is CAPPED to o_orderkey%23==0 (round 9, VERDICT r8
+    # item 3): the exact path's grouped applyInPandas pays O(n²)
+    # per group BY DESIGN (reference parity) — the parity claim is
+    # per-group, not per-scale, so the driver row exercises it on a
+    # bounded group while the LSH twin row keeps the full-sf fixture
     def _demv_adasyn_rowcheck(spark, sf):
         base = (
             _t(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 23 == 0)
             .select(
                 (F.col("o_totalprice") > 100000).cast("int").alias("s"),
                 (F.col("o_totalprice") > 200000).cast("int").alias("y"),
@@ -4748,7 +4764,8 @@ def oracle_sql() -> dict[str, str]:
     o["q_text_inverted_index"] = (
         "WITH" + _phrase_fixture_sql + """
         SELECT term, doc_id,
-               list(pos ORDER BY pos) AS positions,
+               string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                   AS positions,
                COUNT(*) AS tf
         FROM pos
         WHERE term IN ('quick', 'brown', 'fox', 'shoes', 'the')
@@ -5350,7 +5367,8 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         )
         SELECT term, doc_id,
-               list(pos ORDER BY pos) AS positions,
+               string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                   AS positions,
                COUNT(*) AS tf
         FROM pos
         WHERE term IN ('zebra', 'refreshed', 'only', 'the')
@@ -6872,8 +6890,12 @@ def oracle_sql() -> dict[str, str]:
     )
     # ADASYN shares the interpolant (and so the planted invariants)
     # with SMOTE — only the base-point distribution differs, which
-    # the census sizes already constrain
-    o["q_demv_adasyn_rowcheck"] = o["q_demv_smote_rowcheck"]
+    # the census sizes already constrain. The exact-path driver row
+    # runs on the %23-capped fixture (O(n²)-per-group kernel; the
+    # parity claim is per-group) — same walk, capped census
+    o["q_demv_adasyn_rowcheck"] = o["q_demv_smote_rowcheck"].replace(
+        "FROM orders", "FROM orders WHERE o_orderkey % 23 = 0"
+    )
     # the LSH scale path shares the fixed-point census AND the
     # interpolation invariants (x + λ(nbr − x) between same-group
     # originals), so the same oracle constrains it

@@ -136,7 +136,12 @@ def bloom_build(
     OR-ed from every key's ``n_hashes`` bit positions; at most
     n_bits/32 rows. Being a DataFrame, the filter broadcasts into a
     probe join (the classic pre-shuffle semi-join prune) and two
-    filters over the same config merge by union + re-OR."""
+    filters over the same config merge by union + re-OR.
+
+    The (n_bits, n_hashes, seed) config is stamped into the ``word``
+    column's metadata so a probe with MISMATCHED parameters — which
+    silently tests the wrong bit positions and can return false
+    NEGATIVES — is rejected loudly in ``bloom_probe``/``bloom_prune``."""
     key = F.col(key_col)
     bits = df.select(
         F.explode(
@@ -156,8 +161,36 @@ def bloom_build(
             ).alias("__m"),
         )
         .groupBy("word_idx")
-        .agg(F.bit_or("__m").alias("word"))
+        .agg(F.bit_or("__m").alias(
+            "word",
+            metadata={"bloom_n_bits": n_bits, "bloom_n_hashes": n_hashes,
+                      "bloom_seed": seed},
+        ))
     )
+
+
+def _check_bloom_config(bloom: DataFrame, n_bits: int, n_hashes: int,
+                        seed: int, caller: str) -> None:
+    """Raise if the filter was built with different parameters than
+    the probe is using — a mismatch probes the wrong bit positions and
+    produces false NEGATIVES, the one failure mode a Bloom filter is
+    supposed to exclude. Filters from older builds (or unioned/merged
+    frames that dropped the metadata) skip the check."""
+    try:
+        meta = bloom.schema["word"].metadata or {}
+    except (KeyError, TypeError):
+        return
+    built = (meta.get("bloom_n_bits"), meta.get("bloom_n_hashes"),
+             meta.get("bloom_seed"))
+    if built[0] is None:
+        return
+    if built != (n_bits, n_hashes, seed):
+        raise ValueError(
+            f"{caller}: filter was built with (n_bits, n_hashes, seed)"
+            f"={built} but probed with {(n_bits, n_hashes, seed)} — "
+            "mismatched configs test the wrong bit positions and "
+            "produce false negatives"
+        )
 
 
 def bloom_probe(
@@ -172,7 +205,10 @@ def bloom_probe(
     iff ALL the key's bits are set (no false negatives; false
     positives at the standard (1−e^{−kn/m})^k rate). Probe bits join
     the word table on word_idx (probe-sized; broadcast the filter —
-    it is ≤ n_bits/32 rows); one all-bits-set aggregate per key."""
+    it is ≤ n_bits/32 rows); one all-bits-set aggregate per key.
+    Raises if the filter's stamped config disagrees with the probe's
+    (n_bits, n_hashes, seed)."""
+    _check_bloom_config(bloom, n_bits, n_hashes, seed, "bloom_probe")
     key = F.col(key_col)
     pb = probes.select(
         key.alias("__key"),
@@ -271,8 +307,12 @@ def hll_registers(
     both Spark and DuckDB — no float log2 near power-of-two
     boundaries). At most m = 2^p rows per group; merging two sketches
     = union + re-max (associative). One bounded-key groupBy; NULL
-    keys hash like any value."""
+    keys hash like any value. p is bounded to [4, 24] (HLL needs
+    m ≥ 16 registers; above 24 the 60-bit suffix gets too short for
+    rho to discriminate)."""
     groups = list(group_cols or [])
+    if not 4 <= p <= 24:
+        raise ValueError(f"hll_registers: p must be in [4, 24], got {p}")
     key = F.col(key_col)
     h = portable_hash(
         F.concat_ws(":", F.lit(f"hll{seed}"), key.cast("string"))
@@ -313,8 +353,15 @@ def hll_estimate(
     denom, est_raw): the small/large-range bias corrections (linear
     counting when est_raw ≤ 2.5m and zeros exist) involve ln and are
     a downstream scalar decision over these exact components — the
-    sketch state and raw estimator are the cross-engine contract."""
+    sketch state and raw estimator are the cross-engine contract.
+
+    The asymptotic α_m above is only valid for m ≥ 128 (p ≥ 7); for
+    p ∈ {4,5,6} the paper's tabulated constants α_16 = 0.673,
+    α_32 = 0.697, α_64 = 0.709 apply (kept rational as a/1000), and
+    p < 4 is rejected — HLL is undefined below 16 registers."""
     groups = list(group_cols or [])
+    if not 4 <= p <= 24:
+        raise ValueError(f"hll_estimate: p must be in [4, 24], got {p}")
     m = 1 << p
     big_r = 61 - p
     out = registers.groupBy(*groups).agg(
@@ -328,8 +375,14 @@ def hll_estimate(
         + (F.lit(m) - F.col("n_registers")) * F.lit(1 << big_r)
     ).cast("long")
     out = out.withColumn("denom", denom).drop("__present")
-    num = 7213 * 1000 * (m ** 3) * (1 << big_r)
-    alpha_den = 10000 * (1000 * m + 1079)
+    if p < 7:
+        # Flajolet et al. 2007 tabulated constants for small m
+        a_num = {16: 673, 32: 697, 64: 709}[m]
+        num = a_num * (m ** 2) * (1 << big_r)
+        alpha_den = 1000
+    else:
+        num = 7213 * 1000 * (m ** 3) * (1 << big_r)
+        alpha_den = 10000 * (1000 * m + 1079)
     est = F.expr(
         f"CAST((CAST({num} AS DECIMAL(38,0))) "
         f"div (CAST({alpha_den} AS DECIMAL(38,0)) * denom) AS BIGINT)"
@@ -348,6 +401,7 @@ def bloom_prune(
     n_bits: int = 1 << 16,
     n_hashes: int = 4,
     seed: int = 7,
+    broadcast_verdicts: bool = False,
 ) -> DataFrame:
     """Bloom semi-join pruning — THE pre-shuffle trick at 100 TB:
     filter a huge fact table by a Bloom filter built on the dim side's
@@ -358,11 +412,17 @@ def bloom_prune(
     eliminated by the real join downstream.
 
     Plan: the fact's DISTINCT keys probe the broadcast word table
-    (``bloom_probe``), and survivors broadcast back as a semi-join
-    key list when small — here the membership verdict joins back on
-    the key, so the fact table itself is never shuffled (the verdict
-    table is |distinct keys| rows; Spark broadcasts it under AQE).
-    Bits are portable-hash-derived, so WHICH rows pass is a pure
+    (``bloom_probe``); the membership verdicts then semi-join back
+    into the fact on the key. The verdict table is |distinct
+    surviving fact keys| rows — it scales with the FACT side, not the
+    dim side, so it is NOT force-broadcast by default: AQE picks a
+    broadcast semi-join on its own whenever the survivor set is
+    actually small (the common case), and falls back to a shuffled
+    keys-only semi-join when it isn't. Pass
+    ``broadcast_verdicts=True`` only when you can bound the survivor
+    count yourself (dim keys + FP·|fact keys| well under the
+    broadcast ceiling) and need the fact-never-shuffled plan pinned
+    statically. Bits are portable-hash-derived, so WHICH rows pass is a pure
     function of the data — the pruned set value-hashes cross-engine
     (false positives included, deterministically).
 
@@ -379,6 +439,7 @@ def bloom_prune(
         n_hashes=n_hashes,
         seed=seed,
     ).filter(F.col("might_contain"))
-    return fact.join(
-        F.broadcast(verdicts.select(key_col)), [key_col], "left_semi"
-    )
+    keys = verdicts.select(key_col)
+    if broadcast_verdicts:
+        keys = F.broadcast(keys)
+    return fact.join(keys, [key_col], "left_semi")

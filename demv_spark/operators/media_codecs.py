@@ -438,6 +438,12 @@ def encode_jpeg_gray(
     constant c — any integer c at the default dc_step=8 — an image of
     constant 8x8 tiles survives encode→decode bit-exactly (all AC
     coefficients are exactly 0; the DC quantizes losslessly)."""
+    if int(dc_step) < 1 or int(ac_step) < 1:
+        raise ValueError(
+            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
+            "a zero quant step divides by zero, and sub-1 steps could "
+            "push AC coefficients past the baseline Huffman range"
+        )
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
         if arr.shape[2] != 1:
@@ -483,6 +489,16 @@ def encode_jpeg_gray(
                     bw.write(zcode, zlen)
                     run -= 16
                 s = _jpeg_category(v)
+                if s > 10:
+                    # the baseline Annex-K AC table only defines
+                    # (run, size) symbols up to size 10; |quantized
+                    # AC| >= 1024 is reachable with small ac_step on
+                    # high-contrast blocks (theoretical max ~2048)
+                    raise ValueError(
+                        f"quantized AC coefficient {v} exceeds the "
+                        "baseline Huffman range (|AC| < 1024); "
+                        f"raise ac_step (got ac_step={ac_step})"
+                    )
                 code, length = ac_codes[(run << 4) | s]
                 bw.write(code, length)
                 bw.write(v if v > 0 else v + (1 << s) - 1, s)

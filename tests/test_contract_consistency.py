@@ -104,11 +104,28 @@ def test_window_is_exactly_50_known_names():
     )
 
 
+def _driver_verified(row):
+    """True iff a CORRECTNESS row is actual driver EVIDENCE: a green
+    oracled compare, or a completed rows-only seat. Round-8 hole: key
+    presence alone counted `err` rows (canonicalizer crashes) as
+    verified, which would have let a never-green query rotate out
+    (VERDICT r8 item 2)."""
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
 def test_window_no_unverified_backlog():
-    """No-new-backlog rule: every query that has NEVER held a driver
-    row (absent from every committed CORRECTNESS artifact) must be in
-    the current window, so it gets driver evidence in its birth round
-    — a rotation that strands a never-verified query fails here."""
+    """No-new-backlog rule: every query that has never earned a GREEN
+    driver row (or a completed rows-only seat) must be in the current
+    window, so it gets driver evidence in its birth round — a rotation
+    that strands a never-verified query fails here. `err` rows do NOT
+    count as evidence."""
     import glob
     import json
 
@@ -117,12 +134,61 @@ def test_window_no_unverified_backlog():
     verified = set()
     for p in sorted(glob.glob("CORRECTNESS_r*.json")):
         with open(p) as f:
-            verified |= set(json.load(f))
+            for name, row in json.load(f).items():
+                if _driver_verified(row):
+                    verified.add(name)
     backlog = sorted(
         n for n in names if n not in verified and n not in window
     )
     assert backlog == [], (
-        f"queries with zero driver evidence stranded outside the window: {backlog}"
+        f"queries with zero green driver evidence stranded outside the window: {backlog}"
+    )
+
+
+def test_no_collection_types_in_oracle_snapshot():
+    """The driver canonicalizes compare results with pandas
+    sort_values, which cannot factorize list/struct/map cells — an
+    ARRAY column in an emission turns the row into `err` no matter how
+    correct the values are (round 8: q_text_inverted_index,
+    q_stream_index_log). Every oracled emission must be scalar-typed;
+    join collections to strings or explode them."""
+    import json
+
+    snap = json.load(open("tests/oracle_types_snapshot.json"))
+    bad = [
+        (q, c, t)
+        for q, cols in snap.items()
+        for c, t in cols.items()
+        if t.startswith(("list", "large_list", "fixed_size_list",
+                         "struct", "map"))
+    ]
+    assert bad == [], f"collection-typed oracle emissions: {bad}"
+
+
+def test_window_emissions_are_scalar_typed(spark):
+    """Same rule enforced on the SPARK side for every seat the driver
+    touches (the 50-query window + entry()): no Array/Map/Struct
+    column may reach a driver emission, including rows-only seats the
+    snapshot doesn't cover."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def bad_cols(df):
+        return [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+
+    qs = entrymod.queries()
+    offenders = {}
+    for name in list(qs)[:50]:
+        cols = bad_cols(qs[name](spark, SF))
+        if cols:
+            offenders[name] = cols
+    entry_bad = bad_cols(entrymod.entry(spark))
+    if entry_bad:
+        offenders["<entry>"] = entry_bad
+    assert not offenders, (
+        f"collection-typed columns in driver-visible emissions: {offenders}"
     )
 
 

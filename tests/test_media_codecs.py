@@ -216,6 +216,19 @@ def test_jpeg_dispatch_and_unsupported_variants():
         C.decode_jpeg(bytes(color))
 
 
+def test_jpeg_encoder_rejects_degenerate_quant_steps():
+    """ADVICE r8: sub-1 steps either divide by zero (int(step)=0) or
+    could push |quantized AC| past the baseline table's size-10
+    ceiling — the encoder rejects them with a clear message instead
+    of an opaque KeyError deep in Huffman coding."""
+    from demv_spark.operators import media_codecs as C
+
+    img = _tile_image(3, 16, 16)
+    for dc, ac in ((0, 16), (8, 0), (0.5, 16), (8, 0.9)):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            C.encode_jpeg_gray(img, dc_step=dc, ac_step=ac)
+
+
 def test_jpeg_fixture_media_pipeline(spark):
     """synthesize_media_real(kind='jpeg') produces real JPEG bytes the
     whole media pipeline consumes: extract_features decodes geometry +

@@ -521,17 +521,34 @@ def test_topk_chunked_plan_all_joins_broadcast(spark):
 
 
 def test_bloom_prune_fact_side_never_shuffled(spark):
-    """The prune's joins are all broadcast (word table into the probe,
+    """With broadcast_verdicts=True (caller bounds the survivor set)
+    the prune's joins are all broadcast (word table into the probe,
     verdict keys back into the fact) — the fact table's rows never
-    enter an exchange; only its DISTINCT keys do."""
+    enter an exchange; only its DISTINCT keys do. The DEFAULT path
+    does NOT force the verdict broadcast (the verdict table scales
+    with the fact's distinct keys, not the dim — ADVICE r8): only the
+    word-table broadcast is pinned there and AQE owns the semi-join
+    strategy."""
     from demv_spark.functions.sketches import bloom_build, bloom_prune
 
     orders = read_table(spark, SF, "orders")
     dim = orders.filter(F.col("o_custkey") % 97 == 0).select("o_custkey").distinct()
     bf = bloom_build(dim, "o_custkey", n_bits=1 << 12, n_hashes=4)
-    s = plan_stats(bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4))
+    s = plan_stats(bloom_prune(
+        orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4,
+        broadcast_verdicts=True,
+    ))
     assert s["n_sort_merge_joins"] == 0
     assert s["n_broadcasts"] >= 2
+    # default path: word-table probe broadcast stays, verdict join is
+    # AQE's call; results are identical either way
+    default = bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4)
+    assert plan_stats(default)["n_broadcasts"] >= 1
+    forced = bloom_prune(
+        orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4,
+        broadcast_verdicts=True,
+    )
+    assert default.count() == forced.count()
 
 
 def test_hll_sketch_single_scan_no_joins(spark):

@@ -263,12 +263,19 @@ def test_hll_estimate_fixed_point_equals_fraction(p, regs):
     regs = [min(r, big_r) for r in regs[:m]]
     n_regs = len(regs)
     denom = sum(1 << (big_r - r) for r in regs) + (m - n_regs) * (1 << big_r)
-    # the engine expression
-    num = 7213 * 1000 * (m ** 3) * (1 << big_r)
-    alpha_den = 10000 * (1000 * m + 1079)
+    # the engine expression (per-m tabulated alpha below p=7 — the
+    # asymptotic 0.7213/(1+1.079/m) only holds for m >= 128)
+    if p < 7:
+        a_num = {16: 673, 32: 697, 64: 709}[m]
+        num = a_num * (m ** 2) * (1 << big_r)
+        alpha_den = 1000
+        alpha = Fraction(a_num, 1000)
+    else:
+        num = 7213 * 1000 * (m ** 3) * (1 << big_r)
+        alpha_den = 10000 * (1000 * m + 1079)
+        alpha = Fraction(7213, 10000) / (1 + Fraction(1079, 1000 * m))
     est_engine = num // (alpha_den * denom)
     # the textbook formula in exact rationals
-    alpha = Fraction(7213, 10000) / (1 + Fraction(1079, 1000 * m))
     indicator = sum(Fraction(1, 1 << r) for r in regs) + (m - n_regs)
     est_ref = int(alpha * m * m / indicator)  # floor for positives
     assert est_engine == est_ref

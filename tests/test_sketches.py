@@ -218,6 +218,31 @@ def test_hll_grouped_and_repartition_deterministic(spark):
     assert max(per.values()) <= 64
 
 
+def test_hll_small_p_constants_and_bounds(spark):
+    """ADVICE r8: the asymptotic alpha is only valid for m >= 128 —
+    p in {4,5,6} must use the paper's tabulated constants (alpha_16 =
+    0.673 etc.), and p outside [4, 24] is rejected outright."""
+    from fractions import Fraction
+
+    import pytest
+
+    from demv_spark.functions.sketches import hll_estimate, hll_registers
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    regs = hll_registers(ev, "user_id", p=4)
+    row = hll_estimate(regs, p=4).collect()[0]
+    est_ref = int(
+        Fraction(673, 1000) * 16 * 16
+        / (Fraction(row.denom, 1 << 57))
+    )
+    assert row.est_raw == est_ref
+    for bad_p in (3, 0, 25):
+        with pytest.raises(ValueError, match=r"p must be in \[4, 24\]"):
+            hll_registers(ev, "user_id", p=bad_p)
+        with pytest.raises(ValueError, match=r"p must be in \[4, 24\]"):
+            hll_estimate(regs, p=bad_p)
+
+
 # ---- Bloom semi-join pruning (round 8) ----
 
 def test_bloom_prune_no_false_negatives_and_deterministic(spark):
@@ -257,6 +282,33 @@ def test_bloom_prune_no_false_negatives_and_deterministic(spark):
         orders.repartition(17), bf, "o_custkey", n_bits=1 << 12, n_hashes=4
     ).count()
     assert pruned.count() == n_again
+
+
+def test_bloom_probe_rejects_mismatched_config(spark):
+    """A probe with different (n_bits, n_hashes, seed) than the build
+    tests the wrong bit positions — the one failure mode a Bloom
+    filter must exclude is false negatives, so the stamped config
+    metadata turns the silent-garbage case into a loud ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demv_spark.functions.sketches import (
+        bloom_build, bloom_probe, bloom_prune,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dim = orders.filter(F.col("o_custkey") % 7 == 0).select("o_custkey").distinct()
+    bf = bloom_build(dim, "o_custkey", n_bits=1 << 12, n_hashes=4)
+    with pytest.raises(ValueError, match="built with"):
+        bloom_prune(orders, bf, "o_custkey")          # default 1<<16
+    with pytest.raises(ValueError, match="built with"):
+        bloom_probe(bf, dim, "o_custkey", n_bits=1 << 12, n_hashes=3)
+    # matched config passes and keeps the no-false-negative contract
+    got = bloom_prune(orders, bf, "o_custkey", n_bits=1 << 12, n_hashes=4)
+    true_matches = orders.join(dim, "o_custkey", "left_semi")
+    assert got.count() >= true_matches.count() > 0
+    assert true_matches.join(got.select("o_orderkey"), "o_orderkey",
+                             "left_anti").count() == 0
 
 
 def test_bloom_prune_drops_null_keys(spark):
