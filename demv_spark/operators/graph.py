@@ -73,31 +73,55 @@ def pagerank_integer(
     (NetworkX/GraphFrames) up to the integer grid. The default keeps
     the round-6 decay semantics (dangling mass bleeds into the
     damping floor) for back-compat with existing oracle rows. Cost
-    of the flag: one extra |nodes|-row anti-join aggregate (a 1-row
-    scalar) broadcast back per iteration — no new data shuffle."""
+    of the flag: one |nodes|-row filter-aggregate (a 1-row scalar)
+    per iteration over the already-materialized ranks — the dangling
+    SET is static, so it is a precomputed flag column carried on the
+    ranks table, not a per-iteration anti-join (round 9: the
+    join-per-iteration shape measured 2.5× the cost of this one on a
+    quiet box)."""
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
     ).distinct()
+    if redistribute_dangling:
+        # cache the distinct edge set FIRST: nodes, deg and e_deg all
+        # derive from it, and each materializes separately below — an
+        # unpersisted e re-scans and re-distincts the raw edge input
+        # once per derivation
+        e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out_deg is static — pre-join it onto the edges ONCE instead of
+    # re-joining deg inside every iteration
+    e_deg = e.join(deg, "src")
     base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
     if redistribute_dangling:
-        # iterative-graph convention: cache the graph tables once —
+        # iterative-graph convention: cache the static tables once —
         # the redistribution variant materializes ranks per iteration
         # (see below), which would otherwise re-scan and re-distinct
-        # the raw edges 2× per iteration
-        e = e.persist()
-        nodes = nodes.persist()
-        deg = deg.persist()
+        # the raw edges 2× per iteration. The dangling flag is static
+        # per node (no out-edges), computed here once and carried
+        # through every rank update so the per-iteration scalar is a
+        # filter-agg over materialized ranks, never a join.
+        e_deg = e_deg.persist()
+        nodes = (
+            nodes.join(
+                deg.select(F.col("src").alias("node"))
+                .withColumn("__out", F.lit(1)),
+                "node",
+                "left",
+            )
+            .select("node", F.col("__out").isNull().alias("__dang"))
+            .persist()
+        )
     n_nodes = nodes.count() if redistribute_dangling else None
     ranks = nodes.withColumn("rank_int", F.lit(int(scale)).cast("long"))
-    for _ in range(int(iterations)):
-        if redistribute_dangling:
+    for it in range(int(iterations)):
+        if redistribute_dangling and it % 2 == 0:
             # the update reads ranks TWICE (contributions + dangling
             # scalar); without materialization the lazy plan doubles
             # per iteration (2^iterations leaf scans). Eager
@@ -105,11 +129,19 @@ def pagerank_integer(
             # pattern) both cuts the lineage — chained cached joins
             # made Catalyst's tree rendering itself OOM at depth ~8 —
             # and lets prior iterations' blocks be released, unlike a
-            # persist-per-iteration chain that pins them all
+            # persist-per-iteration chain that pins them all. Every
+            # SECOND iteration is enough: two lazy levels read the
+            # checkpoint ≤4 times, and halving the action count
+            # halved the fixture wall-clock (round 9 — per-iteration
+            # jobs, not data volume, dominate small graphs)
             ranks = ranks.localCheckpoint(eager=True)
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(
+                ranks.select(
+                    F.col("node").alias("src"), "rank_int"
+                ),
+                "src",
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_int div out_deg").alias("c"),
@@ -118,32 +150,32 @@ def pagerank_integer(
             .agg(F.sum("c").alias("in_sum"))
         )
         if redistribute_dangling:
-            # the dangling mass is a 1-row scalar (census-sized
-            # collect, the module convention): folding it back as a
-            # LITERAL keeps each iteration to one join+agg, where a
-            # crossJoin(broadcast(scalar)) would add a broadcast job
-            # per iteration. This materializes ranks per iteration —
-            # which the scalar forces anyway — so the persisted
-            # ranks/graph tables above are what make it cheap.
-            dang_val = (
-                ranks.join(
-                    deg.select(F.col("src").alias("node")), "node", "left_anti"
-                )
-                .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).cast("long"))
-                .collect()[0][0]
+            # the dangling mass stays IN the plan as a broadcast
+            # 1-row aggregate (filter-sum over the flagged ranks —
+            # no join, no shuffle): a per-iteration collect() was a
+            # whole scheduled job on top of the checkpoint job, and
+            # on job-overhead-bound graphs those actions, not data,
+            # were the cost (round 9). share = __dm div N with N a
+            # literal (counted once; N > 0 whenever any rank row
+            # exists, so the div is safe — an empty graph yields
+            # empty ranks before this expression ever evaluates).
+            dang = ranks.filter(F.col("__dang")).agg(
+                F.coalesce(F.sum("rank_int"), F.lit(0))
+                .cast("long")
+                .alias("__dm")
             )
-            # empty graph: no nodes, no mass — share 0 instead of a
-            # ZeroDivisionError (the default path returns empty too)
-            share = int(dang_val) // int(n_nodes) if n_nodes else 0
             ranks = (
                 nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
+                    "__dang",
                     (
                         F.lit(base).cast("long")
                         + F.expr(
                             f"({DAMPING_NUM} * (coalesce(in_sum, 0L) "
-                            f"+ {share}L)) div {DAMPING_DEN}"
+                            f"+ (__dm div {max(int(n_nodes or 0), 1)}L))) "
+                            f"div {DAMPING_DEN}"
                         )
                     ).alias("rank_int"),
                 )
@@ -161,7 +193,7 @@ def pagerank_integer(
                     ).alias("rank_int"),
                 )
             )
-    return ranks
+    return ranks.select("node", "rank_int")
 
 
 def hits_integer(
