@@ -658,3 +658,114 @@ def assign_sequences(
         )
         .drop("__last_tok")
     )
+
+
+def _dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    seed: int,
+) -> DataFrame:
+    """Hashed n-gram featurization (unigrams + bigrams → one of
+    ``n_buckets`` portable-hash buckets): (doc_id, bucket, c) counts.
+    One explode + one (doc, bucket)-keyed aggregate; empty tokens are
+    dropped (the ['']-for-NULL canonical form contributes nothing)."""
+    from demv_spark.operators.text import tokens
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    feats = F.expr(
+        "concat(__t, CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1))) "
+        "ELSE array() END)"
+    )
+    exploded = d.select("doc_id", F.explode(feats).alias("feat")).filter(
+        F.col("feat") != ""
+    )
+    bucket = F.pmod(
+        portable_hash(F.concat_ws(":", F.lit(f"dsir{seed}"), F.col("feat"))),
+        F.lit(int(n_buckets)),
+    )
+    return exploded.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every RAW document by how much more likely its
+    hashed n-gram features are under the TARGET distribution than
+    under the raw distribution, log w_i = Σ_k c_ik·(log p_k − log q_k)
+    with add-1-smoothed hashed-bigram bucket models p (target) and q
+    (raw).
+
+    INTEGER-EXACT variant: log2 is taken at BIT GRANULARITY via
+    bitlength — log2(t_k+1) → bitlen(t_k+1), the ``lm.py`` surprisal
+    playbook — so the emitted weight
+
+        weight_bits = Σ_k c_ik·(bitlen(t_k+1) − bitlen(q_k+1))
+                      + n_i·(bitlen(Q+m) − bitlen(T+m))
+
+    is a deterministic integer (length(bin(x)) is minimal-length in
+    Spark AND DuckDB — no float log anywhere), value-hashable
+    cross-engine, and rank-equivalent to DSIR's float weight at bit
+    resolution. T/Q are total smoothed feature masses; m = n_buckets.
+
+    Plan shape at 100 TB: one explode + (doc, bucket) aggregate per
+    corpus, two ≤m-row bucket censuses, one broadcast join of the
+    m-row census back onto the raw doc-bucket counts (bounded by
+    construction — m is a knob, NOT data-sized), one doc-keyed
+    aggregate. The raw corpus itself never joins the target corpus.
+    Emits (doc_id, n_feats, weight_bits); docs with no features score
+    (0, 0) — flag-not-filter."""
+    rb = _dsir_bucket_counts(raw, text_col, id_col, n_buckets, seed)
+    tb = _dsir_bucket_counts(target, text_col, id_col, n_buckets, seed)
+    t_census = tb.groupBy("bucket").agg(F.sum("c").alias("t_k"))
+    q_census = rb.groupBy("bucket").agg(F.sum("c").alias("q_k"))
+    census = (
+        q_census.join(t_census, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_k", F.lit(0)).alias("t_k"),
+            F.coalesce("q_k", F.lit(0)).alias("q_k"),
+        )
+    )
+    totals = census.agg(
+        F.coalesce(F.sum("t_k"), F.lit(0)).cast("long"),
+        F.coalesce(F.sum("q_k"), F.lit(0)).cast("long"),
+    ).collect()[0]
+    m = int(n_buckets)
+    norm_bits = int(totals[1] + m).bit_length() - int(totals[0] + m).bit_length()
+    bits = (
+        F.length(F.bin(F.col("t_k") + 1)) - F.length(F.bin(F.col("q_k") + 1))
+    ).cast("long")
+    scored = rb.join(
+        F.broadcast(census.select("bucket", bits.alias("__bits"))), "bucket"
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_feats"),
+        F.sum(F.col("c") * F.col("__bits")).cast("long").alias("__fb"),
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            (
+                F.coalesce("__fb", F.lit(0))
+                + F.coalesce("n_feats", F.lit(0)) * F.lit(norm_bits)
+            ).cast("long").alias("weight_bits"),
+        )
+    )

@@ -428,6 +428,179 @@ def _jpeg_category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _encode_block(
+    bw: "_BitWriter",
+    block_u8: "np.ndarray",
+    qnat: "np.ndarray",
+    c: "np.ndarray",
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+    ac_step,
+) -> int:
+    """FDCT + quantize + Huffman-code ONE 8x8 uint8 block into the
+    bit stream; returns the new DC predictor (T.81 F.1.2). Shared by
+    the grayscale and color encoders — color interleaves per-component
+    blocks with independent predictors."""
+    block = block_u8.astype(np.float64) - 128.0
+    coef = c @ block @ c.T
+    quant = np.rint(coef / qnat).astype(np.int64)
+    zz = [int(quant.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64)]
+    # DC: category + appended bits of the difference
+    diff = zz[0] - pred
+    pred = zz[0]
+    s = _jpeg_category(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    # AC: run-length of zeros, ZRL for 16, EOB at end
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_codes[0xF0]
+            bw.write(zcode, zlen)
+            run -= 16
+        s = _jpeg_category(v)
+        if s > 10:
+            # the baseline Annex-K AC table only defines (run, size)
+            # symbols up to size 10; |quantized AC| >= 1024 is
+            # reachable with small ac_step on high-contrast blocks
+            # (theoretical max ~2048)
+            raise ValueError(
+                f"quantized AC coefficient {v} exceeds the baseline "
+                f"Huffman range (|AC| < 1024); raise ac_step "
+                f"(got ac_step={ac_step})"
+            )
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]   # EOB
+        bw.write(code, length)
+    return pred
+
+
+# JFIF/BT.601 color-transform coefficients. Both directions use the
+# floor(x + 0.5) rounding convention on LEFT-ASSOCIATIVE double
+# expressions, so a SQL oracle can reproduce every transformed pixel
+# bit-exactly (same IEEE literals, same op order, same floor) — the
+# color analogue of the grayscale lossless-tile corner.
+_YCC_FWD = (
+    (0.299, 0.587, 0.114),
+    (-0.168735892, -0.331264108, 0.5),
+    (0.5, -0.418687589, -0.081312411),
+)
+_YCC_INV_R_CR = 1.402
+_YCC_INV_G_CB = 0.344136286
+_YCC_INV_G_CR = 0.714136286
+_YCC_INV_B_CB = 1.772
+
+
+def rgb_to_ycbcr_u8(arr: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) uint8 RGB → uint8 YCbCr with floor(x+0.5) rounding
+    (NOT numpy rint ties-to-even — floor keeps the transform exactly
+    reproducible as FLOOR(expr + 0.5) in any SQL engine)."""
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = _YCC_FWD[0][0] * r + _YCC_FWD[0][1] * g + _YCC_FWD[0][2] * b
+    cb = 128.0 + _YCC_FWD[1][0] * r + _YCC_FWD[1][1] * g + _YCC_FWD[1][2] * b
+    cr = 128.0 + _YCC_FWD[2][0] * r + _YCC_FWD[2][1] * g + _YCC_FWD[2][2] * b
+    out = np.stack([y, cb, cr], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb_u8(arr: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) uint8 YCbCr → uint8 RGB, floor(x+0.5) convention
+    (see rgb_to_ycbcr_u8)."""
+    y = arr[:, :, 0].astype(np.float64)
+    cb = arr[:, :, 1].astype(np.float64) - 128.0
+    cr = arr[:, :, 2].astype(np.float64) - 128.0
+    r = y + _YCC_INV_R_CR * cr
+    g = y - _YCC_INV_G_CB * cb - _YCC_INV_G_CR * cr
+    b = y + _YCC_INV_B_CB * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(
+    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real baseline COLOR
+    JPEG: YCbCr 4:4:4, interleaved 1-block-per-component MCUs,
+    independent per-component DC predictors, one shared quant table
+    and one shared (DC, AC) Huffman pair for all three components —
+    all legal baseline (T.81 allows ≤4 quant / ≤2+2 Huffman slots;
+    sharing slot 0 is the degenerate case every decoder handles).
+
+    Same lossless corner as the grayscale encoder, per CHANNEL: an
+    image of constant 8x8 RGB tiles converts to constant YCbCr tiles
+    (integers, via the floor(x+0.5) transform), each quantizing to a
+    lone losslessly-coded DC at the default dc_step=8 — so
+    decode_jpeg returns the exact YCbCr→RGB round-trip of the input,
+    reproducible pixel-for-pixel in closed-form SQL."""
+    if int(dc_step) < 1 or int(ac_step) < 1:
+        raise ValueError(
+            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
+            "a zero quant step divides by zero, and sub-1 steps could "
+            "push AC coefficients past the baseline Huffman range"
+        )
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects an (h, w, 3) RGB array")
+    h, w = arr.shape[:2]
+    ycc = rgb_to_ycbcr_u8(arr)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    qnat = np.full((8, 8), int(ac_step), dtype=np.int32)
+    qnat[0, 0] = int(dc_step)
+    c = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):                # interleaved MCU
+                preds[comp] = _encode_block(
+                    bw,
+                    padded[by : by + 8, bx : bx + 8, comp],
+                    qnat, c, dc_codes, ac_codes, preds[comp], ac_step,
+                )
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out = bytearray(JPEG_MAGIC)                        # SOI
+    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
+    # SOF0: 3 components, all 1x1 sampling (4:4:4), quant table 0
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    # SOS: every component uses DC table 0 / AC table 0
+    out += seg(
+        0xFFDA,
+        b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
+    )
+    out += data
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
 def encode_jpeg_gray(
     arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
 ) -> bytes:
@@ -464,48 +637,10 @@ def encode_jpeg_gray(
     pred = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = c @ block @ c.T
-            quant = np.rint(coef / qnat).astype(np.int64)
-            zz = [int(quant.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64)]
-            # DC: category + appended bits of the difference
-            diff = zz[0] - pred
-            pred = zz[0]
-            s = _jpeg_category(diff)
-            code, length = dc_codes[s]
-            bw.write(code, length)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            # AC: run-length of zeros, ZRL for 16, EOB at end
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zcode, zlen = ac_codes[0xF0]
-                    bw.write(zcode, zlen)
-                    run -= 16
-                s = _jpeg_category(v)
-                if s > 10:
-                    # the baseline Annex-K AC table only defines
-                    # (run, size) symbols up to size 10; |quantized
-                    # AC| >= 1024 is reachable with small ac_step on
-                    # high-contrast blocks (theoretical max ~2048)
-                    raise ValueError(
-                        f"quantized AC coefficient {v} exceeds the "
-                        "baseline Huffman range (|AC| < 1024); "
-                        f"raise ac_step (got ac_step={ac_step})"
-                    )
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]   # EOB
-                bw.write(code, length)
+            block = padded[by : by + 8, bx : bx + 8]
+            pred = _encode_block(
+                bw, block, qnat, c, dc_codes, ac_codes, pred, ac_step
+            )
     data = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -574,21 +709,24 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Decode a baseline grayscale JPEG to an (h, w, 1) uint8 array.
+    """Decode a baseline JPEG: grayscale → (h, w, 1) uint8, YCbCr
+    4:4:4 color (interleaved single scan) → (h, w, 3) uint8 RGB via
+    the floor(x+0.5) inverse transform (``ycbcr_to_rgb_u8``).
 
-    Supports the sequential-DCT 8-bit single-component stream the
-    encoder above emits (and any other grayscale baseline file using
-    in-file quant/Huffman tables). Color (multi-component),
-    progressive (SOF2), 12-bit, arithmetic-coded and restart-interval
-    streams raise NotImplementedError — install PIL for those."""
+    Supports the sequential-DCT 8-bit 1- or 3-component streams the
+    encoders above emit (and any other baseline file using in-file
+    quant/Huffman tables and 1x1 sampling). SUBSAMPLED color (4:2:0 /
+    4:2:2 — the common camera output), progressive (SOF2), 12-bit,
+    arithmetic-coded and restart-interval streams raise
+    NotImplementedError — install PIL for those."""
     if payload[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_q = None
-    dc_id = ac_id = None
+    comps: list[tuple[int, int]] = []       # SOF order: (comp_id, tq)
+    scan: dict[int, tuple[int, int]] = {}   # comp_id -> (dc_id, ac_id)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -624,14 +762,19 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit baseline JPEG supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (color) JPEG needs PIL; "
-                    "stdlib path decodes grayscale baseline only"
+                    f"{ncomp}-component JPEG unsupported (grayscale "
+                    "or YCbCr 4:4:4 only; CMYK needs PIL)"
                 )
-            sampling, comp_q = body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (4:2:0/4:2:2) unsupported — "
+                        "stdlib path decodes 1x1-sampled (4:4:4) only"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
@@ -643,52 +786,66 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 raise NotImplementedError("JPEG restart intervals unsupported")
         elif marker == 0xDA:                     # SOS — entropy data follows
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-scan JPEG unsupported")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps) or ns not in (1, 3):
+                raise NotImplementedError(
+                    "multi-scan / partial-scan JPEG unsupported "
+                    "(one interleaved scan covering every component only)"
+                )
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan[cs] = (tdta >> 4, tdta & 0x0F)
             pos += seglen
             break
         pos += seglen
-    if h is None or dc_id is None:
+    if h is None or not scan:
         raise ValueError("truncated JPEG (missing SOF/SOS)")
 
-    q = qtables[comp_q]
-    qnat = np.zeros(64, dtype=np.int64)
-    for k in range(64):
-        qnat[_JPEG_ZIGZAG[k]] = q[k]
-    qnat = qnat.reshape(8, 8)
-    dc_tab = htables[(0, dc_id)]
-    ac_tab = htables[(1, ac_id)]
     c = _jpeg_dct_matrix()
+    ncomp = len(comps)
+    # per-component dequant + Huffman tables, in SOF order
+    qnats, dc_tabs, ac_tabs = [], [], []
+    for cid, tq in comps:
+        q = qtables[tq]
+        qn = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qn[_JPEG_ZIGZAG[k]] = q[k]
+        qnats.append(qn.reshape(8, 8))
+        dc_id, ac_id = scan[cid]
+        dc_tabs.append(htables[(0, dc_id)])
+        ac_tabs.append(htables[(1, ac_id)])
 
     bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    out = np.zeros((bh * 8, bw_ * 8, ncomp), dtype=np.uint8)
     br = _BitReader(payload, pos)
-    pred = 0
+    preds = [0] * ncomp
     for byi in range(bh):
         for bxi in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _huff_read(br, dc_tab)
-            diff = _jpeg_extend(br.bits(s), s) if s else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_read(br, ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:                   # EOB
-                    break
-                if rs == 0xF0:                   # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC index overrun")
-                zz[k] = _jpeg_extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZIGZAG] = zz
-            block = c.T @ (coef.reshape(8, 8) * qnat) @ c
-            pix = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
-            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
-    return out[:h, :w, None]
+            for comp in range(ncomp):            # interleaved MCU
+                zz = np.zeros(64, dtype=np.int64)
+                s = _huff_read(br, dc_tabs[comp])
+                diff = _jpeg_extend(br.bits(s), s) if s else 0
+                preds[comp] += diff
+                zz[0] = preds[comp]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_tabs[comp])
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:               # EOB
+                        break
+                    if rs == 0xF0:               # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overrun")
+                    zz[k] = _jpeg_extend(br.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_JPEG_ZIGZAG] = zz
+                block = c.T @ (coef.reshape(8, 8) * qnats[comp]) @ c
+                pix = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
+                out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8, comp] = pix
+    out = out[:h, :w]
+    if ncomp == 1:
+        return out
+    return ycbcr_to_rgb_u8(out)

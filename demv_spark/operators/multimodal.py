@@ -158,6 +158,27 @@ def synthesize_media_real(
                     arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
                     payload = C.encode_jpeg_gray(arr)
                     rows.append((mid, "image", "jpeg", payload, w, h, None))
+                elif kind == "jpeg_color":
+                    # baseline COLOR JPEG (YCbCr 4:4:4) of constant
+                    # 8x8 RGB tiles: tile(by,bx) channels are mod-256
+                    # affine in (id, bx, by), so the whole
+                    # RGB→YCbCr→DC-roundtrip→RGB pipeline is
+                    # re-derivable in closed-form SQL (the floor(x+.5)
+                    # transform convention; see encode_jpeg_color)
+                    w, h = mid % 64 + 16, mid % 48 + 16
+                    nby, nbx = -(-h // 8), -(-w // 8)
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    tiles = np.stack(
+                        [
+                            (mid * 7 + bx * 3 + by * 5) % 256,
+                            (mid * 11 + bx * 7 + by * 2) % 256,
+                            (mid * 13 + bx * 5 + by * 7) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+                    payload = C.encode_jpeg_color(arr)
+                    rows.append((mid, "image", "jpeg", payload, w, h, None))
                 elif kind == "audio":
                     dur_ms = mid % 9000 + 1000
                     n = sample_rate * dur_ms // 1000
@@ -307,6 +328,51 @@ def frame_sample_plan(
     )
     return df.select(
         "media_id", "kind", F.explode(ts).alias("frame_ts_ms")
+    )
+
+
+def image_channel_sums(df: DataFrame) -> DataFrame:
+    """Per-image integer channel sums over REAL decoded pixels —
+    the cheapest whole-image content signature that still pins every
+    pixel value (a one-pixel change moves a sum). Grayscale decodes
+    replicate their single channel. Emits (media_id, w, h, r_sum,
+    g_sum, b_sum) — all integers, so the signature value-hashes
+    cross-engine when the decoded content has a closed form (the
+    constant-tile JPEG fixtures do).
+
+    Arrow-batched mapInPandas decode, map-only at any scale — the
+    same shape as ``image_dhash``."""
+    from demv_spark.operators.media_codecs import decode_image
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("r_sum", LongType()),
+            StructField("g_sum", LongType()),
+            StructField("b_sum", LongType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype(np.int64)
+                h, w = arr.shape[:2]
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                sums = arr.sum(axis=(0, 1))
+                recs.append(
+                    (int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
     )
 
 

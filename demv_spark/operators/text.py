@@ -830,8 +830,26 @@ def learn_bpe(
     each iteration merges the most frequent adjacent symbol pair
     (ties broken lexicographically for determinism — a pure function
     of the corpus, reproducible across partitionings). Returns the
-    ordered merge list for ``bpe_tokenize``."""
+    ordered merge list for ``bpe_tokenize``.
+
+    CEILING: the merge loop is driver-side and linear in the census
+    (each of ``n_merges`` iterations rescans up to ``max_vocab`` word
+    entries), so ``max_vocab`` is capped at 2,000,000 — past that the
+    driver loop serializes into hours regardless of cluster size.
+    Corpus SIZE is unbounded (only the word census ever leaves Spark);
+    it is the candidate-vocabulary budget that has a hard driver
+    ceiling. Raise ``min_word_freq`` instead of the cap: on web-scale
+    text the frequency tail is hapax noise BPE should not see."""
     from collections import Counter
+
+    if int(max_vocab) > 2_000_000:
+        raise ValueError(
+            f"max_vocab={max_vocab} exceeds the 2,000,000 driver-loop "
+            "ceiling: the merge loop rescans the word census per merge "
+            "on the driver, so larger budgets serialize for hours — "
+            "raise min_word_freq to shrink the candidate vocabulary "
+            "instead"
+        )
 
     census = (
         df.select(F.explode(tokens(text_col)).alias("w"))

@@ -420,3 +420,81 @@ def test_assign_sequences_guards(spark):
         assign_sequences(df, "n_tokens", 0, ["doc_id"])
     with _pytest.raises(ValueError, match="n_shards"):
         assign_sequences(df, "n_tokens", 8, ["doc_id"], n_shards=0)
+
+
+# ---- DSIR importance weights (round 9) ----
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs drawn from the target slice must average a higher
+    weight_bits than the rest of the corpus (the whole point of
+    importance resampling), and the weights are deterministic under
+    repartitioning."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    target = docs.filter(F.lower("source").isin("src1", "src3"))
+    w = corpus.dsir_weights(docs, target, n_buckets=512, seed=7)
+    joined = w.join(
+        docs.select(
+            "doc_id", F.lower("source").isin("src1", "src3").alias("is_t")
+        ),
+        "doc_id",
+    )
+    means = {
+        r["is_t"]: r["m"]
+        for r in joined.groupBy("is_t")
+        .agg(F.avg("weight_bits").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    again = corpus.dsir_weights(
+        docs.repartition(13), target.repartition(7), n_buckets=512, seed=7
+    )
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_dsir_weights_python_mirror(spark):
+    """Hand-computed mirror on a tiny corpus: featurization
+    (unigrams + bigrams), bucket censuses, bitlen-log2 weights."""
+    import hashlib
+
+    rows = [
+        (1, "spark joins tables"),
+        (2, "spark joins"),
+        (3, "cats purr loudly"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter(F.col("doc_id").isin(1, 2))
+    m = 64
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_bits"])
+        for r in corpus.dsir_weights(df, target, n_buckets=m, seed=7).collect()
+    }
+
+    def feats(text):
+        t = (text or "").strip().lower().split()
+        t = [w for w in t if w != ""]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(f):
+        h = int(hashlib.md5(f"dsir7:{f}".encode()).hexdigest()[:15], 16)
+        return h % m
+
+    from collections import Counter
+    q_census, t_census = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text in rows:
+        c = Counter(bucket(f) for f in feats(text))
+        per_doc[doc_id] = c
+        q_census.update(c)
+        if doc_id in (1, 2):
+            t_census.update(c)
+    T, Q = sum(t_census.values()), sum(q_census.values())
+    norm = (Q + m).bit_length() - (T + m).bit_length()
+    for doc_id, c in per_doc.items():
+        n = sum(c.values())
+        fb = sum(
+            k_c * ((t_census[b] + 1).bit_length() - (q_census[b] + 1).bit_length())
+            for b, k_c in c.items()
+        )
+        assert got[doc_id] == (n, fb + n * norm), doc_id
+    assert got[4] == (0, 0)   # NULL text: no features, flag-not-filter

@@ -199,8 +199,9 @@ def test_jpeg_general_image_near_lossless_at_unit_quant():
 
 
 def test_jpeg_dispatch_and_unsupported_variants():
-    """decode_image sniffs the 0xFFD8 magic; progressive (SOF2) and
-    multi-component streams raise with the stub boundary spelled out."""
+    """decode_image sniffs the 0xFFD8 magic; progressive (SOF2),
+    CMYK and subsampled-color streams raise with the boundary
+    spelled out."""
     from demv_spark.operators import media_codecs as C
 
     enc = C.encode_jpeg_gray(_tile_image(3, 24, 32))
@@ -210,10 +211,57 @@ def test_jpeg_dispatch_and_unsupported_variants():
     progressive = enc[:sof] + b"\xff\xc2" + enc[sof + 2:]
     with pytest.raises(NotImplementedError, match="progressive"):
         C.decode_jpeg(progressive)
-    color = bytearray(enc)
-    color[sof + 9] = 3          # ncomp byte inside SOF0
-    with pytest.raises(NotImplementedError, match="multi-component"):
-        C.decode_jpeg(bytes(color))
+
+    img = np.dstack([_tile_image(3, 24, 32)] * 3)
+    cenc = C.encode_jpeg_color(img)
+    csof = cenc.find(b"\xff\xc0")
+    cmyk = bytearray(cenc)
+    cmyk[csof + 9] = 4          # ncomp byte inside SOF0
+    with pytest.raises(NotImplementedError, match="4-component"):
+        C.decode_jpeg(bytes(cmyk))
+    sub = bytearray(cenc)
+    sub[csof + 11] = 0x22       # Y sampling factor -> 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        C.decode_jpeg(bytes(sub))
+
+
+def test_jpeg_color_constant_tiles_roundtrip_exact():
+    """The color lossless corner: constant 8x8 RGB tiles →
+    decode equals the exact YCbCr round-trip of the input (the DC
+    quantizes losslessly per channel at dc_step=8; AC all zero), with
+    edge-tile crop."""
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(11)
+    for _ in range(4):
+        nby, nbx = rng.randint(2, 5), rng.randint(2, 5)
+        tiles = rng.randint(0, 256, size=(nby, nbx, 3))
+        img = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(np.uint8)
+        h, w = nby * 8 - rng.randint(0, 5), nbx * 8 - rng.randint(0, 5)
+        img = img[:h, :w]
+        dec = C.decode_jpeg(C.encode_jpeg_color(img))
+        expect = C.ycbcr_to_rgb_u8(C.rgb_to_ycbcr_u8(img))
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, expect)
+
+
+def test_jpeg_color_general_near_lossless_at_unit_quant():
+    """A smooth color image at dc_step=ac_step=1 decodes within a few
+    counts of its YCbCr round-trip (DCT float error only)."""
+    from demv_spark.operators import media_codecs as C
+
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [
+            128 + 80 * np.sin(y / 5.0) * np.cos(x / 7.0),
+            (x * 3) % 256,
+            (y * 7) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg_color(img, dc_step=1, ac_step=1))
+    ref = C.ycbcr_to_rgb_u8(C.rgb_to_ycbcr_u8(img))
+    assert int(np.abs(dec.astype(int) - ref.astype(int)).max()) <= 4
 
 
 def test_jpeg_encoder_rejects_degenerate_quant_steps():

@@ -492,6 +492,16 @@ def test_learn_bpe_textbook_merges(spark):
     assert text.learn_bpe(df2, n_merges=5) == merges
 
 
+def test_learn_bpe_vocab_ceiling_guard(spark):
+    """VERDICT r8 item 8: the merge loop is driver-side and linear in
+    the census — budgets past 2M must raise loudly instead of
+    serializing for hours."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="driver-loop\\s+ceiling"):
+        text.learn_bpe(df, n_merges=1, max_vocab=2_000_001)
+    assert text.learn_bpe(df, n_merges=1, max_vocab=2_000_000)
+
+
 def test_learn_bpe_max_vocab_caps_census(spark):
     # the driver census is bounded by max_vocab: with 4 distinct words
     # and max_vocab=2, only the top-2 by frequency (newest x6, low x5)
