@@ -136,6 +136,7 @@ _R9_BIRTHS: list[str] = [
     "q_dedup_corpus_e2e",
     "q_media_jpeg_color",
     "q_corpus_dsir_weights",
+    "q_events_session_features",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_dedup_incremental",
     "q_etl_winsorize",
     "q_ml_kappa",
-    "q_events_rolling",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -3064,6 +3064,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_stream_sessionize"] = _sessionize
+
+    # ---- sessionized training features (round 9) ----
+    # gap-timeout sessions folded into one feature vector per session
+    # (temporal.session_features): one user-keyed shuffle, no joins.
+    # value_sum is the decimal-stable sum → _fx scaled-BIGINT; every
+    # other feature is already integer
+    def _events_session_features(spark, sf):
+        from demv_spark.operators.temporal import session_features
+
+        out = session_features(
+            _t(spark, sf, "events"), gap_minutes=30
+        )
+        return out.select(
+            "user_id",
+            F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "n_events",
+            "duration_sec",
+            "n_types",
+            F.floor(F.col("value_sum") * F.lit(1e6)).cast("long").alias("value_fx"),
+            F.floor(F.col("max_value") * F.lit(1e6)).cast("long").alias("max_fx"),
+        )
+
+    q["q_events_session_features"] = _events_session_features
 
     # ordered first-touch funnel over the event stream: click →
     # signup → purchase, each step strictly after the user's first
@@ -7148,6 +7171,39 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM events GROUP BY 1, 2, 3
     """
+    # sessionized features: same islands as q_stream_sessionize,
+    # folded to per-session aggregates; value sum decimal-stable
+    o["q_events_session_features"] = """
+        WITH ordered AS (
+            SELECT user_id, ts, event_type, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events WHERE ts IS NOT NULL
+        ), flagged AS (
+            SELECT user_id, ts, event_type, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM ordered
+        ), islands AS (
+            SELECT user_id, ts, event_type, value,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+               COUNT(*) AS n_events,
+               CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                    AS BIGINT) AS duration_sec,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(FLOOR(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                        AS VARCHAR) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS value_fx,
+               CAST(FLOOR(MAX(CAST(value AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS max_fx
+        FROM islands GROUP BY user_id, sid
+    """
+
     o["q_stream_sessionize"] = """
         WITH ordered AS (
             SELECT user_id, ts,

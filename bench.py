@@ -204,6 +204,16 @@ HEADLINE = [
     # round-8: streaming HLL replay (bounded-register fold; equals
     # the one-shot sketch by MAX-merge algebra)
     "q_stream_hll_log",
+    # round-9: the full near-dup pipeline as one DAG (LSH pairs →
+    # components → keep-one → census), baseline COLOR JPEG decode
+    # (map-only Arrow batches), DSIR importance weights (two bounded
+    # bucket censuses + one broadcast join)
+    "q_dedup_corpus_e2e",
+    "q_media_jpeg_color",
+    "q_corpus_dsir_weights",
+    # round-9: gap-timeout sessions → per-session training features
+    # (one user-keyed shuffle, no joins)
+    "q_events_session_features",
 ]
 
 

@@ -378,3 +378,85 @@ def rolling_census(
             F.sum(F.col(value_col).cast(DECIMAL_T)).over(w).cast("double"),
         )
     return out.drop("__sec")
+
+
+def session_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session TRAINING FEATURES: gap-timeout sessionization (the
+    batch twin of streaming ``session_window_rollup``) folded straight
+    into one feature vector per session — the classic
+    behavioral-features step of a training-data pipeline.
+
+    Sessionization is the LAG-islands form: one window per user
+    ordering by ``ts`` flags a session break when the gap exceeds
+    ``gap_minutes``; the running sum of breaks is the session ordinal.
+    Ties in ``ts`` are harmless by construction — equal timestamps
+    have zero gap, so the island assignment is a pure function of the
+    multiset of timestamps (no tiebreak column needed).
+
+    Features per (user, session): start/end, n_events, duration_sec
+    (integer — microsecond-exact difference floor-divided to whole
+    seconds; gap compares run on integer MICROSECONDS, since event
+    timestamps routinely carry sub-second precision and a
+    second-truncated gap would misplace boundaries), n_types =
+    distinct ``type_col``, value_sum as the ORDER-INDEPENDENT
+    decimal-stable sum (``stable_sum``) and max_value — every emitted
+    number either integer or a deterministic double, so the whole
+    table value-hashes cross-engine. NULL-``ts`` rows are EXCLUDED
+    (session position is undefined without a time; the CDC
+    convention).
+
+    Plan: ONE shuffle on the user key (window + final group share the
+    partitioning); no join anywhere. At 100 TB the state per task is
+    one user's event run — skewed power users are the one hazard,
+    same as any sessionizer; cap upstream if a single user exceeds a
+    task."""
+    from demv_spark.functions.compat import stable_sum
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # tz-free calendar micros: works for TIMESTAMP and TIMESTAMP_NTZ
+    # alike (unix_micros rejects NTZ, and an NTZ→LTZ cast would drag
+    # the session timezone — and its DST shifts — into gap math)
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    flagged = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__us", micros)
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__us") - F.lag("__us").over(w)
+                > gap_minutes * 60 * 1_000_000,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(user_col, "__sid")
+        .agg(
+            F.min(ts_col).alias("s_start"),
+            F.max(ts_col).alias("s_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("(max(__us) - min(__us)) div 1000000")
+            .cast("long").alias("duration_sec"),
+            F.countDistinct(type_col).cast("long").alias("n_types"),
+            stable_sum(value_col).alias("value_sum"),
+            F.max(F.col(value_col).cast("double")).alias("max_value"),
+        )
+        .withColumnRenamed("__sid", "session_id")
+    )

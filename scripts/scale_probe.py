@@ -618,7 +618,47 @@ def main():
 
         return chunk_windows(d, chunk_tokens=64, overlap=16).count()
 
+    def run_dedup_e2e(d):
+        from demv_spark.operators.dedup import (
+            best_of_cluster,
+            duplicate_clusters,
+            minhash_lsh_pairs_portable,
+        )
+
+        pairs = minhash_lsh_pairs_portable(
+            d, num_hashes=32, bands=8, shingle_n=3
+        )
+        clusters = duplicate_clusters(pairs)
+        return best_of_cluster(
+            clusters, d.select("doc_id", F.col("n_chars").alias("quality"))
+        ).count()
+
+    def run_jpeg_color(d):
+        from demv_spark.operators.multimodal import (
+            image_channel_sums,
+            synthesize_media_real,
+        )
+
+        ids = d.filter(F.col("doc_id") % 8 == 0).select("doc_id")
+        media = synthesize_media_real(ids, "doc_id", kind="jpeg_color")
+        return image_channel_sums(media).count()
+
+    def run_dsir(d):
+        from demv_spark.operators.corpus import dsir_weights
+
+        target = d.filter(F.lower("source").isin("src1", "src3"))
+        return dsir_weights(d, target, n_buckets=512, seed=7).count()
+
+    def run_session_features(e):
+        from demv_spark.operators.temporal import session_features
+
+        return session_features(e, gap_minutes=30).count()
+
     probes = [
+        ("session_features_30min", run_session_features, events, events_k),
+        ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
+        ("jpeg_color_encode_decode_sums", run_jpeg_color, docs, docs_k),
+        ("dsir_weights_512buckets", run_dsir, docs, docs_k),
         ("hll_grouped_p8", run_hll, docs, docs_k),
         ("bloom_prune_fact", run_bloom_prune, orders, orders_k),
         ("chunk_windows_64_16", run_chunk_windows, docs, docs_k),
@@ -671,7 +711,12 @@ def main():
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
         probes = [p for p in probes if any(s in p[0] for s in only)]
+    # optional positional filters: any non-numeric, non-flag args are
+    # substring selectors over probe names (run only what matches)
+    sel = [a for a in sys.argv[1:] if not a.isdigit() and not a.startswith("--")]
     for name, fn, d1, dk in probes:
+        if sel and not any(s in name for s in sel):
+            continue
         fn(d1)  # warm the plan shape (codegen) before timing
         r = probe(name, fn, d1, dk)
         r["k"] = k

@@ -89,3 +89,52 @@ def test_hop_window_census_membership(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hop_window_census(df, ["k"], width="50 minutes", slide="15 minutes")
+
+
+# ---- sessionized training features (round 9) ----
+
+def test_session_features_hand_fixture(spark):
+    """Hand fixture: two users, a sub-second gap boundary (exactly
+    30min must NOT break; 30min + 1 microsecond must), NULL ts
+    excluded, decimal-stable value sum, distinct type count."""
+    import datetime as dt
+
+    from demv_spark.operators.temporal import session_features
+
+    b = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1, session 0: three events, 30:00.000000 gap does NOT break
+        (1, b, "a", 1.5),
+        (1, b + dt.timedelta(minutes=10), "b", 2.25),
+        (1, b + dt.timedelta(minutes=40), "a", 0.125),
+        # user 1, session 1: 30min + 1us after the last event
+        (1, b + dt.timedelta(minutes=70, microseconds=1), "c", 4.0),
+        # user 2: single event
+        (2, b, "a", 7.0),
+        # NULL ts: excluded
+        (2, None, "a", 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_features(df, gap_minutes=30).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    s = got[(1, 0)]
+    assert s["n_events"] == 3
+    assert s["duration_sec"] == 40 * 60
+    assert s["n_types"] == 2
+    assert s["value_sum"] == 1.5 + 2.25 + 0.125
+    assert s["max_value"] == 2.25
+    assert got[(1, 1)]["n_events"] == 1
+    assert got[(1, 1)]["duration_sec"] == 0
+    assert got[(2, 0)]["value_sum"] == 7.0
+
+
+def test_session_features_deterministic_under_partitioning(spark):
+    from demv_spark.operators.temporal import session_features
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, session_features(ev).collect()))
+    c = sorted(map(tuple, session_features(ev.repartition(17)).collect()))
+    assert a == c and len(a) > 0
