@@ -137,6 +137,7 @@ _R9_BIRTHS: list[str] = [
     "q_media_jpeg_color",
     "q_corpus_dsir_weights",
     "q_events_session_features",
+    "q_web_crawl_frontier",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_sim_embed_near_dup",
     "q_dedup_incremental",
     "q_etl_winsorize",
-    "q_ml_kappa",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -1405,6 +1405,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_web_pagerank_redistribute"] = _web_pagerank_redistribute
+
+    # ---- crawl frontier (round 9) ----
+    # the crawl-scheduling composition: domain authority (the plain
+    # 5-iteration integer PageRank over the hub graph — shared with
+    # q_web_pagerank, so the oracle reuses its iteration CTEs) +
+    # politeness-capped per-domain candidate selection by portable-
+    # hash priority (web.crawl_frontier). Candidates = the "unfetched"
+    # doc_id%3!=0 slice with synthesized URLs
+    def _web_crawl_frontier(spark, sf):
+        from demv_spark.operators.graph import pagerank_integer
+        from demv_spark.operators.web import crawl_frontier
+
+        d = _t(spark, sf, "documents")
+        fwd = d.select(
+            F.lower("source").alias("src"),
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("dst"),
+        )
+        back = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("hub"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+            F.lower("source").alias("dst"),
+        )
+        authority = pagerank_integer(fwd.unionByName(back), iterations=5)
+        cands = d.filter(F.col("doc_id") % 3 != 0).select(
+            F.lower("source").alias("domain"),
+            F.concat(
+                F.lit("https://"), F.lower("source"),
+                F.lit("/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return crawl_frontier(cands, authority, per_domain=5)
+
+    q["q_web_crawl_frontier"] = _web_crawl_frontier
 
     # batch-replayed admission log (round 7, VERDICT r6 item 7): the
     # streaming admission maintainer's verdict log, re-derived by
@@ -5040,6 +5072,49 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
         + """
         SELECT node, rank_int FROM r5
+    """
+    )
+
+    # crawl frontier: the q_web_pagerank iteration CTEs verbatim, plus
+    # per-domain md5-priority capping of the unfetched candidate slice
+    o["q_web_crawl_frontier"] = (
+        """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lower(source) AS src,
+                       'hub' || CAST(doc_id % 7 AS VARCHAR) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'hub' || CAST(doc_id % 7 AS VARCHAR),
+                       lower(source)
+                FROM documents WHERE doc_id % 3 = 0
+            )
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_int FROM nodes),"""
+        + ",".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """,
+        cands AS (
+            SELECT DISTINCT lower(source) AS domain,
+                   'https://' || lower(source) || '/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 3 <> 0
+        ),
+        ranked AS (
+            SELECT domain, url,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY CAST(concat('0x', substr(md5(
+                           concat_ws(':', 'frontier7', url)), 1, 15))
+                           AS BIGINT) ASC, url ASC
+                   ) AS slot
+            FROM cands
+        )
+        SELECT r.domain, r.url, CAST(r.slot AS INTEGER) AS slot,
+               CAST(COALESCE(a.rank_int, 0) AS BIGINT) AS authority
+        FROM ranked r LEFT JOIN r5 a ON a.node = r.domain
+        WHERE r.slot <= 5
     """
     )
 

@@ -212,3 +212,56 @@ def html_to_text(html: Column | str, out: str | None = None) -> Column:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c.alias(out) if out else c
+
+
+def crawl_frontier(
+    candidates: DataFrame,
+    authority: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    rank_col: str = "rank_int",
+    per_domain: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Politeness-capped crawl frontier: keep at most ``per_domain``
+    candidate URLs per domain (the crawl-budget/politeness rule every
+    production crawler enforces), chosen by a DETERMINISTIC
+    portable-hash priority (reproducible across engines, partitions
+    and retries — the seeded-rank convention used by the samplers),
+    and annotate each kept URL with its domain's authority score
+    (e.g. ``graph.pagerank_integer`` ranks) so a scheduler can order
+    domains globally.
+
+    Plan: one window per domain over the CANDIDATE set only (the
+    fetched corpus never enters), then one domain-keyed join of the
+    per-domain survivor list against the authority table — survivors
+    are ≤ per_domain·|domains| rows, authority is |nodes| rows; AQE
+    picks the join strategy (neither side is forced broadcast: at
+    crawl scale BOTH can be large). Domains absent from the authority
+    table score 0 — flag-not-filter, new domains stay crawlable."""
+    from demv_spark.functions.compat import portable_hash
+
+    from pyspark.sql import Window
+
+    pri = portable_hash(
+        F.concat_ws(":", F.lit(f"frontier{seed}"), F.col(url_col))
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        pri.asc(), F.col(url_col).asc()
+    )
+    kept = (
+        candidates.select(domain_col, url_col)
+        .distinct()
+        .withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= int(per_domain))
+    )
+    auth = authority.select(
+        F.col("node").alias(domain_col),
+        F.col(rank_col).alias("authority"),
+    )
+    return kept.join(auth, domain_col, "left").select(
+        domain_col,
+        url_col,
+        F.col("slot").cast("int").alias("slot"),
+        F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+    )

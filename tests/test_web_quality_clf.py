@@ -440,3 +440,40 @@ def test_html_to_text_matches_duckdb_on_fuzz(spark):
             r"SELECT trim(regexp_replace(?, '\s+', ' ', 'g'))", [v]
         ).fetchone()
         assert got[i] == v, (i, html)
+
+
+# ---- crawl frontier (round 9) ----
+
+def test_crawl_frontier_cap_determinism_and_authority(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.graph import pagerank_integer
+    from demv_spark.operators.web import crawl_frontier
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = d.select(
+        F.lower("source").alias("domain"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    edges = d.select(
+        F.lower("source").alias("src"),
+        F.concat(F.lit("hub"), (F.col("doc_id") % 3).cast("string")).alias("dst"),
+    )
+    auth = pagerank_integer(edges, iterations=2)
+    out = crawl_frontier(cands, auth, per_domain=3)
+    per = {r["domain"]: r["n"] for r in
+           out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per and all(n <= 3 for n in per.values())
+    # slots are 1..k dense per domain
+    assert out.filter((F.col("slot") < 1) | (F.col("slot") > 3)).count() == 0
+    # deterministic under partitioning
+    again = crawl_frontier(cands.repartition(9), auth, per_domain=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # authority matches the pagerank table per domain; unseen domain -> 0
+    a = {r["node"]: r["rank_int"] for r in auth.collect()}
+    for r in out.collect():
+        assert r["authority"] == a.get(r["domain"], 0)
+    lone = spark.createDataFrame(
+        [("brand-new.example", "u1")], ["domain", "url"])
+    scored = crawl_frontier(lone, auth, per_domain=3).collect()
+    assert scored[0]["authority"] == 0 and scored[0]["slot"] == 1
