@@ -138,6 +138,7 @@ _R9_BIRTHS: list[str] = [
     "q_corpus_dsir_weights",
     "q_events_session_features",
     "q_web_crawl_frontier",
+    "q_stream_dsir_log",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_dedup_ngram_containment",
     "q_sim_embed_near_dup",
     "q_dedup_incremental",
-    "q_etl_winsorize",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -1114,6 +1114,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(d, target, n_buckets=512, seed=7)
 
     q["q_corpus_dsir_weights"] = _corpus_dsir_weights
+
+    # replayed DSIR census log (round 9): the streaming census
+    # maintainer's batch twin — 3-batch replay folded by
+    # resolve_dsir_log (MAX within (batch_id,bucket), SUM across) ≡
+    # the one-shot corpus census BY ALGEBRA (counts are a commutative
+    # monoid); stream ≡ replay pinned in tests/test_dsir_stream.py
+    def _stream_dsir_log(spark, sf):
+        from demv_spark.streaming.dsir_stream import (
+            dsir_log_replay,
+            resolve_dsir_log,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        batches = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        return resolve_dsir_log(
+            dsir_log_replay(batches, n_buckets=512, seed=7)
+        )
+
+    q["q_stream_dsir_log"] = _stream_dsir_log
 
     # categorical distribution drift: priority mix of pre-1995 orders
     # vs the rest, total-variation numerator in exact cross-product
@@ -4161,6 +4180,25 @@ def oracle_sql() -> dict[str, str]:
         "CAST(concat('0x', substr(md5(concat_ws(':', 'dsir7', f)), 1, 15)) "
         "AS BIGINT) % 512"
     )
+    # replayed DSIR census: batch boundaries are invisible to the
+    # summed census, so the oracle is the ONE-SHOT corpus census
+    o["q_stream_dsir_log"] = f"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        feats AS (
+            SELECT doc_id, u.f
+            FROM toks, UNNEST(list_concat(
+                t,
+                CASE WHEN len(t) >= 2 THEN
+                    list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END
+            )) AS u(f)
+            WHERE u.f <> ''
+        )
+        SELECT {_dsir_ph} AS bucket, COUNT(*) AS n
+        FROM feats GROUP BY 1
+    """
+
     o["q_corpus_dsir_weights"] = f"""
         WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
         feats AS (

@@ -214,6 +214,8 @@ HEADLINE = [
     # round-9: gap-timeout sessions → per-session training features
     # (one user-keyed shuffle, no joins)
     "q_events_session_features",
+    # round-9: politeness-capped frontier over PageRank authority
+    "q_web_crawl_frontier",
 ]
 
 

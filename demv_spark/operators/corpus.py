@@ -694,13 +694,35 @@ def _dsir_bucket_counts(
     )
 
 
-def dsir_weights(
-    raw: DataFrame,
-    target: DataFrame,
+def dsir_bucket_census(
+    df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     seed: int = 7,
+) -> DataFrame:
+    """Corpus-level hashed-feature census: (bucket, n) over the
+    unigram+bigram buckets — the sufficient statistic DSIR's models
+    are built from. Counts are a commutative monoid (sum-mergeable),
+    so per-batch censuses fold incrementally — the streaming
+    maintainer (``streaming/dsir_stream.py``) appends exactly these
+    rows."""
+    return (
+        _dsir_bucket_counts(df, text_col, id_col, n_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 7,
+    t_census: DataFrame | None = None,
+    q_census: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -728,11 +750,25 @@ def dsir_weights(
     construction — m is a knob, NOT data-sized), one doc-keyed
     aggregate. The raw corpus itself never joins the target corpus.
     Emits (doc_id, n_feats, weight_bits); docs with no features score
-    (0, 0) — flag-not-filter."""
+    (0, 0) — flag-not-filter.
+
+    Pass PRECOMPUTED (bucket, n) censuses via ``t_census``/``q_census``
+    (``dsir_bucket_census`` shape) to score against maintained models
+    instead of recomputing them — the streaming maintainer's read
+    surface does exactly this. ``target`` may be omitted when
+    ``t_census`` is given."""
     rb = _dsir_bucket_counts(raw, text_col, id_col, n_buckets, seed)
-    tb = _dsir_bucket_counts(target, text_col, id_col, n_buckets, seed)
-    t_census = tb.groupBy("bucket").agg(F.sum("c").alias("t_k"))
-    q_census = rb.groupBy("bucket").agg(F.sum("c").alias("q_k"))
+    if t_census is None:
+        if target is None:
+            raise ValueError("dsir_weights: need target or t_census")
+        tb = _dsir_bucket_counts(target, text_col, id_col, n_buckets, seed)
+        t_census = tb.groupBy("bucket").agg(F.sum("c").alias("t_k"))
+    else:
+        t_census = t_census.select("bucket", F.col("n").alias("t_k"))
+    if q_census is None:
+        q_census = rb.groupBy("bucket").agg(F.sum("c").alias("q_k"))
+    else:
+        q_census = q_census.select("bucket", F.col("n").alias("q_k"))
     census = (
         q_census.join(t_census, "bucket", "full_outer")
         .select(
@@ -750,12 +786,18 @@ def dsir_weights(
     bits = (
         F.length(F.bin(F.col("t_k") + 1)) - F.length(F.bin(F.col("q_k") + 1))
     ).cast("long")
+    # LEFT join: with precomputed censuses a probe doc can carry a
+    # bucket neither model has seen — bitlen(0+1) − bitlen(0+1) = 0
+    # bits, exactly what the smoothed ratio gives an unseen feature
     scored = rb.join(
-        F.broadcast(census.select("bucket", bits.alias("__bits"))), "bucket"
+        F.broadcast(census.select("bucket", bits.alias("__bits"))),
+        "bucket",
+        "left",
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_feats"),
-        F.sum(F.col("c") * F.col("__bits")).cast("long").alias("__fb"),
+        F.sum(F.col("c") * F.coalesce(F.col("__bits"), F.lit(0)))
+        .cast("long").alias("__fb"),
     )
     return (
         raw.select(F.col(id_col).alias("doc_id"))
