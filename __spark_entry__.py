@@ -139,6 +139,7 @@ _R9_BIRTHS: list[str] = [
     "q_events_session_features",
     "q_web_crawl_frontier",
     "q_stream_dsir_log",
+    "q_media_jpeg420",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_ml_fold_sizes",
     "q_dedup_ngram_containment",
     "q_sim_embed_near_dup",
-    "q_dedup_incremental",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -2297,6 +2297,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_channel_sums(media)
 
     q["q_media_jpeg_color"] = _media_jpeg_color
+
+    # 4:2:0 subsampled color JPEG (round 9, second wave) — the
+    # dominant crawl/camera variant: constant 16×16 MACRO-tiles keep
+    # the lossless corner through subsampling (box-average of a
+    # constant is the constant), so the same closed-form oracle works
+    # at 16-px tile granularity
+    def _media_jpeg420(spark, sf):
+        from demv_spark.operators.multimodal import (
+            image_channel_sums,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="jpeg420")
+        return image_channel_sums(media)
+
+    q["q_media_jpeg420"] = _media_jpeg420
 
     # ORC interchange round-trip on the COMPLEX-typed table: write
     # embeddings (array<float>) to ORC with Spark's native
@@ -6694,8 +6711,11 @@ def oracle_sql() -> dict[str, str]:
     # per tile — RGB from the mod-256 affine model, forward YCbCr and
     # inverse transforms as FLOOR(left-assoc double expr + 0.5) with
     # post-floor clip (bit-identical to the codec's floor(x+.5)
-    # numpy convention), weighted by the cropped tile's pixel count
-    o["q_media_jpeg_color"] = """
+    # numpy convention), weighted by the cropped tile's pixel count.
+    # Parameterized by tile size: 8 px for 4:4:4, 16 px for 4:2:0
+    # (subsampling's box-average of a constant macro-tile is the
+    # constant, so the SAME closed form holds at the MCU granularity)
+    _jpeg_color_oracle = """
         WITH n AS (
             SELECT CAST(n_nationkey AS BIGINT) AS id,
                    n_nationkey % 64 + 16 AS w,
@@ -6707,12 +6727,12 @@ def oracle_sql() -> dict[str, str]:
                    (id * 7 + bxs.bx * 3 + bys.by * 5) % 256 AS r,
                    (id * 11 + bxs.bx * 7 + bys.by * 2) % 256 AS g,
                    (id * 13 + bxs.bx * 5 + bys.by * 7) % 256 AS b,
-                   LEAST(8, w - bxs.bx * 8) AS pw,
-                   LEAST(8, h - bys.by * 8) AS ph
+                   LEAST({ts}, w - bxs.bx * {ts}) AS pw,
+                   LEAST({ts}, h - bys.by * {ts}) AS ph
             FROM n
             CROSS JOIN generate_series(0, 9) bxs(bx)
             CROSS JOIN generate_series(0, 7) bys(by)
-            WHERE bxs.bx * 8 < w AND bys.by * 8 < h
+            WHERE bxs.bx * {ts} < w AND bys.by * {ts} < h
         ),
         ycc AS (
             SELECT id, w, h, pw, ph,
@@ -6745,6 +6765,8 @@ def oracle_sql() -> dict[str, str]:
         FROM rgb2
         GROUP BY 1, 2, 3
     """
+    o["q_media_jpeg_color"] = _jpeg_color_oracle.format(ts=8)
+    o["q_media_jpeg420"] = _jpeg_color_oracle.format(ts=16)
 
     o["q_ml_auc"] = """
         WITH base AS (

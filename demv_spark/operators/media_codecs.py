@@ -601,6 +601,99 @@ def encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_420(
+    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 COLOR
+    JPEG — the dominant crawl/camera variant: Y at full resolution
+    (2x2 sampling), Cb/Cr downsampled 2× per axis by integer box
+    average with round-half-up ((sum + 2) // 4), interleaved
+    16×16-pixel MCUs of 4 Y + 1 Cb + 1 Cr blocks, shared quant and
+    Huffman tables (all legal baseline).
+
+    Lossless corner, 4:2:0 edition: an image of constant 16×16 RGB
+    MACRO-tiles gives 4 constant Y blocks and (box-average of a
+    constant =) constant chroma blocks per MCU — every block
+    quantizes to a lone losslessly-coded DC at dc_step=8, so
+    ``decode_jpeg`` returns the exact YCbCr→RGB round-trip of the
+    input, closed-form in SQL exactly like the 4:4:4 encoder."""
+    if int(dc_step) < 1 or int(ac_step) < 1:
+        raise ValueError(
+            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
+            "a zero quant step divides by zero, and sub-1 steps could "
+            "push AC coefficients past the baseline Huffman range"
+        )
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_420 expects an (h, w, 3) RGB array")
+    h, w = arr.shape[:2]
+    ycc = rgb_to_ycbcr_u8(arr)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    yplane = padded[:, :, 0]
+    # 2x2 box average, round-half-up — integer-exact and therefore
+    # SQL-reproducible (a plain mean would round ties bankers-style)
+    chroma = padded[:, :, 1:].astype(np.int64)
+    csum = (
+        chroma[0::2, 0::2] + chroma[0::2, 1::2]
+        + chroma[1::2, 0::2] + chroma[1::2, 1::2]
+    )
+    cplanes = ((csum + 2) // 4).astype(np.uint8)   # (ph/2, pw/2, 2)
+
+    qnat = np.full((8, 8), int(ac_step), dtype=np.int32)
+    qnat[0, 0] = int(dc_step)
+    c = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for bv in range(2):                  # 4 Y blocks, raster
+                for bhz in range(2):
+                    preds[0] = _encode_block(
+                        bw,
+                        yplane[
+                            my + bv * 8 : my + bv * 8 + 8,
+                            mx + bhz * 8 : mx + bhz * 8 + 8,
+                        ],
+                        qnat, c, dc_codes, ac_codes, preds[0], ac_step,
+                    )
+            for comp in (1, 2):                  # 1 Cb + 1 Cr block
+                preds[comp] = _encode_block(
+                    bw,
+                    cplanes[
+                        my // 2 : my // 2 + 8,
+                        mx // 2 : mx // 2 + 8,
+                        comp - 1,
+                    ],
+                    qnat, c, dc_codes, ac_codes, preds[comp], ac_step,
+                )
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out = bytearray(JPEG_MAGIC)                        # SOI
+    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
+    # SOF0: Y 2x2, Cb/Cr 1x1 (4:2:0), shared quant table 0
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(
+        0xFFDA,
+        b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
+    )
+    out += data
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
 def encode_jpeg_gray(
     arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
 ) -> bytes:
@@ -765,16 +858,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported (grayscale "
-                    "or YCbCr 4:4:4 only; CMYK needs PIL)"
+                    "or YCbCr only; CMYK needs PIL)"
                 )
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (4:2:0/4:2:2) unsupported — "
-                        "stdlib path decodes 1x1-sampled (4:4:4) only"
+                        f"sampling factor {hi}x{vi} unsupported "
+                        "(1 or 2 per axis: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
@@ -802,9 +896,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
 
     c = _jpeg_dct_matrix()
     ncomp = len(comps)
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
     # per-component dequant + Huffman tables, in SOF order
     qnats, dc_tabs, ac_tabs = [], [], []
-    for cid, tq in comps:
+    for cid, tq, _, _ in comps:
         q = qtables[tq]
         qn = np.zeros(64, dtype=np.int64)
         for k in range(64):
@@ -814,38 +910,62 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         dc_tabs.append(htables[(0, dc_id)])
         ac_tabs.append(htables[(1, ac_id)])
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8, ncomp), dtype=np.uint8)
+    # interleaved MCUs: each covers 8·hmax × 8·vmax pixels and holds
+    # hi×vi raster-ordered blocks per component (T.81 A.2.3); each
+    # component decodes into its own DOWNSAMPLED plane, upsampled by
+    # pixel replication afterwards
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+        for _, _, hi, vi in comps
+    ]
     br = _BitReader(payload, pos)
     preds = [0] * ncomp
-    for byi in range(bh):
-        for bxi in range(bw_):
-            for comp in range(ncomp):            # interleaved MCU
-                zz = np.zeros(64, dtype=np.int64)
-                s = _huff_read(br, dc_tabs[comp])
-                diff = _jpeg_extend(br.bits(s), s) if s else 0
-                preds[comp] += diff
-                zz[0] = preds[comp]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, ac_tabs[comp])
-                    run, size = rs >> 4, rs & 0x0F
-                    if rs == 0x00:               # EOB
-                        break
-                    if rs == 0xF0:               # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC index overrun")
-                    zz[k] = _jpeg_extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_JPEG_ZIGZAG] = zz
-                block = c.T @ (coef.reshape(8, 8) * qnats[comp]) @ c
-                pix = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
-                out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8, comp] = pix
-    out = out[:h, :w]
+    for myi in range(mcuy):
+        for mxi in range(mcux):
+            for comp in range(ncomp):
+                _, _, hi, vi = comps[comp]
+                for bv in range(vi):
+                    for bhz in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_read(br, dc_tabs[comp])
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        preds[comp] += diff
+                        zz[0] = preds[comp]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, ac_tabs[comp])
+                            run, size = rs >> 4, rs & 0x0F
+                            if rs == 0x00:       # EOB
+                                break
+                            if rs == 0xF0:       # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZIGZAG] = zz
+                        block = c.T @ (coef.reshape(8, 8) * qnats[comp]) @ c
+                        pix = np.clip(
+                            np.rint(block + 128.0), 0, 255
+                        ).astype(np.uint8)
+                        py = (myi * vi + bv) * 8
+                        px = (mxi * hi + bhz) * 8
+                        planes[comp][py : py + 8, px : px + 8] = pix
+    full = []
+    for comp in range(ncomp):
+        _, _, hi, vi = comps[comp]
+        p = planes[comp]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w])
+    out = np.stack(full, axis=2)
     if ncomp == 1:
         return out
     return ycbcr_to_rgb_u8(out)

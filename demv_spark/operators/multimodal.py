@@ -179,6 +179,27 @@ def synthesize_media_real(
                     arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
                     payload = C.encode_jpeg_color(arr)
                     rows.append((mid, "image", "jpeg", payload, w, h, None))
+                elif kind == "jpeg420":
+                    # baseline 4:2:0 COLOR JPEG of constant 16x16 RGB
+                    # MACRO-tiles (the subsampled MCU unit): 4
+                    # constant Y blocks + box-averaged-constant
+                    # chroma per MCU — lossless corner holds, so the
+                    # census oracle is closed-form at 16-px tile
+                    # granularity (see encode_jpeg_420)
+                    w, h = mid % 64 + 16, mid % 48 + 16
+                    nby, nbx = -(-h // 16), -(-w // 16)
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    tiles = np.stack(
+                        [
+                            (mid * 7 + bx * 3 + by * 5) % 256,
+                            (mid * 11 + bx * 7 + by * 2) % 256,
+                            (mid * 13 + bx * 5 + by * 7) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    arr = np.repeat(np.repeat(tiles, 16, 0), 16, 1)[:h, :w]
+                    payload = C.encode_jpeg_420(arr)
+                    rows.append((mid, "image", "jpeg", payload, w, h, None))
                 elif kind == "audio":
                     dur_ms = mid % 9000 + 1000
                     n = sample_rate * dur_ms // 1000

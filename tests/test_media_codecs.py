@@ -220,8 +220,8 @@ def test_jpeg_dispatch_and_unsupported_variants():
     with pytest.raises(NotImplementedError, match="4-component"):
         C.decode_jpeg(bytes(cmyk))
     sub = bytearray(cenc)
-    sub[csof + 11] = 0x22       # Y sampling factor -> 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[csof + 11] = 0x31       # Y sampling factor 3x1 — beyond 2
+    with pytest.raises(NotImplementedError, match="sampling factor 3x1"):
         C.decode_jpeg(bytes(sub))
 
 
@@ -243,6 +243,48 @@ def test_jpeg_color_constant_tiles_roundtrip_exact():
         expect = C.ycbcr_to_rgb_u8(C.rgb_to_ycbcr_u8(img))
         assert dec.shape == (h, w, 3)
         assert np.array_equal(dec, expect)
+
+
+def test_jpeg_420_constant_macrotiles_roundtrip_exact():
+    """The 4:2:0 lossless corner: constant 16x16 RGB macro-tiles give
+    4 constant Y blocks and box-averaged-constant chroma per MCU —
+    decode equals the exact YCbCr round-trip, with edge crop through
+    both the luma and the upsampled chroma planes."""
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(13)
+    for _ in range(4):
+        nby, nbx = rng.randint(2, 4), rng.randint(2, 4)
+        tiles = rng.randint(0, 256, size=(nby, nbx, 3))
+        img = np.repeat(np.repeat(tiles, 16, 0), 16, 1).astype(np.uint8)
+        h, w = nby * 16 - rng.randint(0, 9), nbx * 16 - rng.randint(0, 9)
+        img = img[:h, :w]
+        dec = C.decode_jpeg(C.encode_jpeg_420(img))
+        expect = C.ycbcr_to_rgb_u8(C.rgb_to_ycbcr_u8(img))
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, expect)
+
+
+def test_jpeg_420_luma_survives_chroma_averaging():
+    """On a general image the Y channel at unit quant stays within
+    DCT float error of the forward transform, while chroma is the
+    2x2 box average upsampled back — checked against a python mirror
+    of the exact downsample/upsample arithmetic."""
+    from demv_spark.operators import media_codecs as C
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [128 + 60 * np.sin(y / 6.0), (x * 2) % 256, (y * 5) % 256], axis=2
+    ).astype(np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg_420(img, dc_step=1, ac_step=1))
+    ycc = C.rgb_to_ycbcr_u8(img).astype(np.int64)
+    ch = ycc[:, :, 1:]
+    csum = ch[0::2, 0::2] + ch[0::2, 1::2] + ch[1::2, 0::2] + ch[1::2, 1::2]
+    cavg = ((csum + 2) // 4).astype(np.uint8)
+    up = np.repeat(np.repeat(cavg, 2, 0), 2, 1)
+    mirror = np.dstack([ycc[:, :, 0].astype(np.uint8), up])
+    expect = C.ycbcr_to_rgb_u8(mirror)
+    assert int(np.abs(dec.astype(int) - expect.astype(int)).max()) <= 4
 
 
 def test_jpeg_color_general_near_lossless_at_unit_quant():
