@@ -216,6 +216,9 @@ HEADLINE = [
     "q_events_session_features",
     # round-9: politeness-capped frontier over PageRank authority
     "q_web_crawl_frontier",
+    # round-9 second wave: replayed DSIR census log, 4:2:0 color JPEG
+    "q_stream_dsir_log",
+    "q_media_jpeg420",
 ]
 
 
