@@ -516,9 +516,21 @@ def hamming_near_dup(
     unique per row (pairs are keyed by id). ``strict=False`` permits
     max_hamming beyond the pigeonhole bound (recall above bands-1
     bits is then best-effort — the SimHash wrapper's historical
-    contract)."""
-    bands = bands if bands is not None else max_hamming + 1
-    if strict and bands < max_hamming + 1:
+    contract).
+
+    A 64-bit hash supports at most 64 one-bit bands, so the
+    pigeonhole guarantee tops out at max_hamming=63; at
+    max_hamming >= 64 EVERY pair qualifies and no banding can
+    guarantee recall (that regime is inherently best-effort — the
+    default caps bands at 64 rather than degenerating to zero-width
+    bands, which would silently put every row in one bucket)."""
+    if max_hamming > 64:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 64: a 64-bit hash cannot "
+            "differ in more than 64 bits"
+        )
+    bands = bands if bands is not None else min(max_hamming + 1, 64)
+    if strict and bands < max_hamming + 1 and max_hamming <= 63:
         raise ValueError(
             f"bands={bands} < max_hamming+1={max_hamming + 1}: the "
             "pigeonhole guarantee breaks — candidates would miss "

@@ -1554,8 +1554,19 @@ def test_hamming_near_dup_exact_match_mode_and_band_bounds(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.hamming_near_dup(df, "id", "h", max_hamming=0).collect()}
     assert got == {(1, 2), (3, 4)}
+    # explicit bands outside 1..64 raise; max_hamming beyond 64 is
+    # meaningless for a 64-bit hash; max_hamming=64 itself is legal
+    # (every pair qualifies) with the default clamped to 64 one-bit
+    # bands — best-effort recall, documented
     with pytest.raises(ValueError, match="bands"):
-        dedup.hamming_near_dup(df, "id", "h", max_hamming=64)
+        dedup.hamming_near_dup(df, "id", "h", max_hamming=3, bands=65)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.hamming_near_dup(df, "id", "h", max_hamming=3, bands=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_near_dup(df, "id", "h", max_hamming=65)
+    all_q = {(r["id_a"], r["id_b"]) for r in
+             dedup.hamming_near_dup(df, "id", "h", max_hamming=64).collect()}
+    assert {(1, 2), (3, 4)} <= all_q
 
 
 def test_hamming_near_dup_remainder_bits_are_banded(spark):
