@@ -422,6 +422,19 @@ class _BitWriter:
             self.acc, self.n = 0, 0
         return bytes(self.out)
 
+    def restart_marker(self, idx: int) -> None:
+        """1-pad to a byte boundary and emit RSTn (n = idx mod 8) —
+        markers are raw, never byte-stuffed (T.81 B.2.1)."""
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (idx % 8))
+
 
 def _jpeg_category(v: int) -> int:
     """Bit category of a coefficient value (T.81 F.1.2.1.1)."""
@@ -531,7 +544,10 @@ def ycbcr_to_rgb_u8(arr: "np.ndarray") -> "np.ndarray":
 
 
 def encode_jpeg_color(
-    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+    arr: "np.ndarray",
+    dc_step: int = 8,
+    ac_step: int = 16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a real baseline COLOR
     JPEG: YCbCr 4:4:4, interleaved 1-block-per-component MCUs,
@@ -567,8 +583,14 @@ def encode_jpeg_color(
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu_n = rst_n = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.restart_marker(rst_n)
+                rst_n += 1
+                preds = [0, 0, 0]
+            mcu_n += 1
             for comp in range(3):                # interleaved MCU
                 preds[comp] = _encode_block(
                     bw,
@@ -591,6 +613,8 @@ def encode_jpeg_color(
     )
     out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
     # SOS: every component uses DC table 0 / AC table 0
     out += seg(
         0xFFDA,
@@ -602,7 +626,10 @@ def encode_jpeg_color(
 
 
 def encode_jpeg_420(
-    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+    arr: "np.ndarray",
+    dc_step: int = 8,
+    ac_step: int = 16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 COLOR
     JPEG — the dominant crawl/camera variant: Y at full resolution
@@ -647,8 +674,14 @@ def encode_jpeg_420(
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu_n = rst_n = 0
     for my in range(0, ph, 16):
         for mx in range(0, pw, 16):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.restart_marker(rst_n)
+                rst_n += 1
+                preds = [0, 0, 0]
+            mcu_n += 1
             for bv in range(2):                  # 4 Y blocks, raster
                 for bhz in range(2):
                     preds[0] = _encode_block(
@@ -685,6 +718,8 @@ def encode_jpeg_420(
     )
     out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
     out += seg(
         0xFFDA,
         b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
@@ -695,7 +730,10 @@ def encode_jpeg_420(
 
 
 def encode_jpeg_gray(
-    arr: "np.ndarray", dc_step: int = 8, ac_step: int = 16
+    arr: "np.ndarray",
+    dc_step: int = 8,
+    ac_step: int = 16,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w) or (h, w, 1) uint8 array as a real baseline
     grayscale JPEG (SOI/DQT/SOF0/DHT/SOS, standard Annex-K Huffman
@@ -728,8 +766,14 @@ def encode_jpeg_gray(
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     pred = 0
+    mcu_n = rst_n = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.restart_marker(rst_n)
+                rst_n += 1
+                pred = 0
+            mcu_n += 1
             block = padded[by : by + 8, bx : bx + 8]
             pred = _encode_block(
                 bw, block, qnat, c, dc_codes, ac_codes, pred, ac_step
@@ -745,6 +789,8 @@ def encode_jpeg_gray(
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
     out += seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
     out += data
     out += b"\xff\xd9"                                 # EOI
@@ -769,9 +815,9 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1          # stuffed 0xFF data byte
                 else:
-                    raise NotImplementedError(
-                        f"unexpected marker 0xFF{nxt:02X} in entropy "
-                        "stream (restart intervals unsupported)"
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside an "
+                        "entropy segment (truncated or corrupt scan)"
                     )
             self.acc, self.n = b, 8
         self.n -= 1
@@ -782,6 +828,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Byte-align (discarding fill bits) and consume one RSTn
+        marker. Tolerates a stuffed all-ones pad byte (0xFF 0x00 —
+        what our writer emits) and bare 0xFF fill bytes before the
+        marker (T.81 B.1.1.2 — what other encoders emit)."""
+        self.acc, self.n = 0, 0
+        while (
+            self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        while self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        b0, b1 = self.d[self.pos], self.d[self.pos + 1]
+        if b0 != 0xFF or not 0xD0 <= b1 <= 0xD7:
+            raise ValueError(
+                f"expected JPEG restart marker, found 0x{b0:02X}{b1:02X}"
+            )
+        self.pos += 2
 
 
 def _huff_read(br: _BitReader, table: dict) -> int:
@@ -808,9 +873,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
 
     Supports the sequential-DCT 8-bit 1- or 3-component streams the
     encoders above emit (and any other baseline file using in-file
-    quant/Huffman tables and 1x1 sampling). SUBSAMPLED color (4:2:0 /
-    4:2:2 — the common camera output), progressive (SOF2), 12-bit,
-    arithmetic-coded and restart-interval streams raise
+    quant/Huffman tables, sampling factors ≤ 2 per axis — 4:4:4 /
+    4:2:2 / 4:2:0 — and any DRI restart interval). Progressive
+    (SOF2), 12-bit, arithmetic-coded and >2×-sampled streams raise
     NotImplementedError — install PIL for those."""
     if payload[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
@@ -818,7 +883,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []       # SOF order: (comp_id, tq)
+    restart_int = 0
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, tq, hi, vi)
     scan: dict[int, tuple[int, int]] = {}   # comp_id -> (dc_id, ac_id)
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -875,9 +941,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 "extended/arithmetic) needs PIL"
             )
         elif marker == 0xDD:                     # DRI
-            (interval,) = struct.unpack(">H", body[:2])
-            if interval != 0:
-                raise NotImplementedError("JPEG restart intervals unsupported")
+            (restart_int,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                     # SOS — entropy data follows
             ns = body[0]
             if ns != len(comps) or ns not in (1, 3):
@@ -922,8 +986,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     ]
     br = _BitReader(payload, pos)
     preds = [0] * ncomp
+    mcu_n = 0
     for myi in range(mcuy):
         for mxi in range(mcux):
+            # DRI: every restart_int MCUs the stream byte-aligns,
+            # emits RSTn and resets every DC predictor
+            if restart_int and mcu_n and mcu_n % restart_int == 0:
+                br.restart()
+                preds = [0] * ncomp
+            mcu_n += 1
             for comp in range(ncomp):
                 _, _, hi, vi = comps[comp]
                 for bv in range(vi):

@@ -287,6 +287,39 @@ def test_jpeg_420_luma_survives_chroma_averaging():
     assert int(np.abs(dec.astype(int) - expect.astype(int)).max()) <= 4
 
 
+def test_jpeg_restart_intervals_roundtrip_all_variants():
+    """DRI streams decode identically to their marker-free twins:
+    byte-align + RSTn + DC-predictor reset at every interval, for
+    grayscale, 4:4:4 and 4:2:0 — including interval=1 (a marker
+    between every MCU) and an interval larger than the MCU count
+    (no marker ever fires)."""
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(3)
+    g = (np.arange(40 * 56).reshape(40, 56) * 7 % 251).astype(np.uint8)
+    base_g = C.decode_jpeg(C.encode_jpeg_gray(g, dc_step=1, ac_step=1))
+    for ri in (1, 2, 7, 35, 100):
+        got = C.decode_jpeg(
+            C.encode_jpeg_gray(g, dc_step=1, ac_step=1, restart_interval=ri)
+        )
+        assert np.array_equal(got, base_g), ri
+
+    tiles = rng.randint(0, 256, size=(3, 4, 3))
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(np.uint8)[:22, :30]
+    base_c = C.decode_jpeg(C.encode_jpeg_color(img))
+    mimg = np.repeat(np.repeat(tiles, 16, 0), 16, 1).astype(np.uint8)[:44, :60]
+    base_m = C.decode_jpeg(C.encode_jpeg_420(mimg))
+    for ri in (1, 3, 50):
+        assert np.array_equal(
+            C.decode_jpeg(C.encode_jpeg_color(img, restart_interval=ri)),
+            base_c,
+        )
+        assert np.array_equal(
+            C.decode_jpeg(C.encode_jpeg_420(mimg, restart_interval=ri)),
+            base_m,
+        )
+
+
 def test_jpeg_color_general_near_lossless_at_unit_quant():
     """A smooth color image at dc_step=ac_step=1 decodes within a few
     counts of its YCbCr round-trip (DCT float error only)."""
