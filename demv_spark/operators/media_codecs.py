@@ -86,6 +86,71 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    trns: "bytes | None" = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode an (h, w) uint8 INDEX array + (n, 3) RGB palette as a
+    real indexed-color PNG (color type 3) at bit depth 1/2/4/8 —
+    the icon/graphic format crawls are full of. Sub-byte depths pack
+    indices MSB-first with zero-padded row tails (RFC 2083 §2.3);
+    filters run over the PACKED bytes with bpp=1, like every
+    conformant encoder. Optional ``trns`` bytes give per-index
+    alpha."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG bit depth must be 1/2/4/8, got {bit_depth}")
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("expected (h, w) indices and (n, 3) palette")
+    n = palette.shape[0]
+    if n > (1 << bit_depth):
+        raise ValueError(f"palette of {n} entries needs more than {bit_depth} bits")
+    if int(indices.max(initial=0)) >= n:
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    raw = bytearray()
+    prev = None
+    for r in range(h):
+        if bit_depth == 8:
+            packed = indices[r]
+        else:
+            bits = np.unpackbits(
+                indices[r][:, None], axis=1, bitorder="big"
+            )[:, 8 - bit_depth :]
+            flat = bits.reshape(-1)
+            pad = (-len(flat)) % 8
+            if pad:
+                flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+            packed = np.packbits(flat, bitorder="big")
+        if prev is None:
+            prev = np.zeros_like(packed)
+        filt = _apply_filter(filter_type, packed, prev, 1)
+        raw.append(filter_type)
+        raw.extend(np.asarray(filt, dtype=np.uint8).tobytes())
+        prev = packed
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
 def _apply_filter(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     """Forward PNG scanline filter (encoder side), mod-256 arithmetic."""
     if ft == 0:
@@ -116,12 +181,17 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA) to an
-    (h, w, ch) uint8 array. Inverts all five scanline filters."""
+    """Decode a non-interlaced PNG to an (h, w, ch) uint8 array:
+    8-bit gray/RGB/RGBA, plus INDEXED color (type 3) at bit depth
+    1/2/4/8 — palette pixels expand through PLTE to RGB, or to RGBA
+    when a tRNS chunk carries per-index alpha. Inverts all five
+    scanline filters (over packed bytes with bpp=1 for indexed
+    rows, per the spec)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, w = 8, 0
     idat = bytearray()
+    plte = trns = None
     h = bit_depth = color_type = interlace = None
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -132,18 +202,34 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
             break
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    indexed = color_type == 3
+    ok = interlace == 0 and (
+        (bit_depth == 8 and color_type in _PNG_CHANNELS)
+        or (indexed and bit_depth in (1, 2, 4, 8))
+    )
+    if not ok:
         raise NotImplementedError(
             f"unsupported PNG (depth={bit_depth}, color={color_type}, "
             f"interlace={interlace}); install PIL for full coverage"
         )
-    ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    if indexed:
+        if plte is None:
+            raise ValueError("indexed PNG without a PLTE chunk")
+        stride = (w * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        ch = _PNG_CHANNELS[color_type]
+        stride = w * ch
+        bpp = ch
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
@@ -151,9 +237,28 @@ def decode_png(payload: bytes) -> np.ndarray:
         line = np.frombuffer(
             raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)], dtype=np.uint8
         )
-        out[r] = _unfilter(ft, line, prev, ch)
+        out[r] = _unfilter(ft, line, prev, bpp)
         prev = out[r]
-    return out.reshape(h, w, ch)
+    if not indexed:
+        return out.reshape(h, w, ch)
+    if bit_depth == 8:
+        idx = out[:, :w]
+    else:
+        # unpack the packed rows, group bit_depth MSB-first bits per
+        # pixel, fold back to an index
+        bits = np.unpackbits(out, axis=1, bitorder="big")
+        grouped = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        for b in range(bit_depth):
+            idx = (idx << 1) | grouped[:, :, b]
+    if int(idx.max(initial=0)) >= plte.shape[0]:
+        raise ValueError("palette index out of PLTE range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.dstack([rgb, alpha[idx]])
 
 
 def _unfilter(ft: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:

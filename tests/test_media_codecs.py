@@ -393,3 +393,36 @@ def test_jpeg_fill_bytes_before_markers_are_legal():
     filled = filled.replace(b"\xff\xda", b"\xff\xff\xda", 1)
     got = C.decode_jpeg(filled)
     assert np.array_equal(got, want)
+
+
+def test_png_palette_roundtrip_all_depths_and_filters():
+    """Indexed-color PNG (type 3): every bit depth (1/2/4/8) × every
+    scanline filter round-trips through PLTE expansion exactly;
+    tRNS adds per-index alpha; missing PLTE raises."""
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(9)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+        for ft in range(5):
+            h, w = rng.randint(5, 20), rng.randint(5, 23)
+            idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+            dec = C.decode_png(
+                C.encode_png_palette(idx, pal, bit_depth=depth,
+                                     filter_type=ft))
+            assert np.array_equal(dec, pal[idx]), (depth, ft)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(6, 7)).astype(np.uint8)
+    enc = C.encode_png_palette(idx, pal, bit_depth=2, trns=bytes([0, 128]))
+    dec = C.decode_png(enc)
+    assert dec.shape == (6, 7, 4)
+    alpha = np.array([0, 128, 255, 255], dtype=np.uint8)
+    assert np.array_equal(dec[:, :, 3], alpha[idx])
+    # strip the PLTE chunk -> loud failure, not garbage pixels
+    import struct as _s
+    plte_at = enc.find(b"PLTE") - 4
+    (ln,) = _s.unpack(">I", enc[plte_at:plte_at + 4])
+    broken = enc[:plte_at] + enc[plte_at + 12 + ln:]
+    with pytest.raises(ValueError, match="PLTE"):
+        C.decode_png(broken)
