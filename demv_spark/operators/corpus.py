@@ -758,6 +758,12 @@ def dsir_weights(
     surface does exactly this. ``target`` may be omitted when
     ``t_census`` is given."""
     rb = _dsir_bucket_counts(raw, text_col, id_col, n_buckets, seed)
+    if q_census is None:
+        # rb feeds THREE subtrees below (q_census→census→totals,
+        # census again in the broadcast, and the scored join) — an
+        # unpersisted rb re-tokenizes and re-explodes the whole raw
+        # corpus once per subtree
+        rb = rb.persist()
     if t_census is None:
         if target is None:
             raise ValueError("dsir_weights: need target or t_census")
@@ -776,6 +782,9 @@ def dsir_weights(
             F.coalesce("t_k", F.lit(0)).alias("t_k"),
             F.coalesce("q_k", F.lit(0)).alias("q_k"),
         )
+        # ≤ m rows; read twice (the totals collect + the broadcast) —
+        # cached, the target corpus tokenizes exactly once
+        .persist()
     )
     totals = census.agg(
         F.coalesce(F.sum("t_k"), F.lit(0)).cast("long"),

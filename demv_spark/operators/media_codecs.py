@@ -69,20 +69,12 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         raw.extend(filt.tobytes())
         prev = row
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -120,6 +112,10 @@ def encode_png_palette(
         raise ValueError(f"palette of {n} entries needs more than {bit_depth} bits")
     if int(indices.max(initial=0)) >= n:
         raise ValueError("index out of palette range")
+    if trns is not None and len(trns) > n:
+        raise ValueError(
+            f"tRNS has {len(trns)} entries for a {n}-entry palette"
+        )
     h, w = indices.shape
     raw = bytearray()
     prev = None
@@ -256,6 +252,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     rgb = plte[idx]
     if trns is None:
         return rgb
+    if len(trns) > plte.shape[0]:
+        raise ValueError(
+            f"invalid PNG: tRNS has {len(trns)} entries for a "
+            f"{plte.shape[0]}-entry PLTE"
+        )
     alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
     alpha[: len(trns)] = trns
     return np.dstack([rgb, alpha[idx]])
@@ -546,6 +547,53 @@ def _jpeg_category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _check_jpeg_steps(dc_step, ac_step) -> None:
+    if int(dc_step) < 1 or int(ac_step) < 1:
+        raise ValueError(
+            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
+            "a zero quant step divides by zero, and sub-1 steps could "
+            "push AC coefficients past the baseline Huffman range"
+        )
+
+
+def _jpeg_container(
+    h: int,
+    w: int,
+    samplings: "list[int]",
+    qnat: "np.ndarray",
+    data: bytes,
+    restart_interval: int,
+) -> bytes:
+    """Assemble the marker stream around an entropy-coded scan:
+    SOI/DQT/SOF0/DHT[/DRI]/SOS + data + EOI, shared by all three
+    encoders. ``samplings`` is the per-component sampling byte list
+    (component ids are 1..n, everything uses quant slot 0 and
+    Huffman pair 0)."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    ncomp = len(samplings)
+    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([i + 1, s, 0]) for i, s in enumerate(samplings)
+    )
+    sos = bytes([ncomp]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(ncomp)
+    ) + bytes([0, 63, 0])
+    out = bytearray(JPEG_MAGIC)                        # SOI
+    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
 def _encode_block(
     bw: "_BitWriter",
     block_u8: "np.ndarray",
@@ -667,12 +715,7 @@ def encode_jpeg_color(
     lone losslessly-coded DC at the default dc_step=8 — so
     decode_jpeg returns the exact YCbCr→RGB round-trip of the input,
     reproducible pixel-for-pixel in closed-form SQL."""
-    if int(dc_step) < 1 or int(ac_step) < 1:
-        raise ValueError(
-            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
-            "a zero quant step divides by zero, and sub-1 steps could "
-            "push AC coefficients past the baseline Huffman range"
-        )
+    _check_jpeg_steps(dc_step, ac_step)
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg_color expects an (h, w, 3) RGB array")
@@ -703,31 +746,9 @@ def encode_jpeg_color(
                     qnat, c, dc_codes, ac_codes, preds[comp], ac_step,
                 )
     data = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
-    out = bytearray(JPEG_MAGIC)                        # SOI
-    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
-    # SOF0: 3 components, all 1x1 sampling (4:4:4), quant table 0
-    out += seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
-    )
-    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
-    # SOS: every component uses DC table 0 / AC table 0
-    out += seg(
-        0xFFDA,
-        b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
-    )
-    out += data
-    out += b"\xff\xd9"                                 # EOI
-    return bytes(out)
+    # 3 components, all 1x1 sampling (4:4:4)
+    return _jpeg_container(h, w, [0x11, 0x11, 0x11], qnat, data,
+                           restart_interval)
 
 
 def encode_jpeg_420(
@@ -749,12 +770,7 @@ def encode_jpeg_420(
     quantizes to a lone losslessly-coded DC at dc_step=8, so
     ``decode_jpeg`` returns the exact YCbCr→RGB round-trip of the
     input, closed-form in SQL exactly like the 4:4:4 encoder."""
-    if int(dc_step) < 1 or int(ac_step) < 1:
-        raise ValueError(
-            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
-            "a zero quant step divides by zero, and sub-1 steps could "
-            "push AC coefficients past the baseline Huffman range"
-        )
+    _check_jpeg_steps(dc_step, ac_step)
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_jpeg_420 expects an (h, w, 3) RGB array")
@@ -808,30 +824,9 @@ def encode_jpeg_420(
                     qnat, c, dc_codes, ac_codes, preds[comp], ac_step,
                 )
     data = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
-    out = bytearray(JPEG_MAGIC)                        # SOI
-    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
-    # SOF0: Y 2x2, Cb/Cr 1x1 (4:2:0), shared quant table 0
-    out += seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
-    )
-    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
-    out += seg(
-        0xFFDA,
-        b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]),
-    )
-    out += data
-    out += b"\xff\xd9"                                 # EOI
-    return bytes(out)
+    # Y 2x2, Cb/Cr 1x1 (4:2:0)
+    return _jpeg_container(h, w, [0x22, 0x11, 0x11], qnat, data,
+                           restart_interval)
 
 
 def encode_jpeg_gray(
@@ -847,12 +842,7 @@ def encode_jpeg_gray(
     constant c — any integer c at the default dc_step=8 — an image of
     constant 8x8 tiles survives encode→decode bit-exactly (all AC
     coefficients are exactly 0; the DC quantizes losslessly)."""
-    if int(dc_step) < 1 or int(ac_step) < 1:
-        raise ValueError(
-            f"dc_step/ac_step must be >= 1 (got {dc_step}/{ac_step}): "
-            "a zero quant step divides by zero, and sub-1 steps could "
-            "push AC coefficients past the baseline Huffman range"
-        )
+    _check_jpeg_steps(dc_step, ac_step)
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 3:
         if arr.shape[2] != 1:
@@ -884,22 +874,7 @@ def encode_jpeg_gray(
                 bw, block, qnat, c, dc_codes, ac_codes, pred, ac_step
             )
     data = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
-    out = bytearray(JPEG_MAGIC)                        # SOI
-    out += seg(0xFFDB, b"\x00" + qzz)                  # DQT, 8-bit, id 0
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
-    out += seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
-    out += data
-    out += b"\xff\xd9"                                 # EOI
-    return bytes(out)
+    return _jpeg_container(h, w, [0x11], qnat, data, restart_interval)
 
 
 class _BitReader:
@@ -1065,6 +1040,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
 
     c = _jpeg_dct_matrix()
     ncomp = len(comps)
+    if ncomp == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit in plain raster order and the SOF
+        # sampling factors are ignored (a legal grayscale file may
+        # declare 2x2; treating it as interleaved 4-block MCUs
+        # misparses the entropy stream)
+        cid0, tq0, _, _ = comps[0]
+        comps = [(cid0, tq0, 1, 1)]
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
     # per-component dequant + Huffman tables, in SOF order
