@@ -140,6 +140,7 @@ _R9_BIRTHS: list[str] = [
     "q_web_crawl_frontier",
     "q_stream_dsir_log",
     "q_media_jpeg420",
+    "q_privacy_t_closeness",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_etl_quantile_label",
     "q_ml_fold_sizes",
     "q_dedup_ngram_containment",
-    "q_sim_embed_near_dup",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -1634,6 +1634,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_privacy_anon_report"] = _privacy_report
+
+    # t-closeness (round 9): the third rung of the privacy ladder —
+    # ordered-EMD of each quasi-group's sensitive distribution vs the
+    # global, emitted as the exact integer numerator over the closed
+    # denominator (m−1)·n_g·N (privacy.t_closeness_census)
+    def _privacy_t_closeness(spark, sf):
+        from demv_spark.operators.privacy import t_closeness_census
+
+        base = _t(spark, sf, "orders").select(
+            "o_orderpriority",
+            (F.col("o_custkey") % 7).cast("long").alias("qc"),
+            "o_orderstatus",
+        )
+        return t_closeness_census(
+            base, ["o_orderpriority", "qc"], "o_orderstatus"
+        )
+
+    q["q_privacy_t_closeness"] = _privacy_t_closeness
 
     # ---- GPT-style sequence packing (round 7) ----
     # every doc's exact coordinates in the concatenated-and-cut
@@ -5698,6 +5716,44 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         GROUP BY 1
+    """
+
+    # t-closeness: the cross-multiplied ordered-EMD numerator —
+    # |cum_c·N − cum_gc·n_g| summed over the sensitive order, with
+    # zero-count cells restored by crossing the group roster with the
+    # global domain (the cumulative sums must see them)
+    o["q_privacy_t_closeness"] = """
+        WITH base AS (
+            SELECT o_orderpriority AS qp,
+                   CAST(o_custkey % 7 AS BIGINT) AS qc,
+                   o_orderstatus AS s
+            FROM orders
+        ),
+        cell AS (SELECT qp, qc, s, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+        gdom AS (SELECT s, COUNT(*) AS gc FROM base GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_total FROM base),
+        mv AS (SELECT COUNT(*) AS m FROM gdom),
+        grp AS (SELECT qp, qc, SUM(c) AS ng FROM cell GROUP BY 1, 2),
+        filled AS (
+            SELECT g.qp, g.qc, g.ng, d.s, d.gc, COALESCE(cl.c, 0) AS c
+            FROM grp g CROSS JOIN gdom d
+            LEFT JOIN cell cl ON cl.qp = g.qp AND cl.qc = g.qc AND cl.s = d.s
+        ),
+        cum AS (
+            SELECT qp, qc, ng,
+                   ABS(SUM(c) OVER (PARTITION BY qp, qc ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) * t.n_total
+                       - SUM(gc) OVER (PARTITION BY qp, qc ORDER BY s
+                                       ROWS UNBOUNDED PRECEDING) * ng)
+                       AS step
+            FROM filled CROSS JOIN tot t
+        )
+        SELECT qp AS o_orderpriority, qc,
+               CAST(MAX(ng) AS BIGINT) AS n,
+               CAST(SUM(step) AS BIGINT) AS dist_num,
+               (SELECT CAST(n_total AS BIGINT) FROM tot) AS n_total,
+               (SELECT CAST(m AS BIGINT) FROM mv) AS m_values
+        FROM cum GROUP BY 1, 2
     """
 
     # privacy screens: plain counting algebra over a derived quasi

@@ -216,9 +216,11 @@ HEADLINE = [
     "q_events_session_features",
     # round-9: politeness-capped frontier over PageRank authority
     "q_web_crawl_frontier",
-    # round-9 second wave: replayed DSIR census log, 4:2:0 color JPEG
+    # round-9 second wave: replayed DSIR census log, 4:2:0 color JPEG,
+    # t-closeness (ordered-EMD numerator, one window pass)
     "q_stream_dsir_log",
     "q_media_jpeg420",
+    "q_privacy_t_closeness",
 ]
 
 

@@ -88,3 +88,80 @@ def anonymity_report(
             ).alias("rows_below"),
         )
     )
+
+
+def t_closeness_census(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    ordered: bool = True,
+) -> DataFrame:
+    """t-closeness (Li et al. 2007) — the third rung of the release
+    ladder after k-anonymity and l-diversity: a quasi-group leaks
+    when its SENSITIVE-value distribution diverges from the global
+    one, even if it is large and diverse. For an ORDERED sensitive
+    attribute the distance is the Earth Mover's Distance over the
+    value order, EMD = (1/(m−1))·Σ_i |Σ_{j≤i} (p_j − q_j)| with m
+    distinct values; for ``ordered=False`` the variational distance
+    (1/2)·Σ|p_j − q_j| applies.
+
+    INTEGER-EXACT: probabilities are rationals (group count / group
+    size; global count / N), so every cumulative difference
+    cross-multiplies to |cum_g·N − cum·n_g| and the census emits the
+    integer numerator ``dist_num`` with its closed denominator —
+    EMD = dist_num / ((m−1)·n_g·N), variational = dist_num/(2·n_g·N)
+    — value-hashable cross-engine, threshold decisions downstream.
+
+    Scale shape: one (quasi…, sensitive) census, one sensitive-keyed
+    global census (broadcast — ≤ |domain| rows), one cumulative
+    window over the sensitive ORDER within each group (partition =
+    the quasi key), one final group fold. No UDFs, no collects; the
+    sensitive domain is the only driver-visible size and it is a
+    column domain, not the corpus. NULL sensitive values form their
+    own ordered-first category (Spark asc NULLS FIRST) — exclude them
+    upstream if that is not the release semantics."""
+    quasi = list(quasi_cols)
+    cell = df.groupBy(*quasi, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__gc")
+    )
+    n_total = df.count()
+    m_vals = glob.count()
+    # every (group, sensitive) pair must exist so cumulative sums see
+    # zero-count cells: cross the group roster with the global domain
+    groups = cell.groupBy(*quasi).agg(F.sum("__c").cast("long").alias("__ng"))
+    full = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(cell, [*quasi, sensitive_col], "left")
+        .select(
+            *quasi, sensitive_col, "__ng", "__gc",
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi)
+        .orderBy(F.col(sensitive_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = full.select(
+        *quasi, "__ng",
+        F.abs(
+            F.sum("__c").over(w) * F.lit(int(n_total))
+            - F.sum("__gc").over(w) * F.col("__ng")
+        ).alias("__step") if ordered else
+        F.abs(
+            F.col("__c") * F.lit(int(n_total))
+            - F.col("__gc") * F.col("__ng")
+        ).alias("__step"),
+    )
+    return (
+        cum.groupBy(*quasi)
+        .agg(
+            F.max("__ng").alias("n"),
+            F.sum("__step").cast("long").alias("dist_num"),
+        )
+        .withColumn("n_total", F.lit(int(n_total)).cast("long"))
+        .withColumn("m_values", F.lit(int(m_vals)).cast("long"))
+    )

@@ -71,3 +71,64 @@ def test_no_python_udf(people):
         anonymity_report(people, ["zip"], [2]),
     ):
         assert not plan_stats(d)["has_python_udf"]
+
+
+# ---- t-closeness (round 9) ----
+
+def test_t_closeness_python_mirror(spark):
+    """Hand mirror of the cross-multiplied ordered-EMD numerator on a
+    tiny table, including a group missing one sensitive value (the
+    zero-count cell the cumulative sum must see)."""
+    from fractions import Fraction
+
+    from demv_spark.operators.privacy import t_closeness_census
+
+    rows = [
+        ("a", "low"), ("a", "low"), ("a", "high"),
+        ("b", "low"), ("b", "mid"), ("b", "mid"), ("b", "high"),
+        ("c", "mid"),
+    ]
+    df = spark.createDataFrame(rows, ["q", "s"])
+    got = {r["q"]: r for r in
+           t_closeness_census(df, ["q"], "s").collect()}
+
+    from collections import Counter
+    N = len(rows)
+    dom = sorted({s for _, s in rows})
+    gc = Counter(s for _, s in rows)
+    for q in ("a", "b", "c"):
+        grp = [s for qq, s in rows if qq == q]
+        ng = len(grp)
+        c = Counter(grp)
+        cum_c = cum_g = 0
+        num = 0
+        for s in dom:
+            cum_c += c[s]
+            cum_g += gc[s]
+            num += abs(cum_c * N - cum_g * ng)
+        r = got[q]
+        assert (r["n"], r["dist_num"]) == (ng, num), q
+        assert r["n_total"] == N and r["m_values"] == len(dom)
+        # the actual EMD as a rational, sanity: in [0, 1]
+        emd = Fraction(num, (len(dom) - 1) * ng * N)
+        assert 0 <= emd <= 1
+
+
+def test_t_closeness_uniform_group_scores_zero(spark):
+    """A group whose sensitive distribution equals the global one has
+    dist_num == 0 exactly; determinism under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.privacy import t_closeness_census
+
+    # two groups with IDENTICAL value mixes -> both distributions
+    # equal the global -> EMD 0
+    rows = [(g, s) for g in ("x", "y") for s in
+            ["low"] * 3 + ["mid"] * 2 + ["high"]]
+    df = spark.createDataFrame(rows, ["q", "s"])
+    out = t_closeness_census(df, ["q"], "s")
+    assert {r["dist_num"] for r in out.collect()} == {0}
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple,
+                   t_closeness_census(df.repartition(7), ["q"], "s").collect()))
+    assert a == b
