@@ -141,6 +141,7 @@ _R9_BIRTHS: list[str] = [
     "q_stream_dsir_log",
     "q_media_jpeg420",
     "q_privacy_t_closeness",
+    "q_graph_triangles",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_corpus_mixture_report",
     "q_etl_quantile_label",
     "q_ml_fold_sizes",
-    "q_dedup_ngram_containment",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -1456,6 +1456,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return crawl_frontier(cands, authority, per_domain=5)
 
     q["q_web_crawl_frontier"] = _web_crawl_frontier
+
+    # ---- triangle census (round 9, sixth wave) ----
+    # degree-ordered triangle enumeration (graph.triangle_census):
+    # per-node exact (degree, triangles, wedges) over a deterministic
+    # affine edge fixture on 101 nodes — dense enough at every sf for
+    # live triangles; the oracle re-derives the same orientation +
+    # wedge-close joins as CTEs. The clustering coefficient is the
+    # exact rational 2·triangles/wedges (integers emitted, callers
+    # divide at the edge — the pagerank_integer convention)
+    def _graph_triangles(spark, sf):
+        from demv_spark.operators.graph import triangle_census
+
+        d = _t(spark, sf, "documents")
+        edges = (
+            d.select(
+                (F.col("doc_id") % 101).cast("string").alias("src"),
+                ((F.col("doc_id") * 7 + 13) % 101).cast("string").alias("dst"),
+            )
+            .unionAll(
+                d.filter(F.col("doc_id") % 2 == 0).select(
+                    (F.col("doc_id") % 101).cast("string").alias("src"),
+                    ((F.col("doc_id") * 3 + 40) % 101).cast("string").alias("dst"),
+                )
+            )
+            # the wedge-closing family: connects the two derived
+            # endpoints directly, so the fixture carries ~100 live
+            # triangles at every sf instead of a near-triangle-free
+            # functional graph
+            .unionAll(
+                d.filter(F.col("doc_id") % 3 == 0).select(
+                    ((F.col("doc_id") * 7 + 13) % 101).cast("string").alias("src"),
+                    ((F.col("doc_id") * 3 + 40) % 101).cast("string").alias("dst"),
+                )
+            )
+        )
+        return triangle_census(edges)
+
+    q["q_graph_triangles"] = _graph_triangles
 
     # batch-replayed admission log (round 7, VERDICT r6 item 7): the
     # streaming admission maintainer's verdict log, re-derived by
@@ -5147,6 +5185,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank_int FROM r5
     """
     )
+
+    # triangle census: the same degree-ordered orientation + one
+    # wedge-close equi-join as CTEs; every column is an exact int64
+    o["q_graph_triangles"] = """
+        WITH raw AS (
+            SELECT CAST(doc_id % 101 AS VARCHAR) AS src,
+                   CAST((doc_id * 7 + 13) % 101 AS VARCHAR) AS dst
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id % 101 AS VARCHAR),
+                   CAST((doc_id * 3 + 40) % 101 AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT CAST((doc_id * 7 + 13) % 101 AS VARCHAR),
+                   CAST((doc_id * 3 + 40) % 101 AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY 1
+        ),
+        ed AS (
+            SELECT e.a, e.b, da.degree AS da, db.degree AS db
+            FROM e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+        ),
+        oriented AS (
+            SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+                   CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+            FROM ed
+        ),
+        tris AS (
+            SELECT l.lo AS u, l.hi AS v, r.hi AS w
+            FROM oriented l
+            JOIN oriented r ON r.lo = l.lo
+            JOIN oriented c ON c.lo = l.hi AND c.hi = r.hi
+            WHERE l.dhi < r.dhi OR (l.dhi = r.dhi AND l.hi < r.hi)
+        ),
+        corners AS (
+            SELECT node, COUNT(*) AS triangles FROM (
+                SELECT u AS node FROM tris
+                UNION ALL SELECT v FROM tris
+                UNION ALL SELECT w FROM tris
+            ) GROUP BY 1
+        )
+        SELECT deg.node,
+               deg.degree,
+               CAST(COALESCE(corners.triangles, 0) AS BIGINT) AS triangles,
+               CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS wedges
+        FROM deg LEFT JOIN corners ON corners.node = deg.node
+    """
 
     # crawl frontier: the q_web_pagerank iteration CTEs verbatim, plus
     # per-domain md5-priority capping of the unfetched candidate slice

@@ -283,3 +283,106 @@ def hits_integer(
             "hub_int",
         )
     return auth.join(hub, "node")
+
+
+def triangle_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected simple graph
+    (the compact-community / link-farm signal that complements
+    PageRank's authority score in web-corpus curation: spam clusters
+    are triangle-dense, legitimate topical hubs are star-shaped).
+    Returns ``(node, degree, triangles, wedges)`` for every node on
+    either edge side — all exact int64, so the row value-hashes
+    cross-engine. The local clustering coefficient is the exact
+    rational ``2·triangles / wedges`` with ``wedges =
+    degree·(degree−1)``; it is left as the integer (numerator-half,
+    denominator) pair rather than a float so the census stays
+    bit-identical (callers divide at the edge of the system — the
+    pagerank_integer convention).
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    classic MapReduce triangle enumeration; also Suri & Vassilvitskii
+    WWW'11). Every undirected edge is oriented from the endpoint with
+    the SMALLER ``(degree, node)`` total order to the larger, which
+    makes the oriented out-degree of every node O(√m) on any graph —
+    wedge volume is Σ d⁺(v)² ≤ m^1.5 instead of the Σ d(v)² blow-up a
+    naive self-join suffers on skewed web graphs (a 10⁷-degree hub
+    contributes zero wedges unless BOTH endpoints are equally hot).
+    Each triangle is then enumerated EXACTLY ONCE at its lowest-order
+    apex, and per-node counts come from exploding the three corners.
+
+    Self-loops are dropped; duplicate/reversed edges collapse (the
+    edge SET is the signal, matching pagerank_integer). Scale shape:
+    distinct-edge shuffle, one degree agg, two joins to stamp
+    endpoint orders, the wedge self-join (shuffled by apex), the
+    closing join (shuffled by (lo, hi)) and the final corner census —
+    every exchange is on a key whose cardinality grows with the data,
+    nothing broadcasts an unbounded side, no cartesian anywhere."""
+    # canonical undirected simple edge set: (a, b) with a < b
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    e = (
+        edges.select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    # stamp each endpoint's degree, then orient by (degree, node):
+    # lo = the smaller endpoint under the total order, hi = the larger
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("dlo"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    ).persist()
+    # wedges at the lowest-order apex u: pairs (v, w) of out-neighbors
+    # with order(v) < order(w); a triangle exists iff (v, w) is itself
+    # an oriented edge (v is v→w's lo side by transitivity of the
+    # total order, so ONE equi-join closes the wedge)
+    lhs = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("dhi").alias("dv")
+    )
+    rhs = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("dhi").alias("dw")
+    )
+    wedges = lhs.join(rhs, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+    corner_counts = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(corner_counts, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            (F.col("degree") * (F.col("degree") - 1)).cast("long").alias("wedges"),
+        )
+    )

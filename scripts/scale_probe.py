@@ -654,6 +654,23 @@ def main():
 
         return session_features(e, gap_minutes=30).count()
 
+    def run_triangles(d):
+        # node space grows with the data (doc_id mod a large prime),
+        # so the Kx replica genuinely grows the graph instead of
+        # densifying a fixed 101-node fixture
+        from demv_spark.operators import graph
+
+        e = d.select(
+            (F.col("doc_id") % 100003).cast("string").alias("src"),
+            ((F.col("doc_id") * 7 + 13) % 100003).cast("string").alias("dst"),
+        ).unionAll(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                ((F.col("doc_id") * 7 + 13) % 100003).cast("string").alias("src"),
+                ((F.col("doc_id") * 3 + 40) % 100003).cast("string").alias("dst"),
+            )
+        )
+        return graph.triangle_census(e).count()
+
     probes = [
         ("session_features_30min", run_session_features, events, events_k),
         ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
@@ -707,6 +724,7 @@ def main():
         ("hamming_random_candidates", run_hamming_random, docs, docs_k),
         ("hamming_planted_pairs", run_hamming_planted, docs, docs_k),
         ("bm25_batch_3q", run_bm25_batch, docs, docs_k),
+        ("triangle_census", run_triangles, docs, docs_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:

@@ -210,3 +210,110 @@ def test_pagerank_redistribute_empty_graph_returns_empty(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     out = pagerank_integer(empty, iterations=3, redistribute_dangling=True)
     assert out.count() == 0
+
+
+# ---- triangle census (round 9, sixth wave) ----
+
+def _brute_triangles(edge_list):
+    from itertools import combinations
+
+    E = {tuple(sorted((str(a), str(b)))) for a, b in edge_list if str(a) != str(b)}
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        t = sum(
+            1
+            for v, w in combinations(sorted(nbrs), 2)
+            if tuple(sorted((v, w))) in E
+        )
+        out[n] = (len(nbrs), t, len(nbrs) * (len(nbrs) - 1))
+    return out
+
+
+def test_triangles_match_brute_force_random_graph(spark):
+    import random
+
+    from demv_spark.operators.graph import triangle_census
+
+    rng = random.Random(41)
+    edges = [
+        (rng.randrange(18), rng.randrange(18)) for _ in range(90)
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], ["src", "dst"]
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["wedges"])
+        for r in triangle_census(df).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_star_is_triangle_free_and_k4_is_complete(spark):
+    from demv_spark.operators.graph import triangle_census
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], ["src", "dst"]
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_census(star).collect()}
+    assert set(got.values()) == {0}
+
+    from itertools import combinations
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a, b in combinations("abcd", 2)], ["src", "dst"]
+    )
+    rows = {
+        r["node"]: (r["degree"], r["triangles"], r["wedges"])
+        for r in triangle_census(k4).collect()
+    }
+    # every node of K4 sits on C(3,2)=3 triangles, degree 3, wedges 6
+    assert rows == {n: (3, 3, 6) for n in "abcd"}
+
+
+def test_triangles_self_loops_dups_and_reversals_collapse(spark):
+    from demv_spark.operators.graph import triangle_census
+
+    clean = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    noisy = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+         ("a", "c"), ("a", "c"), ("a", "a")],
+        ["src", "dst"],
+    )
+    a = sorted(map(tuple, triangle_census(clean).collect()))
+    b = sorted(map(tuple, triangle_census(noisy).collect()))
+    assert a == b and a[0][2] == 1
+
+
+def test_triangles_empty_graph_returns_empty(spark):
+    from demv_spark.operators.graph import triangle_census
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert triangle_census(df).count() == 0
+
+
+def test_triangles_orientation_bounds_hub_fanout(spark):
+    """The degree-orientation scale property: a hot hub contributes
+    NO wedges from its own side — every hub edge orients INTO the
+    hub (leaves have smaller degree), so the hub's oriented
+    out-degree is 0 and wedge volume stays O(m^1.5) on skewed
+    graphs. Verified through the public result: the star's hub has
+    huge `wedges` (census denominator) but the enumeration cost is
+    zero wedge pairs — triangle counts all 0 and the plan contains
+    no cartesian product."""
+    from demv_spark.operators.graph import triangle_census
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(50)], ["src", "dst"]
+    )
+    out = triangle_census(star)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = {r["node"]: r for r in out.collect()}
+    assert rows["hub"]["wedges"] == 50 * 49
+    assert all(r["triangles"] == 0 for r in rows.values())
