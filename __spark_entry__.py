@@ -142,6 +142,7 @@ _R9_BIRTHS: list[str] = [
     "q_media_jpeg420",
     "q_privacy_t_closeness",
     "q_graph_triangles",
+    "q_text_bpe_encode",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,13 +182,41 @@ _R9_RESEATS: list[str] = [
     "q_text_corpus_profile",
     "q_corpus_mixture_report",
     "q_etl_quantile_label",
-    "q_ml_fold_sizes",
 ]
 
 _R9_WINDOW: list[str] = (
     _R8_QUEUE + _R8_BIRTHS + _R9_BIRTHS + _R9_REEARN
     + _R9_FLAGSHIPS + _R9_RESEATS
 )
+
+# the PLANTED BPE merge list shared by q_text_bpe_encode and its
+# oracle: learned once from the sf0.001 corpus (learn_bpe, 16 merges)
+# and frozen, so the driver row exercises the APPLY kernel against a
+# closed-form SQL replay rather than re-learning per run
+_BPE_PLANTED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+]
+
+
+def _bpe_replace_chain(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB replay of the greedy BPE apply: each word becomes
+    sentinel-bracketed symbols (chr(1) sym chr(2) per char plus a
+    terminal </w>), then one REPLACE per merge in rank order. The
+    brackets make adjacent occurrences non-overlapping, so a single
+    left-to-right REPLACE pass per merge is exactly the kernel's
+    repeated-leftmost merge of that pair."""
+    s = (
+        r"regexp_replace(w, '(.)', chr(1)||'\1'||chr(2), 'g')"
+        r" || chr(1)||'</w>'||chr(2)"
+    )
+    for a, b in merges:
+        pat = f"chr(1)||'{a}'||chr(2)||chr(1)||'{b}'||chr(2)"
+        rep = f"chr(1)||'{a}{b}'||chr(2)"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -540,6 +569,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_bpe_estimate"] = lambda spark, sf: text.bpe_token_estimate(
         _t(spark, sf, "documents")
     ).select("doc_id", "n_bpe_est")
+
+    # ---- BPE apply (round 9, sixth wave) ----
+    # the tokenizer-APPLY path (text.bpe_tokenize, the Arrow
+    # mapInPandas kernel) value-checked end to end: a PLANTED merge
+    # list (learned once from this corpus via learn_bpe(n_merges=16)
+    # and frozen as a literal shared with the oracle) is applied to
+    # every document; the emission is the full token census. The
+    # oracle replays the greedy merge loop EXACTLY as 16 nested
+    # REPLACEs over sentinel-bracketed symbols — sound because a BPE
+    # merge can never create a lower-or-equal-rank pair (new
+    # adjacencies always involve the just-created symbol), so
+    # rank-order sequential replacement ≡ the kernel's
+    # lowest-rank-first greedy loop (pinned against the kernel by
+    # tests/test_text_dedup_similarity.py::test_bpe_sequential_replace_equivalence)
+    def _text_bpe_encode(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        enc = text.bpe_tokenize(d, _BPE_PLANTED_MERGES)
+        return (
+            enc.select("doc_id", F.explode("bpe_tokens").alias("token"))
+            .groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+        )
+
+    q["q_text_bpe_encode"] = _text_bpe_encode
     q["q_text_quality"] = lambda spark, sf: text.quality_score(
         _t(spark, sf, "documents")
     ).select("doc_id", "quality")
@@ -4340,6 +4396,29 @@ def oracle_sql() -> dict[str, str]:
                   + length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_bpe_est
         FROM documents
     """
+    # BPE apply: nested-REPLACE replay of the greedy merge loop (see
+    # _bpe_replace_chain — rank-order sequential replacement is exact)
+    o["q_text_bpe_encode"] = rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id, {_bpe_replace_chain(_BPE_PLANTED_MERGES)} AS s
+            FROM words WHERE w <> ''
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1))) AS token
+            FROM enc
+        )
+        SELECT token,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY 1
+    """
+
     o["q_text_quality"] = rf"""
         WITH f AS (
             SELECT doc_id,

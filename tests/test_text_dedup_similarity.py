@@ -1606,3 +1606,68 @@ def test_first_wins_matches_keeps_caller_score_name(spark):
     )
     out = first_wins_matches(pairs, 0.5, est="jaccard")
     assert out.columns == ["doc_id", "dup_of", "jaccard"]
+
+
+def _sequential_replace_encode(word: str, merges) -> list[str]:
+    """Python mirror of the q_text_bpe_encode ORACLE: sentinel-bracket
+    every symbol, then one left-to-right non-overlapping replace per
+    merge in rank order (exactly what DuckDB's nested replace() does)."""
+    s = "".join(f"\x01{c}\x02" for c in list(word) + ["</w>"])
+    for a, b in merges:
+        s = s.replace(f"\x01{a}\x02\x01{b}\x02", f"\x01{a}{b}\x02")
+    return s.strip("\x01\x02").split("\x02\x01")
+
+
+def test_bpe_sequential_replace_equivalence(spark):
+    """The theorem the q_text_bpe_encode oracle rests on: for any
+    merge list PRODUCED BY learn_bpe (each merge's parts exist when it
+    fires), rank-order sequential replacement equals the kernel's
+    lowest-rank-first greedy loop — a merge can never create a
+    lower-or-equal-rank pair, because every new adjacency involves the
+    just-created (strictly later-ranked) symbol. Random corpora over a
+    small alphabet make merge interactions dense (chained merges,
+    self-adjacent pairs like ('a','a'), runs)."""
+    import random
+
+    from demv_spark.operators.text import bpe_tokenize, learn_bpe
+
+    for seed in (3, 11, 27):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 9)))
+            for _ in range(120)
+        ]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(1, 12)))
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+        )
+        merges = learn_bpe(df, n_merges=12)
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_tokenize(df, merges).collect()
+        }
+        for i, t in enumerate(docs):
+            want = [
+                tok
+                for w in t.lower().strip().split()
+                for tok in _sequential_replace_encode(w, merges)
+            ]
+            assert got[i] == want, (seed, i, t, merges, got[i], want)
+
+
+def test_bpe_sequential_replace_counterexample_is_out_of_domain():
+    """The equivalence does NOT hold for arbitrary merge lists — a
+    merge referencing a symbol created by a LATER merge breaks it
+    (greedy can fire it after the later merge runs; sequential replay
+    has already passed it). learn_bpe can never emit such a list
+    (each merge is over the then-current vocabulary), which is why the
+    oracle's domain is learn_bpe output. Pin the counterexample so the
+    boundary stays documented."""
+    bad = [("ab", "c"), ("a", "b")]
+    # greedy (the kernel's semantics): a b c -> ab c -> abc
+    # sequential replay: merge ("ab","c") sees no occurrence, then
+    # ("a","b") fires -> tokens [ab, c, </w>] stay unmerged
+    assert _sequential_replace_encode("abc", bad) == ["ab", "c", "</w>"]
