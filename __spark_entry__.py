@@ -143,6 +143,7 @@ _R9_BIRTHS: list[str] = [
     "q_privacy_t_closeness",
     "q_graph_triangles",
     "q_text_bpe_encode",
+    "q_media_gif_roundtrip",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_events_retention",
     "q_text_corpus_profile",
     "q_corpus_mixture_report",
-    "q_etl_quantile_label",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -2426,6 +2426,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_channel_sums(media)
 
     q["q_media_jpeg420"] = _media_jpeg420
+
+    # GIF (round 9, sixth wave): real single-frame palette GIF89a
+    # bytes (stdlib LZW encoder) → stdlib decode → integer channel
+    # sums. GIF is LOSSLESS, so the oracle re-derives each pixel's
+    # palette entry directly over a generate_series grid — no tile
+    # trick needed (decoder convention pinned against real
+    # externally-produced GIFs in tests/test_media_codecs.py)
+    def _media_gif_roundtrip(spark, sf):
+        from demv_spark.operators.multimodal import (
+            image_channel_sums,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="gif")
+        return image_channel_sums(media)
+
+    q["q_media_gif_roundtrip"] = _media_gif_roundtrip
 
     # ORC interchange round-trip on the COMPLEX-typed table: write
     # embeddings (array<float>) to ORC with Spark's native
@@ -6998,6 +7016,33 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q_media_jpeg_color"] = _jpeg_color_oracle.format(ts=8)
     o["q_media_jpeg420"] = _jpeg_color_oracle.format(ts=16)
+
+    # GIF: lossless palette roundtrip — pixel(y, x) = palette[(id*3 +
+    # x + 2y) mod n] with the palette channels mod-256 affine in the
+    # entry index, summed exactly over the full pixel grid
+    o["q_media_gif_roundtrip"] = """
+        WITH n AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS id,
+                   n_nationkey % 64 + 16 AS w,
+                   n_nationkey % 48 + 16 AS h,
+                   n_nationkey % 197 + 8 AS nc
+            FROM nation
+        ),
+        px AS (
+            SELECT id, w, h,
+                   (id * 3 + xs.x + 2 * ys.y) % nc AS ix
+            FROM n,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+                 LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+        )
+        SELECT id AS media_id,
+               CAST(w AS INTEGER) AS w,
+               CAST(h AS INTEGER) AS h,
+               CAST(SUM((ix * 7 + id) % 256) AS BIGINT) AS r_sum,
+               CAST(SUM((ix * 11 + 3) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM((ix * 13 + 5 * id) % 256) AS BIGINT) AS b_sum
+        FROM px GROUP BY 1, 2, 3
+    """
 
     o["q_ml_auc"] = """
         WITH base AS (

@@ -410,10 +410,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == JPEG_MAGIC:
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     raise NotImplementedError(
         "unrecognized image format and PIL unavailable; supported "
         "without PIL: PNG (8-bit), BMP (24-bit), PPM (P6), JPEG "
-        "(baseline grayscale)"
+        "(baseline gray + 4:4:4/4:2:2/4:2:0 color), GIF"
     )
 
 
@@ -1128,3 +1130,235 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     if ncomp == 1:
         return out
     return ycbcr_to_rgb_u8(out)
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a (CompuServe spec + RFC-referenced LZW variant) in pure
+# stdlib — the remaining common crawl image format after PNG/BMP/PPM/
+# JPEG: icons, UI graphics and animation stills. Lossless and
+# palette-based, so fixtures round-trip bit-exactly (the palette-PNG
+# property) and the driver oracle is closed-form.
+#
+# Boundary: decode returns the FIRST frame of animated streams as RGB
+# (no disposal-method compositing — later frames need the previous
+# canvas, which is an animation-player concern, not a corpus-pipeline
+# one); transparency indices are decoded to their palette RGB (the
+# alpha channel is dropped, matching decode_image's RGB contract).
+
+GIF_MAGIC = b"GIF8"
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, LSB-first bit packing, clear/EOI codes, table
+    reset at 4096 entries. Returns the raw code stream (sub-block
+    framing is the caller's job)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # widen when the just-assigned code is 2^width: the
+            # decoder adds the same entry one code LATER (after
+            # reading the next code), where its table length hits
+            # 2^width — lockstep is pinned by the real-file decode
+            # and roundtrip tests
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            # table full: reset (the simple always-clear policy every
+            # decoder must support)
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(codestream: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_compress_gif, including the KwKwK case and
+    deferred clear codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    n = len(codestream)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # tolerant: missing EOI
+            acc |= codestream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) RGB palette as a
+    real single-frame GIF89a with a global color table — the
+    palette-PNG fixture twin for the GIF decode path. Lossless:
+    decode_gif(encode_gif(ix, pal)) == pal[ix] bit-exactly."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("expected (h, w) indices and (n, 3) palette")
+    n = palette.shape[0]
+    if n < 1 or n > 256:
+        raise ValueError(f"GIF palette must have 1..256 entries, got {n}")
+    if int(indices.max(initial=0)) >= n:
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    # global color table size: smallest power of two >= max(n, 2);
+    # the LSD size field stores log2(size) - 1
+    gct_bits = max(1, (max(n, 2) - 1).bit_length())
+    gct_n = 1 << gct_bits
+    gct = np.zeros((gct_n, 3), dtype=np.uint8)
+    gct[:n] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    # image descriptor: left, top, width, height, flags (no local
+    # color table, not interlaced)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code_size = max(2, gct_bits)
+    out += bytes([min_code_size])
+    stream = _lzw_compress_gif(indices.tobytes(), min_code_size)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a payload to the FIRST frame as an (h, w, 3)
+    uint8 RGB array. Supports global and local color tables,
+    interlaced row order, and skips extension blocks (GCE, comments,
+    application). Raises on corrupt streams; animation compositing is
+    out of scope (the first frame is the corpus-pipeline signal)."""
+    if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=gct_n * 3, offset=pos)
+        gct = gct.reshape(gct_n, 3)
+        pos += gct_n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF: unexpected block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            lct_n = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=lct_n * 3, offset=pos
+            ).reshape(lct_n, 3)
+            pos += lct_n * 3
+        if table is None:
+            raise ValueError("GIF image has neither global nor local color table")
+        min_code_size = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        data = _lzw_decompress_gif(bytes(stream), min_code_size)
+        if len(data) < w * h:
+            raise ValueError(
+                f"GIF pixel data short: {len(data)} of {w * h} indices"
+            )
+        ix = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: pass order 8/8, 8/8+4, 4/2, 2/1
+            de = np.empty_like(ix)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            de[np.array(rows)] = ix
+            ix = de
+        if int(ix.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF index out of color-table range")
+        return table[ix]
+    raise ValueError("GIF stream contains no image data")

@@ -200,6 +200,27 @@ def synthesize_media_real(
                     arr = np.repeat(np.repeat(tiles, 16, 0), 16, 1)[:h, :w]
                     payload = C.encode_jpeg_420(arr)
                     rows.append((mid, "image", "jpeg", payload, w, h, None))
+                elif kind == "gif":
+                    # palette GIF: n-color palette and index grid are
+                    # both mod-256 affine in (id, x, y), and GIF is
+                    # LOSSLESS, so per-channel sums have a closed
+                    # form the oracle re-derives pixel-by-pixel over
+                    # a generate_series grid
+                    w, h = mid % 64 + 16, mid % 48 + 16
+                    n = mid % 197 + 8
+                    pi = np.arange(n, dtype=np.int64)
+                    pal = np.stack(
+                        [
+                            (pi * 7 + mid) % 256,
+                            (pi * 11 + 3) % 256,
+                            (pi * 13 + 5 * mid) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    ix = ((mid * 3 + xx + 2 * yy) % n).astype(np.uint8)
+                    payload = C.encode_gif(ix, pal)
+                    rows.append((mid, "image", "gif", payload, w, h, None))
                 elif kind == "audio":
                     dur_ms = mid % 9000 + 1000
                     n = sample_rate * dur_ms // 1000

@@ -426,3 +426,124 @@ def test_png_palette_roundtrip_all_depths_and_filters():
     broken = enc[:plte_at] + enc[plte_at + 12 + ln:]
     with pytest.raises(ValueError, match="PLTE"):
         C.decode_png(broken)
+
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_roundtrip_sweep():
+    """Lossless across palette sizes spanning every min-code-size,
+    shapes spanning sub-byte and multi-block LZW streams."""
+    rng = np.random.RandomState(7)
+    for n in (2, 3, 4, 5, 16, 17, 64, 200, 256):
+        for shape in ((1, 1), (3, 5), (16, 16), (40, 37)):
+            pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+            ix = rng.randint(0, n, shape).astype(np.uint8)
+            dec = C.decode_gif(C.encode_gif(ix, pal))
+            assert np.array_equal(dec, pal[ix]), (n, shape)
+
+
+def test_gif_lzw_kwkwk_and_table_reset():
+    """Repetitive rows force the KwKwK decode case; a 300x400
+    250-color noise image overflows the 4096-entry table repeatedly,
+    exercising the clear/reset path on both sides."""
+    rng = np.random.RandomState(11)
+    pal2 = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    rep = np.zeros((200, 300), np.uint8)
+    rep[::3, ::2] = 1
+    assert np.array_equal(C.decode_gif(C.encode_gif(rep, pal2)), pal2[rep])
+    pal = rng.randint(0, 256, (250, 3)).astype(np.uint8)
+    ix = rng.randint(0, 250, (300, 400)).astype(np.uint8)
+    assert np.array_equal(C.decode_gif(C.encode_gif(ix, pal)), pal[ix])
+
+
+def test_gif_interlaced_decode():
+    """Craft an interlaced stream: store rows in the 8/8/4/2 pass
+    order and set the interlace flag — decode must un-permute."""
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    h, w = 13, 9
+    ix = rng.randint(0, 8, (h, w)).astype(np.uint8)
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    enc = bytearray(C.encode_gif(ix[np.array(order)], pal))
+    gct_end = 13 + 3 * (2 << (enc[10] & 0x07))
+    assert enc[gct_end] == 0x2C  # image separator
+    enc[gct_end + 9] |= 0x40  # descriptor flags: set interlace
+    assert np.array_equal(C.decode_gif(bytes(enc)), pal[ix])
+
+
+def test_gif_skips_extension_blocks():
+    """A GCE + application extension injected before the image
+    descriptor (what ImageMagick/animation encoders emit) is skipped."""
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    ix = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    enc = C.encode_gif(ix, pal)
+    gct_end = 13 + 3 * (2 << (enc[10] & 0x07))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    appext = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    spliced = enc[:gct_end] + gce + appext + enc[gct_end:]
+    assert np.array_equal(C.decode_gif(spliced), pal[ix])
+
+
+def test_gif_decodes_real_external_files():
+    """Ground truth from the wild: two REAL GIFs produced by other
+    encoders (CPython idlelib `plusnode.gif` and the ImageMagick-made
+    `python.gif` from CPython's test data — PSF-licensed test
+    fixtures). A variable-width LZW convention mismatch derails the
+    bitstream within a few codes (corrupt-code or out-of-palette
+    errors), so clean decodes with pinned shapes and channel sums pin
+    the convention, not just self-consistency."""
+    import base64
+
+    plusnode = base64.b64decode(
+        "R0lGODlhCwALAPEDAP///39/fwAAAMDAwCH5BAUAAAMALAAAAAALAAsAAAIfnI8W"
+        "y6wAIwgPikhHiBfmLYThVAEdqXFYKX1Nk8RDAQA7"
+    )
+    arr = C.decode_gif(plusnode)
+    assert arr.shape == (11, 11, 3)
+    assert int(arr.astype(np.int64).sum()) == 65832
+
+    python_gif = base64.b64decode(
+        "R0lGODlhEAAQAPU/AOu7GOu+IfPBGvrHGf3LG//MHOvCKv/PI//PJP/QJf/TLevF"
+        "NOjHPf/TMP/UMP3VNvrTOf/XOfnVPv/YOuzORf/aQf/bRP/eS//fTv/iVf/jWP/n"
+        "YvLhbvXjb/3pav/rbDJghzZmkDZnkTZpkzdoljdqljlsljpvmzpwnDtwnDxxnj1z"
+        "oj50oj92pUB4pkJ7qkN8q0N9rUV/r0aAsUeBskiDtEiFtkqGukyJvEyKvEyKv0+N"
+        "wVCPw1KRxv///wAAACH/C0ltYWdlTWFnaWNrB2dhbW1hPTAAIfkEBQAAPwAsAAAA"
+        "ABAAEAAABpvAn/C3u81iLRVpyBTmfLMXC1VqMm1RVqo0sv50thjLFDKVqszeDleT"
+        "uVSn0fmXuUh+PB1N9oKP/iA/FxUPXzY0UipnIoEUhAo/hzAuXU0VEQoHP0cuIj8c"
+        "HhsZGBUTCggEPzFSPx0fGxoYFhENCAUCQispP6+xpacFBVawGAwLBgEAAF6xsw0J"
+        "wl4/shEOCT6p0j8QzwUD2uBDQQA7"
+    )
+    arr = C.decode_gif(python_gif)
+    assert arr.shape == (16, 16, 3)
+    assert int(arr.astype(np.int64).sum()) == 65587
+
+
+def test_gif_error_boundaries():
+    pal = np.array([[1, 2, 3]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="not a GIF"):
+        C.decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="1..256"):
+        C.encode_gif(np.zeros((2, 2), np.uint8),
+                     np.zeros((257, 3), np.uint8))
+    with pytest.raises(ValueError, match="out of palette"):
+        C.encode_gif(np.full((2, 2), 5, np.uint8), pal)
+    enc = bytearray(C.encode_gif(np.zeros((4, 4), np.uint8),
+                                 np.array([[9, 9, 9]], np.uint8)))
+    enc[-10] ^= 0xFF  # corrupt inside the LZW stream
+    with pytest.raises(ValueError):
+        C.decode_gif(bytes(enc))
+
+
+def test_gif_dispatch_and_synthesized_fixture():
+    """decode_image sniffs GIF magic; the driver fixture's closed
+    form (pixel = palette[(id*3 + x + 2y) mod n]) holds exactly."""
+    mid = 7
+    w, h, n = mid % 64 + 16, mid % 48 + 16, mid % 197 + 8
+    pi = np.arange(n, dtype=np.int64)
+    pal = np.stack([(pi * 7 + mid) % 256, (pi * 11 + 3) % 256,
+                    (pi * 13 + 5 * mid) % 256], axis=1).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ix = ((mid * 3 + xx + 2 * yy) % n).astype(np.uint8)
+    enc = C.encode_gif(ix, pal)
+    assert np.array_equal(C.decode_image(enc), pal[ix])
