@@ -144,6 +144,7 @@ _R9_BIRTHS: list[str] = [
     "q_graph_triangles",
     "q_text_bpe_encode",
     "q_media_gif_roundtrip",
+    "q_web_robots_politeness",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -180,7 +181,6 @@ _R9_RESEATS: list[str] = [
     "q_sim_ivfpq_topk",
     "q_stream_curate_e2e",
     "q_events_retention",
-    "q_text_corpus_profile",
     "q_corpus_mixture_report",
 ]
 
@@ -1550,6 +1550,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_census(edges)
 
     q["q_graph_triangles"] = _graph_triangles
+
+    # ---- robots.txt politeness (round 9, sixth wave) ----
+    # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
+    # from three templates (agent-group shadowing, wildcard+anchor
+    # patterns, a no-robots class), parsed with web.robots_rules (the
+    # real posexplode/window parser) and applied with
+    # web.robots_allowed (longest-match precedence). The oracle does
+    # NOT reparse: it re-derives every decision closed-form from the
+    # template parameters, so any parser/matcher deviation mismatches
+    def _web_robots_politeness(spark, sf):
+        from demv_spark.operators.web import robots_allowed, robots_rules
+
+        d = _t(spark, sf, "documents")
+        dn = (F.col("doc_id") % 23).cast("long")
+        t1 = (
+            "# two groups: the demvbot group shadows *\n"
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub*\n"
+            "\nUser-agent: demvbot\nDisallow: /search$\nAllow: /\n"
+        )
+        t2 = (
+            "# star group only\n"
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub*\n"
+        )
+        t3 = (
+            "User-agent: a\nUser-agent: demvbot\n"
+            "Disallow: /*.pdf$\nAllow: /docs/\n"
+        )
+        doms = (
+            d.select(dn.alias("dnum")).distinct().filter(F.col("dnum") % 4 != 0)
+        )
+        robots = doms.select(
+            F.concat(
+                F.lit("site"), F.col("dnum").cast("string"), F.lit(".example.com")
+            ).alias("domain"),
+            F.when(F.col("dnum") % 4 == 1, F.lit(t1))
+            .when(F.col("dnum") % 4 == 2, F.lit(t2))
+            .otherwise(F.lit(t3))
+            .alias("robots_txt"),
+        )
+        rules = robots_rules(robots)
+        paths = F.array(
+            *[
+                F.lit(p)
+                for p in [
+                    "/", "/private/x", "/private/pub1", "/search",
+                    "/search/x", "/docs/a.pdf", "/a.pdf",
+                ]
+            ]
+        )
+        urls = d.select(
+            dn.alias("dnum"),
+            (F.col("doc_id") % 7).cast("long").alias("pcase"),
+            F.concat(
+                F.lit("https://site"), dn.cast("string"), F.lit(".example.com"),
+                F.element_at(paths, (F.col("doc_id") % 7 + 1).cast("int")),
+            ).alias("url"),
+        )
+        out = robots_allowed(urls, rules, "DemvBot")
+        return out.groupBy(
+            (F.col("dnum") % 4).alias("d4"), "pcase"
+        ).agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("allowed").cast("long").alias("allowed_min"),
+            F.max("allowed").cast("long").alias("allowed_max"),
+            F.max("matched_len").cast("long").alias("matched_len"),
+        )
+
+    q["q_web_robots_politeness"] = _web_robots_politeness
 
     # batch-replayed admission log (round 7, VERDICT r6 item 7): the
     # streaming admission maintainer's verdict log, re-derived by
@@ -5339,6 +5407,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(corners.triangles, 0) AS BIGINT) AS triangles,
                CAST(deg.degree * (deg.degree - 1) AS BIGINT) AS wedges
         FROM deg LEFT JOIN corners ON corners.node = deg.node
+    """
+
+    # robots politeness: decisions re-derived CLOSED-FORM from the
+    # fixture's template parameters (never by reparsing) — path cases
+    # 0..6 = /, /private/x, /private/pub1, /search, /search/x,
+    # /docs/a.pdf, /a.pdf; d4 classes 0=no-robots, 1=shadowing demvbot
+    # group {disallow /search$ (8), allow / (1)}, 2=star group
+    # {disallow /private/ (9), allow /private/pub* (13)},
+    # 3=multi-agent {disallow /*.pdf$ (7), allow /docs/ (6)}
+    o["q_web_robots_politeness"] = """
+        WITH u AS (
+            SELECT (doc_id % 23) % 4 AS d4, doc_id % 7 AS pcase
+            FROM documents
+        ),
+        dec AS (
+            SELECT d4, pcase,
+                CASE WHEN d4 = 0 THEN 1
+                     WHEN d4 = 1 THEN CASE WHEN pcase = 3 THEN 0 ELSE 1 END
+                     WHEN d4 = 2 THEN CASE WHEN pcase = 1 THEN 0 ELSE 1 END
+                     ELSE CASE WHEN pcase IN (5, 6) THEN 0 ELSE 1 END
+                END AS allowed,
+                CASE WHEN d4 = 0 THEN 0
+                     WHEN d4 = 1 THEN CASE WHEN pcase = 3 THEN 8 ELSE 1 END
+                     WHEN d4 = 2 THEN CASE WHEN pcase = 1 THEN 9
+                                        WHEN pcase = 2 THEN 13 ELSE 0 END
+                     ELSE CASE WHEN pcase IN (5, 6) THEN 7 ELSE 0 END
+                END AS mlen
+            FROM u
+        )
+        SELECT d4, pcase,
+               COUNT(*) AS n_urls,
+               CAST(MIN(allowed) AS BIGINT) AS allowed_min,
+               CAST(MAX(allowed) AS BIGINT) AS allowed_max,
+               CAST(MAX(mlen) AS BIGINT) AS matched_len
+        FROM dec GROUP BY 1, 2
     """
 
     # crawl frontier: the q_web_pagerank iteration CTEs verbatim, plus

@@ -265,3 +265,189 @@ def crawl_frontier(
         F.col("slot").cast("int").alias("slot"),
         F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
     )
+
+
+# robots.txt (RFC 9309) — crawl politeness as data. Parsing and URL
+# permission checks are pure DataFrame algebra (split/posexplode/
+# window/like), so both stages SQL-twin for the oracle and run
+# JVM-side at any corpus scale.
+
+_ROBOTS_KEYS = ("user-agent", "allow", "disallow")
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt documents into a rules table:
+    ``(domain, agent, group_id, rule, pattern, pattern_len)``.
+
+    RFC 9309 group semantics: a group is one or more consecutive
+    ``User-agent`` lines followed by its ``Allow``/``Disallow`` rules;
+    a later ``User-agent`` line that directly follows rules STARTS a
+    new group. Comments (``#`` to end of line) are stripped, keys are
+    case-insensitive, values are trimmed, and empty-pattern rules are
+    ignored (an empty ``Disallow:`` means unrestricted, per the RFC).
+
+    Plan shape: one posexplode of lines (bounded by file size — real
+    robots.txt is KBs), two windows PARTITIONED BY DOMAIN (lag for
+    group starts, running sum for group ids) and one within-domain
+    agents×rules join. Nothing global: at crawl scale this is
+    embarrassingly domain-parallel."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.coalesce(F.col(txt_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    cleaned = lines.select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    )
+    kv = cleaned.select(
+        "domain",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key").isin(*_ROBOTS_KEYS))
+    w = Window.partitionBy("domain").orderBy("pos")
+    grouped = kv.select(
+        "domain",
+        "pos",
+        "key",
+        "value",
+        (
+            (F.col("key") == "user-agent")
+            & (
+                F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"
+            )
+        ).cast("long").alias("starts"),
+    ).select(
+        "domain",
+        "pos",
+        "key",
+        "value",
+        F.sum("starts").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("group_id"),
+    )
+    agents = grouped.filter(F.col("key") == "user-agent").select(
+        "domain", "group_id", F.lower("value").alias("agent")
+    )
+    rules = grouped.filter(
+        (F.col("key") != "user-agent") & (F.col("value") != "")
+    ).select(
+        "domain",
+        "group_id",
+        F.col("key").alias("rule"),
+        F.col("value").alias("pattern"),
+        F.length("value").cast("long").alias("pattern_len"),
+    )
+    return agents.join(rules, ["domain", "group_id"]).select(
+        "domain", "agent", "group_id", "rule", "pattern", "pattern_len"
+    )
+
+
+def _robots_like(pattern: Column) -> Column:
+    """Translate a robots path pattern to a SQL LIKE pattern:
+    ``*`` → ``%``, a trailing ``$`` anchors (no trailing ``%``),
+    LIKE metacharacters escaped with ``\\``. Mid-pattern ``$`` is a
+    literal, per the RFC."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, pattern.substr(F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.replace(
+        F.replace(
+            F.replace(body, F.lit("\\"), F.lit("\\\\")),
+            F.lit("%"),
+            F.lit("\\%"),
+        ),
+        F.lit("_"),
+        F.lit("\\_"),
+    )
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    out: str = "allowed",
+) -> DataFrame:
+    """Stamp each URL row with ``allowed`` (1/0) and the deciding
+    ``matched_len`` (0 when no rule matched) for crawler ``agent``
+    under a ``robots_rules`` table.
+
+    Semantics (RFC 9309): the group is the EXACT agent match when the
+    domain has one, else the ``*`` group (substring agent matching —
+    'googlebot-news' falling back to 'googlebot' — is out of scope,
+    documented); among rules whose pattern matches the URL's
+    path+query, the LONGEST pattern wins, an ``allow`` beating a
+    ``disallow`` of equal length; a URL with no matching rule (or a
+    domain with no rules at all) is allowed. Matching is prefix-based
+    with ``*`` wildcards and the trailing ``$`` anchor.
+
+    Plan shape: rules pre-shrink to the two candidate agents, one
+    domain-keyed join (AQE picks the strategy — both sides can be
+    large at crawl scale), LIKE filtering, then ONE aggregation whose
+    max-struct encodes the precedence (pattern_len, allow-over-
+    disallow) — no window over the URL table."""
+    dom = extract_domain(F.col(url_col))
+    path_raw = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    u = urls.withColumn("__dom", dom).withColumn("__path", path)
+
+    ours = agent.lower()
+    cand = rules.filter(F.col("agent").isin(ours, "*"))
+    # exact-agent groups shadow the * group per domain
+    has_specific = cand.filter(F.col("agent") == ours).select(
+        "domain"
+    ).distinct().withColumn("__spec", F.lit(1))
+    sel = (
+        cand.join(has_specific, "domain", "left")
+        .filter(
+            ((F.col("__spec") == 1) & (F.col("agent") == ours))
+            | (F.col("__spec").isNull() & (F.col("agent") == "*"))
+        )
+        .select(
+            F.col("domain").alias("__dom"),
+            "rule",
+            "pattern_len",
+            _robots_like(F.col("pattern")).alias("__like"),
+        )
+    )
+    matched = (
+        u.join(sel, "__dom")
+        .filter(F.expr("__path LIKE __like ESCAPE '\\\\'"))
+        .groupBy("__dom", "__path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("pattern_len"),
+                    (F.col("rule") == "allow").alias("is_allow"),
+                )
+            ).alias("__best")
+        )
+    )
+    return (
+        u.join(matched, ["__dom", "__path"], "left")
+        .select(
+            *urls.columns,
+            F.when(
+                F.col("__best").isNull() | F.col("__best.is_allow"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias(out),
+            F.coalesce(F.col("__best.pattern_len"), F.lit(0)).alias(
+                "matched_len"
+            ),
+        )
+    )

@@ -477,3 +477,126 @@ def test_crawl_frontier_cap_determinism_and_authority(spark):
         [("brand-new.example", "u1")], ["domain", "url"])
     scored = crawl_frontier(lone, auth, per_domain=3).collect()
     assert scored[0]["authority"] == 0 and scored[0]["slot"] == 1
+
+
+# ---- robots.txt politeness (round 9, sixth wave) ----
+
+@pytest.fixture(scope="module")
+def robots_tables(spark):
+    from demv_spark.operators.web import robots_rules
+
+    txt_a = (
+        "# banner comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub*\n"
+        "\n"
+        "USER-AGENT: DemvBot   # trailing comment\n"
+        "Disallow: /search$\n"
+        "ALLOW: /\n"
+        "Disallow:\n"          # empty pattern -> ignored per RFC
+    )
+    txt_b = (
+        "User-agent: a\n"
+        "User-agent: demvbot\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /docs/\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", txt_a), ("b.com", txt_b)], ["domain", "robots_txt"]
+    )
+    return robots_rules(robots).persist()
+
+
+def test_robots_rules_groups_agents_and_strips_noise(robots_tables):
+    rows = {
+        (r["domain"], r["agent"], r["rule"], r["pattern"])
+        for r in robots_tables.collect()
+    }
+    # keys/agents case-folded, comments stripped, empty Disallow gone
+    assert rows == {
+        ("a.com", "*", "disallow", "/private/"),
+        ("a.com", "*", "allow", "/private/pub*"),
+        ("a.com", "demvbot", "disallow", "/search$"),
+        ("a.com", "demvbot", "allow", "/"),
+        # the multi-UA group fans its rules out to BOTH agents
+        ("b.com", "a", "disallow", "/*.pdf$"),
+        ("b.com", "a", "allow", "/docs/"),
+        ("b.com", "demvbot", "disallow", "/*.pdf$"),
+        ("b.com", "demvbot", "allow", "/docs/"),
+    }
+    # group ids: a.com has two groups, b.com one
+    gids = {
+        (r["domain"], r["agent"]): r["group_id"]
+        for r in robots_tables.collect()
+    }
+    assert gids[("a.com", "*")] != gids[("a.com", "demvbot")]
+    assert gids[("b.com", "a")] == gids[("b.com", "demvbot")]
+
+
+def test_robots_allowed_precedence_and_shadowing(spark, robots_tables):
+    from demv_spark.operators.web import robots_allowed
+
+    urls = spark.createDataFrame(
+        [(f"https://{d}{p}",)
+         for d in ("a.com", "b.com", "nobots.org")
+         for p in ("/", "/private/x", "/private/pub1", "/search",
+                   "/search/x", "/docs/a.pdf", "/a.pdf")],
+        ["url"],
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_len"])
+        for r in robots_allowed(urls, robots_tables, "DemvBot").collect()
+    }
+    # a.com: the exact-agent group SHADOWS *, so /private/* is fine,
+    # /search blocked only exactly (trailing $)
+    assert got["https://a.com/search"] == (0, 8)
+    assert got["https://a.com/search/x"] == (1, 1)
+    assert got["https://a.com/private/x"] == (1, 1)
+    # b.com: longest pattern wins — /*.pdf$ (7) beats /docs/ (6)
+    assert got["https://b.com/docs/a.pdf"] == (0, 7)
+    assert got["https://b.com/a.pdf"] == (0, 7)
+    assert got["https://b.com/docs/a.pdf"][0] == 0
+    assert got["https://b.com/"] == (1, 0)
+    # unknown domain: default allow, nothing matched
+    assert all(got[f"https://nobots.org{p}"] == (1, 0)
+               for p in ("/", "/a.pdf", "/search"))
+
+
+def test_robots_allow_beats_disallow_on_equal_length(spark):
+    from demv_spark.operators.web import robots_allowed, robots_rules
+
+    txt = "User-agent: *\nDisallow: /abc\nAllow: /ab*\n"
+    rules = robots_rules(
+        spark.createDataFrame([("t.com", txt)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame([("https://t.com/abc",)], ["url"])
+    # /abc matches both at length 4: allow wins the tie
+    r = robots_allowed(urls, rules, "x").collect()[0]
+    assert (r["allowed"], r["matched_len"]) == (1, 4)
+
+
+def test_robots_like_escapes_metacharacters(spark):
+    from demv_spark.operators.web import robots_allowed, robots_rules
+
+    txt = "User-agent: *\nDisallow: /a_b%c\n"
+    rules = robots_rules(
+        spark.createDataFrame([("t.com", txt)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame(
+        [("https://t.com/a_b%c/d",), ("https://t.com/aXb%c/d",)], ["url"]
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_allowed(urls, rules, "x").collect()}
+    # '_' and '%' are literals, not LIKE wildcards
+    assert got["https://t.com/a_b%c/d"] == 0
+    assert got["https://t.com/aXb%c/d"] == 1
+
+
+def test_robots_no_python_udf(spark, robots_tables):
+    from demv_spark.operators.web import robots_allowed
+    from demv_spark.plans.introspect import plan_stats
+
+    urls = spark.createDataFrame([("https://a.com/x",)], ["url"])
+    stats = plan_stats(robots_allowed(urls, robots_tables, "demvbot"))
+    assert not stats["has_python_udf"] and not stats["has_arrow_eval"]
