@@ -145,6 +145,7 @@ _R9_BIRTHS: list[str] = [
     "q_text_bpe_encode",
     "q_media_gif_roundtrip",
     "q_web_robots_politeness",
+    "q_media_jpeg_progressive",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -178,7 +179,6 @@ _R9_FLAGSHIPS: list[str] = [
 # green; shrinks one-for-one as round-9 births land)
 _R9_RESEATS: list[str] = [
     "q_dedup_minhash_portable",
-    "q_sim_ivfpq_topk",
     "q_stream_curate_e2e",
     "q_events_retention",
     "q_corpus_mixture_report",
@@ -2494,6 +2494,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return image_channel_sums(media)
 
     q["q_media_jpeg420"] = _media_jpeg420
+
+    # progressive JPEG (round 9, sixth wave): real SOF2 streams with
+    # the libjpeg-shaped successive-approximation script (DC Al=2 +
+    # refinements, AC bands 1-5/6-63 with EOB runs) → stdlib
+    # multi-scan decode → integer channel sums. Constant 8×8 tiles
+    # keep the lossless corner THROUGH the progressive bit
+    # re-ordering, so the oracle is the closed tile form
+    def _media_jpeg_progressive(spark, sf):
+        from demv_spark.operators.multimodal import (
+            image_channel_sums,
+            synthesize_media_real,
+        )
+
+        ids = _t(spark, sf, "nation").select("n_nationkey")
+        media = synthesize_media_real(ids, "n_nationkey", kind="jpeg_prog")
+        return image_channel_sums(media)
+
+    q["q_media_jpeg_progressive"] = _media_jpeg_progressive
 
     # GIF (round 9, sixth wave): real single-frame palette GIF89a
     # bytes (stdlib LZW encoder) → stdlib decode → integer channel
@@ -7119,6 +7137,35 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q_media_jpeg_color"] = _jpeg_color_oracle.format(ts=8)
     o["q_media_jpeg420"] = _jpeg_color_oracle.format(ts=16)
+
+    # progressive JPEG: grayscale constant tiles decode bit-exactly
+    # (all AC zero; DC survives SA re-ordering), so each tile
+    # contributes value × cropped-tile-area to every channel sum
+    o["q_media_jpeg_progressive"] = """
+        WITH n AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS id,
+                   n_nationkey % 64 + 16 AS w,
+                   n_nationkey % 48 + 16 AS h
+            FROM nation
+        ),
+        tiles AS (
+            SELECT id, w, h,
+                   ((id * 7) % 200 + ((bxs.bx + bys.by + id) % 5) * 11)
+                       AS v,
+                   least(8, w - bxs.bx * 8) AS tw,
+                   least(8, h - bys.by * 8) AS th
+            FROM n,
+                 LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx) bxs,
+                 LATERAL (SELECT unnest(generate_series(0, (h + 7) // 8 - 1)) AS by) bys
+        )
+        SELECT id AS media_id,
+               CAST(w AS INTEGER) AS w,
+               CAST(h AS INTEGER) AS h,
+               CAST(SUM(v * tw * th) AS BIGINT) AS r_sum,
+               CAST(SUM(v * tw * th) AS BIGINT) AS g_sum,
+               CAST(SUM(v * tw * th) AS BIGINT) AS b_sum
+        FROM tiles GROUP BY 1, 2, 3
+    """
 
     # GIF: lossless palette roundtrip — pixel(y, x) = palette[(id*3 +
     # x + 2y) mod n] with the palette channels mod-256 affine in the

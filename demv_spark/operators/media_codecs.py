@@ -879,6 +879,265 @@ def encode_jpeg_gray(
     return _jpeg_container(h, w, [0x11], qnat, data, restart_interval)
 
 
+# progressive AC Huffman table: the Annex-K baseline table has no
+# EOBn symbols (0x10..0xE0), which progressive AC scans require, so
+# the progressive encoder ships its own flat table — every symbol it
+# can emit (EOB runs n=0..14, ZRL, and (run,size) for size 1..10) at
+# code length 8 (176 codes < 255, all-ones code unassigned: valid
+# per T.81 C.2). Decoders rebuild it from the DHT segment like any
+# other table; compression optimality is not a goal of this encoder.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _jpeg_quant_zigzag(channel: "np.ndarray", qnat, c) -> "np.ndarray":
+    """FDCT + quantize one uint8 channel into (bh, bw, 64)
+    ZIGZAG-ordered int32 coefficients (edge blocks pad by
+    replication) — the shared front half of every encoder."""
+    h, w = channel.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(channel, ((0, ph - h), (0, pw - w)), mode="edge")
+    bh, bw = ph // 8, pw // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            block = (
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                - 128.0
+            )
+            quant = np.rint((c @ block @ c.T) / qnat).astype(np.int64)
+            out[by, bx] = quant.reshape(-1)[_JPEG_ZIGZAG]
+    return out
+
+
+def _prog_emit_eobrun(bw, ac_codes, state) -> None:
+    """Flush a pending EOB run (EOBn symbol + extension bits) and any
+    correction bits buffered under it (T.81 G.1.2.2; jcphuff's
+    emit_eobrun ordering)."""
+    if state["eobrun"] > 0:
+        e = state["eobrun"]
+        r = e.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        bw.write(code, length)
+        if r:
+            bw.write(e - (1 << r), r)
+        state["eobrun"] = 0
+        for b in state["bits"]:
+            bw.write(b, 1)
+        state["bits"] = []
+
+
+def _prog_encode_ac_first(bw, tband, ac_codes, state) -> None:
+    """One block of a first AC scan (Ah=0): baseline-style run/size
+    coding of the point-transformed band, EOBs accumulated into runs."""
+    last_nz = max((k for k in range(len(tband)) if tband[k]), default=-1)
+    if last_nz < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _prog_emit_eobrun(bw, ac_codes, state)
+        return
+    _prog_emit_eobrun(bw, ac_codes, state)
+    run = 0
+    for k in range(last_nz + 1):
+        v = int(tband[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_codes[0xF0]
+            bw.write(zcode, zlen)
+            run -= 16
+        s = _jpeg_category(v)
+        if s > 10:
+            raise ValueError(
+                f"quantized AC coefficient {v} exceeds the Huffman "
+                "range (|AC| < 1024); raise ac_step"
+            )
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(tband) - 1:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _prog_emit_eobrun(bw, ac_codes, state)
+
+
+def _prog_encode_ac_refine(bw, vband, al, ac_codes, state) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients as (run,1) symbols over ZERO-HISTORY positions,
+    correction bits for every already-nonzero coefficient buffered
+    and flushed after each symbol / EOB run (jcphuff's
+    encode_mcu_AC_refine flow)."""
+    absv = [abs(int(v)) >> al for v in vband]
+    eob = max((k for k in range(len(absv)) if absv[k] == 1), default=-1)
+    r = 0
+    pend = []     # correction bits since the last emitted symbol
+    for k in range(len(absv)):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _prog_emit_eobrun(bw, ac_codes, state)
+            zcode, zlen = ac_codes[0xF0]
+            bw.write(zcode, zlen)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        _prog_emit_eobrun(bw, ac_codes, state)
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if vband[k] > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        state["eobrun"] += 1
+        state["bits"].extend(pend)
+        if state["eobrun"] == 0x7FFF:
+            _prog_emit_eobrun(bw, ac_codes, state)
+
+
+def encode_jpeg_progressive(
+    arr: "np.ndarray",
+    dc_step: int = 8,
+    ac_step: int = 16,
+    ac_bands: "tuple[tuple[int, int], ...]" = ((1, 63),),
+    al: int = 1,
+) -> bytes:
+    """Encode an (h, w)/(h, w, 1) grayscale or (h, w, 3) RGB array as
+    a REAL progressive JPEG (SOF2) with the successive-approximation
+    script web encoders actually use: DC first at Al=``al``
+    (interleaved for color), one first AC scan per component per
+    spectral band at Al=``al``, then refinement scans walking Al down
+    to 0 — so every decoder path (spectral bands, EOB runs,
+    correction bits, chained refinements) is exercised by our own
+    fixtures. ``ac_bands=((1,5),(6,63)), al=2`` mirrors libjpeg's
+    default script shape. Same quantization as the baseline encoders:
+    the constant-8×8-tile lossless corner holds, because progressive
+    scans only re-order WHICH bits of the same quantized coefficients
+    are transmitted, never their values."""
+    _check_jpeg_steps(dc_step, ac_step)
+    if al < 0 or al > 13:
+        raise ValueError(f"successive-approximation Al must be 0..13, got {al}")
+    covered = sorted(k for s, e in ac_bands for k in range(s, e + 1))
+    if covered != list(range(1, 64)):
+        raise ValueError("ac_bands must exactly partition 1..63")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        channels = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = rgb_to_ycbcr_u8(arr)
+        channels = [ycc[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("expected (h, w[, 1]) grayscale or (h, w, 3) RGB")
+    h, w = channels[0].shape
+    ncomp = len(channels)
+    qnat = np.full((8, 8), int(ac_step), dtype=np.int32)
+    qnat[0, 0] = int(dc_step)
+    c = _jpeg_dct_matrix()
+    coefs = [_jpeg_quant_zigzag(ch, qnat, c) for ch in channels]
+    bh, bw_ = coefs[0].shape[:2]
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(sel: "list[int]", ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(sel)]) + b"".join(
+            bytes([ci + 1, (0x00 if ss == 0 else 0x00)]) for ci in sel
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(JPEG_MAGIC)
+    qzz = bytes(int(qnat.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out += seg(0xFFDB, b"\x00" + qzz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+    )
+    out += seg(0xFFC2, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+
+    # scan 1: DC first, all components, Al=al (interleaved for color)
+    out += sos(list(range(ncomp)), 0, 0, 0, al)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(ncomp):
+                v = int(coefs[ci][by, bx, 0]) >> al    # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _jpeg_category(diff)
+                code, length = dc_codes[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+    # first AC scan per component per band, Al=al
+    for ci in range(ncomp):
+        for ss, se in ac_bands:
+            out += sos([ci], ss, se, 0, al)
+            bw = _BitWriter()
+            state = {"eobrun": 0, "bits": []}
+            for by in range(bh):
+                for bx in range(bw_):
+                    t = [
+                        (av >> al) if v >= 0 else -((-int(v)) >> al)
+                        for v in coefs[ci][by, bx, ss : se + 1]
+                        for av in (abs(int(v)),)
+                    ]
+                    _prog_encode_ac_first(bw, t, ac_codes, state)
+            _prog_emit_eobrun(bw, ac_codes, state)
+            out += bw.flush()
+    # refinement ladder: Al = al-1 .. 0 (DC raw bits, then AC per band)
+    for level in range(al - 1, -1, -1):
+        out += sos(list(range(ncomp)), 0, 0, level + 1, level)
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(ncomp):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> level) & 1, 1)
+        out += bw.flush()
+        for ci in range(ncomp):
+            for ss, se in ac_bands:
+                out += sos([ci], ss, se, level + 1, level)
+                bw = _BitWriter()
+                state = {"eobrun": 0, "bits": []}
+                for by in range(bh):
+                    for bx in range(bw_):
+                        _prog_encode_ac_refine(
+                            bw,
+                            coefs[ci][by, bx, ss : se + 1],
+                            level,
+                            ac_codes,
+                            state,
+                        )
+                _prog_emit_eobrun(bw, ac_codes, state)
+                out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over a byte-stuffed entropy stream."""
 
@@ -948,17 +1207,272 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Decode a baseline JPEG: grayscale → (h, w, 1) uint8, YCbCr
-    4:4:4 color (interleaved single scan) → (h, w, 3) uint8 RGB via
-    the floor(x+0.5) inverse transform (``ycbcr_to_rgb_u8``).
+# ---- progressive (SOF2) machinery: T.81 Annex G, the Huffman
+# procedures of Figures G.3-G.7 (the same flow libjpeg's
+# jdphuff.c/jcphuff.c implement). Coefficients accumulate across
+# scans in ZIGZAG index space; dequant+IDCT happen once at EOI.
 
-    Supports the sequential-DCT 8-bit 1- or 3-component streams the
-    encoders above emit (and any other baseline file using in-file
-    quant/Huffman tables, sampling factors ≤ 2 per axis — 4:4:4 /
-    4:2:2 / 4:2:0 — and any DRI restart interval). Progressive
-    (SOF2), 12-bit, arithmetic-coded and >2×-sampled streams raise
-    NotImplementedError — install PIL for those."""
+def _prog_geometry(comps, h, w):
+    """Per-component geometry: (hmax, vmax, mcux, mcuy, and for each
+    component its padded interleaved block dims and its true
+    non-interleaved block dims)."""
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []
+    for _, _, hi, vi in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        geo.append(
+            {
+                "pad_bw": mcux * hi,
+                "pad_bh": mcuy * vi,
+                "bw": -(-cw // 8),
+                "bh": -(-ch // 8),
+                "hi": hi,
+                "vi": vi,
+            }
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _prog_alloc(comps, h, w):
+    """Zigzag-indexed coefficient planes, padded to interleaved MCU
+    coverage (non-interleaved scans touch only the true blocks)."""
+    hmax, vmax, mcux, mcuy, geo = _prog_geometry(comps, h, w)
+    coefs = [
+        np.zeros((g["pad_bh"], g["pad_bw"], 64), dtype=np.int32) for g in geo
+    ]
+    return coefs, (hmax, vmax, mcux, mcuy, geo)
+
+
+def _prog_next_marker(payload: bytes, pos: int) -> int:
+    """Skip to the next marker after an entropy segment (stuffed
+    0xFF00 bytes belong to the segment; RST markers are consumed by
+    the scan loop, so anything else ends the segment)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_nonzero(br: "_BitReader", coef, k: int, p1: int) -> None:
+    """AC refinement of an already-nonzero coefficient (G.7): one
+    correction bit; 1 moves the magnitude one step outward."""
+    if br.bit() and (abs(int(coef[k])) & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _prog_ac_first(br, coef, ss, se, al, state):
+    """First AC scan of a band (Ah=0): Figure G.3 with EOB runs."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_read(br, state["ac_tab"])
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overrun")
+        coef[k] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(br, coef, ss, se, al, state):
+    """AC refinement scan (Ah=Al+1): Figure G.7 — newly-nonzero
+    coefficients arrive as ±1<<Al, zero-run counts skip only
+    ZERO-HISTORY positions, and every nonzero coefficient passed
+    (including those under an EOB run) takes a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_read(br, state["ac_tab"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                val = 0              # ZRL: skip 16 zero-history coeffs
+            elif s == 1:
+                val = p1 if br.bit() else -p1
+            else:
+                raise ValueError(
+                    "corrupt progressive JPEG: refinement size > 1"
+                )
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(br, coef, k, p1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(br, coef, k, p1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_decode_scan(
+    payload, data_pos, body, comps, coefs, geom, htables, restart_int
+):
+    """Decode ONE progressive scan's entropy segment into the
+    coefficient planes; returns the position of the next marker."""
+    hmax, vmax, mcux, mcuy, geo = geom
+    ns = body[0]
+    if len(body) < 4 + 2 * ns:
+        raise ValueError("corrupt progressive JPEG: truncated SOS header")
+    scan_sel = []
+    for si in range(ns):
+        cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+        idx = next(
+            i for i, (cid, _, _, _) in enumerate(comps) if cid == cs
+        )
+        scan_sel.append((idx, tdta >> 4, tdta & 0x0F))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    br = _BitReader(payload, data_pos)
+    if ss == 0:                                   # DC scan
+        if se != 0:
+            raise ValueError("corrupt progressive JPEG: Ss=0 with Se>0")
+        preds = [0] * len(scan_sel)
+        if ns > 1:
+            # interleaved MCU order
+            units = []
+            for myi in range(mcuy):
+                for mxi in range(mcux):
+                    mcu = []
+                    for sidx, (ci, dct, _) in enumerate(scan_sel):
+                        g = geo[ci]
+                        for bv in range(g["vi"]):
+                            for bhz in range(g["hi"]):
+                                mcu.append(
+                                    (sidx, ci, dct,
+                                     myi * g["vi"] + bv,
+                                     mxi * g["hi"] + bhz)
+                                )
+                    units.append(mcu)
+        else:
+            ci, dct, _ = scan_sel[0]
+            g = geo[ci]
+            units = [
+                [(0, ci, dct, by, bx)]
+                for by in range(g["bh"])
+                for bx in range(g["bw"])
+            ]
+        for ui, mcu in enumerate(units):
+            if restart_int and ui and ui % restart_int == 0:
+                br.restart()
+                preds = [0] * len(scan_sel)
+            for sidx, ci, dct, by, bx in mcu:
+                c = coefs[ci][by, bx]
+                if ah == 0:
+                    s = _huff_read(br, htables[(0, dct)])
+                    diff = _jpeg_extend(br.bits(s), s) if s else 0
+                    preds[sidx] += diff
+                    c[0] = preds[sidx] << al
+                else:
+                    c[0] |= br.bit() << al
+    else:                                         # AC scan
+        if ns != 1:
+            raise ValueError(
+                "corrupt progressive JPEG: AC scan must be single-component"
+            )
+        ci, _, act = scan_sel[0]
+        g = geo[ci]
+        state = {"eobrun": 0, "ac_tab": htables.get((1, act))}
+        if state["ac_tab"] is None:
+            raise ValueError("progressive AC scan references missing DHT")
+        fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+        bi = 0
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                if restart_int and bi and bi % restart_int == 0:
+                    br.restart()
+                    state["eobrun"] = 0
+                bi += 1
+                fn(br, coefs[ci][by, bx], ss, se, al, state)
+    return _prog_next_marker(payload, br.pos)
+
+
+def _prog_finish(comps, coefs, qtables, h, w):
+    """Dequantize + IDCT the accumulated coefficient planes, upsample
+    subsampled components, crop, color-transform — the shared
+    baseline epilogue applied once at EOI."""
+    if not coefs:
+        raise ValueError("progressive JPEG contains no scans")
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    c = _jpeg_dct_matrix()
+    full = []
+    for comp, (cid, tq, hi, vi) in enumerate(comps):
+        q = qtables[tq]
+        qn = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qn[_JPEG_ZIGZAG[k]] = q[k]
+        qn = qn.reshape(8, 8)
+        bh_, bw_ = coefs[comp].shape[:2]
+        plane = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+        for by in range(bh_):
+            for bx in range(bw_):
+                zz = coefs[comp][by, bx]
+                if not zz.any():
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128
+                    continue
+                coefn = np.zeros(64, dtype=np.float64)
+                coefn[_JPEG_ZIGZAG] = zz
+                block = c.T @ (coefn.reshape(8, 8) * qn) @ c
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(block + 128.0), 0, 255
+                ).astype(np.uint8)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        full.append(plane[:h, :w])
+    out = np.stack(full, axis=2)
+    if len(comps) == 1:
+        return out
+    return ycbcr_to_rgb_u8(out)
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Decode a baseline OR progressive JPEG: grayscale → (h, w, 1)
+    uint8, YCbCr 4:4:4 color (interleaved single scan) → (h, w, 3)
+    uint8 RGB via the floor(x+0.5) inverse transform
+    (``ycbcr_to_rgb_u8``).
+
+    Baseline (SOF0): the sequential-DCT 8-bit 1- or 3-component
+    streams the encoders above emit (and any other baseline file
+    using in-file quant/Huffman tables, sampling factors ≤ 2 per
+    axis — 4:4:4 / 4:2:2 / 4:2:0 — and any DRI restart interval).
+    Progressive (SOF2): full spectral selection AND successive
+    approximation (DC/AC first + refinement scans, EOB runs,
+    interleaved DC scans, per-component AC scans, DRI restarts) —
+    the libjpeg-default script of web progressive JPEGs decodes.
+    12-bit, arithmetic-coded, hierarchical and >2×-sampled streams
+    raise NotImplementedError — install PIL for those."""
     if payload[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -966,6 +1480,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     htables: dict[tuple[int, int], dict] = {}
     h = w = None
     restart_int = 0
+    progressive = False
+    coefs: "list[np.ndarray]" = []      # per comp (bv, bh, 64) zigzag ints
+    dc_preds_geom: "tuple | None" = None
     comps: list[tuple[int, int, int, int]] = []  # (comp_id, tq, hi, vi)
     scan: dict[int, tuple[int, int]] = {}   # comp_id -> (dc_id, ac_id)
     while pos < len(payload):
@@ -978,6 +1495,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos += 1
         marker = payload[pos]
         pos += 1
+        if marker == 0xD9:                       # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
@@ -999,10 +1518,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = list(body[p + 17 : p + 17 + nvals])
                 htables[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + nvals
-        elif marker == 0xC0:                     # SOF0 baseline
+        elif marker in (0xC0, 0xC2):             # SOF0 baseline / SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit JPEG supported")
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported (grayscale "
@@ -1017,18 +1537,29 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         "(1 or 2 per axis: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "extended/arithmetic) needs PIL"
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}: "
+                "extended/lossless/arithmetic/hierarchical) needs PIL"
             )
         elif marker == 0xDD:                     # DRI
             (restart_int,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                     # SOS — entropy data follows
+            if progressive:
+                if not coefs:
+                    if h is None:
+                        raise ValueError("SOS before SOF in JPEG stream")
+                    coefs, dc_preds_geom = _prog_alloc(comps, h, w)
+                pos = _prog_decode_scan(
+                    payload, pos + seglen, body, comps, coefs,
+                    dc_preds_geom, htables, restart_int,
+                )
+                scan = {cid: (0, 0) for cid, _, _, _ in comps}
+                continue
             ns = body[0]
             if ns != len(comps) or ns not in (1, 3):
                 raise NotImplementedError(
-                    "multi-scan / partial-scan JPEG unsupported "
+                    "multi-scan / partial-scan baseline JPEG unsupported "
                     "(one interleaved scan covering every component only)"
                 )
             for si in range(ns):
@@ -1039,6 +1570,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         pos += seglen
     if h is None or not scan:
         raise ValueError("truncated JPEG (missing SOF/SOS)")
+    if progressive:
+        return _prog_finish(comps, coefs, qtables, h, w)
 
     c = _jpeg_dct_matrix()
     ncomp = len(comps)

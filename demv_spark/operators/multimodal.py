@@ -200,6 +200,24 @@ def synthesize_media_real(
                     arr = np.repeat(np.repeat(tiles, 16, 0), 16, 1)[:h, :w]
                     payload = C.encode_jpeg_420(arr)
                     rows.append((mid, "image", "jpeg", payload, w, h, None))
+                elif kind == "jpeg_prog":
+                    # PROGRESSIVE (SOF2) grayscale with the
+                    # libjpeg-shaped script (bands 1-5/6-63, Al=2):
+                    # same constant-tile pixels as kind="jpeg", so
+                    # the lossless corner holds — progressive scans
+                    # re-order bits of the same quantized
+                    # coefficients, never change them
+                    w, h = mid % 64 + 16, mid % 48 + 16
+                    nby, nbx = -(-h // 8), -(-w // 8)
+                    by, bx = np.mgrid[0:nby, 0:nbx]
+                    tiles = (
+                        (mid * 7) % 200 + ((bx + by + mid) % 5) * 11
+                    ).astype(np.uint8)
+                    arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+                    payload = C.encode_jpeg_progressive(
+                        arr, ac_bands=((1, 5), (6, 63)), al=2
+                    )
+                    rows.append((mid, "image", "jpeg", payload, w, h, None))
                 elif kind == "gif":
                     # palette GIF: n-color palette and index grid are
                     # both mod-256 affine in (id, x, y), and GIF is

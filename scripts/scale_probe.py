@@ -653,6 +653,16 @@ def main():
         media = synthesize_media_real(ids, "doc_id", kind="gif")
         return image_channel_sums(media).count()
 
+    def run_jpeg_prog(d):
+        from demv_spark.operators.multimodal import (
+            image_channel_sums,
+            synthesize_media_real,
+        )
+
+        ids = d.filter(F.col("doc_id") % 8 == 0).select("doc_id")
+        media = synthesize_media_real(ids, "doc_id", kind="jpeg_prog")
+        return image_channel_sums(media).count()
+
     def run_dsir(d):
         from demv_spark.operators.corpus import dsir_weights
 
@@ -736,6 +746,7 @@ def main():
         ("bm25_batch_3q", run_bm25_batch, docs, docs_k),
         ("triangle_census", run_triangles, docs, docs_k),
         ("gif_encode_decode_sums", run_gif, docs, docs_k),
+        ("jpeg_prog_encode_decode_sums", run_jpeg_prog, docs, docs_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:

@@ -199,18 +199,23 @@ def test_jpeg_general_image_near_lossless_at_unit_quant():
 
 
 def test_jpeg_dispatch_and_unsupported_variants():
-    """decode_image sniffs the 0xFFD8 magic; progressive (SOF2),
-    CMYK and subsampled-color streams raise with the boundary
-    spelled out."""
+    """decode_image sniffs the 0xFFD8 magic; CMYK, subsampled-color
+    beyond 2x and lossless/arithmetic streams raise with the boundary
+    spelled out. (Progressive SOF2 is SUPPORTED since round 9 — a
+    baseline stream merely relabeled SOF2 is corrupt, not
+    unimplemented: its Ss=0/Se=63 scan header is illegal progressive.)"""
     from demv_spark.operators import media_codecs as C
 
     enc = C.encode_jpeg_gray(_tile_image(3, 24, 32))
     assert C.decode_image(enc).shape == (24, 32, 1)
 
     sof = enc.find(b"\xff\xc0")
-    progressive = enc[:sof] + b"\xff\xc2" + enc[sof + 2:]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        C.decode_jpeg(progressive)
+    mislabeled = enc[:sof] + b"\xff\xc2" + enc[sof + 2:]
+    with pytest.raises(ValueError, match="Ss=0 with Se>0"):
+        C.decode_jpeg(mislabeled)
+    lossless = enc[:sof] + b"\xff\xc3" + enc[sof + 2:]
+    with pytest.raises(NotImplementedError, match="lossless"):
+        C.decode_jpeg(lossless)
 
     img = np.dstack([_tile_image(3, 24, 32)] * 3)
     cenc = C.encode_jpeg_color(img)
@@ -547,3 +552,85 @@ def test_gif_dispatch_and_synthesized_fixture():
     ix = ((mid * 3 + xx + 2 * yy) % n).astype(np.uint8)
     enc = C.encode_gif(ix, pal)
     assert np.array_equal(C.decode_image(enc), pal[ix])
+
+
+# ------------------------------------------------- progressive JPEG
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The definitive cross-check: a progressive stream transmits the
+    SAME quantized coefficients as the baseline stream, just
+    re-ordered across scans — so decode(progressive(x)) must equal
+    decode(baseline(x)) PIXEL-EXACTLY. Any bit slip in spectral
+    selection, EOB runs, successive approximation or refinement
+    correction bits destroys the equality."""
+    rng = np.random.RandomState(5)
+    for shape in ((16, 24), (33, 41), (7, 9)):
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            C.decode_jpeg(C.encode_jpeg_gray(arr)),
+            C.decode_jpeg(C.encode_jpeg_progressive(arr)),
+        ), shape
+    for shape in ((40, 56, 3), (33, 41, 3)):
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            C.decode_jpeg(C.encode_jpeg_color(arr)),
+            C.decode_jpeg(C.encode_jpeg_progressive(arr)),
+        ), shape
+
+
+def test_jpeg_progressive_script_variants():
+    """libjpeg's default script shape (bands 1-5/6-63 at Al=2), a
+    no-SA script (Al=0), and a 3-level ladder over three bands all
+    reproduce the baseline decode — chained refinements included."""
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (48, 40)).astype(np.uint8)
+    base = C.decode_jpeg(C.encode_jpeg_gray(arr))
+    for sc in (
+        dict(ac_bands=((1, 5), (6, 63)), al=2),
+        dict(al=0),
+        dict(al=3, ac_bands=((1, 2), (3, 20), (21, 63))),
+    ):
+        assert np.array_equal(
+            base, C.decode_jpeg(C.encode_jpeg_progressive(arr, **sc))
+        ), sc
+    carr = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    cbase = C.decode_jpeg(C.encode_jpeg_color(carr))
+    assert np.array_equal(
+        cbase,
+        C.decode_jpeg(
+            C.encode_jpeg_progressive(carr, ac_bands=((1, 5), (6, 63)), al=2)
+        ),
+    )
+
+
+def test_jpeg_progressive_lossless_tile_corner():
+    """The driver-oracle corner: constant 8x8 tiles survive the full
+    progressive pipeline bit-exactly (SA re-orders bits of the same
+    lone DC coefficient; every AC band is one long EOB run)."""
+    mid = 9
+    w, h = mid % 64 + 16, mid % 48 + 16
+    nby, nbx = -(-h // 8), -(-w // 8)
+    by, bx = np.mgrid[0:nby, 0:nbx]
+    tiles = ((mid * 7) % 200 + ((bx + by + mid) % 5) * 11).astype(np.uint8)
+    arr = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+    enc = C.encode_jpeg_progressive(arr, ac_bands=((1, 5), (6, 63)), al=2)
+    assert np.array_equal(C.decode_image(enc)[:, :, 0], arr)
+
+
+def test_jpeg_progressive_boundaries():
+    arr = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="partition"):
+        C.encode_jpeg_progressive(arr, ac_bands=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="Al must be"):
+        C.encode_jpeg_progressive(arr, al=14)
+    # a corrupt stream where an AC scan claims 3 components
+    enc = bytearray(C.encode_jpeg_progressive(np.zeros((8, 8, 3), np.uint8)))
+    # find the first AC SOS (single component) and bump its ns byte
+    i = enc.find(b"\xff\xda")           # DC scan (ns=3)
+    j = enc.find(b"\xff\xda", i + 2)    # first AC scan (ns=1)
+    assert enc[j + 4] == 1
+    enc[j + 4] = 3
+    enc[j + 3] = 6 + 4  # fix the segment length for 3 pairs
+    enc[j + 2] = 0
+    with pytest.raises(ValueError):
+        C.decode_jpeg(bytes(enc))
