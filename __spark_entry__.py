@@ -146,6 +146,7 @@ _R9_BIRTHS: list[str] = [
     "q_media_gif_roundtrip",
     "q_web_robots_politeness",
     "q_media_jpeg_progressive",
+    "q_sim_covariance",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_RESEATS: list[str] = [
     "q_dedup_minhash_portable",
     "q_stream_curate_e2e",
     "q_events_retention",
-    "q_corpus_mixture_report",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -687,6 +687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_text_repetition"] = lambda spark, sf: text.repetition_score(
         _t(spark, sf, "documents"), n=2
     ).select("doc_id", "rep_score")
+    # PCA covariance census (round 9, sixth wave): the SemDeDup-style
+    # whitening preprocessor's exact statistics — map-side pair
+    # explode + partial-agg shuffle; the oracle re-derives the same
+    # decimal-stable sums via a per-vector position self-join
+    q["q_sim_covariance"] = lambda spark, sf: similarity.embedding_covariance(
+        _t(spark, sf, "embeddings"), dim=16
+    )
+
     q["q_sim_label_centroids"] = lambda spark, sf: similarity.label_centroids(
         _t(spark, sf, "embeddings")
     )
@@ -4684,6 +4692,38 @@ def oracle_sql() -> dict[str, str]:
                           / 512) AS INTEGER) AS pack_id
         FROM sized
     """
+    # covariance: products CAST(v AS DOUBLE)*CAST(v AS DOUBLE) summed
+    # through the DECIMAL(28,6)->VARCHAR->DOUBLE stable path, then the
+    # same IEEE expression (spp - si*sj/n)/(n-1)
+    o["q_sim_covariance"] = """
+        WITH pe AS (
+            SELECT vec_id,
+                   CAST(unnest(range(16)) AS BIGINT) AS pos,
+                   CAST(unnest(embedding[1:16]) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        second AS (
+            SELECT pi.pos AS i, pj.pos AS j,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(pi.v * pj.v AS DECIMAL(28,6)))
+                        AS VARCHAR) AS DOUBLE) AS spp
+            FROM pe pi JOIN pe pj
+              ON pj.vec_id = pi.vec_id AND pj.pos >= pi.pos
+            GROUP BY 1, 2
+        ),
+        first AS (
+            SELECT pos,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR)
+                        AS DOUBLE) AS sx
+            FROM pe GROUP BY 1
+        )
+        SELECT s.i, s.j, s.n, s.spp,
+               (s.spp - fi.sx * fj.sx / s.n) / (s.n - 1) AS cov
+        FROM second s
+        JOIN first fi ON fi.pos = s.i
+        JOIN first fj ON fj.pos = s.j
+    """
+
     o["q_sim_label_centroids"] = """
         WITH pe AS (
             SELECT label,

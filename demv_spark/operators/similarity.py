@@ -1285,3 +1285,143 @@ def pq_topk_chunked(
         chunk_rows=chunk_rows,
         id_col=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA for embedding whitening (the SemDeDup-style preprocessing step:
+# center + rotate embeddings before cosine clustering so dominant
+# directions don't swamp the similarity signal)
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 16
+) -> DataFrame:
+    """Exact covariance census over the first ``dim`` embedding
+    dimensions: one row per (i, j), i ≤ j, with ``n``, the decimal-
+    stable second-moment sum ``spp`` and the sample covariance
+    ``cov = (spp − si·sj/n)/(n−1)`` (doubles; every step after the
+    stable sums is a correctly-rounded scalar op, so the census
+    value-hashes cross-engine — the label_centroids convention).
+
+    Scale shape: the d(d+1)/2 products are built MAP-SIDE as one
+    array per row and exploded — partial aggregation means the
+    shuffle carries ~d²/2 partial sums per partition, never per row;
+    the d-row first-moment table broadcasts back onto the census.
+    ``dim`` is capped at 64: the pair array is d²/2 entries per row,
+    and covariance PCA above that wants a sketch, not a census."""
+    if not 1 <= int(dim) <= 64:
+        raise ValueError(f"dim must be 1..64, got {dim}")
+    from demv_spark.functions.compat import (
+        sql_stable_sum,  # noqa: F401  (oracle twin documented here)
+        stable_sum,
+    )
+
+    d = int(dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(v, (i + 1).cast("int"))
+                        * F.element_at(v, (j + 1).cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    second = (
+        df.select(F.explode(pairs).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("p").alias("spp"))
+    )
+    first = (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .filter(F.col("pos") < d)
+        .groupBy("pos")
+        .agg(stable_sum("x").alias("sx"))
+    )
+    return (
+        second.join(
+            F.broadcast(first.select(F.col("pos").alias("i"), F.col("sx").alias("si"))),
+            "i",
+        )
+        .join(
+            F.broadcast(first.select(F.col("pos").alias("j"), F.col("sx").alias("sj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            "spp",
+            (
+                (F.col("spp") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(cov_rows, dim: int) -> "tuple[list[float], list[list[float]]]":
+    """Driver-side eigendecomposition of a collected covariance
+    census (the ``embedding_covariance`` output — d²/2 rows, tiny at
+    any corpus scale). Returns (eigenvalues desc, components) where
+    ``components[k]`` is the k-th principal axis. Deterministic up to
+    eigenvector sign; signs are fixed so each component's
+    largest-|coordinate| entry is positive."""
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    for k in range(dim):
+        lead = np.argmax(np.abs(vecs[:, k]))
+        if vecs[lead, k] < 0:
+            vecs[:, k] = -vecs[:, k]
+    return [float(x) for x in vals], [
+        [float(x) for x in vecs[:, k]] for k in range(dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: "list[list[float]]",
+    means: "list[float] | None" = None,
+    vec_col: str = "embedding",
+    out: str = "pca",
+) -> DataFrame:
+    """Map-only PCA projection: center (optional) and dot each vector
+    with every principal axis — components are literal arrays folded
+    into the plan (vocabulary-scale, like the IVF codebooks), so the
+    projection is one scan with zero shuffles at any corpus size."""
+    d = len(components[0])
+    v = F.transform(
+        F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double")
+    )
+    if means is not None:
+        mlit = F.array(*[F.lit(float(x)) for x in means])
+        v = F.zip_with(v, mlit, lambda a, b: a - b)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in components
+        ]
+    )
+    return df.withColumn(out, proj)

@@ -1671,3 +1671,80 @@ def test_bpe_sequential_replace_counterexample_is_out_of_domain():
     # sequential replay: merge ("ab","c") sees no occurrence, then
     # ("a","b") fires -> tokens [ab, c, </w>] stay unmerged
     assert _sequential_replace_encode("abc", bad) == ["ab", "c", "</w>"]
+
+
+# ---- PCA whitening (round 9, sixth wave) ----
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from demv_spark.operators.similarity import embedding_covariance
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_covariance(df, dim=8).collect()
+    X = np.array(
+        df.select("embedding").toPandas()["embedding"].tolist()
+    )[:, :8].astype(np.float64)
+    C = np.cov(X, rowvar=False)
+    assert len(rows) == 8 * 9 // 2
+    for r in rows:
+        # decimal(28,6)-stable sums quantize at 1e-6 per addend; on
+        # 500 rows the census is within ~1e-7 of the float64 answer
+        assert abs(r["cov"] - C[r["i"], r["j"]]) < 1e-6, (r["i"], r["j"])
+
+
+def test_pca_components_and_projection_properties(spark):
+    import numpy as np
+
+    from demv_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components,
+        project_embeddings,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cov = embedding_covariance(df, dim=8).collect()
+    vals, comps = pca_components(cov, 8)
+    V = np.array(comps)
+    # orthonormal axes, eigenvalues descending, sign convention fixed
+    assert np.allclose(V @ V.T, np.eye(8), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(7))
+    assert all(V[k, np.argmax(np.abs(V[k]))] > 0 for k in range(8))
+
+    X = np.array(
+        df.select("embedding").toPandas()["embedding"].tolist()
+    )[:, :8].astype(np.float64)
+    means = [float(m) for m in X.mean(0)]
+    got = {
+        r["vec_id"]: list(r["pca"])
+        for r in project_embeddings(df, comps, means=means)
+        .select("vec_id", "pca").collect()
+    }
+    P = (X - X.mean(0)) @ V.T
+    ids = [r["vec_id"] for r in df.select("vec_id").collect()]
+    for row_idx, vid in enumerate(ids):
+        assert np.allclose(got[vid], P[row_idx], atol=1e-9)
+    # projected variances reproduce the eigenvalues (PCA's whole point)
+    pv = P.var(0, ddof=1)
+    assert np.allclose(sorted(pv)[::-1], vals, rtol=1e-4)
+
+
+def test_pca_projection_is_map_only(spark):
+    from demv_spark.operators.similarity import project_embeddings
+    from demv_spark.plans.introspect import plan_stats
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps = [[1.0 if i == k else 0.0 for i in range(8)] for k in range(4)]
+    stats = plan_stats(project_embeddings(df, comps))
+    assert stats["n_exchanges"] == 0
+    assert not stats["has_python_udf"]
+
+
+def test_embedding_covariance_dim_cap(spark):
+    import pytest as _pytest
+
+    from demv_spark.operators.similarity import embedding_covariance
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="1..64"):
+        embedding_covariance(df, dim=65)
