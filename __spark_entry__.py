@@ -147,6 +147,7 @@ _R9_BIRTHS: list[str] = [
     "q_web_robots_politeness",
     "q_media_jpeg_progressive",
     "q_sim_covariance",
+    "q_skew_salted_join",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_FLAGSHIPS: list[str] = [
 _R9_RESEATS: list[str] = [
     "q_dedup_minhash_portable",
     "q_stream_curate_e2e",
-    "q_events_retention",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -469,6 +469,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_skew_profile"] = lambda spark, sf: counting.key_skew_profile(
         _t(spark, sf, "lineitem"), ["l_suppkey"]
     )
+
+    # salted skew join (round 9, sixth wave): half the fact table is
+    # funneled onto ONE key, the dim side's hot rows replicate per
+    # salt, and the post-join census must equal the PLAIN join's — the
+    # oracle is the unsalted SQL join, so any salting bug (dropped
+    # salt replica, wrong cold-key salt, dup rows) mismatches
+    def _skew_salted_join(spark, sf):
+        from demv_spark.functions.joins import salted_join
+
+        o = _t(spark, sf, "orders")
+        facts = o.select(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("HOT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("k"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        dims = facts.select("k").distinct().withColumn(
+            "payload", F.length("k").cast("long")
+        )
+        joined = salted_join(facts, dims, "k", n_salts=8, hot_keys=["HOT"])
+        return joined.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("payload").alias("payload_sum"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+
+    q["q_skew_salted_join"] = _skew_salted_join
 
     # incremental census maintenance: per-shard censuses merged by
     # per-key sum must equal the full-table census exactly (group
@@ -4190,6 +4218,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n) AS BIGINT) AS max_n,
                CAST(MIN(n) AS BIGINT) AS min_n
         FROM census
+    """
+
+    # salted join: the oracle is the PLAIN (unsalted) join census —
+    # salting must be invisible in the result
+    o["q_skew_salted_join"] = """
+        WITH facts AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'HOT'
+                        ELSE o_orderpriority END AS k,
+                   o_orderkey
+            FROM orders
+        ),
+        dims AS (
+            SELECT k, CAST(length(k) AS BIGINT) AS payload
+            FROM (SELECT DISTINCT k FROM facts)
+        )
+        SELECT f.k,
+               COUNT(*) AS n_rows,
+               CAST(SUM(d.payload) AS BIGINT) AS payload_sum,
+               CAST(SUM(f.o_orderkey) AS BIGINT) AS key_sum
+        FROM facts f JOIN dims d ON d.k = f.k
+        GROUP BY 1
     """
 
     _counts4 = f"""

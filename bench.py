@@ -221,6 +221,15 @@ HEADLINE = [
     "q_stream_dsir_log",
     "q_media_jpeg420",
     "q_privacy_t_closeness",
+    # round-9 sixth wave: degree-oriented triangles, BPE apply census,
+    # GIF + progressive-JPEG roundtrips, robots politeness, PCA
+    # covariance census
+    "q_graph_triangles",
+    "q_text_bpe_encode",
+    "q_media_gif_roundtrip",
+    "q_media_jpeg_progressive",
+    "q_web_robots_politeness",
+    "q_sim_covariance",
 ]
 
 

@@ -691,6 +691,20 @@ def main():
         )
         return graph.triangle_census(e).count()
 
+    def run_salted_join(o):
+        from demv_spark.functions.joins import salted_join
+
+        facts = o.select(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("HOT"))
+            .otherwise(F.col("o_orderpriority")).alias("k"),
+            "o_orderkey",
+        )
+        dims = facts.select("k").distinct().withColumn(
+            "payload", F.length("k").cast("long")
+        )
+        return salted_join(facts, dims, "k", n_salts=32, hot_keys=["HOT"]) \
+            .agg(F.count(F.lit(1)), F.sum("payload")).collect()[0][0]
+
     probes = [
         ("session_features_30min", run_session_features, events, events_k),
         ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
@@ -747,6 +761,7 @@ def main():
         ("triangle_census", run_triangles, docs, docs_k),
         ("gif_encode_decode_sums", run_gif, docs, docs_k),
         ("jpeg_prog_encode_decode_sums", run_jpeg_prog, docs, docs_k),
+        ("salted_skew_join", run_salted_join, orders, orders_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
