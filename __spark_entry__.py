@@ -148,6 +148,7 @@ _R9_BIRTHS: list[str] = [
     "q_media_jpeg_progressive",
     "q_sim_covariance",
     "q_skew_salted_join",
+    "q_layout_hilbert",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -181,7 +182,6 @@ _R9_FLAGSHIPS: list[str] = [
 # green; shrinks one-for-one as round-9 births land)
 _R9_RESEATS: list[str] = [
     "q_dedup_minhash_portable",
-    "q_stream_curate_e2e",
 ]
 
 _R9_WINDOW: list[str] = (
@@ -1791,6 +1791,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zorder_pruning_stats(d, ["a", "b"], bits=10, prefix_bits=4)
 
     q["q_layout_zorder"] = _layout_zorder
+
+    # Hilbert-curve layout (round 9, sixth wave): the same
+    # skip-effectiveness census as q_layout_zorder over the Hilbert
+    # distance — consecutive keys are Manhattan neighbors, so file
+    # min/max bounds are tighter than Morton's quadrant jumps
+    def _layout_hilbert(spark, sf):
+        from demv_spark.operators.layout import hilbert_pruning_stats
+
+        d = _t(spark, sf, "orders").select(
+            F.pmod(F.col("o_custkey"), F.lit(1024)).alias("a"),
+            F.pmod(
+                F.expr("unix_timestamp(o_orderdate) div 86400"), F.lit(1024)
+            ).alias("b"),
+        )
+        return hilbert_pruning_stats(d, "a", "b", bits=10, prefix_bits=4)
+
+    q["q_layout_hilbert"] = _layout_hilbert
 
     # ---- structured-data privacy screens (round 7) ----
     def _privacy_quasi(spark, sf):
@@ -6048,6 +6065,25 @@ def oracle_sql() -> dict[str, str]:
                MIN(a) AS min_a, MAX(a) AS max_a,
                MIN(b) AS min_b, MAX(b) AS max_b
         FROM z GROUP BY 1
+    """
+
+    # Hilbert: the generated nested-select walk (one generator loop
+    # shared conceptually with the Spark transformer — both unroll
+    # the classic xy->d flip/swap recurrence)
+    from demv_spark.operators.layout import hilbert_key_sql as _hk_sql
+
+    o["q_layout_hilbert"] = f"""
+        WITH d AS (
+            SELECT CAST(o_custkey % 1024 AS BIGINT) AS a,
+                   CAST((CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+                        % 1024 AS BIGINT) AS b
+            FROM orders
+        )
+        SELECT hkey >> 16 AS bucket, COUNT(*) AS n,
+               MIN(x0) AS min_a, MAX(x0) AS max_a,
+               MIN(y0) AS min_b, MAX(y0) AS max_b
+        FROM {_hk_sql('a', 'b', 10).replace('__SRC__', 'd')} t
+        GROUP BY 1
     """
 
     # sequence packing: the same md5 shard hash as shard_assignment,
