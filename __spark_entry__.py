@@ -149,6 +149,7 @@ _R9_BIRTHS: list[str] = [
     "q_sim_covariance",
     "q_skew_salted_join",
     "q_layout_hilbert",
+    "q_linkage_soundex_blocking",
 ]
 
 # plan-changed rows re-earn their seats (the r6 policy): both
@@ -179,10 +180,9 @@ _R9_FLAGSHIPS: list[str] = [
 ]
 
 # veteran re-seats filling the remaining seats (all multi-round
-# green; shrinks one-for-one as round-9 births land)
-_R9_RESEATS: list[str] = [
-    "q_dedup_minhash_portable",
-]
+# green; shrank one-for-one as the nine sixth-wave births landed —
+# every original reseat is retired)
+_R9_RESEATS: list[str] = []
 
 _R9_WINDOW: list[str] = (
     _R8_QUEUE + _R8_BIRTHS + _R9_BIRTHS + _R9_REEARN
@@ -2307,6 +2307,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return best_match(_linkage_fuzzy(spark, sf))
 
     q["q_linkage_best_match"] = _linkage_best_match
+
+    # Soundex blocking (round 9, sixth wave): the phonetic blocking
+    # key over real part-name words; the oracle runs the IDENTICAL
+    # RE2-safe regexp chain (generated from the same class table)
+    def _linkage_soundex(spark, sf):
+        from demv_spark.operators.linkage import soundex_code
+
+        p = _t(spark, sf, "part").select(
+            F.element_at(F.split("p_name", " "), 1).alias("word")
+        )
+        return (
+            p.select("word", soundex_code(F.col("word")).alias("code"))
+            .groupBy("code")
+            .agg(
+                F.count(F.lit(1)).alias("n_names"),
+                F.countDistinct("word").alias("n_words"),
+            )
+        )
+
+    q["q_linkage_soundex_blocking"] = _linkage_soundex
 
     # composed curation pipeline: messy URL → canonical form → domain
     # key → per-domain quota → leakage-free split, then a census by
@@ -5340,6 +5360,18 @@ def oracle_sql() -> dict[str, str]:
 
     # best-match twin: the fuzzy-join CTE + one-winner-per-dirty-key
     # rank (same (edit_dist, pk_a) total order as Spark's min_by)
+    from demv_spark.operators.linkage import soundex_sql as _sdx_sql
+
+    o["q_linkage_soundex_blocking"] = f"""
+        WITH w AS (
+            SELECT string_split(p_name, ' ')[1] AS word FROM part
+        )
+        SELECT {_sdx_sql('word')} AS code,
+               COUNT(*) AS n_names,
+               COUNT(DISTINCT word) AS n_words
+        FROM w GROUP BY 1
+    """
+
     o["q_linkage_best_match"] = r"""
         WITH l AS (
             SELECT p_partkey AS pk_a, p_name AS name_a,

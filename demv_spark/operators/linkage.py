@@ -120,3 +120,67 @@ def best_match(
     return agg.select(
         right_key, *[F.col(f"__best.{c}").alias(c) for c in carry]
     )
+
+
+# ------------------------------------------------------------ Soundex
+
+_SOUNDEX_CLASSES = [
+    ("[BFPV]", "1"), ("[CGJKQSXZ]", "2"), ("[DT]", "3"),
+    ("L", "4"), ("[MN]", "5"), ("R", "6"),
+    ("[AEIOUY]", "7"), ("[HW]", "8"),
+]
+
+
+def soundex_code(c: Column) -> Column:
+    """American Soundex (the NARA rules) as a pure regexp chain — the
+    classic record-linkage BLOCKING key (names that sound alike share
+    a code, so the fuzzy join compares within blocks instead of all
+    pairs).
+
+    Why not ``F.soundex``: the oracle must recompute the code, and
+    this chain is deliberately RE2-safe (no lookaheads, no
+    backreferences) so the IDENTICAL regexps run in DuckDB — parity
+    with Spark's builtin is pinned by
+    tests/test_linkage.py::test_soundex_matches_spark_builtin on the
+    canonical NARA examples and a real word corpus.
+
+    Mechanics: strip non-letters, uppercase; H/W vanish from the TAIL
+    (transparency — same-coded letters across H/W merge), then every
+    letter (first included) maps to a digit class (vowels 7, a
+    first-letter H/W 8), runs collapse per digit, the first letter's
+    own run is dropped (it is kept as a letter, and a following
+    same-coded letter merges into it — the Pfister rule), vowel
+    markers delete AFTER collapsing (vowel-separated repeats code
+    twice — the Tymczak rule), pad/truncate to letter+3."""
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(s, 1, 1)
+    tail = F.regexp_replace(s.substr(F.lit(2), F.length(s)), "[HW]", "")
+    d = F.concat(first, tail)
+    for pat, rep in _SOUNDEX_CLASSES:
+        d = F.regexp_replace(d, pat, rep)
+    for digit in "12345678":
+        d = F.regexp_replace(d, digit + "+", digit)
+    d = d.substr(F.lit(2), F.length(d))
+    d = F.regexp_replace(d, "7", "")
+    code = F.concat(first, F.rpad(F.substring(d, 1, 3), 3, "0"))
+    return F.when(s == "", F.lit("")).otherwise(code)
+
+
+def soundex_sql(expr: str) -> str:
+    """The SAME chain rendered for DuckDB (generated from the same
+    class table, so the two cannot drift)."""
+    s = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    inner = (
+        f"substr({s}, 1, 1) || "
+        f"regexp_replace(substr({s}, 2), '[HW]', '', 'g')"
+    )
+    d = inner
+    for pat, rep in _SOUNDEX_CLASSES:
+        d = f"regexp_replace({d}, '{pat}', '{rep}', 'g')"
+    for digit in "12345678":
+        d = f"regexp_replace({d}, '{digit}+', '{digit}', 'g')"
+    d = f"regexp_replace(substr({d}, 2), '7', '', 'g')"
+    return (
+        f"CASE WHEN {s} = '' THEN '' "
+        f"ELSE substr({s}, 1, 1) || rpad(substr({d}, 1, 3), 3, '0') END"
+    )

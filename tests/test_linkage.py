@@ -136,3 +136,72 @@ def test_blocked_fuzzy_join_rejects_internal_name_collisions(spark):
                                 "rid long, rname string, __blk string")
     with pytest.raises(ValueError, match="__blk"):
         blocked_fuzzy_join(left.drop("edit_dist"), blk, "lname", "rname", 2)
+
+
+# ---- Soundex blocking (round 9, sixth wave) ----
+
+def test_soundex_matches_spark_builtin(spark):
+    """Parity with Spark's F.soundex on the canonical NARA examples
+    (incl. the hard rules: Pfister's first-letter merge, Tymczak's
+    vowel-separated double-coding, H/W transparency in Ashcraft) and
+    a real word corpus — our RE2-safe chain exists so the ORACLE can
+    recompute the code, but it must be the same Soundex."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.linkage import soundex_code
+
+    names = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+        "Pfister", "Honeyman", "Bob", "White", "PHP", "Jackson",
+        "Washington", "Lee", "Gutierrez", "AAAA", "Euler", "Gauss",
+        "Hilbert", "Knuth", "Lloyd", "Lukasiewicz", "Wachs",
+        "O'Brien", "", "W", "H", "A",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    rows = df.select(
+        "name",
+        soundex_code(F.col("name")).alias("mine"),
+        F.soundex("name").alias("builtin"),
+    ).collect()
+    diffs = [(r["name"], r["mine"], r["builtin"])
+             for r in rows if r["mine"] != r["builtin"]]
+    assert diffs == []
+    got = {r["name"]: r["mine"] for r in rows}
+    # the published NARA examples, pinned independently of the builtin
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Ashcraft"] == got["Ashcroft"] == "A261"
+    assert got["Tymczak"] == "T522"
+    assert got["Pfister"] == "P236"
+    assert got["Honeyman"] == "H555"
+
+
+def test_soundex_on_part_words_matches_builtin(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.linkage import soundex_code
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        F.element_at(F.split("p_name", " "), 1).alias("w")
+    )
+    assert (
+        p.filter(soundex_code(F.col("w")) != F.soundex("w")).count() == 0
+    )
+
+
+def test_soundex_blocks_sound_alike_variants(spark):
+    """The linkage use: misspelled sound-alike variants land in the
+    SAME block, so blocked_fuzzy_join compares them."""
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.linkage import soundex_code
+
+    pairs = [("Smith", "Smyth"), ("Catherine", "Kathryn"),
+             ("Meier", "Meyer"), ("Schmidt", "Schmitt")]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    same = df.select(
+        (soundex_code(F.col("a")) == soundex_code(F.col("b"))).alias("s")
+    ).collect()
+    # Catherine/Kathryn differ on the first LETTER (C vs K) — soundex
+    # keeps the letter, so they do NOT block together (documented
+    # limitation of first-letter soundex); the rest do
+    assert [r["s"] for r in same] == [True, False, True, True]
