@@ -612,7 +612,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lowest-rank-first greedy loop (pinned against the kernel by
     # tests/test_text_dedup_similarity.py::test_bpe_sequential_replace_equivalence)
     def _text_bpe_encode(spark, sf):
-        d = _t(spark, sf, "documents").select("doc_id", "text")
+        # normalize to [a-z ] BEFORE the kernel: Python str.split()
+        # splits on Unicode whitespace while the oracle's RE2 '\s' is
+        # ASCII-only — a latent domain mismatch if the fixture ever
+        # gained exotic whitespace. After this regex (identical in
+        # both engines) only spaces separate and only a-z remain, so
+        # the two splitters agree forever
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z ]", " "
+            ).alias("text"),
+        )
         enc = text.bpe_tokenize(d, _BPE_PLANTED_MERGES)
         return (
             enc.select("doc_id", F.explode("bpe_tokens").alias("token"))
@@ -4599,7 +4610,10 @@ def oracle_sql() -> dict[str, str]:
     o["q_text_bpe_encode"] = rf"""
         WITH words AS (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+                   unnest(string_split_regex(
+                       regexp_replace(lower(coalesce(text, '')),
+                                      '[^a-z ]', ' ', 'g'),
+                       ' +')) AS w
             FROM documents
         ),
         enc AS (

@@ -58,6 +58,12 @@ def salted_join(
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if hot_keys is not None and len(keys) != 1:
         raise ValueError("hot_keys pruning supports single-column keys")
+    for side, cols in (("facts", facts.columns), ("dims", dims.columns)):
+        if _SALT in cols:
+            raise ValueError(
+                f"salted_join reserves the column name {_SALT!r}; "
+                f"rename it in {side} first"
+            )
 
     spark = facts.sparkSession
     salts = spark.range(n).select(F.col("id").cast("int").alias(_SALT))

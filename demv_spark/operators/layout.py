@@ -123,6 +123,12 @@ def hilbert_key_2d(
     nested SQL selects for the oracle."""
     if not 1 <= int(bits) <= 31:
         raise ValueError(f"bits must be 1..31, got {bits}")
+    for c in ("__hx", "__hy", "__hd"):
+        if c in df.columns:
+            raise ValueError(
+                f"hilbert_key_2d reserves the column name {c!r}; "
+                "rename it first"
+            )
     cur = df.select(
         "*",
         F.col(xcol).cast("long").alias("__hx"),

@@ -897,7 +897,13 @@ _JPEG_PROG_AC_VALS = (
 def _jpeg_quant_zigzag(channel: "np.ndarray", qnat, c) -> "np.ndarray":
     """FDCT + quantize one uint8 channel into (bh, bw, 64)
     ZIGZAG-ordered int32 coefficients (edge blocks pad by
-    replication) — the shared front half of every encoder."""
+    replication) — the front half of the PROGRESSIVE encoder, which
+    must materialize all coefficients before scan planning. The
+    baseline encoders keep their fused streaming path
+    (``_encode_block``: FDCT+quantize+Huffman per block, no
+    materialization); both use the same ``np.rint(coef / qnat)``
+    quantization, pinned equal by the progressive≡baseline decode
+    tests."""
     h, w = channel.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(channel, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -1059,8 +1065,9 @@ def encode_jpeg_progressive(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     def sos(sel: "list[int]", ss: int, se: int, ah: int, al: int) -> bytes:
+        # Td/Ta byte is 0x00: both the DC and AC table live in slot 0
         body = bytes([len(sel)]) + b"".join(
-            bytes([ci + 1, (0x00 if ss == 0 else 0x00)]) for ci in sel
+            bytes([ci + 1, 0x00]) for ci in sel
         ) + bytes([ss, se, (ah << 4) | al])
         return seg(0xFFDA, body)
 
@@ -1828,14 +1835,18 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a GIF87a/89a payload to the FIRST frame as an (h, w, 3)
-    uint8 RGB array. Supports global and local color tables,
-    interlaced row order, and skips extension blocks (GCE, comments,
-    application). Raises on corrupt streams; animation compositing is
-    out of scope (the first frame is the corpus-pipeline signal)."""
+    """Decode a GIF87a/89a payload to the FIRST frame composited on
+    the logical screen: an (screen_h, screen_w, 3) uint8 RGB array
+    with the frame placed at its descriptor's (left, top) offset and
+    the rest of the canvas filled with the background-color palette
+    entry — what optimizing encoders emit for partial first frames.
+    Supports global and local color tables, interlaced row order,
+    and skips extension blocks (GCE, comments, application). Raises
+    on corrupt streams; LATER-frame compositing is out of scope (the
+    first frame is the corpus-pipeline signal)."""
     if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a payload")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -1893,5 +1904,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
             ix = de
         if int(ix.max(initial=0)) >= table.shape[0]:
             raise ValueError("GIF index out of color-table range")
-        return table[ix]
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"GIF frame ({left},{top})+{w}x{h} exceeds the "
+                f"{sw}x{sh} logical screen"
+            )
+        if left == 0 and top == 0 and (w, h) == (sw, sh):
+            return table[ix]
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        if gct is not None and bg < gct.shape[0]:
+            canvas[:, :] = gct[bg]
+        canvas[top : top + h, left : left + w] = table[ix]
+        return canvas
     raise ValueError("GIF stream contains no image data")

@@ -399,6 +399,12 @@ def robots_allowed(
     large at crawl scale), LIKE filtering, then ONE aggregation whose
     max-struct encodes the precedence (pattern_len, allow-over-
     disallow) — no window over the URL table."""
+    for c in ("__dom", "__path", "__best"):
+        if c in urls.columns:
+            raise ValueError(
+                f"robots_allowed reserves the column name {c!r}; "
+                "rename it in the URL table first"
+            )
     dom = extract_domain(F.col(url_col))
     path_raw = F.regexp_extract(
         F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1

@@ -634,3 +634,55 @@ def test_jpeg_progressive_boundaries():
     enc[j + 2] = 0
     with pytest.raises(ValueError):
         C.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_decodes_real_external_file():
+    """External ground truth for SOF2: a REAL web-encoder progressive
+    JPEG (successive approximation + spectral bands over a 477x720
+    photo, ~260 KB — thousands of MCUs across ~10 scans). A width,
+    EOB-run or correction-bit misread derails the bitstream within a
+    few codes (corrupt Huffman code / band overrun), so a clean parse
+    with pinned shape and channel sums pins the convention against
+    encoders other than our own. Skipped when the fixture file is
+    absent (it ships with the container's rust docs)."""
+    import os
+
+    p = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    if not os.path.exists(p):
+        pytest.skip("external progressive JPEG fixture not on this box")
+    data = open(p, "rb").read()
+    sof2 = data.find(b"\xff\xc2")
+    assert 0 < sof2 < data.find(b"\xff\xda")  # genuinely progressive
+    arr = C.decode_jpeg(data)
+    assert arr.shape == (477, 720, 3)
+    assert int(arr.astype(np.int64).sum()) == 111138443
+
+
+def test_gif_partial_first_frame_composites_on_screen():
+    """An optimizing encoder's partial first frame (descriptor offset
+    + smaller-than-screen image) composites at (left, top) on a
+    background-filled logical screen."""
+    pal = np.array([[9, 8, 7], [200, 100, 50]], dtype=np.uint8)
+    ix = np.ones((3, 4), np.uint8)
+    enc = bytearray(C.encode_gif(ix, pal))
+    # grow the logical screen to 10x8 and move the frame to (2, 1)
+    enc[6:8] = (10).to_bytes(2, "little")   # screen w
+    enc[8:10] = (8).to_bytes(2, "little")   # screen h
+    gct_end = 13 + 3 * (2 << (enc[10] & 0x07))
+    assert enc[gct_end] == 0x2C
+    enc[gct_end + 1 : gct_end + 3] = (2).to_bytes(2, "little")  # left
+    enc[gct_end + 3 : gct_end + 5] = (1).to_bytes(2, "little")  # top
+    arr = C.decode_gif(bytes(enc))
+    assert arr.shape == (8, 10, 3)
+    want = np.zeros((8, 10, 3), np.uint8)
+    want[:, :] = pal[0]                      # background index 0
+    want[1:4, 2:6] = pal[1]
+    assert np.array_equal(arr, want)
+    # frame exceeding the screen is corrupt, not silently cropped
+    bad = bytearray(enc)
+    bad[6:8] = (4).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="exceeds"):
+        C.decode_gif(bytes(bad))
