@@ -4801,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(16)) AS BIGINT) AS pos,
                    CAST(unnest(embedding[1:16]) AS DOUBLE) AS v
             FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) >= 16
         ),
         second AS (
             SELECT pi.pos AS i, pj.pos AS j,

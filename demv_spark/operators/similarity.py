@@ -1317,6 +1317,13 @@ def embedding_covariance(
     )
 
     d = int(dim)
+    # the family's malformed-row contract: NULL / too-short vectors
+    # are excluded at entry (an element_at past the array end throws
+    # under ANSI mode); oracle twin: embedding IS NOT NULL AND
+    # len(embedding) >= dim
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     pairs = F.flatten(
         F.transform(

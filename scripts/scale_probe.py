@@ -77,6 +77,10 @@ def main():
     orders = read_table(spark, sf, "orders").cache()
     docs.count(), orders.count()
     docs_k = scaled(docs, k, {"doc_id": 10_000_000}).cache()
+    from demv_spark.sources.readers import read_table as _rt
+    emb = _rt(spark, sf, "embeddings").cache()
+    emb_k = scaled(emb, k, {"vec_id": 10_000_000}).cache()
+    emb.count(), emb_k.count()
     orders_k = scaled(orders, k, {"o_orderkey": 100_000_000}).cache()
     docs_k.count(), orders_k.count()
 
@@ -705,6 +709,20 @@ def main():
         return salted_join(facts, dims, "k", n_salts=32, hot_keys=["HOT"]) \
             .agg(F.count(F.lit(1)), F.sum("payload")).collect()[0][0]
 
+    def run_hilbert(o):
+        from demv_spark.operators.layout import hilbert_pruning_stats
+
+        d = o.select(
+            F.pmod(F.col("o_custkey"), F.lit(1024)).alias("a"),
+            F.pmod(F.col("o_orderkey"), F.lit(1024)).alias("b"),
+        )
+        return hilbert_pruning_stats(d, "a", "b", bits=10, prefix_bits=4).count()
+
+    def run_covariance(emb):
+        from demv_spark.operators.similarity import embedding_covariance
+
+        return embedding_covariance(emb, dim=16).count()
+
     probes = [
         ("session_features_30min", run_session_features, events, events_k),
         ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
@@ -762,6 +780,8 @@ def main():
         ("gif_encode_decode_sums", run_gif, docs, docs_k),
         ("jpeg_prog_encode_decode_sums", run_jpeg_prog, docs, docs_k),
         ("salted_skew_join", run_salted_join, orders, orders_k),
+        ("hilbert_key_census", run_hilbert, orders, orders_k),
+        ("pca_covariance_census", run_covariance, emb, emb_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:

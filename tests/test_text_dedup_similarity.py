@@ -1748,3 +1748,23 @@ def test_embedding_covariance_dim_cap(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError, match="1..64"):
         embedding_covariance(df, dim=65)
+
+
+def test_embedding_covariance_excludes_malformed_vectors(spark):
+    """The family's malformed-row contract: NULL and too-short
+    vectors are excluded at entry instead of throwing
+    INVALID_ARRAY_INDEX under ANSI mode (caught by the round-9
+    malformed sweep)."""
+    from demv_spark.operators.similarity import embedding_covariance
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [2.0, 4.0, 6.0]),
+        (2, None),
+        (3, []),
+        (4, [9.0]),          # too short for dim=2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_covariance(df, dim=2).collect()
+    assert {r["n"] for r in out} == {2}  # only the two valid vectors
+    assert len(out) == 3
