@@ -230,6 +230,9 @@ HEADLINE = [
     "q_media_jpeg_progressive",
     "q_web_robots_politeness",
     "q_sim_covariance",
+    "q_skew_salted_join",
+    "q_layout_hilbert",
+    "q_linkage_soundex_blocking",
 ]
 
 
