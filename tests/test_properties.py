@@ -279,3 +279,125 @@ def test_hll_estimate_fixed_point_equals_fraction(p, regs):
     indicator = sum(Fraction(1, 1 << r) for r in regs) + (m - n_regs)
     est_ref = int(alpha * m * m / indicator)  # floor for positives
     assert est_engine == est_ref
+
+
+# ---- GIF LZW + progressive JPEG (round 9, sixth wave) ----
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(2, 256),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(n, h, w, seed):
+    """encode→decode is the identity on palette images for ANY
+    palette size (every min-code-size), shape, and content — the
+    lossless contract the driver oracle's closed form rests on."""
+    import numpy as np
+
+    from demv_spark.operators.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+    ix = rng.randint(0, n, (h, w)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(ix, pal)), pal[ix])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    al=st.integers(0, 3),
+    split=st.integers(1, 62),
+)
+def test_jpeg_progressive_equals_baseline_property(seed, al, split):
+    """For ANY successive-approximation depth and ANY two-band
+    spectral split, the progressive stream carries the same quantized
+    coefficients as the baseline stream — decode equality is exact.
+    Randomized over content, SA depth and band split."""
+    import numpy as np
+
+    from demv_spark.operators import media_codecs as C
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(8, 40)), int(rng.randint(8, 40))
+    arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    base = C.decode_jpeg(C.encode_jpeg_gray(arr))
+    prog = C.decode_jpeg(
+        C.encode_jpeg_progressive(
+            arr, ac_bands=((1, split), (split + 1, 63)), al=al
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_merges=st.integers(0, 14),
+)
+def test_bpe_sequential_replace_property(seed, n_merges):
+    """The q_text_bpe_encode oracle theorem under hypothesis: for any
+    learn_bpe-produced merge list, sequential bracket-replace equals
+    the greedy lowest-rank-first kernel — checked against a pure
+    Python greedy mirror (no Spark in the loop, so hypothesis can
+    hammer small dense alphabets where merges chain deeply)."""
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randrange(1, 7)))
+        for _ in range(40)
+    ]
+    # learn merges with the learn_bpe recurrence on a word census
+    from collections import Counter
+
+    vocab = Counter(tuple(w) + ("</w>",) for w in words)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for seq, n in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == best_n)
+        merges.append(best)
+        merged = best[0] + best[1]
+        nv = Counter()
+        for seq, n in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nv[tuple(out)] += n
+        vocab = nv
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def greedy(word):
+        seq = list(word) + ["</w>"]
+        while len(seq) > 1:
+            best_rank, best_i = None, None
+            for i, pair in enumerate(zip(seq, seq[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        return seq
+
+    def replay(word):
+        s = "".join(f"\x01{c}\x02" for c in list(word) + ["</w>"])
+        for a, b in merges:
+            s = s.replace(f"\x01{a}\x02\x01{b}\x02", f"\x01{a}{b}\x02")
+        return s.strip("\x01\x02").split("\x02\x01")
+
+    for w in set(words):
+        assert greedy(w) == replay(w), (w, merges)
