@@ -83,12 +83,14 @@ def pagerank_integer(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
     ).distinct()
-    if redistribute_dangling:
-        # cache the distinct edge set FIRST: nodes, deg and e_deg all
-        # derive from it, and each materializes separately below — an
-        # unpersisted e re-scans and re-distincts the raw edge input
-        # once per derivation
-        e = e.persist()
+    # cache the distinct edge set FIRST: nodes, deg and e_deg all
+    # derive from it, and each materializes separately below — an
+    # unpersisted e re-scans and re-distincts the raw edge input once
+    # per derivation AND once per iteration level of the lazy plan
+    # (round 9: giving the plain path the redistribute variant's
+    # persist+checkpoint treatment took the driver row 4.1 → ~2 s;
+    # exact integer results are plan-invariant, oracle unchanged)
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -99,15 +101,17 @@ def pagerank_integer(
     # re-joining deg inside every iteration
     e_deg = e.join(deg, "src")
     base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
+    # static tables persist in BOTH variants: each iteration level of
+    # the lazy plan references nodes and e_deg once, so unpersisted
+    # they re-derive (scan + distinct + join) per level
+    e_deg = e_deg.persist()
+    if not redistribute_dangling:
+        nodes = nodes.persist()
     if redistribute_dangling:
-        # iterative-graph convention: cache the static tables once —
-        # the redistribution variant materializes ranks per iteration
-        # (see below), which would otherwise re-scan and re-distinct
-        # the raw edges 2× per iteration. The dangling flag is static
+        # The dangling flag is static
         # per node (no out-edges), computed here once and carried
         # through every rank update so the per-iteration scalar is a
         # filter-agg over materialized ranks, never a join.
-        e_deg = e_deg.persist()
         nodes = (
             nodes.join(
                 deg.select(F.col("src").alias("node"))
@@ -121,6 +125,13 @@ def pagerank_integer(
     n_nodes = nodes.count() if redistribute_dangling else None
     ranks = nodes.withColumn("rank_int", F.lit(int(scale)).cast("long"))
     for it in range(int(iterations)):
+        if not redistribute_dangling and it and it % 2 == 0:
+            # same lineage-cut cadence as the redistribute variant:
+            # without it the 5-iteration lazy tree chains every
+            # join+agg stage into ONE plan whose scheduling overhead
+            # dominates at fixture scale (values unchanged — exact
+            # integers are plan-invariant)
+            ranks = ranks.localCheckpoint(eager=True)
         if redistribute_dangling and it % 2 == 0:
             # the update reads ranks TWICE (contributions + dangling
             # scalar); without materialization the lazy plan doubles
