@@ -65,19 +65,11 @@ def salted_join(
                 f"rename it in {side} first"
             )
 
-    spark = facts.sparkSession
-    salts = spark.range(n).select(F.col("id").cast("int").alias(_SALT))
+    dims_s = _salted_dims(dims, keys, n, hot_keys)
     if hot_keys is None:
-        dims_s = dims.crossJoin(F.broadcast(salts))
         fact_salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n))
     else:
         hot = [F.lit(v) for v in hot_keys]
-        is_hot_dim = F.col(keys[0]).isin(*hot) if hot else F.lit(False)
-        dims_s = (
-            dims.filter(is_hot_dim).crossJoin(F.broadcast(salts))
-        ).unionByName(
-            dims.filter(~is_hot_dim).withColumn(_SALT, F.lit(0))
-        )
         is_hot_fact = F.col(keys[0]).isin(*hot) if hot else F.lit(False)
         fact_salt = F.when(
             is_hot_fact,
@@ -85,3 +77,20 @@ def salted_join(
         ).otherwise(F.lit(0))
     facts_s = facts.withColumn(_SALT, fact_salt.cast("int"))
     return facts_s.join(dims_s, keys + [_SALT], how).drop(_SALT)
+
+
+def _salted_dims(dims: DataFrame, keys, n: int, hot_keys) -> DataFrame:
+    """The replicated small side: HOT rows once per salt, COLD rows a
+    single salt-0 replica — the cost contract (|hot|·n_salts, never a
+    table blow-up) that test_salted_join_replication_is_hot_only pins
+    directly."""
+    salts = dims.sparkSession.range(n).select(
+        F.col("id").cast("int").alias(_SALT)
+    )
+    if hot_keys is None:
+        return dims.crossJoin(F.broadcast(salts))
+    hot = [F.lit(v) for v in hot_keys]
+    is_hot = F.col(keys[0]).isin(*hot) if hot else F.lit(False)
+    return (
+        dims.filter(is_hot).crossJoin(F.broadcast(salts))
+    ).unionByName(dims.filter(~is_hot).withColumn(_SALT, F.lit(0)))

@@ -204,7 +204,14 @@ def pagerank_integer(
                     ).alias("rank_int"),
                 )
             )
-    return ranks.select("node", "rank_int")
+    # materialize the final ranks, then RELEASE the static tables: a
+    # bare unpersist would silently re-derive them on the caller's
+    # first action, and persists without unpersist pin blocks for the
+    # session lifetime (round-9 review finding)
+    out = ranks.select("node", "rank_int").localCheckpoint(eager=True)
+    for cached in (e, e_deg, nodes):
+        cached.unpersist()
+    return out
 
 
 def hits_integer(

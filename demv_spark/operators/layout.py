@@ -123,11 +123,11 @@ def hilbert_key_2d(
     nested SQL selects for the oracle."""
     if not 1 <= int(bits) <= 31:
         raise ValueError(f"bits must be 1..31, got {bits}")
-    for c in ("__hx", "__hy", "__hd"):
+    for c in ("__hx", "__hy", "__hd", out):
         if c in df.columns:
             raise ValueError(
                 f"hilbert_key_2d reserves the column name {c!r}; "
-                "rename it first"
+                "rename it first (or pick another `out`)"
             )
     cur = df.select(
         "*",

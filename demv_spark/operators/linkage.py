@@ -144,43 +144,52 @@ def soundex_code(c: Column) -> Column:
     tests/test_linkage.py::test_soundex_matches_spark_builtin on the
     canonical NARA examples and a real word corpus.
 
-    Mechanics: strip non-letters, uppercase; H/W vanish from the TAIL
-    (transparency — same-coded letters across H/W merge), then every
-    letter (first included) maps to a digit class (vowels 7, a
-    first-letter H/W 8), runs collapse per digit, the first letter's
-    own run is dropped (it is kept as a letter, and a following
-    same-coded letter merges into it — the Pfister rule), vowel
-    markers delete AFTER collapsing (vowel-separated repeats code
-    twice — the Tymczak rule), pad/truncate to letter+3."""
-    s = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    Mechanics (bug-for-bug with the builtin, empirically probed):
+    a non-letter FIRST character returns the input unchanged; H/W
+    vanish from the tail (transparency — same-coded letters across
+    H/W merge); every OTHER non-letter becomes the same run-breaking
+    marker as a vowel (punctuation/digit-separated repeats code
+    twice: 'B-B' → B100, unlike NARA-strip implementations that give
+    B000 — hyphenated surnames are prime linkage input); letters map
+    to digit classes, runs collapse per digit, the first letter's own
+    run drops (the Pfister rule), break markers delete AFTER
+    collapsing (the Tymczak rule), pad/truncate to letter+3."""
+    s = F.upper(c)
     first = F.substring(s, 1, 1)
     tail = F.regexp_replace(s.substr(F.lit(2), F.length(s)), "[HW]", "")
-    d = F.concat(first, tail)
+    # non-letters (incl. digits, which collide with the code
+    # alphabet) become '~' BEFORE class mapping, then join the vowel
+    # marker: they break runs and emit nothing
+    d = F.regexp_replace(F.concat(first, tail), "[^A-Z]", "~")
     for pat, rep in _SOUNDEX_CLASSES:
         d = F.regexp_replace(d, pat, rep)
+    d = F.regexp_replace(d, "~", "7")
     for digit in "12345678":
         d = F.regexp_replace(d, digit + "+", digit)
     d = d.substr(F.lit(2), F.length(d))
     d = F.regexp_replace(d, "7", "")
     code = F.concat(first, F.rpad(F.substring(d, 1, 3), 3, "0"))
-    return F.when(s == "", F.lit("")).otherwise(code)
+    return F.when(first.rlike("^[A-Z]$"), code).otherwise(c)
 
 
 def soundex_sql(expr: str) -> str:
     """The SAME chain rendered for DuckDB (generated from the same
     class table, so the two cannot drift)."""
-    s = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    s = f"upper({expr})"
     inner = (
-        f"substr({s}, 1, 1) || "
-        f"regexp_replace(substr({s}, 2), '[HW]', '', 'g')"
+        f"regexp_replace(substr({s}, 1, 1) || "
+        f"regexp_replace(substr({s}, 2), '[HW]', '', 'g'), "
+        f"'[^A-Z]', '~', 'g')"
     )
     d = inner
     for pat, rep in _SOUNDEX_CLASSES:
         d = f"regexp_replace({d}, '{pat}', '{rep}', 'g')"
+    d = f"regexp_replace({d}, '~', '7', 'g')"
     for digit in "12345678":
         d = f"regexp_replace({d}, '{digit}+', '{digit}', 'g')"
     d = f"regexp_replace(substr({d}, 2), '7', '', 'g')"
     return (
-        f"CASE WHEN {s} = '' THEN '' "
-        f"ELSE substr({s}, 1, 1) || rpad(substr({d}, 1, 3), 3, '0') END"
+        f"CASE WHEN regexp_matches(substr({s}, 1, 1), '^[A-Z]$') "
+        f"THEN substr({s}, 1, 1) || rpad(substr({d}, 1, 3), 3, '0') "
+        f"ELSE {expr} END"
     )

@@ -77,8 +77,7 @@ def main():
     orders = read_table(spark, sf, "orders").cache()
     docs.count(), orders.count()
     docs_k = scaled(docs, k, {"doc_id": 10_000_000}).cache()
-    from demv_spark.sources.readers import read_table as _rt
-    emb = _rt(spark, sf, "embeddings").cache()
+    emb = read_table(spark, sf, "embeddings").cache()
     emb_k = scaled(emb, k, {"vec_id": 10_000_000}).cache()
     emb.count(), emb_k.count()
     orders_k = scaled(orders, k, {"o_orderkey": 100_000_000}).cache()

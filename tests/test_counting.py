@@ -236,23 +236,32 @@ def test_salted_join_left_preserves_unmatched(spark):
 
 
 def test_salted_join_replication_is_hot_only(spark):
-    """The cost bound: only HOT dim rows replicate (|hot|·n_salts),
-    cold dim rows keep a single salt-0 replica — verified through the
-    public result by joining a fact table with one row per (key,
-    salt-candidate) and counting matches per key."""
+    """The COST contract, pinned on the replicated dim side itself:
+    hot rows appear once per salt, cold rows exactly once (at salt 0)
+    — a regression to blanket replication (|dims|·n_salts) fails here
+    even though the join RESULT would still be row-identical."""
     import pyspark.sql.functions as F
 
-    from demv_spark.functions.joins import salted_join
+    from demv_spark.functions.joins import _salted_dims, salted_join
 
     facts, dims = _skew_fixture(spark)
     n = 8
-    # every fact row matches exactly one dim replica, so the join
-    # result equals the fact count regardless of replication
-    out = salted_join(facts, dims, "k", n, hot_keys=["HOT"])
-    assert out.count() == facts.count()
-    # with hot pruning, a cold-key fact row always carries salt 0: a
-    # dim side WITHOUT salt-0 cold rows would drop them — simulate by
-    # asserting plain equality again at a different salt count
+    rep = _salted_dims(dims, ["k"], n, ["HOT"])
+    per_key = {
+        r["k"]: (r["n"], r["n_salts"])
+        for r in rep.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("__salt").alias("n_salts"))
+        .collect()
+    }
+    assert per_key["HOT"] == (n, n)
+    assert all(v == (1, 1) for k, v in per_key.items() if k != "HOT")
+    assert rep.count() == n + (dims.count() - 1)
+    # and no-pruning mode replicates everything (correct, documented
+    # as the expensive fallback)
+    assert _salted_dims(dims, ["k"], n, None).count() == dims.count() * n
+    # cold-key fact rows always carry salt 0, meeting the single cold
+    # replica: plain equality holds at a different salt count too
     got = sorted(map(tuple, salted_join(facts, dims, "k", 3, hot_keys=["HOT"]).collect()))
     assert got == sorted(map(tuple, facts.join(dims, "k").collect()))
 

@@ -156,6 +156,13 @@ def test_soundex_matches_spark_builtin(spark):
         "Washington", "Lee", "Gutierrez", "AAAA", "Euler", "Gauss",
         "Hilbert", "Knuth", "Lloyd", "Lukasiewicz", "Wachs",
         "O'Brien", "", "W", "H", "A",
+        # the punctuation/digit semantics the round-9 review caught:
+        # non-letters BREAK runs (unlike NARA-strip implementations),
+        # H/W stay transparent, a non-letter first char returns the
+        # input unchanged
+        "B-B", "B--B", "B7B", "B1B", "b-h-b", "B-HB", "BH-B",
+        "Kirk-Cohen", "Mc Donald", "a1b", "-Bob", "3Bob", "x--",
+        "--", "1234", "J  R",
     ]
     df = spark.createDataFrame([(n,) for n in names], ["name"])
     rows = df.select(
