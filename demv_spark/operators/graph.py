@@ -300,6 +300,11 @@ def hits_integer(
             ),
             "hub_int",
         )
+    # auth/hub are localCheckpointed by the final _norm calls, so the
+    # static graph tables can be released without changing the result
+    # plan (the pagerank_integer leak fix, applied here too)
+    e.unpersist()
+    nodes.unpersist()
     return auth.join(hub, "node")
 
 
