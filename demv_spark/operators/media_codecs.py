@@ -1834,18 +1834,21 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a GIF87a/89a payload to the FIRST frame composited on
-    the logical screen: an (screen_h, screen_w, 3) uint8 RGB array
-    with the frame placed at its descriptor's (left, top) offset and
-    the rest of the canvas filled with the background-color palette
-    entry — what optimizing encoders emit for partial first frames.
-    Supports global and local color tables, interlaced row order,
-    and skips extension blocks (GCE, comments, application). Raises
-    on corrupt streams; LATER-frame compositing is out of scope (the
-    first frame is the corpus-pipeline signal)."""
+def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
+    """Decode frame ``frame`` of a GIF87a/89a payload, COMPOSITED on
+    the logical screen as an (screen_h, screen_w, 3) uint8 RGB array
+    — real animation semantics: Graphics Control Extension
+    transparency (transparent pixels show what is beneath) and
+    disposal methods 0/1 (keep), 2 (restore background) and 3
+    (restore previous canvas) applied between frames, so frame
+    sampling an animated GIF sees what a viewer sees. Undrawn canvas
+    is the background-color palette entry. Supports global and local
+    color tables and interlaced row order; raises on corrupt streams
+    or a ``frame`` beyond the animation."""
     if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a payload")
+    if frame < 0:
+        raise ValueError(f"frame must be >= 0, got {frame}")
     sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
@@ -1854,13 +1857,27 @@ def decode_gif(payload: bytes) -> np.ndarray:
         gct = np.frombuffer(payload, dtype=np.uint8, count=gct_n * 3, offset=pos)
         gct = gct.reshape(gct_n, 3)
         pos += gct_n * 3
+    bg_color = (
+        gct[bg] if gct is not None and bg < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_color
+    fidx = 0
+    disposal = 0
+    trans_idx: "int | None" = None
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
+        if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                trans_idx = payload[pos + 4] if gflags & 0x01 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -1909,11 +1926,109 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 f"GIF frame ({left},{top})+{w}x{h} exceeds the "
                 f"{sw}x{sh} logical screen"
             )
-        if left == 0 and top == 0 and (w, h) == (sw, sh):
-            return table[ix]
-        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-        if gct is not None and bg < gct.shape[0]:
-            canvas[:, :] = gct[bg]
-        canvas[top : top + h, left : left + w] = table[ix]
-        return canvas
-    raise ValueError("GIF stream contains no image data")
+        prev = canvas.copy() if (disposal == 3 and fidx < frame) else None
+        region = canvas[top : top + h, left : left + w]
+        if trans_idx is not None:
+            mask = ix != trans_idx
+            region[mask] = table[ix][mask]
+        else:
+            region[:, :] = table[ix]
+        if fidx == frame:
+            return canvas
+        # dispose BEFORE the next frame draws
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        fidx += 1
+        disposal = 0
+        trans_idx = None
+    raise ValueError(
+        f"GIF stream ended at frame {fidx} before requested frame {frame}"
+        if fidx else "GIF stream contains no image data"
+    )
+
+
+# ------------------------------------------------------- JPEG EXIF
+
+def jpeg_orientation(payload: bytes) -> int:
+    """EXIF orientation (1..8) from a JPEG's APP1 segment, or 1 when
+    absent/unparseable — the tag phones set instead of rotating
+    pixels, so a pipeline that ignores it trains on sideways images.
+    Parses the TIFF header inside APP1 (both II and MM byte orders)
+    and IFD0's tag 0x0112; never raises on malformed EXIF (corrupt
+    metadata is routine in crawls — the pixel decode is the thing
+    that must stay strict)."""
+    if payload[:2] != JPEG_MAGIC:
+        return 1
+    pos = 2
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return 1
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2
+                continue
+            if marker in (0xDA, 0xD9):       # entropy data / end: no EXIF
+                return 1
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tiff = body[6:]
+                if tiff[:2] == b"II":
+                    bo = "<"
+                elif tiff[:2] == b"MM":
+                    bo = ">"
+                else:
+                    return 1
+                (ifd0,) = struct.unpack(bo + "I", tiff[4:8])
+                (n,) = struct.unpack(bo + "H", tiff[ifd0 : ifd0 + 2])
+                for i in range(n):
+                    at = ifd0 + 2 + 12 * i
+                    tag, typ, _cnt = struct.unpack(
+                        bo + "HHI", tiff[at : at + 8]
+                    )
+                    if tag == 0x0112 and typ == 3:   # SHORT
+                        (val,) = struct.unpack(
+                            bo + "H", tiff[at + 8 : at + 10]
+                        )
+                        return val if 1 <= val <= 8 else 1
+                return 1
+            pos += 2 + seglen
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def apply_exif_orientation(arr: "np.ndarray", orientation: int) -> "np.ndarray":
+    """Rotate/flip decoded pixels into display orientation (EXIF
+    1..8). Orientation semantics per the EXIF spec: the value names
+    where the stored image's row-0/col-0 sit in the scene."""
+    o = int(orientation)
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    if o == 5:
+        return np.rot90(arr, k=-1)[:, ::-1]
+    if o == 6:
+        return np.rot90(arr, k=-1)
+    if o == 7:
+        return np.rot90(arr, k=1)[:, ::-1]
+    if o == 8:
+        return np.rot90(arr, k=1)
+    return arr
+
+
+def decode_image_oriented(payload: bytes) -> "np.ndarray":
+    """decode_image + EXIF orientation applied — what a training
+    pipeline should feed downstream of camera uploads."""
+    arr = decode_image(payload)
+    if payload[:2] == JPEG_MAGIC:
+        return np.ascontiguousarray(
+            apply_exif_orientation(arr, jpeg_orientation(payload))
+        )
+    return arr

@@ -559,3 +559,48 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 33) -> DataFrame:
             yield pd.DataFrame(recs, columns=["media_id", "n_samples", "fp_hex"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def gif_frame_sums(df: DataFrame, frames: "tuple[int, ...]" = (0,)) -> DataFrame:
+    """REAL multi-frame sampling for animated GIFs — the decode half
+    of ``frame_sample_plan``'s (media_id, frame) pairs: each requested
+    frame is composited per the animation's disposal/transparency
+    semantics (media_codecs.decode_gif) and reduced to integer channel
+    sums. Frames beyond an animation's end are skipped, not fatal
+    (crawl GIFs lie about frame counts routinely). Arrow-batched
+    mapInPandas, map-only at any scale — the image_channel_sums
+    shape with a frame axis."""
+    from demv_spark.operators.media_codecs import decode_gif
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("r_sum", LongType()),
+            StructField("g_sum", LongType()),
+            StructField("b_sum", LongType()),
+        ]
+    )
+    want = sorted(set(int(f) for f in frames))
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fr in want:
+                    try:
+                        arr = decode_gif(bytes(payload), frame=fr).astype(
+                            np.int64
+                        )
+                    except ValueError:
+                        break  # past the animation's end
+                    h, w = arr.shape[:2]
+                    s = arr.sum(axis=(0, 1))
+                    recs.append(
+                        (int(mid), fr, w, h, int(s[0]), int(s[1]), int(s[2]))
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=out_schema)

@@ -698,3 +698,159 @@ def test_gif_partial_first_frame_composites_on_screen():
     bad[6:8] = (4).to_bytes(2, "little")
     with pytest.raises(ValueError, match="exceeds"):
         C.decode_gif(bytes(bad))
+
+
+# ------------------------------------------------------- JPEG EXIF
+
+def _with_exif(jpeg: bytes, orientation: int, byte_order: str = "II") -> bytes:
+    """Splice a minimal APP1 Exif segment (TIFF header + IFD0 with
+    the single 0x0112 SHORT tag) right after SOI."""
+    import struct as _s
+
+    bo = "<" if byte_order == "II" else ">"
+    tiff = (
+        byte_order.encode()
+        + _s.pack(bo + "H", 42)
+        + _s.pack(bo + "I", 8)           # IFD0 at offset 8
+        + _s.pack(bo + "H", 1)           # one entry
+        + _s.pack(bo + "HHI", 0x0112, 3, 1)
+        + _s.pack(bo + "H", orientation) + b"\x00\x00"
+        + _s.pack(bo + "I", 0)           # no next IFD
+    )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_jpeg_orientation_parses_both_byte_orders():
+    base = C.encode_jpeg_gray(_tile_image(3, 16, 24))
+    assert C.jpeg_orientation(base) == 1          # no EXIF
+    for o in range(1, 9):
+        for order in ("II", "MM"):
+            assert C.jpeg_orientation(_with_exif(base, o, order)) == o
+    # malformed EXIF never raises — corrupt metadata is routine
+    assert C.jpeg_orientation(_with_exif(base, 9)) == 1      # out of range
+    broken = _with_exif(base, 6)
+    broken = broken.replace(b"Exif\x00\x00II", b"Exif\x00\x00XX", 1)
+    assert C.jpeg_orientation(broken) == 1
+    assert C.jpeg_orientation(b"\xff\xd8\xff") == 1
+
+
+def test_decode_image_oriented_roundtrips_all_eight():
+    """For every orientation o: store inverse(X, o), tag it o, and
+    decode_image_oriented must return X — pinned on an asymmetric
+    constant-tile image (lossless corner) so geometry errors show."""
+    rng = np.random.RandomState(3)
+    tiles = rng.randint(0, 256, (3, 4))
+    X = np.repeat(np.repeat(tiles, 8, 0), 8, 1).astype(np.uint8)  # 24x32
+
+    def stored_form(img, o):
+        # inverse of apply_exif_orientation
+        if o == 2:
+            return img[:, ::-1]
+        if o == 3:
+            return img[::-1, ::-1]
+        if o == 4:
+            return img[::-1, :]
+        if o == 5:
+            return img.swapaxes(0, 1)           # transpose is involutive
+        if o == 6:
+            return np.rot90(img, k=1)           # inverse of CW is CCW
+        if o == 7:
+            return img[::-1, ::-1].swapaxes(0, 1)
+        if o == 8:
+            return np.rot90(img, k=-1)
+        return img
+
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(stored_form(X, o))
+        enc = _with_exif(C.encode_jpeg_gray(stored), o)
+        got = C.decode_image_oriented(enc)[:, :, 0]
+        assert np.array_equal(got, X), o
+    # non-JPEG payloads pass through untouched
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    ix = np.array([[0, 1]], dtype=np.uint8)
+    assert np.array_equal(
+        C.decode_image_oriented(C.encode_gif(ix, pal)), pal[ix]
+    )
+
+
+def _animated_gif(sw, sh, pal, frames):
+    """Hand-assemble a multi-frame GIF: frames = list of
+    (left, top, ix, disposal, trans_idx_or_None)."""
+    import struct as _s
+
+    gct_bits = max(1, (max(pal.shape[0], 2) - 1).bit_length())
+    gct = np.zeros((1 << gct_bits, 3), np.uint8)
+    gct[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", sw, sh,
+                   0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    mcs = max(2, gct_bits)
+    for left, top, ix, disposal, tidx in frames:
+        gflags = (disposal << 2) | (0x01 if tidx is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gflags, 0, 0, tidx or 0]) + b"\x00"
+        h, w = ix.shape
+        out += b"\x2c" + _s.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([mcs])
+        stream = C._lzw_compress_gif(ix.tobytes(), mcs)
+        for i in range(0, len(stream), 255):
+            blk = stream[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_disposals():
+    """Frame sampling sees what a viewer sees: transparency shows the
+    prior canvas, disposal 1 keeps, 2 restores background, 3 restores
+    the previous canvas."""
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   dtype=np.uint8)
+    full = np.ones((4, 4), np.uint8)        # red wash
+    patch_keep = np.full((2, 2), 2, np.uint8)   # green patch
+    # frame2 patch uses index 3 with index-0 transparent holes
+    patch_t = np.array([[3, 0], [0, 3]], dtype=np.uint8)
+
+    # disposal 1 (keep): frame1 = red wash + green patch at (1,1);
+    # frame2 draws a transparent-holed blue patch at (0,0) over THAT
+    gif = _animated_gif(4, 4, pal, [
+        (0, 0, full, 1, None),
+        (1, 1, patch_keep, 1, None),
+        (0, 0, patch_t, 1, 0),
+    ])
+    f0 = C.decode_gif(gif, frame=0)
+    assert (f0 == pal[1]).all()
+    f1 = C.decode_gif(gif, frame=1)
+    assert (f1[1:3, 1:3] == pal[2]).all() and (f1[0, 0] == pal[1]).all()
+    f2 = C.decode_gif(gif, frame=2)
+    assert (f2[0, 0] == pal[3]).all()        # drawn
+    assert (f2[0, 1] == pal[1]).all()        # transparent -> red beneath
+    assert (f2[1, 1] == pal[3]).all()        # drawn (inside the patch)
+    assert (f2[2, 2] == pal[2]).all()        # outside patch: frame1 kept
+
+    # disposal 2: frame0's rect restores to BACKGROUND before frame1
+    gif2 = _animated_gif(4, 4, pal, [
+        (0, 0, full, 2, None),
+        (1, 1, patch_t, 1, 0),
+    ])
+    g1 = C.decode_gif(gif2, frame=1)
+    assert (g1[0, 0] == pal[0]).all()        # background restored
+    assert (g1[1, 1] == pal[3]).all()        # drawn
+    assert (g1[1, 2] == pal[0]).all()        # transparent -> background
+
+    # disposal 3: frame1's effect vanishes before frame2
+    gif3 = _animated_gif(4, 4, pal, [
+        (0, 0, full, 1, None),
+        (1, 1, patch_keep, 3, None),
+        (0, 0, patch_t, 1, 0),
+    ])
+    h2 = C.decode_gif(gif3, frame=2)
+    assert (h2[2, 2] == pal[1]).all()        # green patch disposed -> red
+    assert (h2[0, 0] == pal[3]).all()
+
+    # beyond-end raises with the frame count
+    with pytest.raises(ValueError, match="before requested frame"):
+        C.decode_gif(gif, frame=3)

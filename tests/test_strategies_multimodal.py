@@ -330,3 +330,35 @@ def test_lsh_adasyn_zero_density_fallback_and_validation(spark):
     with _pytest.raises(ValueError, match="unknown strategy"):
         synthetic_rebalance_lsh(
             df, ["s0"], "y", targets, id_cols=["row_id"], strategy="borderline")
+
+
+def test_gif_frame_sums_composites_animation(spark):
+    """Multi-frame sampling over a REAL animated GIF: per-frame sums
+    equal local compositing; frames beyond the end are skipped."""
+    import numpy as np
+    import pandas as pd
+
+    from demv_spark.operators import media_codecs as C
+    from demv_spark.operators.multimodal import MEDIA_SCHEMA, gif_frame_sums
+    from tests.test_media_codecs import _animated_gif
+
+    pal = np.array([[9, 9, 9], [250, 0, 0], [0, 250, 0]], dtype=np.uint8)
+    full = np.ones((3, 3), np.uint8)
+    patch = np.full((2, 2), 2, np.uint8)
+    gif = _animated_gif(3, 3, pal, [
+        (0, 0, full, 1, None),
+        (1, 1, patch, 1, None),
+    ])
+    rows = [(7, "image", "gif", gif, 3, 3, None)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {
+        r["frame"]: (r["r_sum"], r["g_sum"], r["b_sum"])
+        for r in gif_frame_sums(media, frames=(0, 1, 5)).collect()
+    }
+    f0 = C.decode_gif(gif, 0).astype(np.int64).sum(axis=(0, 1))
+    f1 = C.decode_gif(gif, 1).astype(np.int64).sum(axis=(0, 1))
+    assert got == {0: tuple(f0), 1: tuple(f1)}  # frame 5 skipped
+    assert got[0] != got[1]
