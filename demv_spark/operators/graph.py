@@ -400,7 +400,12 @@ def triangle_census(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    # materialize the census, then RELEASE the static tables: persists
+    # without unpersist pin blocks for the session lifetime, and a
+    # bare unpersist would silently re-derive e/deg/oriented on the
+    # caller's first action (the pagerank_integer leak fix, applied
+    # here too — round-10 ADVICE finding)
+    out = (
         deg.join(corner_counts, "node", "left")
         .select(
             "node",
@@ -408,4 +413,8 @@ def triangle_census(
             F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
             (F.col("degree") * (F.col("degree") - 1)).cast("long").alias("wedges"),
         )
+        .localCheckpoint(eager=True)
     )
+    for cached in (e, deg, oriented):
+        cached.unpersist()
+    return out

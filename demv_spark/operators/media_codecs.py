@@ -1679,13 +1679,25 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
 # palette-based, so fixtures round-trip bit-exactly (the palette-PNG
 # property) and the driver oracle is closed-form.
 #
-# Boundary: decode returns the FIRST frame of animated streams as RGB
-# (no disposal-method compositing — later frames need the previous
-# canvas, which is an animation-player concern, not a corpus-pipeline
-# one); transparency indices are decoded to their palette RGB (the
-# alpha channel is dropped, matching decode_image's RGB contract).
+# decode_gif(payload, frame=N) returns frame N COMPOSITED on the
+# logical screen with real animation semantics — GCE transparency and
+# disposal methods 0-3 applied between frames — so frame-sampling an
+# animated GIF sees what a viewer sees. Transparent pixels show the
+# canvas beneath (the alpha channel itself is dropped, matching
+# decode_image's RGB contract). Requesting a frame past a valid
+# animation's end raises GifFrameRangeError (a ValueError subclass);
+# corrupt or truncated streams raise plain ValueError, so callers can
+# treat "short animation" and "broken payload" differently.
 
 GIF_MAGIC = b"GIF8"
+
+
+class GifFrameRangeError(ValueError):
+    """Requested frame is past the end of a VALID animation — the
+    stream decoded cleanly through its trailer but held fewer frames.
+    Distinct from plain ValueError (corrupt/truncated stream) so that
+    frame samplers can skip short animations without also swallowing
+    genuinely broken payloads (round-10 ADVICE finding)."""
 
 
 def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
@@ -1844,16 +1856,29 @@ def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
     sampling an animated GIF sees what a viewer sees. Undrawn canvas
     is the background-color palette entry. Supports global and local
     color tables and interlaced row order; raises on corrupt streams
-    or a ``frame`` beyond the animation."""
+    or a ``frame`` beyond the animation (the latter as
+    GifFrameRangeError; truncated/corrupt streams raise plain
+    ValueError, never IndexError — every indexed read is
+    bounds-checked)."""
     if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/GIF89a payload")
     if frame < 0:
         raise ValueError(f"frame must be >= 0, got {frame}")
+
+    def _need(at: int, n: int, what: str) -> None:
+        if at + n > len(payload):
+            raise ValueError(
+                f"truncated GIF stream: need {n} byte(s) for {what} at "
+                f"offset {at}, have {len(payload) - at}"
+            )
+
+    _need(6, 7, "logical screen descriptor")
     sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         gct_n = 2 << (flags & 0x07)
+        _need(pos, gct_n * 3, "global color table")
         gct = np.frombuffer(payload, dtype=np.uint8, count=gct_n * 3, offset=pos)
         gct = gct.reshape(gct_n, 3)
         pos += gct_n * 3
@@ -1866,42 +1891,54 @@ def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
     fidx = 0
     disposal = 0
     trans_idx: "int | None" = None
+    saw_trailer = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension: label + sub-blocks
+            _need(pos, 1, "extension label")
             label = payload[pos]
             pos += 1
+            _need(pos, 1, "extension sub-block size")
             if label == 0xF9 and payload[pos] >= 4:
+                _need(pos, 5, "graphics control extension")
                 gflags = payload[pos + 1]
                 disposal = (gflags >> 2) & 0x07
                 trans_idx = payload[pos + 4] if gflags & 0x01 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
+                _need(pos, 1, "extension sub-block size")
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unexpected block 0x{block:02x}")
+        _need(pos, 9, "image descriptor")
         left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
         table = gct
         if iflags & 0x80:
             lct_n = 2 << (iflags & 0x07)
+            _need(pos, lct_n * 3, "local color table")
             table = np.frombuffer(
                 payload, dtype=np.uint8, count=lct_n * 3, offset=pos
             ).reshape(lct_n, 3)
             pos += lct_n * 3
         if table is None:
             raise ValueError("GIF image has neither global nor local color table")
+        _need(pos, 1, "LZW min code size")
         min_code_size = payload[pos]
         pos += 1
         stream = bytearray()
+        _need(pos, 1, "image sub-block size")
         while payload[pos]:
             ln = payload[pos]
+            _need(pos + 1, ln, "image sub-block data")
             stream += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            _need(pos, 1, "image sub-block size")
         pos += 1
         data = _lzw_decompress_gif(bytes(stream), min_code_size)
         if len(data) < w * h:
@@ -1943,10 +1980,17 @@ def decode_gif(payload: bytes, frame: int = 0) -> np.ndarray:
         fidx += 1
         disposal = 0
         trans_idx = None
-    raise ValueError(
-        f"GIF stream ended at frame {fidx} before requested frame {frame}"
-        if fidx else "GIF stream contains no image data"
-    )
+    if not saw_trailer:
+        raise ValueError(
+            f"truncated GIF stream: no trailer after {fidx} frame(s)"
+        )
+    if fidx:
+        # the stream decoded cleanly through its trailer but held
+        # fewer frames than requested — a short VALID animation
+        raise GifFrameRangeError(
+            f"GIF animation has {fidx} frame(s); requested frame {frame}"
+        )
+    raise ValueError("GIF stream contains no image data")
 
 
 # ------------------------------------------------------- JPEG EXIF

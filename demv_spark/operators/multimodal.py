@@ -561,16 +561,27 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 33) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
-def gif_frame_sums(df: DataFrame, frames: "tuple[int, ...]" = (0,)) -> DataFrame:
+def gif_frame_sums(
+    df: DataFrame,
+    frames: "tuple[int, ...]" = (0,),
+    on_corrupt: str = "error",
+) -> DataFrame:
     """REAL multi-frame sampling for animated GIFs — the decode half
     of ``frame_sample_plan``'s (media_id, frame) pairs: each requested
     frame is composited per the animation's disposal/transparency
     semantics (media_codecs.decode_gif) and reduced to integer channel
-    sums. Frames beyond an animation's end are skipped, not fatal
-    (crawl GIFs lie about frame counts routinely). Arrow-batched
+    sums. Frames beyond a VALID animation's end are skipped, not
+    fatal (crawl GIFs lie about frame counts routinely) — detected by
+    the typed GifFrameRangeError, so corrupt/truncated payloads are
+    NOT silently conflated with short animations (round-10 ADVICE
+    finding). Corrupt payloads follow ``on_corrupt``: "error" (the
+    default — fail the task with the decode error) or "skip" (drop
+    that media_id entirely, for lossy crawl sweeps). Arrow-batched
     mapInPandas, map-only at any scale — the image_channel_sums
     shape with a frame axis."""
-    from demv_spark.operators.media_codecs import decode_gif
+    if on_corrupt not in ("error", "skip"):
+        raise ValueError(f"on_corrupt must be 'error' or 'skip', got {on_corrupt!r}")
+    from demv_spark.operators.media_codecs import GifFrameRangeError, decode_gif
 
     out_schema = StructType(
         [
@@ -594,8 +605,12 @@ def gif_frame_sums(df: DataFrame, frames: "tuple[int, ...]" = (0,)) -> DataFrame
                         arr = decode_gif(bytes(payload), frame=fr).astype(
                             np.int64
                         )
+                    except GifFrameRangeError:
+                        break  # past a valid animation's end
                     except ValueError:
-                        break  # past the animation's end
+                        if on_corrupt == "skip":
+                            break  # corrupt payload, documented drop
+                        raise
                     h, w = arr.shape[:2]
                     s = arr.sum(axis=(0, 1))
                     recs.append(

@@ -851,6 +851,18 @@ def test_gif_animation_compositing_disposals():
     assert (h2[2, 2] == pal[1]).all()        # green patch disposed -> red
     assert (h2[0, 0] == pal[3]).all()
 
-    # beyond-end raises with the frame count
-    with pytest.raises(ValueError, match="before requested frame"):
+    # beyond-end raises the TYPED range error with the frame count —
+    # distinct from plain ValueError so samplers can skip short
+    # animations without swallowing corruption
+    with pytest.raises(C.GifFrameRangeError, match="has 3 frame"):
         C.decode_gif(gif, frame=3)
+
+    # truncation is plain ValueError (never IndexError, never the
+    # range error) at every cut point of a valid stream
+    for cut in range(6, len(gif)):
+        try:
+            C.decode_gif(gif[:cut], frame=2)
+        except C.GifFrameRangeError:  # pragma: no cover
+            raise AssertionError(f"cut {cut}: truncation typed as range")
+        except ValueError:
+            pass
