@@ -398,11 +398,16 @@ def synthetic_rebalance_lsh(
     # row — shuffling the full __nx array at candidate volume through
     # distinct+window was the anti-pattern embedding_near_dup's
     # first-band rule removed on the cosine side
-    cand = (
-        left.join(right, cond)
-        .select(*keys, "__fid", "__nfid", d2.alias("__d2"))
-        .distinct()
+    cand = left.join(right, cond).select(
+        *keys, "__fid", "__nfid", d2.alias("__d2")
     )
+    if n_tables > 1:
+        # a (base, nbr) pair appears at most once PER TABLE (each row
+        # has exactly one bucket key per table), so the dedup shuffle
+        # only pays for itself across tables — at n_tables=1 it is a
+        # provable no-op and is skipped (a full exchange at candidate
+        # volume, the single heaviest stage of the one-table plan)
+        cand = cand.distinct()
     w_knn = Window.partitionBy(*keys, "__fid").orderBy(
         F.col("__d2").asc(), portable_hash(F.col("__nfid"))
     )
