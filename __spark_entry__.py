@@ -189,6 +189,78 @@ _R9_WINDOW: list[str] = (
     + _R9_FLAGSHIPS + _R9_RESEATS
 )
 
+# ---- round-10 window (the COVERAGE.md "Round-10 rotation plan",
+# executed per VERDICT r9 item 2) ----
+# Holds for a SECOND consecutive green (every seat below was green
+# for the FIRST time in CORRECTNESS_r09, or its plan changed since):
+#  - all 17 round-9 births (the 8 early-wave + the 9 sixth-wave);
+#  - both PageRank re-earns (post-plan-change green #1 in r9);
+#  - q_demv_adasyn_rowcheck (its %23 fixture cap landed in r9) and
+#    q_demv_adasyn_lsh_rowcheck (its %5 cap + one-table plan landed
+#    THIS round — a fresh re-earn);
+#  - the two formerly-`err` r8 rows (first green in r9 after the
+#    positions-column flatten).
+# Rotated out: the remaining 12 _R8_QUEUE/_R8_BIRTHS seats — all
+# twice-green (r8+r9) veterans; every rotated family keeps a seat
+# via the flagship list (the executable no-family-starves invariant).
+_R10_HOLDS: list[str] = (
+    _R9_BIRTHS
+    + _R9_REEARN
+    + [
+        "q_demv_adasyn_rowcheck",
+        "q_demv_adasyn_lsh_rowcheck",
+        "q_text_inverted_index",
+        "q_stream_index_log",
+    ]
+)
+
+# queries born in round 10 — every new oracled row earns its driver
+# seat in its birth round (the no-new-backlog rule); each birth
+# replaces one _R10_RESEATS veteran one-for-one
+_R10_BIRTHS: list[str] = []
+
+# one seat per CORRECTNESS_r09 family not already covered by the
+# holds/births (computed family-by-family; every name multi-round
+# green)
+_R10_FLAGSHIPS: list[str] = [
+    "q_sketch_hll",
+    "q_olap_star_join",
+    "q_ml_stratified_folds",
+    "q_etl_robust_outliers",
+    "q_cdc_snapshot",
+    "q_metric_fairness_suite",
+    "q_dataset_adult",
+    "q_pii_redact",
+    "q_validate_report",
+    "q_count_group_weights",
+    "q_warc_roundtrip",
+]
+
+# veteran re-seats filling the remaining seats (all multi-round
+# green); shrinks one-for-one as round-10 births land
+_R10_RESEATS: list[str] = [
+    "q_demv_rebalance_census",
+    "q_corpus_training_prep_e2e",
+    "q_linkage_best_match",
+    "q_layout_zorder",
+    "q_privacy_k_anon",
+    "q_events_hop_census",
+    "q_sketch_countmin",
+    "q_sketch_bloom",
+    "q_sketch_kmv",
+    "q_sim_topk_chunked",
+    "q_stream_cdc_log",
+    "q_media_jpeg_near_dup",
+    "q_text_chunk_windows",
+    "q_sketch_bloom_join",
+    "q_stream_hll_log",
+    "q_dedup_best_of_cluster",
+]
+
+_R10_WINDOW: list[str] = (
+    _R10_HOLDS + _R10_BIRTHS + _R10_FLAGSHIPS + _R10_RESEATS
+)
+
 # the PLANTED BPE merge list shared by q_text_bpe_encode and its
 # oracle: learned once from the sf0.001 corpus (learn_bpe, 16 merges)
 # and frozen, so the driver row exercises the APPLY kernel against a
@@ -4150,7 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation policy as executable invariants: exactly 50 seats, no
     # never-driver-verified query outside the window, no family
     # losing all its seats, no typo'd seat name.
-    window = _R9_WINDOW
+    window = _R10_WINDOW
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
