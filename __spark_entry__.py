@@ -217,7 +217,9 @@ _R10_HOLDS: list[str] = (
 # queries born in round 10 — every new oracled row earns its driver
 # seat in its birth round (the no-new-backlog rule); each birth
 # replaces one _R10_RESEATS veteran one-for-one
-_R10_BIRTHS: list[str] = []
+_R10_BIRTHS: list[str] = [
+    "q_sim_semantic_e2e",
+]
 
 # one seat per CORRECTNESS_r09 family not already covered by the
 # holds/births (computed family-by-family; every name multi-round
@@ -254,7 +256,6 @@ _R10_RESEATS: list[str] = [
     "q_text_chunk_windows",
     "q_sketch_bloom_join",
     "q_stream_hll_log",
-    "q_dedup_best_of_cluster",
 ]
 
 _R10_WINDOW: list[str] = (
@@ -805,6 +806,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_sim_covariance"] = lambda spark, sf: similarity.embedding_covariance(
         _t(spark, sf, "embeddings"), dim=16
     )
+
+    # SemDeDup e2e (round 10, VERDICT r9 item 3): whiten → centroid
+    # buckets → per-cluster whitened-cosine prune → CC → keep-one, as
+    # ONE composed DAG over a planted corpus (every %7 vector gets a
+    # scaled near-copy — scaling is cosine-preserving pre-centering,
+    # so each copy sits ≥ tau from its original after whitening).
+    # The whole float pipeline is a fixed-order IEEE expression twin:
+    # decimal-stable covariance → pivot-free Gauss-Jordan Σ⁻¹ (driver
+    # Python vs a 16-step recursive CTE, verified bit-exact) →
+    # sequential-fold Mahalanobis cosines, so even threshold-boundary
+    # decisions agree and the integer census hash-matches.
+    def _sim_semantic_e2e(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 1.001).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = emb.unionByName(planted)
+        return similarity.semantic_dedup(
+            corpus, dim=16, n_clusters=4, tau=0.99,
+            ridge=1e-6, seed=42, lloyd_iters=1,
+        )
+
+    q["q_sim_semantic_e2e"] = _sim_semantic_e2e
 
     q["q_sim_label_centroids"] = lambda spark, sf: similarity.label_centroids(
         _t(spark, sf, "embeddings")
@@ -4906,6 +4935,204 @@ def oracle_sql() -> dict[str, str]:
         FROM second s
         JOIN first fi ON fi.pos = s.i
         JOIN first fj ON fj.pos = s.j
+    """
+
+    # SemDeDup e2e replay: the exact pipeline in SQL — decimal-stable
+    # covariance, a 16-step recursive-CTE Gauss-Jordan (the BIT-EXACT
+    # twin of whitening_inverse's pivot-free driver elimination; both
+    # sides evaluate the same per-cell expression in the same k
+    # order), sequential-fold Mahalanobis cosines (list_sum ==
+    # left-to-right fold from 0.0, row-sourced), md5-ranked seeds,
+    # one decimal-stable Lloyd step, per-cluster tau prune and the
+    # reach-CTE connected components of the corpus_e2e oracle.
+    from demv_spark.functions.compat import (
+        sql_portable_hash,
+        sql_stable_avg,
+        sql_stable_sum,
+    )
+
+    _sem_d, _sem_w, _sem_k = 16, 32, 4
+    _sem_dot = (
+        "list_sum(list_transform(range(0, 16), {i} -> {a}[{i}+1] * {b}[{i}+1]))"
+    )
+    _sem_mv = (
+        "list_transform(range(0, 16), i -> list_sum(list_transform("
+        "range(0, 16), j -> mi[i*16 + j + 1] * {z}[j+1])))"
+    )
+    o["q_sim_semantic_e2e"] = f"""
+        WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000,
+                   list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+            FROM embeddings WHERE vec_id % 7 = 0
+        ),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+            FROM corpus
+            WHERE embedding IS NOT NULL AND len(embedding) >= 16
+        ),
+        pe AS (
+            SELECT vec_id, CAST(unnest(range(16)) AS BIGINT) AS pos,
+                   unnest(v) AS x
+            FROM emb
+        ),
+        first AS (
+            SELECT pos, {sql_stable_sum('x')} AS sx, COUNT(*) AS n
+            FROM pe GROUP BY 1
+        ),
+        mu AS (SELECT list(sx / n ORDER BY pos) AS mu FROM first),
+        second AS (
+            SELECT pi.pos AS i, pj.pos AS j, COUNT(*) AS n,
+                   {sql_stable_sum('pi.x * pj.x')} AS spp
+            FROM pe pi JOIN pe pj
+              ON pj.vec_id = pi.vec_id AND pj.pos >= pi.pos
+            GROUP BY 1, 2
+        ),
+        covc AS (
+            SELECT s.i, s.j,
+                   (s.spp - fi.sx * fj.sx / s.n) / (s.n - 1) AS cov
+            FROM second s
+            JOIN first fi ON fi.pos = s.i
+            JOIN first fj ON fj.pos = s.j
+        ),
+        cm AS (
+            SELECT i, j, cov FROM covc
+            UNION ALL
+            SELECT j, i, cov FROM covc WHERE i <> j
+        ),
+        cells AS (
+            SELECT t.i * 32 + t.j AS idx,
+                   CASE WHEN t.j < 16 THEN
+                            CASE WHEN t.i = t.j THEN c.cov + 1e-06
+                                 ELSE c.cov END
+                        WHEN t.j - 16 = t.i THEN 1.0
+                        ELSE 0.0 END AS val
+            FROM (SELECT a.i, b.j
+                  FROM range(16) a(i) CROSS JOIN range(32) b(j)) t
+            LEFT JOIN cm c ON c.i = t.i AND c.j = t.j
+        ),
+        m0 AS (SELECT list(val ORDER BY idx) AS m FROM cells),
+        gj(step, m) AS (
+            SELECT 0, m FROM m0
+            UNION ALL
+            SELECT step + 1,
+                   list_transform(range(0, 512), idx ->
+                       CASE WHEN idx // 32 = step
+                            THEN m[step*32 + (idx % 32) + 1]
+                                 / m[step*32 + step + 1]
+                            ELSE m[idx + 1]
+                                 - m[(idx // 32)*32 + step + 1]
+                                   * (m[step*32 + (idx % 32) + 1]
+                                      / m[step*32 + step + 1])
+                       END)
+            FROM gj WHERE step < 16
+        ),
+        minv AS (
+            SELECT list_transform(range(0, 256), idx ->
+                       m[(idx // 16)*32 + 16 + (idx % 16) + 1]) AS mi
+            FROM gj WHERE step = 16
+        ),
+        zt AS (
+            SELECT vec_id,
+                   list_transform(range(0, 16), j -> v[j+1] - mu[j+1]) AS z
+            FROM emb CROSS JOIN mu
+        ),
+        ut AS (
+            SELECT vec_id, z, {_sem_mv.format(z='z')} AS u
+            FROM zt CROSS JOIN minv
+        ),
+        rowsq AS (
+            SELECT vec_id, z, u,
+                   {_sem_dot.format(i='i', a='z', b='u')} AS qaa,
+                   {sql_portable_hash("'semseed42:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM ut
+        ),
+        rowsv AS (SELECT * FROM rowsq WHERE qaa > 0),
+        seeds AS (
+            SELECT vec_id, u AS cu, qaa AS qcc,
+                   CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INTEGER)
+                       AS cluster
+            FROM rowsv
+            QUALIFY cluster <= 4
+        ),
+        a0 AS (
+            SELECT vec_id, z, u, qaa, cluster
+            FROM (
+                SELECT r.vec_id, r.z, r.u, r.qaa, s.cluster,
+                       {_sem_dot.format(i='i', a='r.z', b='s.cu')}
+                           / SQRT(r.qaa * s.qcc) AS sim
+                FROM rowsv r CROSS JOIN seeds s
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cluster ASC) = 1
+        ),
+        centc AS (
+            SELECT cluster, CAST(unnest(range(16)) AS BIGINT) AS pos,
+                   unnest(z) AS zv
+            FROM a0
+        ),
+        centl AS (
+            SELECT cluster, list(cv ORDER BY pos) AS cz
+            FROM (SELECT cluster, pos, {sql_stable_avg('zv')} AS cv
+                  FROM centc GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        centq AS (
+            SELECT cluster, cu,
+                   {_sem_dot.format(i='i', a='cz', b='cu')} AS qcc
+            FROM (SELECT cluster, cz, {_sem_mv.format(z='cz')} AS cu
+                  FROM centl CROSS JOIN minv)
+        ),
+        centv AS (SELECT * FROM centq WHERE qcc > 0),
+        a1 AS (
+            SELECT vec_id, z, u, qaa, cluster
+            FROM (
+                SELECT r.vec_id, r.z, r.u, r.qaa, s.cluster,
+                       {_sem_dot.format(i='i', a='r.z', b='s.cu')}
+                           / SQRT(r.qaa * s.qcc) AS sim
+                FROM rowsv r CROSS JOIN centv s
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cluster ASC) = 1
+        ),
+        edges AS (
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a1 a JOIN a1 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_sem_dot.format(i='i', a='a.z', b='b.u')}
+                      / SQRT(a.qaa * b.qaa) >= 0.99
+        ),
+        pairc AS (
+            SELECT cluster, COUNT(*) AS n_dup_pairs FROM edges GROUP BY 1
+        ),
+        ed2 AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM ed2
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN ed2 e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        dropd AS (SELECT id FROM comp WHERE id <> comp),
+        base AS (
+            SELECT a.cluster, COUNT(*) AS n_members,
+                   CAST(SUM(CASE WHEN d.id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_dropped,
+                   CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM a1 a LEFT JOIN dropd d ON d.id = a.vec_id
+            GROUP BY 1
+        )
+        SELECT b.cluster, b.n_members,
+               CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               b.n_kept, b.n_dropped
+        FROM base b LEFT JOIN pairc p USING (cluster)
     """
 
     o["q_sim_label_centroids"] = """

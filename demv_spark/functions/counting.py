@@ -68,7 +68,12 @@ def group_weights(
     WINDOW sums over the tiny census (separate aggregation subtrees
     would each re-scan the base table: Spark's shuffle reuse only
     fires on identical exchange subtrees, so a join-based combine
-    costs 4 scans). Columns: sensitive…, label, n, n_sens, n_label,
+    costs 4 scans). The unpartitioned n_total window is CENSUS-ONLY
+    by contract: its input is always the ≤ Π|domains| census rows,
+    never the raw table, so the WindowExec single-task sort it
+    implies is bounded — pinned executable in
+    tests/test_plan_quality.py::test_group_weights_windows_are_census_only.
+    Columns: sensitive…, label, n, n_sens, n_label,
     n_total, w_exp, w_obs, disparity.
     """
     from pyspark.sql import Window
@@ -177,7 +182,9 @@ def heavy_hitters(
     is nulls-last — pinned explicitly so the output is deterministic
     AND SQL-oracle-able when a NULL-keyed group ties at the top_k
     boundary). NULL key values form their own group, mirroring SQL
-    GROUP BY.
+    GROUP BY. The window's census-and-limit-bounded input is pinned
+    executable in tests/test_plan_quality.py::
+    test_heavy_hitters_window_is_census_and_limit_bounded.
     """
     from pyspark.sql import Window
 

@@ -1432,3 +1432,305 @@ def project_embeddings(
         ]
     )
     return df.withColumn(out, proj)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: whiten -> centroid-bucket -> per-cluster cosine prune
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication") — the semantic twin of the
+# LSH->CC->keep-one corpus pipeline in operators/dedup.py.
+# Reference scope note: the reference engine has no embedding-dedup
+# operator; this is part of the LLM-training-data surface this repo
+# adds on top of the reference's query set.
+# ---------------------------------------------------------------------------
+
+def whitening_inverse(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 16,
+    ridge: float = 1e-6,
+) -> "tuple[list[float], list[list[float]], int]":
+    """Mean vector and the inverse of the ridged sample covariance
+    (Σ + ridge·I)⁻¹ over the first ``dim`` embedding dimensions —
+    the whitening kernel of SemDeDup. Whitened cosine similarity
+    depends on Σ⁻¹ ONLY (any square root W with WᵀW = Σ⁻¹ yields the
+    same inner products zᵀΣ⁻¹z'), so the pipeline never needs an
+    eigendecomposition: a deterministic PIVOT-FREE Gauss-Jordan on
+    the driver inverts the d×d census, and because every float op is
+    a fixed-order IEEE scalar op on exact decimal-stable sums, a SQL
+    engine replaying the same elimination (a d-step recursive CTE)
+    reproduces the matrix BIT-EXACTLY — verified cell-for-cell
+    against DuckDB. Pivot-free is safe here: Σ + ridge·I is positive
+    definite, so every leading principal minor (each pivot) is > 0.
+
+    Scale shape: one covariance census (map-side partial d²/2 sums,
+    see embedding_covariance) + one d-row first-moment agg; the
+    O(d³) elimination runs on the driver over a config-sized (≤64²)
+    matrix. Returns (mu, minv, n) as plain Python floats for literal
+    embedding into downstream expressions."""
+    from demv_spark.functions.compat import stable_sum
+
+    d = int(dim)
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # first moments BEFORE the covariance census: its (n-1) divisor
+    # is an ANSI divide-by-zero on a 0/1-row input, so the n >= 2
+    # contract must be checked from this cheaper pass first
+    first = (
+        valid.select(F.posexplode(v).alias("pos", "x"))
+        .filter(F.col("pos") < d)
+        .groupBy("pos")
+        .agg(stable_sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not first:
+        raise ValueError("whitening_inverse: no valid vectors")
+    n = int(first[0]["n"])
+    if n < 2:
+        raise ValueError(f"whitening_inverse: need >= 2 vectors, got {n}")
+    cov_rows = embedding_covariance(df, vec_col=vec_col, dim=d).collect()
+    sx = {int(r["pos"]): float(r["sx"]) for r in first}
+    mu = [sx[i] / n for i in range(d)]
+    S = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        i, j, c = int(r["i"]), int(r["j"]), float(r["cov"])
+        S[i][j] = c
+        S[j][i] = c
+    # augmented [S + ridge·I | I] as a flat row-major cell list; the
+    # elimination below is the EXACT op-for-op mirror of the oracle's
+    # recursive CTE (same per-cell expression, same k order) — do not
+    # "optimize" the inner formula: hoisting the division or fusing
+    # multiply-add changes last-bit rounding and breaks the twin
+    W2 = 2 * d
+    cells = [0.0] * (d * W2)
+    for i in range(d):
+        for j in range(d):
+            cells[i * W2 + j] = (S[i][j] + ridge) if i == j else S[i][j]
+        cells[i * W2 + d + i] = 1.0
+    for k in range(d):
+        old = cells[:]
+        piv = old[k * W2 + k]
+        if piv == 0.0:
+            raise ValueError(
+                f"whitening_inverse: zero pivot at step {k} — the ridged "
+                "covariance should be positive definite; raise ridge"
+            )
+        for idx in range(d * W2):
+            i, j = divmod(idx, W2)
+            if i == k:
+                cells[idx] = old[k * W2 + j] / piv
+            else:
+                cells[idx] = old[idx] - old[i * W2 + k] * (old[k * W2 + j] / piv)
+    minv = [[cells[i * W2 + d + j] for j in range(d)] for i in range(d)]
+    return mu, minv, n
+
+
+def _mahalanobis_cols(z: Column, minv_lit: Column, d: int):
+    """u = Σ⁻¹z as a Column from a centered vector expression — every
+    fold is sequential left-to-right from 0.0, the order the oracle's
+    list_sum replays."""
+    u = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.element_at(minv_lit, (i + 1).cast("int")),
+                z,
+                lambda m, x: m * x,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return u
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (the oracle-twin fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    n_clusters: int = 8,
+    tau: float = 0.97,
+    ridge: float = 1e-6,
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    max_cluster: "int | None" = None,
+) -> DataFrame:
+    """SemDeDup as ONE composed DataFrame DAG: whiten (Mahalanobis
+    geometry from ``whitening_inverse``), bucket by nearest centroid
+    (hash-ranked data-point seeds + ``lloyd_iters`` decimal-stable
+    k-means refinements), then prune near-duplicates per cluster
+    (whitened cosine ≥ ``tau`` pairs → connected components →
+    keep the minimum-id representative). Returns the per-cluster
+    census (cluster, n_members, n_dup_pairs, n_kept, n_dropped) —
+    all integers, so the row value-hashes cross-engine; every float
+    that DECIDES something (cluster argmax, the tau threshold) is a
+    fixed-order IEEE expression a SQL oracle reproduces bit-exactly.
+
+    Determinism: seeds are the ``n_clusters`` rows with the smallest
+    md5-portable hash of ``'semseed{seed}:'||id`` (TakeOrdered — no
+    global window); assignment tie-breaks on seed rank; pair
+    orientation is always (smaller id)ᵀ Σ⁻¹ (larger id), so the
+    last-bit asymmetry of the eliminated Σ⁻¹ can't flip a pair.
+
+    Scale shape (the SemDeDup contract): whitening is map-only
+    (d-term folds per row against a literal d×d matrix); assignment
+    is a broadcast cross join against ≤n_clusters centroids + a
+    per-row window over n_clusters candidates; Lloyd recomputes
+    centroids with one map-side-partial agg per iteration (k·d
+    rows shuffled, never n·d); the prune self-join shuffles on
+    cluster id and is quadratic WITHIN a cluster — O(n²/k) total,
+    the published SemDeDup cost — with an optional ``max_cluster``
+    cap that keeps at most that many hash-ranked rows per cluster
+    on the NEIGHBOR side (|cluster|·cap candidates, linear — the
+    synthetic_rebalance_lsh lesson); components close in O(log n)
+    shuffle rounds (duplicate_clusters). Rows whose centered vector
+    is exactly μ (qaa = 0) are excluded — a whitened cosine is
+    undefined there and engines disagree on NaN ordering."""
+    from demv_spark.functions.compat import portable_hash
+    from demv_spark.operators.dedup import duplicate_clusters
+
+    d = int(dim)
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    mu, minv, _n = whitening_inverse(df, vec_col=vec_col, dim=d, ridge=ridge)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    minv_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in minv]
+    )
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
+    v = F.transform(F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double"))
+    z = F.zip_with(v, mu_lit, lambda a, b: a - b)
+    rows = valid.select(
+        F.col(id_col).cast("long").alias("__id"), z.alias("__z")
+    )
+    rows = rows.withColumn("__u", _mahalanobis_cols(F.col("__z"), minv_lit, d))
+    rows = rows.withColumn("__qaa", _dot_fold(F.col("__z"), F.col("__u")))
+    rows = rows.filter(F.col("__qaa") > 0).withColumn(
+        "__h",
+        portable_hash(
+            F.concat(F.lit(f"semseed{seed}:"), F.col("__id").cast("string"))
+        ),
+    )
+
+    # seeds: TakeOrdered k rows, ranked 1..k (window over k rows only)
+    seeds = rows.orderBy("__h", "__id").limit(int(n_clusters))
+    w_seed = Window.orderBy("__h", "__id")
+    seeds = seeds.withColumn("cluster", F.row_number().over(w_seed)).select(
+        "cluster",
+        F.col("__u").alias("__cu"),
+        F.col("__qaa").alias("__qcc"),
+    )
+
+    def _assign(cand):
+        """argmax whitened cosine against the broadcast candidate
+        centroids, tie-break on the smaller cluster id."""
+        num = _dot_fold(F.col("__z"), F.col("__cu"))
+        sim = num / F.sqrt(F.col("__qaa") * F.col("__qcc"))
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__sim").desc(), F.col("cluster").asc()
+        )
+        return (
+            rows.crossJoin(F.broadcast(cand))
+            .withColumn("__sim", sim)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__z", "__u", "__qaa", "cluster")
+        )
+
+    assigned = _assign(seeds)
+    for _ in range(int(lloyd_iters)):
+        from demv_spark.functions.compat import stable_avg
+
+        cent_cells = (
+            assigned.select("cluster", F.posexplode("__z").alias("pos", "zv"))
+            .groupBy("cluster", "pos")
+            .agg(stable_avg("zv").alias("cv"))
+        )
+        cent = (
+            cent_cells.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("__cz")
+            )
+        )
+        cent = cent.withColumn(
+            "__cu", _mahalanobis_cols(F.col("__cz"), minv_lit, d)
+        ).withColumn("__qcc", _dot_fold(F.col("__cz"), F.col("__cu")))
+        cent = cent.filter(F.col("__qcc") > 0).select(
+            "cluster", "__cu", "__qcc"
+        )
+        assigned = _assign(cent)
+
+    # per-cluster near-dup pairs: (lower id)ᵀ Σ⁻¹ (higher id) ≥ tau
+    lhs = assigned.select(
+        "cluster", F.col("__id").alias("id_a"),
+        F.col("__z").alias("__za"), F.col("__qaa").alias("__qa"),
+    )
+    rhs = assigned.select(
+        "cluster", F.col("__id").alias("id_b"),
+        F.col("__u").alias("__ub"), F.col("__qaa").alias("__qb"),
+    )
+    if max_cluster is not None:
+        w_cap = Window.partitionBy("cluster").orderBy(
+            portable_hash(
+                F.concat(F.lit("semcap:"), F.col("id_b").cast("string"))
+            ),
+            "id_b",
+        )
+        rhs = (
+            rhs.withColumn("__cn", F.row_number().over(w_cap))
+            .filter(F.col("__cn") <= int(max_cluster))
+            .drop("__cn")
+        )
+    pair_sim = _dot_fold(F.col("__za"), F.col("__ub")) / F.sqrt(
+        F.col("__qa") * F.col("__qb")
+    )
+    edges = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", pair_sim)
+        .filter(F.col("__sim") >= float(tau))
+        .select("cluster", "id_a", "id_b")
+    )
+    pair_counts = edges.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    cc = duplicate_clusters(edges.select("id_a", "id_b"))
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__id"), F.lit(1).alias("__drop")
+    )
+    return (
+        assigned.join(dropped, "__id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("__drop").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("__drop").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .join(pair_counts, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            "n_kept",
+            "n_dropped",
+        )
+    )

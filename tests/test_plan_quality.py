@@ -582,3 +582,50 @@ def test_cdc_log_replay_snapshot_no_joins(spark):
         cdc_log_replay(batches), ["user_id"], "ts", seq_col="event_id"))
     assert s["n_sort_merge_joins"] == 0
     assert s["n_broadcasts"] == 0
+
+
+# ---- census-only contract of the global windows (round 10, VERDICT
+# r9 item 6): group_weights' marginal windows and heavy_hitters' rank
+# window are unpartitioned, which is a single-task sort hazard IF a
+# caller ever feeds them a raw table. Their contract is that the
+# window input is always post-aggregate (≤ census cardinality), so
+# the WindowExec's subtree must contain the census aggregation — a
+# refactor that hoists the window below the groupBy fails here. ----
+
+def _walk_jplan(node):
+    out = [node]
+    ch = node.children()
+    for i in range(ch.size()):
+        out += _walk_jplan(ch.apply(i))
+    return out
+
+
+def _windows_sit_above_aggregate(df, want_take_ordered=False):
+    nodes = _walk_jplan(df._jdf.queryExecution().sparkPlan())
+    wins = [
+        n for n in nodes if n.getClass().getSimpleName().startswith("Window")
+    ]
+    assert wins, "expected a Window operator in the plan"
+    for w in wins:
+        sub = [n.getClass().getSimpleName() for n in _walk_jplan(w)[1:]]
+        assert any("Aggregate" in s for s in sub), (
+            "unpartitioned window over a NON-aggregated input "
+            f"(single-task sort at scale): subtree {sub}"
+        )
+        if want_take_ordered:
+            assert any("TakeOrdered" in s for s in sub), (
+                f"rank window input is not limit-bounded: {sub}"
+            )
+
+
+def test_group_weights_windows_are_census_only(orders):
+    _windows_sit_above_aggregate(
+        counting.group_weights(orders, ["o_orderpriority"], "o_orderstatus", None)
+    )
+
+
+def test_heavy_hitters_window_is_census_and_limit_bounded(orders):
+    _windows_sit_above_aggregate(
+        counting.heavy_hitters(orders, ["o_orderpriority"], top_k=5),
+        want_take_ordered=True,
+    )
