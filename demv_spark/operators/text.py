@@ -861,33 +861,87 @@ def learn_bpe(
         .limit(int(max_vocab))
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(r["w"]) + ("</w>",): r["n"] for r in census
-    }
+    # collapse identical char sequences up front (distinct words can
+    # only merge later; starting collapsed matches the naive loop's
+    # new_vocab.get(...)+n accumulation exactly — pair counts are sums
+    # over entries either way)
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in census:
+        seq = tuple(r["w"]) + ("</w>",)
+        vocab[seq] = vocab.get(seq, 0) + r["n"]
+    words: list[list[str]] = [list(seq) for seq in vocab]
+    freqs: list[int] = [n for n in vocab.values()]
+
+    # INDEXED incremental merge loop (the standard subword-nmt
+    # structure, Sennrich et al. 2016): exact pair counts plus a
+    # pair → {word_idx} index, so each merge rescans only the words
+    # that CONTAIN the winning pair instead of the whole census —
+    # O(touched symbols) per merge, which is what makes a 32k-merge
+    # production vocabulary tractable where the naive
+    # O(n_merges · Σ|word|) loop serializes for hours. Counts are
+    # maintained EXACTLY (full subtract-old/add-new per touched
+    # word), so the (max count, lexicographically smallest) argmax
+    # — and therefore the returned merge list — is identical to the
+    # naive recompute-per-iteration loop (pinned by
+    # tests/test_text.py's equivalence property test).
+    import heapq
+
+    pairs: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (seq, n) in enumerate(zip(words, freqs)):
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] += n
+            index.setdefault((a, b), set()).add(wi)
+    # lazy-invalidation max-heap over (−count, pair): an O(|live
+    # pairs|) argmax scan per merge is the 32k-merge wall (160k live
+    # pairs × 32k merges). Every count CHANGE pushes a fresh entry;
+    # pops discard entries whose count is stale. Heap order
+    # (−count, pair) pops the max count with the lexicographically
+    # SMALLEST pair first — exactly the naive loop's
+    # min(p for p with max count) tie-break, so the merge list is
+    # unchanged (equivalence property test).
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in pairs.items()
+    ]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for seq, n in vocab.items():
-            for a, b in zip(seq, seq[1:]):
-                pairs[(a, b)] += n
-        if not pairs:
-            break
-        best_n = max(pairs.values())
-        best = min(p for p, n in pairs.items() if n == best_n)
+    while len(merges) < n_merges and heap:
+        negn, best = heapq.heappop(heap)
+        cur = pairs.get(best)
+        if cur is None or -negn != cur:
+            continue  # stale entry
         merges.append(best)
         merged = best[0] + best[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for seq, n in vocab.items():
+        touched = index.pop(best, set())
+        for wi in touched:
+            seq = words[wi]
+            n = freqs[wi]
+            # subtract this word's old adjacent pairs
+            for a, b in zip(seq, seq[1:]):
+                p = (a, b)
+                left = pairs[p] - n
+                if left <= 0:
+                    del pairs[p]
+                    index.pop(p, None)
+                else:
+                    pairs[p] = left
+                    heapq.heappush(heap, (-left, p))
             out, i = [], 0
             while i < len(seq):
-                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                if i + 1 < len(seq) and seq[i] == best[0] and seq[i + 1] == best[1]:
                     out.append(merged)
                     i += 2
                 else:
                     out.append(seq[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
-        vocab = new_vocab
+            words[wi] = out
+            # add the rewritten word's pairs back
+            for a, b in zip(out, out[1:]):
+                p = (a, b)
+                grown = pairs.get(p, 0) + n
+                pairs[p] = grown
+                heapq.heappush(heap, (-grown, p))
+                index.setdefault(p, set()).add(wi)
     return merges
 
 

@@ -678,18 +678,25 @@ def main():
         return session_features(e, gap_minutes=30).count()
 
     def run_triangles(d):
-        # node space grows with the data (doc_id mod a large prime),
-        # so the Kx replica genuinely grows the graph instead of
-        # densifying a fixed 101-node fixture
+        # node space grows WITH the row count (modulus ~1.5x rows),
+        # keeping edge density constant across scales — a fixed
+        # modulus saturates at large K and the probe would measure a
+        # densifying ~100k-node graph instead of a 64x-larger one
+        # (caught by the round-10 64x run: rows_kx grew only 5x)
         from demv_spark.operators import graph
 
+        m = max(100_003, int(1.5 * d.count()) | 1)
+        # hash BEFORE the modulus: replica id offsets and the raw
+        # doc_id distribution would otherwise alias under m and
+        # densify instead of growing the node space
+        nid = lambda c: F.pmod(F.xxhash64(c), F.lit(m))
         e = d.select(
-            (F.col("doc_id") % 100003).cast("string").alias("src"),
-            ((F.col("doc_id") * 7 + 13) % 100003).cast("string").alias("dst"),
+            nid(F.col("doc_id")).cast("string").alias("src"),
+            nid(F.col("doc_id") * 7 + 13).cast("string").alias("dst"),
         ).unionAll(
             d.filter(F.col("doc_id") % 3 == 0).select(
-                ((F.col("doc_id") * 7 + 13) % 100003).cast("string").alias("src"),
-                ((F.col("doc_id") * 3 + 40) % 100003).cast("string").alias("dst"),
+                nid(F.col("doc_id") * 7 + 13).cast("string").alias("src"),
+                nid(F.col("doc_id") * 3 + 40).cast("string").alias("dst"),
             )
         )
         return graph.triangle_census(e).count()

@@ -1768,3 +1768,62 @@ def test_embedding_covariance_excludes_malformed_vectors(spark):
     out = embedding_covariance(df, dim=2).collect()
     assert {r["n"] for r in out} == {2}  # only the two valid vectors
     assert len(out) == 3
+
+
+def test_learn_bpe_indexed_loop_equals_naive_recompute(spark):
+    """Round 10: the merge loop was rewritten from recompute-per-
+    iteration to the indexed incremental form (exact pair counts +
+    pair->word index) so a 32k-merge production vocabulary is
+    tractable. The returned merge list must be IDENTICAL — this
+    property test replays the naive reference on random word censuses
+    and requires equality through full merge exhaustion."""
+    import random
+
+    from collections import Counter
+
+    def naive(census, n_merges):
+        vocab = {}
+        for w, n in census:
+            seq = tuple(w) + ("</w>",)
+            vocab[seq] = vocab.get(seq, 0) + n
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for seq, n in vocab.items():
+                for a, b in zip(seq, seq[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            best_n = max(pairs.values())
+            best = min(p for p, n in pairs.items() if n == best_n)
+            merges.append(best)
+            merged = best[0] + best[1]
+            new_vocab = {}
+            for seq, n in vocab.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        n_words = rng.randint(5, 60)
+        words = []
+        for _ in range(n_words):
+            length = rng.randint(1, 9)
+            w = "".join(rng.choice("abcde") for _ in range(length))
+            words.append((w, rng.randint(1, 20)))
+        corpus = " ".join(w for w, n in words for _ in range(n))
+        df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+        # run past exhaustion: every pair eventually merges, so the
+        # index bookkeeping is exercised through deletion and re-add
+        want = naive(words, 400)
+        got = text.learn_bpe(df, n_merges=400)
+        assert got == want, f"trial {trial}: diverged at {len(want)} merges"
