@@ -219,6 +219,9 @@ _R10_HOLDS: list[str] = (
 # replaces one _R10_RESEATS veteran one-for-one
 _R10_BIRTHS: list[str] = [
     "q_sim_semantic_e2e",
+    "q_graph_kcore",
+    "q_dedup_repeated_ngrams",
+    "q_sim_recall_at_k",
 ]
 
 # one seat per CORRECTNESS_r09 family not already covered by the
@@ -252,10 +255,7 @@ _R10_RESEATS: list[str] = [
     "q_sketch_kmv",
     "q_sim_topk_chunked",
     "q_stream_cdc_log",
-    "q_media_jpeg_near_dup",
     "q_text_chunk_windows",
-    "q_sketch_bloom_join",
-    "q_stream_hll_log",
 ]
 
 _R10_WINDOW: list[str] = (
@@ -1081,6 +1081,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_ivf_topk_fixed"] = _sim_ivf_fixed
 
+    # ANN recall@k eval (round 10): the IVF-fixed index graded
+    # against the exact brute-force top-10 over the SAME fixture —
+    # the eval every approximate index runs before trading exactness
+    # for speed. Integer (n_exact, n_hits) per query; the oracle
+    # composes the two existing replays CTE-style (the rrf_fusion
+    # pattern).
+    def _sim_recall_at_k(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = similarity.cosine_topk_bruteforce(queries, emb, k=10, dim=64)
+        cents = [
+            (i, [float(x) for x in r["embedding"]])
+            for i, r in enumerate(
+                emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+            )
+        ]
+        approx = similarity.ivf_topk_fixed(
+            queries, emb, cents, k=10, n_probe=8
+        )
+        return similarity.recall_at_k(approx, exact, k=10)
+
+    q["q_sim_recall_at_k"] = _sim_recall_at_k
+
     # int8-quantized cosine top-k: codes = round(v·127/amax), score =
     # int_dot / sqrt(nn_q·nn_c) — the scales cancel, so the score is a
     # pure function of EXACT integers through two correctly-rounded
@@ -1698,6 +1721,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_census(edges)
 
     q["q_graph_triangles"] = _graph_triangles
+
+    # k-core decomposition (round 10): iterative peel to the unique
+    # fixpoint; fixture = the 211-node modular-map core (degrees 4-8,
+    # partially peeled at k=4 at every sf) plus a 997-node chain with
+    # bridges (degree ≤ 3 — peeled in round one, exercising the
+    # cascade). Integer-exact, so the oracle's recursive-CTE peel
+    # (window degrees over the single recursive reference) replays it
+    # verbatim; both sides converge in ~2 rounds, well under the
+    # CTE's 30-step guard.
+    def _graph_kcore(spark, sf):
+        from demv_spark.operators.graph import kcore
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        dense = d.select(
+            (i % 211).cast("string").alias("src"),
+            ((i * 7 + 13) % 211).cast("string").alias("dst"),
+        )
+        dense2 = d.filter(i % 2 == 0).select(
+            (i % 211).cast("string").alias("src"),
+            ((i * 3 + 40) % 211).cast("string").alias("dst"),
+        )
+        dense3 = d.filter(i % 3 == 0).select(
+            ((i * 7 + 13) % 211).cast("string").alias("src"),
+            ((i * 5 + 2) % 211).cast("string").alias("dst"),
+        )
+        chain = d.select(
+            F.concat(F.lit("c"), (i % 997).cast("string")).alias("src"),
+            F.concat(F.lit("c"), ((i % 997) + 1).cast("string")).alias("dst"),
+        )
+        bridge = d.filter(i % 5 == 0).select(
+            F.concat(F.lit("c"), (i % 997).cast("string")).alias("src"),
+            (i % 211).cast("string").alias("dst"),
+        )
+        edges = (
+            dense.unionAll(dense2).unionAll(dense3)
+            .unionAll(chain).unionAll(bridge)
+        )
+        return kcore(edges, k=4)
+
+    q["q_graph_kcore"] = _graph_kcore
+
+    # Lee-et-al-style repeated-substring census (round 10): each
+    # doc's exposure to corpus-repeated 3-gram positions, over the
+    # corpus_e2e planting (every %11 doc has an exact copy, so its
+    # every gram is corpus-repeated by construction; background
+    # 3-grams repeat organically in the keyword text). max_df=50
+    # exercises the stop-phrase cap on the df head.
+    def _dedup_repeated_ngrams(spark, sf):
+        from demv_spark.operators.dedup import repeated_ngram_census
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return repeated_ngram_census(
+            d.unionByName(planted), n=3, min_df=2, max_df=50
+        )
+
+    q["q_dedup_repeated_ngrams"] = _dedup_repeated_ngrams
 
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
@@ -5644,11 +5727,97 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 10
     """
 
+    # recall@k of the IVF index vs the exact brute force: compose the
+    # two replays CTE-style (the rrf_fusion pattern); LEFT join from
+    # the exact side so queries the index failed entirely still score
+    o["q_sim_recall_at_k"] = f"""
+        WITH ex AS ({o["q_sim_cosine_topk"]}),
+        ap AS ({o["q_sim_ivf_topk_fixed"]})
+        SELECT ex.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM ex LEFT JOIN ap
+          ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+        GROUP BY 1
+    """
+
     # planted near-dup parity: the oracle brute-forces every pair —
     # correct at oracle scale because the emitted set only contains
     # the planted exact copies (background max cosine 0.60 ≪ 0.9,
     # measured at sf0.01 and sf0.1); Spark's answer comes from the
     # LSH-banded candidate path, so this value-checks the ALGORITHM
+    o["q_graph_kcore"] = """
+        WITH RECURSIVE base AS (
+            SELECT CAST(doc_id % 211 AS VARCHAR) AS sa,
+                   CAST((doc_id*7+13) % 211 AS VARCHAR) AS sb
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id % 211 AS VARCHAR),
+                   CAST((doc_id*3+40) % 211 AS VARCHAR)
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT CAST((doc_id*7+13) % 211 AS VARCHAR),
+                   CAST((doc_id*5+2) % 211 AS VARCHAR)
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'c' || CAST(doc_id % 997 AS VARCHAR),
+                   'c' || CAST((doc_id % 997)+1 AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'c' || CAST(doc_id % 997 AS VARCHAR),
+                   CAST(doc_id % 211 AS VARCHAR)
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        canon AS (
+            SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+            FROM base WHERE sa <> sb
+        ),
+        alive(step, a, b) AS (
+            SELECT 0, a, b FROM canon
+            UNION ALL
+            SELECT step + 1, a, b FROM (
+                SELECT step, a, b, node,
+                       COUNT(*) OVER (PARTITION BY step, node) AS nd
+                FROM (SELECT step, a, b, unnest([a, b]) AS node
+                      FROM alive WHERE step < 30) u
+            ) t
+            GROUP BY step, a, b
+            HAVING MIN(nd) >= 4
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT unnest([a, b]) AS node FROM alive WHERE step = 30) c
+        GROUP BY node
+    """
+
+    o["q_dedup_repeated_ngrams"] = rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents
+            WHERE doc_id % 11 = 0
+        ),
+        toks AS (SELECT doc_id, {_toks} AS t FROM corpus),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, GREATEST(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks
+        ),
+        docsh AS (SELECT DISTINCT doc_id, sh FROM grams),
+        dfc AS (SELECT sh, COUNT(*) AS df FROM docsh GROUP BY 1),
+        rep AS (SELECT sh FROM dfc WHERE df >= 2 AND df <= 50)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeated_pos,
+               CAST(COUNT(DISTINCT CASE WHEN r.sh IS NOT NULL THEN g.sh END)
+                    AS BIGINT) AS n_distinct_repeated
+        FROM grams g LEFT JOIN rep r USING (sh)
+        GROUP BY 1
+    """
+
     o["q_sim_embed_near_dup"] = """
         WITH pl AS (
             SELECT vec_id + 1000000 AS vec_id, embedding

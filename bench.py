@@ -233,6 +233,13 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_layout_hilbert",
     "q_linkage_soundex_blocking",
+    # round-10: SemDeDup (whiten → centroid buckets → per-cluster
+    # cosine prune → CC → keep-one, one DAG), k-core peel, Lee-et-al
+    # repeated-3-gram exposure census, IVF-vs-exact recall@k eval
+    "q_sim_semantic_e2e",
+    "q_graph_kcore",
+    "q_dedup_repeated_ngrams",
+    "q_sim_recall_at_k",
 ]
 
 

@@ -1212,3 +1212,71 @@ def best_of_cluster(
             (F.col("doc_id") == F.col("__winner")).alias("keep"),
         )
     )
+
+
+def repeated_ngram_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+    max_df: "int | None" = None,
+) -> DataFrame:
+    """Per-document repeated-substring exposure at token-n-gram
+    granularity — the census behind Lee et al. 2022's "Deduplicating
+    Training Data Makes Language Models Better" exact-substring
+    dedup: a position whose n-gram also occurs in ≥ ``min_df``
+    documents is memorization-prone training signal. Returns one row
+    per document: ``n_grams`` (total n-gram positions),
+    ``n_repeated_pos`` (positions whose gram reaches corpus document
+    frequency ≥ min_df) and ``n_distinct_repeated`` (distinct such
+    grams in the doc) — all exact BIGINTs, the inputs to a
+    drop/trim policy (Lee et al. remove spans; the census is the
+    decision table that sizes that removal before paying for it).
+
+    Reference scope note: the reference has no corpus-dedup surface;
+    this extends the repo's dedup family (ngram_jaccard/containment
+    measure PAIRWISE overlap — this measures each doc's overlap with
+    the WHOLE corpus, which pairwise misses when a phrase is spread
+    thinly across thousands of docs).
+
+    Plan shape: one posexplode of the gram array (linear), ONE
+    shuffle of the distinct (doc, gram) set for the document-
+    frequency census, and one gram-keyed join back onto positions.
+    The df census is map-side combined; per-doc aggregation carries a
+    bounded ``collect_set`` (≤ doc length). ``max_df`` optionally
+    drops stop-phrase grams (df > max_df) from the repeated set — at
+    100 TB the df head is boilerplate (the ngram_jaccard cap lesson);
+    dropped grams still count in ``n_grams``."""
+    from demv_spark.operators.text import tokens  # noqa: F401 (twin doc)
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(text_col, n)).alias("pos", "sh"),
+    )
+    docsh = sh.select("id", "sh").distinct()
+    dfc = docsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rep = dfc.filter(F.col("df") >= int(min_df))
+    if max_df is not None:
+        rep = rep.filter(F.col("df") <= int(max_df))
+    joined = sh.join(
+        rep.select("sh", F.lit(1).alias("__r")), "sh", "left"
+    )
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__r").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated_pos"),
+            F.size(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(F.col("__r").isNotNull(), F.col("sh"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_distinct_repeated"),
+        )
+    )

@@ -418,3 +418,77 @@ def triangle_census(
     for cached in (e, deg, oriented):
         cached.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition (membership form): iteratively peel nodes
+    of degree < k until the remaining subgraph — the k-core — is
+    stable, and return its nodes with their IN-CORE degree. The
+    standard web/graph-curation prefilter (Seidman 1983; crawl-graph
+    spam rings and dense citation cores are k-core structures), and a
+    cheaper precursor to triangle/community analysis at 100 TB scale:
+    each peel round only needs a degree census and a semi-join.
+
+    Reference scope note: the reference engine ships no graph
+    operators; this extends the repo's web/graph curation family
+    (pagerank_integer, hits_integer, triangle_census).
+
+    Self-loops are dropped; duplicate/reversed edges collapse (the
+    edge SET is the signal, matching triangle_census). Determinism:
+    the k-core is a unique fixpoint — peel order cannot change the
+    result — so the output is a pure function of the edge set.
+
+    Scale shape: per round, one degree aggregation (map-side partial)
+    over the live edge set plus one broadcast-or-shuffle semi-join of
+    edges against the surviving-node census; the live edge set only
+    shrinks. Rounds are bounded by the peeling depth (graph diameter
+    in practice, ≤ ``max_iter`` hard cap); lineage is cut with an
+    eager localCheckpoint per round (the pagerank/duplicate_clusters
+    cadence), so the iterated plan stays flat and cached blocks are
+    released on return."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = F.col(src).cast("string")
+    d = F.col(dst).cast("string")
+    live = (
+        edges.select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = live.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionAll(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        good = deg.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            live.join(good.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(good.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            live = nxt
+            break
+        live, n_edges = nxt, n_nxt
+    return (
+        live.select(F.col("a").alias("node"))
+        .unionAll(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

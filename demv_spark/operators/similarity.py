@@ -1734,3 +1734,48 @@ def semantic_dedup(
             "n_dropped",
         )
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality census: per query, how many of the EXACT
+    top-k neighbors the approximate index (IVF/LSH/PQ) actually
+    returned — the recall@k eval every ANN deployment runs before
+    trading exactness for speed, as exact integer counts
+    (``n_exact``, ``n_hits``) so the census value-hashes
+    cross-engine; macro recall@k = Σ n_hits / Σ n_exact derives
+    downstream without a float crossing the boundary.
+
+    Both inputs are (query, neighbor, rank) top-k tables (the shape
+    every topk operator in this module emits). Queries the approx
+    side dropped entirely (e.g. probing empty cells) still appear
+    with n_hits = 0 — recall eval must charge misses, not silently
+    skip them.
+
+    Scale shape: two rank filters + one (query, neighbor)-keyed join
+    of two k·|queries| tables + a per-query count — trivially
+    shuffle-bounded; the expensive parts (the searches themselves)
+    are the inputs, measured where they run."""
+    e = exact.filter(F.col(rank_col) <= int(k)).select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__n")
+    )
+    a = approx.filter(F.col(rank_col) <= int(k)).select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__n"),
+        F.lit(1).alias("__hit"),
+    )
+    return (
+        e.join(a, ["__q", "__n"], "left")
+        .groupBy(F.col("__q").alias(query_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )

@@ -242,3 +242,76 @@ def test_best_of_cluster_string_ids(spark):
            best_of_cluster(clusters, quality).collect()}
     # max quality 5 tied between B and C -> lexicographic min id B
     assert got == {"urlA": False, "urlB": True, "urlC": False}
+
+
+def test_repeated_ngram_census_counts_cross_doc_repeats(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from demv_spark.operators.dedup import repeated_ngram_census
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "the quick brown fox sat very still"),
+            (3, "completely different words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_census(df, n=4).collect()}
+    # docs 1 and 2 share exactly one 4-gram: 'the quick brown fox'
+    assert out[1].n_grams == 4 and out[1].n_repeated_pos == 1
+    assert out[2].n_grams == 4 and out[2].n_repeated_pos == 1
+    assert out[1].n_distinct_repeated == 1
+    assert out[3].n_repeated_pos == 0 and out[3].n_distinct_repeated == 0
+
+
+def test_repeated_ngram_census_within_doc_repeat_is_not_cross_doc(spark):
+    from demv_spark.operators.dedup import repeated_ngram_census
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_census(df, n=3).collect()}
+    # doc 1 repeats its own grams, but df(gram) = 1 DOC — repeated
+    # exposure is a CROSS-document signal (Lee et al. memorization
+    # risk), so nothing counts
+    assert out[1].n_repeated_pos == 0
+
+
+def test_repeated_ngram_census_max_df_drops_stop_phrases(spark):
+    from demv_spark.operators.dedup import repeated_ngram_census
+
+    rows = [(i, "common stop phrase here unique%d tail" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {r.doc_id: r for r in repeated_ngram_census(df, n=3).collect()}
+    capped = {
+        r.doc_id: r
+        for r in repeated_ngram_census(df, n=3, max_df=5).collect()
+    }
+    # 'common stop phrase'/'stop phrase here' hit all 10 docs: counted
+    # uncapped, dropped by max_df=5; n_grams itself is unchanged
+    assert uncapped[0].n_repeated_pos >= 2
+    assert capped[0].n_repeated_pos == 0
+    assert capped[0].n_grams == uncapped[0].n_grams
+
+
+def test_recall_at_k_census(spark):
+    from demv_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # approx missed 12 for q1, returned a stranger 99; missed q2 ENTIRELY
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 11, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.query_id: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert out[1].n_exact == 3 and out[1].n_hits == 2
+    # dropped queries are charged, not skipped
+    assert out[2].n_exact == 3 and out[2].n_hits == 0
+    # k filter applies to both sides
+    out1 = {r.query_id: r for r in recall_at_k(approx, exact, k=1).collect()}
+    assert out1[1].n_exact == 1 and out1[1].n_hits == 1

@@ -317,3 +317,59 @@ def test_triangles_orientation_bounds_hub_fanout(spark):
     rows = {r["node"]: r for r in out.collect()}
     assert rows["hub"]["wedges"] == 50 * 49
     assert all(r["triangles"] == 0 for r in rows.values())
+
+
+def test_kcore_peels_to_the_unique_fixpoint(spark):
+    import pyspark.sql.functions as F
+
+    from demv_spark.operators.graph import kcore
+
+    # K5 + a pendant path + a triangle hanging off the K5: the 4-core
+    # is exactly the K5 (triangle nodes have degree 2, path degree <=2)
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    extras = [(4, 10), (10, 11), (11, 12), (0, 20), (20, 21), (21, 0)]
+    edges = spark.createDataFrame(k5 + extras, "src int, dst int")
+    out = sorted(map(tuple, kcore(edges, 4).collect()))
+    assert out == [(str(i), 4) for i in range(5)]
+    # k=2 keeps the K5 AND the triangle, peels the pendant path
+    out2 = {r[0] for r in kcore(edges, 2).collect()}
+    assert out2 == {str(i) for i in (0, 1, 2, 3, 4, 20, 21)}
+    # cascade: removing the path tail (degree 1) drops 11 to degree 1,
+    # then 10 — multi-round peel, same fixpoint regardless of order
+    assert "10" not in out2 and "12" not in out2
+
+
+def test_kcore_duplicate_and_reversed_edges_collapse(spark):
+    from demv_spark.operators.graph import kcore
+
+    tri = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (1, 2)]
+    out = sorted(map(tuple, kcore(spark.createDataFrame(tri, "src int, dst int"), 2).collect()))
+    assert out == [("1", 2), ("2", 2), ("3", 2)]
+
+
+def test_kcore_empty_core_and_bad_k(spark):
+    import pytest
+
+    from demv_spark.operators.graph import kcore
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    assert kcore(path, 3).collect() == []
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(path, 0)
+
+
+def test_kcore_releases_session_caches(spark):
+    from demv_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a < b],
+        "src int, dst int",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    kcore(edges, 3).collect()
+    # per-round localCheckpoints are ContextCleaner-released on GC
+    # (the duplicate_clusters/pagerank intermediate contract — only
+    # persist()-without-unpersist pins for the session); a single call
+    # may leave at most its own handful of round checkpoints pending
+    n = spark.sparkContext._jsc.getPersistentRDDs().size() - before
+    assert n <= 4, f"{n} new RDD blocks after one kcore call"
