@@ -5034,7 +5034,6 @@ def oracle_sql() -> dict[str, str]:
         sql_stable_sum,
     )
 
-    _sem_d, _sem_w, _sem_k = 16, 32, 4
     _sem_dot = (
         "list_sum(list_transform(range(0, 16), {i} -> {a}[{i}+1] * {b}[{i}+1]))"
     )

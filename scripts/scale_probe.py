@@ -729,6 +729,32 @@ def main():
 
         return embedding_covariance(emb, dim=16).count()
 
+    def run_kcore(d):
+        # same constant-density hashed-node fixture as the triangle
+        # probe, peeled at k=4
+        from demv_spark.operators import graph
+
+        m = max(100_003, int(1.5 * d.count()) | 1)
+        nid = lambda c: F.pmod(F.xxhash64(c), F.lit(m))
+        e = d.select(
+            nid(F.col("doc_id")).cast("string").alias("src"),
+            nid(F.col("doc_id") * 7 + 13).cast("string").alias("dst"),
+        ).unionAll(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                nid(F.col("doc_id") * 7 + 13).cast("string").alias("src"),
+                nid(F.col("doc_id") * 3 + 40).cast("string").alias("dst"),
+            )
+        )
+        return graph.kcore(e, 2).count()
+
+    def run_repeated_ngrams(d):
+        from demv_spark.operators.dedup import repeated_ngram_census
+
+        return int(
+            repeated_ngram_census(d, n=3, min_df=2, max_df=50)
+            .agg(F.sum("n_repeated_pos")).collect()[0][0]
+        )
+
     def run_semantic_dedup(ee):
         # per-row scale jitter so the K replicas of a vector are NOT
         # trivial duplicates (a pure id offset keeps the embedding
@@ -813,6 +839,8 @@ def main():
         ("hilbert_key_census", run_hilbert, orders, orders_k),
         ("pca_covariance_census", run_covariance, emb, emb_k),
         ("semantic_dedup_e2e", run_semantic_dedup, emb, emb_k),
+        ("kcore_peel_k2", run_kcore, docs, docs_k),
+        ("repeated_ngram_census", run_repeated_ngrams, docs, docs_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
