@@ -222,6 +222,7 @@ _R10_BIRTHS: list[str] = [
     "q_graph_kcore",
     "q_dedup_repeated_ngrams",
     "q_sim_recall_at_k",
+    "q_stream_semantic_log",
 ]
 
 # one seat per CORRECTNESS_r09 family not already covered by the
@@ -253,7 +254,6 @@ _R10_RESEATS: list[str] = [
     "q_sketch_countmin",
     "q_sketch_bloom",
     "q_sketch_kmv",
-    "q_sim_topk_chunked",
     "q_stream_cdc_log",
     "q_text_chunk_windows",
 ]
@@ -1103,6 +1103,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.recall_at_k(approx, exact, k=10)
 
     q["q_sim_recall_at_k"] = _sim_recall_at_k
+
+    # streaming semantic admission (round 10): the SemDeDup online
+    # twin — 3 micro-batches replayed through the maintainer's exact
+    # per-batch step under FROZEN geometry (mu/Σ⁻¹/centroids from the
+    # base table). Planted %7 copies arrive in batch 1, so all three
+    # first-wins regimes occur: original-before-copy (dup_store),
+    # same-batch chain (dup_batch), and copy-before-original (the b2
+    # ORIGINAL is rejected against its admitted b1 copy). The oracle
+    # unrolls the 3-batch fold over one qualifying-pair CTE.
+    def _stream_semantic_log(spark, sf):
+        from demv_spark.streaming.semantic_stream import semantic_log_replay
+
+        emb = _t(spark, sf, "embeddings")
+        mu, minv, _n = similarity.whitening_inverse(emb, dim=16, ridge=1e-6)
+        cents = similarity.centroid_refs(
+            emb, mu, minv, n_clusters=4, dim=16, seed=42
+        )
+        planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 1.001).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        batches = [
+            emb.filter(F.col("vec_id") % 3 == 0),
+            emb.filter(F.col("vec_id") % 3 == 1).unionByName(planted),
+            emb.filter(F.col("vec_id") % 3 == 2),
+        ]
+        log = semantic_log_replay(
+            batches, mu, minv, cents, tau=0.99, dim=16
+        )
+        return log.select("vec_id", "batch_id", "cluster", "verdict", "dup_of")
+
+    q["q_stream_semantic_log"] = _stream_semantic_log
 
     # int8-quantized cosine top-k: codes = round(v·127/amax), score =
     # int_dot / sqrt(nn_q·nn_c) — the scales cancel, so the score is a
@@ -5739,6 +5775,219 @@ def oracle_sql() -> dict[str, str]:
         FROM ex LEFT JOIN ap
           ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
         GROUP BY 1
+    """
+
+    # streaming semantic admission replay: geometry CTEs identical to
+    # the e2e oracle but over the BASE table (frozen reference), the
+    # arrival set tagged with its micro-batch, ONE qualifying-pair
+    # CTE (z(cand)·u(partner) ≥ tau within the assigned cluster), and
+    # the 3-batch first-wins fold unrolled — store matches only
+    # against earlier-batch ACCEPTED ids, batch matches against any
+    # smaller same-batch id, dup_of = least of the two minima
+    o["q_stream_semantic_log"] = f"""
+        WITH RECURSIVE emb0 AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) >= 16
+        ),
+        pe AS (
+            SELECT vec_id, CAST(unnest(range(16)) AS BIGINT) AS pos,
+                   unnest(v) AS x
+            FROM emb0
+        ),
+        first AS (
+            SELECT pos, {sql_stable_sum('x')} AS sx, COUNT(*) AS n
+            FROM pe GROUP BY 1
+        ),
+        mu AS (SELECT list(sx / n ORDER BY pos) AS mu FROM first),
+        second AS (
+            SELECT pi.pos AS i, pj.pos AS j, COUNT(*) AS n,
+                   {sql_stable_sum('pi.x * pj.x')} AS spp
+            FROM pe pi JOIN pe pj
+              ON pj.vec_id = pi.vec_id AND pj.pos >= pi.pos
+            GROUP BY 1, 2
+        ),
+        covc AS (
+            SELECT s.i, s.j,
+                   (s.spp - fi.sx * fj.sx / s.n) / (s.n - 1) AS cov
+            FROM second s
+            JOIN first fi ON fi.pos = s.i
+            JOIN first fj ON fj.pos = s.j
+        ),
+        cm AS (
+            SELECT i, j, cov FROM covc
+            UNION ALL
+            SELECT j, i, cov FROM covc WHERE i <> j
+        ),
+        cells AS (
+            SELECT t.i * 32 + t.j AS idx,
+                   CASE WHEN t.j < 16 THEN
+                            CASE WHEN t.i = t.j THEN c.cov + 1e-06
+                                 ELSE c.cov END
+                        WHEN t.j - 16 = t.i THEN 1.0
+                        ELSE 0.0 END AS val
+            FROM (SELECT a.i, b.j
+                  FROM range(16) a(i) CROSS JOIN range(32) b(j)) t
+            LEFT JOIN cm c ON c.i = t.i AND c.j = t.j
+        ),
+        m0 AS (SELECT list(val ORDER BY idx) AS m FROM cells),
+        gj(step, m) AS (
+            SELECT 0, m FROM m0
+            UNION ALL
+            SELECT step + 1,
+                   list_transform(range(0, 512), idx ->
+                       CASE WHEN idx // 32 = step
+                            THEN m[step*32 + (idx % 32) + 1]
+                                 / m[step*32 + step + 1]
+                            ELSE m[idx + 1]
+                                 - m[(idx // 32)*32 + step + 1]
+                                   * (m[step*32 + (idx % 32) + 1]
+                                      / m[step*32 + step + 1])
+                       END)
+            FROM gj WHERE step < 16
+        ),
+        minv AS (
+            SELECT list_transform(range(0, 256), idx ->
+                       m[(idx // 16)*32 + 16 + (idx % 16) + 1]) AS mi
+            FROM gj WHERE step = 16
+        ),
+        szt AS (
+            SELECT vec_id,
+                   list_transform(range(0, 16), j -> v[j+1] - mu[j+1]) AS z
+            FROM emb0 CROSS JOIN mu
+        ),
+        sut AS (
+            SELECT vec_id, z, {_sem_mv.format(z='z')} AS u
+            FROM szt CROSS JOIN minv
+        ),
+        srows AS (
+            SELECT vec_id, z, u,
+                   {_sem_dot.format(i='i', a='z', b='u')} AS qaa,
+                   {sql_portable_hash("'semseed42:' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM sut
+        ),
+        srowsv AS (SELECT * FROM srows WHERE qaa > 0),
+        seeds AS (
+            SELECT vec_id, u AS cu, qaa AS qcc,
+                   CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS INTEGER)
+                       AS cluster
+            FROM srowsv
+            QUALIFY cluster <= 4
+        ),
+        arrivals AS (
+            SELECT vec_id, embedding,
+                   CAST(vec_id % 3 AS BIGINT) AS batch_id
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000,
+                   list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)),
+                   CAST(1 AS BIGINT)
+            FROM embeddings WHERE vec_id % 7 = 0
+        ),
+        aemb AS (
+            SELECT vec_id, batch_id,
+                   list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+            FROM arrivals
+            WHERE embedding IS NOT NULL AND len(embedding) >= 16
+        ),
+        azt AS (
+            SELECT vec_id, batch_id,
+                   list_transform(range(0, 16), j -> v[j+1] - mu[j+1]) AS z
+            FROM aemb CROSS JOIN mu
+        ),
+        aut AS (
+            SELECT vec_id, batch_id, z, {_sem_mv.format(z='z')} AS u
+            FROM azt CROSS JOIN minv
+        ),
+        arows0 AS (
+            SELECT vec_id, batch_id, z, u,
+                   {_sem_dot.format(i='i', a='z', b='u')} AS qaa
+            FROM aut
+        ),
+        arows AS (SELECT * FROM arows0 WHERE qaa > 0),
+        a AS (
+            SELECT vec_id, batch_id, z, u, qaa, cluster
+            FROM (
+                SELECT r.vec_id, r.batch_id, r.z, r.u, r.qaa, s.cluster,
+                       {_sem_dot.format(i='i', a='r.z', b='s.cu')}
+                           / SQRT(r.qaa * s.qcc) AS sim
+                FROM arows r CROSS JOIN seeds s
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cluster ASC) = 1
+        ),
+        pairs AS (
+            SELECT x.vec_id AS cand, x.batch_id AS cb,
+                   y.vec_id AS partner, y.batch_id AS pb
+            FROM a x JOIN a y
+              ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            WHERE {_sem_dot.format(i='i', a='x.z', b='y.u')}
+                      / SQRT(x.qaa * y.qaa) >= 0.99
+        ),
+        d0 AS (
+            SELECT cand, MIN(partner) AS bo FROM pairs
+            WHERE cb = 0 AND pb = 0 AND partner < cand GROUP BY 1
+        ),
+        v0 AS (
+            SELECT a.vec_id, a.batch_id, a.cluster,
+                   CASE WHEN d0.bo IS NULL THEN 'admitted'
+                        ELSE 'dup_batch' END AS verdict,
+                   d0.bo AS dup_of
+            FROM a LEFT JOIN d0 ON d0.cand = a.vec_id
+            WHERE a.batch_id = 0
+        ),
+        acc0 AS (SELECT vec_id FROM v0 WHERE verdict = 'admitted'),
+        s1 AS (
+            SELECT cand, MIN(partner) AS so FROM pairs
+            WHERE cb = 1 AND pb = 0
+              AND partner IN (SELECT vec_id FROM acc0)
+            GROUP BY 1
+        ),
+        b1 AS (
+            SELECT cand, MIN(partner) AS bo FROM pairs
+            WHERE cb = 1 AND pb = 1 AND partner < cand GROUP BY 1
+        ),
+        v1 AS (
+            SELECT a.vec_id, a.batch_id, a.cluster,
+                   CASE WHEN least(s1.so, b1.bo) IS NULL THEN 'admitted'
+                        WHEN s1.so IS NOT NULL
+                             AND least(s1.so, b1.bo) = s1.so THEN 'dup_store'
+                        ELSE 'dup_batch' END AS verdict,
+                   least(s1.so, b1.bo) AS dup_of
+            FROM a LEFT JOIN s1 ON s1.cand = a.vec_id
+                   LEFT JOIN b1 ON b1.cand = a.vec_id
+            WHERE a.batch_id = 1
+        ),
+        acc1 AS (SELECT vec_id FROM v1 WHERE verdict = 'admitted'),
+        s2 AS (
+            SELECT cand, MIN(partner) AS so FROM pairs
+            WHERE cb = 2 AND pb < 2
+              AND (partner IN (SELECT vec_id FROM acc0)
+                   OR partner IN (SELECT vec_id FROM acc1))
+            GROUP BY 1
+        ),
+        b2 AS (
+            SELECT cand, MIN(partner) AS bo FROM pairs
+            WHERE cb = 2 AND pb = 2 AND partner < cand GROUP BY 1
+        ),
+        v2 AS (
+            SELECT a.vec_id, a.batch_id, a.cluster,
+                   CASE WHEN least(s2.so, b2.bo) IS NULL THEN 'admitted'
+                        WHEN s2.so IS NOT NULL
+                             AND least(s2.so, b2.bo) = s2.so THEN 'dup_store'
+                        ELSE 'dup_batch' END AS verdict,
+                   least(s2.so, b2.bo) AS dup_of
+            FROM a LEFT JOIN s2 ON s2.cand = a.vec_id
+                   LEFT JOIN b2 ON b2.cand = a.vec_id
+            WHERE a.batch_id = 2
+        )
+        SELECT vec_id, batch_id, cluster, verdict, dup_of FROM v0
+        UNION ALL
+        SELECT vec_id, batch_id, cluster, verdict, dup_of FROM v1
+        UNION ALL
+        SELECT vec_id, batch_id, cluster, verdict, dup_of FROM v2
     """
 
     # planted near-dup parity: the oracle brute-forces every pair —

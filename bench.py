@@ -240,6 +240,7 @@ HEADLINE = [
     "q_graph_kcore",
     "q_dedup_repeated_ngrams",
     "q_sim_recall_at_k",
+    "q_stream_semantic_log",
 ]
 
 

@@ -1779,3 +1779,171 @@ def recall_at_k(
             .alias("n_hits"),
         )
     )
+
+
+def centroid_refs(
+    df: DataFrame,
+    mu: "list[float]",
+    minv: "list[list[float]]",
+    n_clusters: int = 8,
+    dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, list[float], float]]":
+    """The FROZEN centroid set for streaming semantic admission: the
+    same md5-ranked data-point seeds ``semantic_dedup`` starts from,
+    collected as (cluster, u = Σ⁻¹z, qaa) literals — a config-sized
+    driver collect (≤ n_clusters rows), the reference geometry every
+    later micro-batch is judged against (the DSIR frozen-target
+    pattern: streaming re-fitting would make verdicts depend on
+    arrival order, so the geometry is pinned once)."""
+    from demv_spark.functions.compat import portable_hash
+
+    d = int(dim)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    minv_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in minv]
+    )
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
+    v = F.transform(F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double"))
+    z = F.zip_with(v, mu_lit, lambda a, b: a - b)
+    rows = (
+        valid.select(F.col(id_col).cast("long").alias("__id"), z.alias("__z"))
+        .withColumn("__u", _mahalanobis_cols(F.col("__z"), minv_lit, d))
+        .withColumn("__qaa", _dot_fold(F.col("__z"), F.col("__u")))
+        .filter(F.col("__qaa") > 0)
+        .withColumn(
+            "__h",
+            portable_hash(
+                F.concat(F.lit(f"semseed{seed}:"), F.col("__id").cast("string"))
+            ),
+        )
+    )
+    top = rows.orderBy("__h", "__id").limit(int(n_clusters)).collect()
+    top = sorted(top, key=lambda r: (r["__h"], r["__id"]))
+    return [
+        (i + 1, [float(x) for x in r["__u"]], float(r["__qaa"]))
+        for i, r in enumerate(top)
+    ]
+
+
+def semantic_admission(
+    batch: DataFrame,
+    store: DataFrame,
+    mu: "list[float]",
+    minv: "list[list[float]]",
+    centroids: "list[tuple[int, list[float], float]]",
+    tau: float = 0.99,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First-wins SEMANTIC admission of one micro-batch against an
+    accumulating accepted store, under frozen whitening geometry
+    (``whitening_inverse`` + ``centroid_refs``) — the online form of
+    ``semantic_dedup``: as vectors arrive, is each a near-duplicate
+    (whitened cosine ≥ tau, same centroid bucket) of anything already
+    accepted, or of a smaller-id vector in its own batch?
+
+    The batch rule mirrors dedup_stream's chain semantics: a batch
+    vector is a duplicate iff it clears tau against (a) any STORE
+    vector in its cluster, or (b) any smaller-id SAME-BATCH vector in
+    its cluster — (b) regardless of that vector's own verdict, so a
+    within-batch chain a~b~c rejects b and c exactly like the batch
+    pipeline's connected components would. Similarity orientation is
+    always z(candidate)ᵀ u(partner) — deterministic under the
+    last-bit asymmetry of the eliminated Σ⁻¹. ``dup_of`` is the
+    minimum qualifying partner id; the verdict says which side it
+    came from ('dup_store' / 'dup_batch'). Invalid vectors (NULL,
+    short, z = 0) are excluded at entry, the semantic_dedup contract.
+
+    ``store`` carries DERIVED columns (vec_id, cluster, u, qaa) so a
+    micro-batch never re-derives history; admitted rows of this
+    batch's output are exactly the rows to append to it. Scale
+    shape: map-only derivation, a ≤|centroids| broadcast cross join,
+    and two cluster-keyed joins (batch×store, batch×batch) — the
+    per-batch cost is |batch|·(|store-in-cluster| + |batch-in-
+    cluster|), the SemDeDup O(n²/k) paid incrementally."""
+    d = int(dim)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    minv_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in minv]
+    )
+    valid = batch.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
+    v = F.transform(F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double"))
+    z = F.zip_with(v, mu_lit, lambda a, b: a - b)
+    rows = (
+        valid.select(F.col(id_col).cast("long").alias("vec_id"), z.alias("__z"))
+        .withColumn("__u", _mahalanobis_cols(F.col("__z"), minv_lit, d))
+        .withColumn("__qaa", _dot_fold(F.col("__z"), F.col("__u")))
+        .filter(F.col("__qaa") > 0)
+    )
+    cent = batch.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in u], float(q)) for c, u, q in centroids],
+        "cluster int, __cu array<double>, __qcc double",
+    )
+    sim_c = _dot_fold(F.col("__z"), F.col("__cu")) / F.sqrt(
+        F.col("__qaa") * F.col("__qcc")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        rows.crossJoin(F.broadcast(cent))
+        .withColumn("__sim", sim_c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "__z", "__u", "__qaa", "cluster")
+    )
+    pair_sim = _dot_fold(F.col("__z"), F.col("__pu")) / F.sqrt(
+        F.col("__qaa") * F.col("__pq")
+    )
+    store_p = store.select(
+        "cluster",
+        F.col("vec_id").alias("__pid"),
+        F.col("u").alias("__pu"),
+        F.col("qaa").alias("__pq"),
+    )
+    m_store = (
+        assigned.join(store_p, "cluster")
+        .withColumn("__psim", pair_sim)
+        .filter(F.col("__psim") >= float(tau))
+        .groupBy("vec_id")
+        .agg(F.min("__pid").alias("__store_of"))
+    )
+    batch_p = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("__pid"),
+        F.col("__u").alias("__pu"),
+        F.col("__qaa").alias("__pq"),
+    )
+    m_batch = (
+        assigned.join(batch_p, "cluster")
+        .filter(F.col("__pid") < F.col("vec_id"))
+        .withColumn("__psim", pair_sim)
+        .filter(F.col("__psim") >= float(tau))
+        .groupBy("vec_id")
+        .agg(F.min("__pid").alias("__batch_of"))
+    )
+    out = (
+        assigned.join(m_store, "vec_id", "left")
+        .join(m_batch, "vec_id", "left")
+        .withColumn(
+            "dup_of", F.least(F.col("__store_of"), F.col("__batch_of"))
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("dup_of").isNull(), F.lit("admitted"))
+            .when(F.col("dup_of") == F.col("__store_of"), F.lit("dup_store"))
+            .otherwise(F.lit("dup_batch")),
+        )
+    )
+    return out.select(
+        "vec_id", "cluster", "verdict", "dup_of",
+        F.col("__u").alias("u"), F.col("__qaa").alias("qaa"),
+    )
