@@ -730,11 +730,12 @@ def main():
         return embedding_covariance(emb, dim=16).count()
 
     def run_kcore(d):
-        # same constant-density hashed-node fixture as the triangle
-        # probe, peeled at k=4
+        # constant-density hashed-node fixture like the triangle
+        # probe but DENSER (m ~ rows/2, avg degree ~4-5) so the
+        # 2-core is non-empty at 1x and the peel cascade is real
         from demv_spark.operators import graph
 
-        m = max(100_003, int(1.5 * d.count()) | 1)
+        m = max(1_009, int(0.5 * d.count()) | 1)
         nid = lambda c: F.pmod(F.xxhash64(c), F.lit(m))
         e = d.select(
             nid(F.col("doc_id")).cast("string").alias("src"),
@@ -750,8 +751,11 @@ def main():
     def run_repeated_ngrams(d):
         from demv_spark.operators.dedup import repeated_ngram_census
 
+        # UNCAPPED df so the probed output is monotone in corpus
+        # size (the max_df cap drops grams whose df crosses it, which
+        # at Kx replication removes exactly the planted repeats)
         return int(
-            repeated_ngram_census(d, n=3, min_df=2, max_df=50)
+            repeated_ngram_census(d, n=3, min_df=2)
             .agg(F.sum("n_repeated_pos")).collect()[0][0]
         )
 
