@@ -1623,6 +1623,11 @@ def semantic_dedup(
             F.concat(F.lit(f"semseed{seed}:"), F.col("__id").cast("string"))
         ),
     )
+    # the whitened rows feed the seed TakeOrdered and BOTH assignment
+    # rounds — persist so the d²-per-row whitening folds (the
+    # expensive map work) run once, not once per reference (same
+    # documented session-cache cost as `assigned` below)
+    rows = rows.persist()
 
     # seeds: TakeOrdered k rows, ranked 1..k (window over k rows only)
     seeds = rows.orderBy("__h", "__id").limit(int(n_clusters))
@@ -1675,6 +1680,13 @@ def semantic_dedup(
         )
         assigned = _assign(cent)
 
+    # the final assignment feeds THREE subtrees (pair lhs, pair rhs,
+    # the census join) and each reference would re-run the whitening
+    # folds + both assignment rounds — persist it once (the adasyn
+    # topk precedent: the function returns a lazy plan, so there is
+    # no safe unpersist point; the entry is assignment-sized and the
+    # documented cost of the one-source-of-truth choice)
+    assigned = assigned.persist()
     # per-cluster near-dup pairs: (lower id)ᵀ Σ⁻¹ (higher id) ≥ tau
     lhs = assigned.select(
         "cluster", F.col("__id").alias("id_a"),
@@ -1899,6 +1911,13 @@ def semantic_admission(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "__z", "__u", "__qaa", "cluster")
+        # four downstream subtrees (store match, both batch-match
+        # sides, the verdict join) read this — materialize once per
+        # micro-batch with an EAGER localCheckpoint, not persist():
+        # a maintainer calls this per batch forever, and checkpoint
+        # blocks are ContextCleaner-released once the batch's verdict
+        # rows are written, while persists would pin cumulatively
+        .localCheckpoint(eager=True)
     )
     pair_sim = _dot_fold(F.col("__z"), F.col("__pu")) / F.sqrt(
         F.col("__qaa") * F.col("__pq")
