@@ -465,6 +465,7 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     n_edges = live.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
         if n_edges == 0:
             break
@@ -484,8 +485,22 @@ def kcore(
         n_nxt = nxt.count()
         if n_nxt == n_edges:
             live = nxt
+            converged = True
             break
         live, n_edges = nxt, n_nxt
+        if n_edges == 0:
+            converged = True
+            break
+    if not converged:
+        # A long chain at k=2 peels only its endpoints per round, so
+        # crawl-graph tails can need O(path length) rounds; returning
+        # the partially-peeled set would silently violate the unique-
+        # fixpoint contract in the docstring (round-10 ADVICE).
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within max_iter={max_iter} "
+            f"rounds ({n_edges} live edges remain); raise max_iter — the "
+            "peel is monotone, so resuming strictly shrinks the edge set"
+        )
     return (
         live.select(F.col("a").alias("node"))
         .unionAll(live.select(F.col("b").alias("node")))

@@ -600,6 +600,11 @@ def gif_frame_sums(
         for pdf in it:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # a GIF truncated after frame 0 decodes frame 0 fine,
+                # then raises at frame 1: on the corrupt-skip path the
+                # whole media_id must go, including rows already
+                # appended for its earlier frames (round-10 ADVICE)
+                start = len(recs)
                 for fr in want:
                     try:
                         arr = decode_gif(bytes(payload), frame=fr).astype(
@@ -609,7 +614,8 @@ def gif_frame_sums(
                         break  # past a valid animation's end
                     except ValueError:
                         if on_corrupt == "skip":
-                            break  # corrupt payload, documented drop
+                            del recs[start:]  # documented whole-media drop
+                            break
                         raise
                     h, w = arr.shape[:2]
                     s = arr.sum(axis=(0, 1))

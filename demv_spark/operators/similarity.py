@@ -1682,10 +1682,8 @@ def semantic_dedup(
 
     # the final assignment feeds THREE subtrees (pair lhs, pair rhs,
     # the census join) and each reference would re-run the whitening
-    # folds + both assignment rounds — persist it once (the adasyn
-    # topk precedent: the function returns a lazy plan, so there is
-    # no safe unpersist point; the entry is assignment-sized and the
-    # documented cost of the one-source-of-truth choice)
+    # folds + both assignment rounds — persist it once; released
+    # (with `rows`) after the census materializes below
     assigned = assigned.persist()
     # per-cluster near-dup pairs: (lower id)ᵀ Σ⁻¹ (higher id) ≥ tau
     lhs = assigned.select(
@@ -1725,7 +1723,7 @@ def semantic_dedup(
     dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("__id"), F.lit(1).alias("__drop")
     )
-    return (
+    out = (
         assigned.join(dropped, "__id", "left")
         .groupBy("cluster")
         .agg(
@@ -1745,7 +1743,17 @@ def semantic_dedup(
             "n_kept",
             "n_dropped",
         )
+        # the return value is a census, so materialize it eagerly and
+        # RELEASE the two session-lifetime persists — the exact
+        # triangle_census pattern: a bare unpersist would silently
+        # re-derive the whitening folds on the caller's first action,
+        # while checkpoint-then-release keeps blocks ContextCleaner-
+        # managed (round-10 ADVICE finding)
+        .localCheckpoint(eager=True)
     )
+    rows.unpersist()
+    assigned.unpersist()
+    return out
 
 
 def recall_at_k(
@@ -1774,12 +1782,19 @@ def recall_at_k(
     of two k·|queries| tables + a per-query count — trivially
     shuffle-bounded; the expensive parts (the searches themselves)
     are the inputs, measured where they run."""
-    e = exact.filter(F.col(rank_col) <= int(k)).select(
-        F.col(query_col).alias("__q"), F.col(id_col).alias("__n")
+    # distinct on BOTH projected (query, neighbor) sets: a duplicate
+    # neighbor row inside one side's top-k would multiply the left
+    # join and inflate n_exact/n_hits (round-10 ADVICE finding)
+    e = (
+        exact.filter(F.col(rank_col) <= int(k))
+        .select(F.col(query_col).alias("__q"), F.col(id_col).alias("__n"))
+        .distinct()
     )
-    a = approx.filter(F.col(rank_col) <= int(k)).select(
-        F.col(query_col).alias("__q"), F.col(id_col).alias("__n"),
-        F.lit(1).alias("__hit"),
+    a = (
+        approx.filter(F.col(rank_col) <= int(k))
+        .select(F.col(query_col).alias("__q"), F.col(id_col).alias("__n"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     return (
         e.join(a, ["__q", "__n"], "left")

@@ -315,3 +315,22 @@ def test_recall_at_k_census(spark):
     # k filter applies to both sides
     out1 = {r.query_id: r for r in recall_at_k(approx, exact, k=1).collect()}
     assert out1[1].n_exact == 1 and out1[1].n_hits == 1
+
+
+def test_recall_at_k_duplicate_rows_do_not_inflate(spark):
+    from demv_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 11, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # approx lists neighbor 10 twice within its top-k: without the
+    # projected-set distinct the left join would multiply and inflate
+    # both n_exact and n_hits (round-10 ADVICE finding)
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.query_id: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert out[1].n_exact == 2  # {10, 11}, not 3 raw rows or a 2x join
+    assert out[1].n_hits == 1

@@ -373,3 +373,20 @@ def test_kcore_releases_session_caches(spark):
     # may leave at most its own handful of round checkpoints pending
     n = spark.sparkContext._jsc.getPersistentRDDs().size() - before
     assert n <= 4, f"{n} new RDD blocks after one kcore call"
+
+
+def test_kcore_raises_on_max_iter_exhaustion(spark):
+    import pytest
+
+    from demv_spark.operators.graph import kcore
+
+    # a 6-node path at k=2 peels only its two endpoints per round:
+    # needs 3 rounds to empty — max_iter=2 must RAISE, not silently
+    # return the partially-peeled set (round-10 ADVICE finding)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, 2, max_iter=2)
+    # enough rounds: converges to the empty core, no raise
+    assert kcore(path, 2, max_iter=10).collect() == []

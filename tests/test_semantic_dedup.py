@@ -156,3 +156,18 @@ def test_semantic_dedup_excludes_zero_qaa_rows(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semantic_dedup(df, dim=4, n_clusters=2, tau=0.99, ridge=1e-6)
     assert sum(r.n_members for r in out.collect()) == 4  # mean row excluded
+
+
+def test_semantic_dedup_releases_session_caches(spark):
+    # rows/assigned persists are released on return via the eager-
+    # checkpoint-then-unpersist pattern (triangle_census precedent;
+    # round-10 ADVICE): after a call no persist()-pinned blocks
+    # survive — only the census checkpoint, which ContextCleaner
+    # releases on GC
+    df = _toy_embeddings(spark, n=80, d=8)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = semantic_dedup(df, dim=8, n_clusters=2, tau=0.99)
+    n_rows = sum(r.n_members for r in out.collect())
+    assert n_rows == 80
+    n = spark.sparkContext._jsc.getPersistentRDDs().size() - before
+    assert n <= 2, f"{n} new RDD blocks pinned after semantic_dedup"

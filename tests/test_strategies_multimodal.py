@@ -362,3 +362,45 @@ def test_gif_frame_sums_composites_animation(spark):
     f1 = C.decode_gif(gif, 1).astype(np.int64).sum(axis=(0, 1))
     assert got == {0: tuple(f0), 1: tuple(f1)}  # frame 5 skipped
     assert got[0] != got[1]
+
+
+def test_gif_frame_sums_corrupt_skip_drops_whole_media(spark):
+    """on_corrupt='skip' drops the ENTIRE media_id: a GIF truncated
+    after frame 0 decodes frame 0 fine then raises at frame 1, and the
+    frame-0 rows already appended must go with it (round-10 ADVICE —
+    the docstring promises whole-media drops, not partial retention).
+    A healthy sibling in the same batch keeps all its rows."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from demv_spark.operators import media_codecs as C
+    from demv_spark.operators.multimodal import MEDIA_SCHEMA, gif_frame_sums
+    from tests.test_media_codecs import _animated_gif
+
+    pal = np.array([[9, 9, 9], [250, 0, 0], [0, 250, 0]], dtype=np.uint8)
+    full = np.ones((3, 3), np.uint8)
+    patch = np.full((2, 2), 2, np.uint8)
+    good = _animated_gif(3, 3, pal, [
+        (0, 0, full, 1, None),
+        (1, 1, patch, 1, None),
+    ])
+    # truncate mid-frame-1: frame 0 decodes, frame 1 raises ValueError
+    bad = good[: len(good) - 6]
+    C.decode_gif(bad, 0)  # still healthy at frame 0
+    with _pytest.raises(ValueError):
+        C.decode_gif(bad, 1)
+    rows = [
+        (1, "image", "gif", good, 3, 3, None),
+        (2, "image", "gif", bad, 3, 3, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = gif_frame_sums(media, frames=(0, 1), on_corrupt="skip").collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert sorted(r["frame"] for r in out) == [0, 1]
+    # and the default surfaces the corruption instead of hiding it
+    with _pytest.raises(Exception):
+        gif_frame_sums(media, frames=(0, 1)).collect()
