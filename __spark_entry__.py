@@ -3475,10 +3475,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (measured: identical output census at n_tables ∈ {1,2} —
         # the second table only re-finds the same collinear buckets
         # and doubles the candidate distinct, 22→6 s at sf0.1)
+        # bucket_width/n_projs are explicit literals (round 11): the
+        # planted contract is invariant to BOTH (they only move rows
+        # between buckets; the census is the targets walk and the
+        # line invariants hold for any neighbor), and auto-sizing w
+        # costs a separate fused-aggregate action per fit — a
+        # production pipeline tunes w once, not per-fit. 500.0 is the
+        # auto-sized value (≈‖σ‖/2) rounded.
         out = synthetic_rebalance_lsh(
             base, ["s"], "y", targets,
             id_cols=["o_orderkey"], strategy="adasyn", seed=42,
-            k=3, n_tables=1, max_bucket=8,
+            k=3, n_tables=1, n_projs=2, max_bucket=8,
+            bucket_width=500.0,
         )
         rng = base.groupBy("s", "y").agg(
             F.min("f1").alias("lo"), F.max("f1").alias("hi")

