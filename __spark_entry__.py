@@ -1818,6 +1818,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_repeated_ngrams"] = _dedup_repeated_ngrams
 
+    # Lee-et-al span REMOVAL (round 11): the action the census above
+    # is the decision table for — drop every token covered by a
+    # corpus-repeated 3-gram (df in [2, 50]), merging overlapping/
+    # adjacent windows into maximal spans. Integer census of the trim
+    # (before/after token counts + spans removed) over the same
+    # planted corpus; the trimmed text itself is pinned by the
+    # no-surviving-repeat property test (test_dedup_clusters).
+    def _dedup_span_trim(spark, sf):
+        from demv_spark.operators.dedup import span_trim
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return span_trim(
+            d.unionByName(planted), n=3, min_df=2, max_df=50
+        ).select(
+            "doc_id", "n_tokens_before", "n_tokens_after", "n_spans_removed"
+        )
+
+    q["q_dedup_span_trim"] = _dedup_span_trim
+
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
     # from three templates (agent-group shadowing, wildcard+anchor
@@ -6072,6 +6094,49 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_distinct_repeated
         FROM grams g LEFT JOIN rep r USING (sh)
         GROUP BY 1
+    """
+
+    # span-trim twin: same gram census, then the start positions of
+    # repeated grams merge into maximal spans with the lag + running
+    # span-id idiom (gap > n opens a new span; gap == n is adjacency
+    # and merges); covered = sum of merged span widths. DuckDB list
+    # slicing is 1-based like the gram CTE's range.
+    o["q_dedup_span_trim"] = rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents
+            WHERE doc_id % 11 = 0
+        ),
+        toks AS (SELECT doc_id, {_toks} AS t FROM corpus),
+        grams AS (
+            SELECT doc_id, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i, t
+            FROM toks
+        ),
+        g2 AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS sh FROM grams),
+        docsh AS (SELECT DISTINCT doc_id, sh FROM g2),
+        dfc AS (SELECT sh, COUNT(*) AS df FROM docsh GROUP BY 1),
+        rep AS (SELECT sh FROM dfc WHERE df >= 2 AND df <= 50),
+        starts AS (SELECT g.doc_id, g.i FROM g2 g JOIN rep USING (sh)),
+        flag AS (
+            SELECT doc_id, i,
+                   CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                          OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 3
+                        THEN 1 ELSE 0 END AS ns
+            FROM starts),
+        sid AS (
+            SELECT doc_id, i,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+            FROM flag),
+        sp AS (SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 2 AS e FROM sid GROUP BY 1, 2),
+        cover AS (
+            SELECT doc_id, SUM(e - s + 1) AS covered, COUNT(*) AS n_spans
+            FROM sp GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+               CAST(len(t.t) - COALESCE(c.covered, 0) AS BIGINT) AS n_tokens_after,
+               CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans_removed
+        FROM toks t LEFT JOIN cover c USING (doc_id)
     """
 
     o["q_sim_embed_near_dup"] = """

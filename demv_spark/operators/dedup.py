@@ -1280,3 +1280,110 @@ def repeated_ngram_census(
             .alias("n_distinct_repeated"),
         )
     )
+
+
+def span_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+    max_df: "int | None" = None,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the dedup action
+    ``repeated_ngram_census`` is the decision table for (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    every token covered by a corpus-repeated n-gram (document
+    frequency ≥ ``min_df``, optionally ≤ ``max_df`` to spare
+    stop-phrases) is dropped from the document, and adjacent/
+    overlapping covered windows merge into maximal spans so a long
+    verbatim quote is removed once, not per-position.
+
+    Returns one row per input document:
+    ``(id_col, text_col [trimmed], n_tokens_before, n_tokens_after,
+    n_spans_removed)`` — the integer census plus the surviving text
+    (surviving tokens re-joined with single spaces; the original
+    inter-token whitespace is not reconstructed, matching
+    ``tokens()``'s canonicalization). Documents with no repeated
+    grams (including docs shorter than ``n`` tokens) pass through
+    with ``n_spans_removed = 0``.
+
+    Reference scope note: the reference engine has no corpus-dedup
+    surface; this completes the repo's Lee-et-al pair (census →
+    removal) in the dedup family.
+
+    Plan shape (all linear): one posexplode of the gram positions,
+    ONE shuffle of the distinct (doc, gram) set for the df census
+    (map-side combined), a gram-keyed join back onto positions, one
+    (doc)-keyed window pass that merges covered windows into maximal
+    spans (lag + running span id — the sessionize idiom), and one
+    join of the span lists (bounded by doc length) onto the
+    documents. No UDFs; the trim itself is a higher-order filter
+    evaluated row-local."""
+    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(shingles(text_col, n)).alias("__pos", "__sh"),
+    )
+    dfc = (
+        sh.select("__id", "__sh")
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    rep = dfc.filter(F.col("__df") >= int(min_df))
+    if max_df is not None:
+        rep = rep.filter(F.col("__df") <= int(max_df))
+    starts = sh.join(rep.select("__sh"), "__sh").select("__id", "__pos")
+
+    # merge covered windows [p, p+n-1] into maximal spans: a start
+    # whose gap to the previous start exceeds n opens a new span
+    # (gap == n is adjacency — contiguous coverage — so it merges)
+    w = Window.partitionBy("__id").orderBy("__pos")
+    flagged = starts.withColumn(
+        "__new",
+        F.when(
+            F.lag("__pos").over(w).isNull()
+            | ((F.col("__pos") - F.lag("__pos").over(w)) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        flagged.groupBy("__id", "__sid")
+        .agg(
+            F.min("__pos").alias("s"),
+            (F.max("__pos") + F.lit(n - 1)).alias("e"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
+        )
+    )
+
+    joined = docs.join(spans, "__id", "left")
+    tk = tokens(F.col("__text"))
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    kept = F.filter(
+        tk,
+        lambda x, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size(tk).cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.coalesce(F.size("__spans"), F.lit(0))
+        .cast("long")
+        .alias("n_spans_removed"),
+    )

@@ -334,3 +334,75 @@ def test_recall_at_k_duplicate_rows_do_not_inflate(spark):
     out = {r.query_id: r for r in recall_at_k(approx, exact, k=3).collect()}
     assert out[1].n_exact == 2  # {10, 11}, not 3 raw rows or a 2x join
     assert out[1].n_hits == 1
+
+
+def test_span_trim_removes_repeated_spans_and_merges_overlaps(spark):
+    from demv_spark.operators.dedup import span_trim
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps high today"),
+        (3, "totally unique content nothing shared here"),
+        (4, "short doc"),
+        # overlapping + adjacent repeats merge into ONE maximal span
+        (7, "quick brown fox quick brown fox tail end bit"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_trim(df, n=3, min_df=2).collect()}
+    assert out[1].text == "the jumps over the lazy dog"
+    assert (out[1].n_tokens_before, out[1].n_tokens_after,
+            out[1].n_spans_removed) == (9, 6, 1)
+    assert out[2].text == "a leaps high today"
+    # untouched docs pass through verbatim (canonicalized join)
+    assert out[3].text == "totally unique content nothing shared here"
+    assert out[3].n_spans_removed == 0
+    assert out[4].n_tokens_before == out[4].n_tokens_after == 2
+    # starts at 0 and 3 with n=3: gap == n is adjacency -> one span
+    assert out[7].text == "tail end bit"
+    assert out[7].n_spans_removed == 1
+
+
+def test_span_trim_property_no_repeated_gram_survives(spark):
+    """Lee et al. invariant: after trimming, NO n-gram of the
+    surviving corpus can still reach df >= min_df among grams that
+    were repeated before — verified by re-running the census on the
+    trimmed text and demanding zero repeated positions for grams that
+    existed pre-trim. (Trimming can create NEW grams by abutting
+    survivors; those are excluded — the contract is about the
+    original repeated substrings, which cannot survive because every
+    covering position was removed.)"""
+    import random
+
+    from demv_spark.operators.dedup import shingles, span_trim
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    quote = "alpha beta gamma delta epsilon"
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+        if i % 3 == 0:  # plant the shared quote in a third of docs
+            cut = rng.randint(0, len(body.split()))
+            ws = body.split()
+            body = " ".join(ws[:cut] + quote.split() + ws[cut:])
+        docs.append((i, body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n, min_df = 3, 2
+
+    before = df.select(F.explode(shingles("text", n)).alias("sh"), "doc_id")
+    rep_before = {
+        r.sh
+        for r in before.distinct().groupBy("sh").count()
+        .filter(F.col("count") >= min_df).collect()
+    }
+    assert rep_before  # the plant guarantees repeated grams exist
+
+    trimmed = span_trim(df, n=n, min_df=min_df)
+    after = trimmed.select(F.explode(shingles("text", n)).alias("sh"))
+    survivors = {r.sh for r in after.distinct().collect()} & rep_before
+    assert survivors == set(), f"repeated grams survived: {survivors}"
+    # and the census is internally consistent
+    bad = trimmed.filter(
+        F.col("n_tokens_after") > F.col("n_tokens_before")
+    ).count()
+    assert bad == 0
