@@ -835,6 +835,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sim_semantic_e2e"] = _sim_semantic_e2e
 
+    # the CAPPED SemDeDup prune — the linear-bounded path the 100 TB
+    # story depends on (round-10 VERDICT item 4): identical pipeline,
+    # but the pair stage keeps at most max_cluster hash-ranked rows
+    # per cluster on the NEIGHBOR side, so candidate volume is
+    # |cluster|·cap, never |cluster|². The cap BINDS at every sf
+    # (smallest cluster ≥ 125 members at sf0.001) so the driver row
+    # actually exercises the truncated candidate set.
+    def _sim_semantic_capped(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 1.001).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = emb.unionByName(planted)
+        return similarity.semantic_dedup(
+            corpus, dim=16, n_clusters=4, tau=0.99,
+            ridge=1e-6, seed=42, lloyd_iters=1, max_cluster=64,
+        )
+
+    q["q_sim_semantic_capped"] = _sim_semantic_capped
+
     q["q_sim_label_centroids"] = lambda spark, sf: similarity.label_centroids(
         _t(spark, sf, "embeddings")
     )
@@ -5282,6 +5307,30 @@ def oracle_sql() -> dict[str, str]:
                b.n_kept, b.n_dropped
         FROM base b LEFT JOIN pairc p USING (cluster)
     """
+
+    # capped twin: identical pipeline, but the edges join's NEIGHBOR
+    # side is first truncated to the 64 smallest (semcap-hash, id)
+    # rows per cluster — the exact row_number cap the Spark side
+    # applies (similarity.semantic_dedup max_cluster)
+    _semcap_h = sql_portable_hash("'semcap:' || CAST(vec_id AS VARCHAR)")
+    o["q_sim_semantic_capped"] = o["q_sim_semantic_e2e"].replace(
+        """        edges AS (
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a1 a JOIN a1 b
+""",
+        f"""        rhsc AS (
+            SELECT cluster, vec_id, u, qaa FROM (
+                SELECT cluster, vec_id, u, qaa,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                           ORDER BY {_semcap_h}, vec_id) AS cn
+                FROM a1)
+            WHERE cn <= 64
+        ),
+        edges AS (
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM a1 a JOIN rhsc b
+""",
+    )
 
     o["q_sim_label_centroids"] = """
         WITH pe AS (

@@ -1553,6 +1553,29 @@ def _dot_fold(a: Column, b: Column) -> Column:
     )
 
 
+def _semcap_neighbors(rhs: DataFrame, max_cluster: int) -> DataFrame:
+    """Truncate the SemDeDup pair stage's NEIGHBOR side to at most
+    ``max_cluster`` hash-ranked rows per cluster — the row_number cap
+    that turns the published O(|cluster|²) prune into |cluster|·cap
+    (linear), the load-bearing bound of the 100 TB plan shape. Split
+    out of ``semantic_dedup`` so the plan contract (one Window with a
+    row_number over (semcap-hash, id), one ≤-filter, no shuffle
+    beyond the cluster exchange) is directly assertable."""
+    from demv_spark.functions.compat import portable_hash
+
+    w_cap = Window.partitionBy("cluster").orderBy(
+        portable_hash(
+            F.concat(F.lit("semcap:"), F.col("id_b").cast("string"))
+        ),
+        "id_b",
+    )
+    return (
+        rhs.withColumn("__cn", F.row_number().over(w_cap))
+        .filter(F.col("__cn") <= int(max_cluster))
+        .drop("__cn")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1695,17 +1718,7 @@ def semantic_dedup(
         F.col("__u").alias("__ub"), F.col("__qaa").alias("__qb"),
     )
     if max_cluster is not None:
-        w_cap = Window.partitionBy("cluster").orderBy(
-            portable_hash(
-                F.concat(F.lit("semcap:"), F.col("id_b").cast("string"))
-            ),
-            "id_b",
-        )
-        rhs = (
-            rhs.withColumn("__cn", F.row_number().over(w_cap))
-            .filter(F.col("__cn") <= int(max_cluster))
-            .drop("__cn")
-        )
+        rhs = _semcap_neighbors(rhs, max_cluster)
     pair_sim = _dot_fold(F.col("__za"), F.col("__ub")) / F.sqrt(
         F.col("__qa") * F.col("__qb")
     )
@@ -1857,6 +1870,82 @@ def centroid_refs(
     ]
 
 
+def semantic_assign(
+    batch: DataFrame,
+    mu: "list[float]",
+    minv: "list[list[float]]",
+    centroids: "list[tuple[int, list[float], float]]",
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-geometry derivation + centroid assignment of one
+    micro-batch: whiten each valid vector against the (mu, Σ⁻¹)
+    literals and argmax whitened cosine over the broadcast centroid
+    set. Returns (vec_id, __z, __u, __qaa, cluster), eagerly
+    localCheckpointed — the shared front half of
+    ``semantic_admission``, split out so a streaming maintainer can
+    learn the batch's cluster set FIRST (a census-sized collect) and
+    prune its store read to those clusters' partitions before the
+    admission join (round-10 VERDICT item 5)."""
+    d = int(dim)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    minv_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in minv]
+    )
+    valid = batch.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
+    )
+    v = F.transform(F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double"))
+    z = F.zip_with(v, mu_lit, lambda a, b: a - b)
+    rows = (
+        valid.select(F.col(id_col).cast("long").alias("vec_id"), z.alias("__z"))
+        .withColumn("__u", _mahalanobis_cols(F.col("__z"), minv_lit, d))
+        .withColumn("__qaa", _dot_fold(F.col("__z"), F.col("__u")))
+        .filter(F.col("__qaa") > 0)
+    )
+    # the centroids are LITERALS (frozen geometry), so the argmax is
+    # a row-local fold — no crossJoin, no per-vec_id window shuffle
+    # (the r10 shape shuffled |batch| single-row groups per batch).
+    # array_min over struct(-sim, cluster) is exactly the window's
+    # (sim DESC, cluster ASC) total order: negation is IEEE-exact and
+    # equal sims fall through to the smaller cluster id.
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in u]).alias("cu"),
+                F.lit(float(q)).alias("qcc"),
+            )
+            for c, u, q in centroids
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                (
+                    F.lit(0.0)
+                    - _dot_fold(F.col("__z"), s["cu"])
+                    / F.sqrt(F.col("__qaa") * s["qcc"])
+                ).alias("ns"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        rows.withColumn("cluster", best["cluster"])
+        .select("vec_id", "__z", "__u", "__qaa", "cluster")
+        # four downstream subtrees (store match, both batch-match
+        # sides, the verdict join) read this — materialize once per
+        # micro-batch with an EAGER localCheckpoint, not persist():
+        # a maintainer calls this per batch forever, and checkpoint
+        # blocks are ContextCleaner-released once the batch's verdict
+        # rows are written, while persists would pin cumulatively
+        .localCheckpoint(eager=True)
+    )
+
+
 def semantic_admission(
     batch: DataFrame,
     store: DataFrame,
@@ -1867,6 +1956,7 @@ def semantic_admission(
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: "DataFrame | None" = None,
 ) -> DataFrame:
     """First-wins SEMANTIC admission of one micro-batch against an
     accumulating accepted store, under frozen whitening geometry
@@ -1889,84 +1979,63 @@ def semantic_admission(
 
     ``store`` carries DERIVED columns (vec_id, cluster, u, qaa) so a
     micro-batch never re-derives history; admitted rows of this
-    batch's output are exactly the rows to append to it. Scale
-    shape: map-only derivation, a ≤|centroids| broadcast cross join,
-    and two cluster-keyed joins (batch×store, batch×batch) — the
-    per-batch cost is |batch|·(|store-in-cluster| + |batch-in-
-    cluster|), the SemDeDup O(n²/k) paid incrementally."""
-    d = int(dim)
-    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
-    minv_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in minv]
-    )
-    valid = batch.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
-    )
-    v = F.transform(F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double"))
-    z = F.zip_with(v, mu_lit, lambda a, b: a - b)
-    rows = (
-        valid.select(F.col(id_col).cast("long").alias("vec_id"), z.alias("__z"))
-        .withColumn("__u", _mahalanobis_cols(F.col("__z"), minv_lit, d))
-        .withColumn("__qaa", _dot_fold(F.col("__z"), F.col("__u")))
-        .filter(F.col("__qaa") > 0)
-    )
-    cent = batch.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in u], float(q)) for c, u, q in centroids],
-        "cluster int, __cu array<double>, __qcc double",
-    )
-    sim_c = _dot_fold(F.col("__z"), F.col("__cu")) / F.sqrt(
-        F.col("__qaa") * F.col("__qcc")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__sim").desc(), F.col("cluster").asc()
-    )
-    assigned = (
-        rows.crossJoin(F.broadcast(cent))
-        .withColumn("__sim", sim_c)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "__z", "__u", "__qaa", "cluster")
-        # four downstream subtrees (store match, both batch-match
-        # sides, the verdict join) read this — materialize once per
-        # micro-batch with an EAGER localCheckpoint, not persist():
-        # a maintainer calls this per batch forever, and checkpoint
-        # blocks are ContextCleaner-released once the batch's verdict
-        # rows are written, while persists would pin cumulatively
-        .localCheckpoint(eager=True)
-    )
+    batch's output are exactly the rows to append to it. The store is
+    consumed ONLY through min-qualifying-partner folds, so duplicate
+    store rows (at-least-once crash appends) cannot change any
+    verdict — callers need no dedup pass before handing it in. Pass
+    ``assigned`` (the ``semantic_assign`` output for this batch) to
+    skip the internal derivation — the maintainer does, after using
+    it to prune the store read. Scale shape: map-only derivation, a
+    ≤|centroids| broadcast cross join, and two cluster-keyed joins
+    (batch×store, batch×batch) — the per-batch cost is
+    |batch|·(|store-in-cluster| + |batch-in-cluster|), the SemDeDup
+    O(n²/k) paid incrementally."""
+    if assigned is None:
+        assigned = semantic_assign(
+            batch, mu, minv, centroids,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+        )
     pair_sim = _dot_fold(F.col("__z"), F.col("__pu")) / F.sqrt(
         F.col("__qaa") * F.col("__pq")
     )
+    # ONE partner table (store rows tagged 's', same-batch rows 'b'),
+    # ONE cluster-keyed join, ONE per-candidate aggregation with
+    # conditional mins — the r10 shape ran the store match and the
+    # batch match as separate join+groupBy pairs (6 exchanges per
+    # micro-batch where 3 suffice); verdict semantics are identical
+    # because each min only sees its own tag's qualifying partners
     store_p = store.select(
         "cluster",
         F.col("vec_id").alias("__pid"),
         F.col("u").alias("__pu"),
         F.col("qaa").alias("__pq"),
-    )
-    m_store = (
-        assigned.join(store_p, "cluster")
-        .withColumn("__psim", pair_sim)
-        .filter(F.col("__psim") >= float(tau))
-        .groupBy("vec_id")
-        .agg(F.min("__pid").alias("__store_of"))
+        F.lit("s").alias("__src"),
     )
     batch_p = assigned.select(
         "cluster",
         F.col("vec_id").alias("__pid"),
         F.col("__u").alias("__pu"),
         F.col("__qaa").alias("__pq"),
+        F.lit("b").alias("__src"),
     )
-    m_batch = (
-        assigned.join(batch_p, "cluster")
-        .filter(F.col("__pid") < F.col("vec_id"))
+    partners = store_p.unionByName(batch_p)
+    m = (
+        assigned.join(partners, "cluster")
+        .filter((F.col("__src") == "s") | (F.col("__pid") < F.col("vec_id")))
         .withColumn("__psim", pair_sim)
         .filter(F.col("__psim") >= float(tau))
         .groupBy("vec_id")
-        .agg(F.min("__pid").alias("__batch_of"))
+        .agg(
+            F.min(F.when(F.col("__src") == "s", F.col("__pid"))).alias(
+                "__store_of"
+            ),
+            F.min(F.when(F.col("__src") == "b", F.col("__pid"))).alias(
+                "__batch_of"
+            ),
+        )
     )
     out = (
-        assigned.join(m_store, "vec_id", "left")
-        .join(m_batch, "vec_id", "left")
+        assigned.join(m, "vec_id", "left")
         .withColumn(
             "dup_of", F.least(F.col("__store_of"), F.col("__batch_of"))
         )

@@ -55,7 +55,10 @@ def streaming_semantic_maintainer(
     later batches never re-whiten history). Returns the
     StreamingQuery. Read the accepted store with
     ``semantic_accepted``."""
-    from demv_spark.operators.similarity import semantic_admission
+    from demv_spark.operators.similarity import (
+        semantic_admission,
+        semantic_assign,
+    )
 
     verdicts_table = f"{index_prefix}_verdicts"
     meta_table = f"{index_prefix}__meta"
@@ -67,23 +70,45 @@ def streaming_semantic_maintainer(
             applied = rows[0]["last_batch_id"] if rows else -1
             if batch_id <= applied:
                 return  # replayed batch — already merged
+        # assign FIRST (map + broadcast, batch-sized): the batch's
+        # cluster set (a census-sized collect) prunes the store read
+        # to those clusters' partitions, so a batch scans only the
+        # history it can actually match — not the whole store
+        # (round-10 VERDICT item 5)
+        assigned = semantic_assign(
+            batch_df, mu, minv, centroids,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+        )
+        clusters = sorted(
+            r["cluster"] for r in assigned.select("cluster").distinct().collect()
+        )
         if spark.catalog.tableExists(verdicts_table):
             store = (
                 spark.table(verdicts_table)
                 .filter(
                     (F.col("verdict") == "admitted")
                     & (F.col("batch_id") < F.lit(batch_id))
+                    & F.col("cluster").isin(clusters)
                 )
                 .select("vec_id", "cluster", "u", "qaa")
-                .distinct()  # crash-window duplicate absorption
+                # NO distinct: admission consumes the store only
+                # through min-folds, so crash-window duplicate
+                # appends cannot change any verdict — the old
+                # per-batch global distinct re-shuffled the whole
+                # history every batch for nothing
             )
         else:
             store = _empty_store(spark)
         v = semantic_admission(
             batch_df, store, mu, minv, centroids,
             tau=tau, dim=dim, id_col=id_col, vec_col=vec_col,
+            assigned=assigned,
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        v.write.mode("append").saveAsTable(verdicts_table)
+        # cluster-partitioned store: each batch's pruned read above
+        # touches only its clusters' directories (PartitionFilters)
+        v.write.mode("append").partitionBy("cluster").saveAsTable(
+            verdicts_table
+        )
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

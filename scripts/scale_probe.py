@@ -783,6 +783,31 @@ def main():
         )
         return int(r[0])
 
+    def run_semantic_dedup_capped(ee):
+        # the CAPPED prune — the linear-bounded path of the 100 TB
+        # story (round-10 VERDICT item 7): same jittered corpus as the
+        # uncapped probe, neighbor side truncated to 64 rows/cluster,
+        # so per-cluster candidates are |cluster|·64, not |cluster|²
+        from demv_spark.operators.similarity import semantic_dedup
+
+        jit = 1.0 + (F.col("vec_id") % 97).cast("double") / 1e4
+        d = ee.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * jit).cast("float"),
+            ).alias("embedding"),
+        )
+        r = (
+            semantic_dedup(
+                d, dim=16, n_clusters=8, tau=0.99, lloyd_iters=1,
+                max_cluster=64,
+            )
+            .agg(F.sum("n_members"), F.sum("n_dropped"))
+            .collect()[0]
+        )
+        return int(r[0])
+
     probes = [
         ("session_features_30min", run_session_features, events, events_k),
         ("dedup_e2e_lsh_cc_keepone", run_dedup_e2e, docs, docs_k),
@@ -843,6 +868,7 @@ def main():
         ("hilbert_key_census", run_hilbert, orders, orders_k),
         ("pca_covariance_census", run_covariance, emb, emb_k),
         ("semantic_dedup_e2e", run_semantic_dedup, emb, emb_k),
+        ("semantic_dedup_capped64", run_semantic_dedup_capped, emb, emb_k),
         ("kcore_peel_k2", run_kcore, docs, docs_k),
         ("repeated_ngram_census", run_repeated_ngrams, docs, docs_k),
     ]

@@ -629,3 +629,33 @@ def test_heavy_hitters_window_is_census_and_limit_bounded(orders):
         counting.heavy_hitters(orders, ["o_orderpriority"], top_k=5),
         want_take_ordered=True,
     )
+
+
+def test_semantic_capped_neighbor_side_is_row_number_capped(spark):
+    """The SemDeDup max_cluster path must bound the pair stage's
+    neighbor side with ONE row_number window (over the semcap hash)
+    followed by a <=-cap filter on a single cluster exchange — the
+    linear-candidate contract the 100 TB plan shape depends on
+    (round-10 VERDICT item 4)."""
+    import re
+
+    from demv_spark.operators.similarity import _semcap_neighbors
+    from demv_spark.plans.introspect import explain_str, plan_stats
+
+    rhs = spark.createDataFrame(
+        [(1, 10, [1.0, 0.0], 1.0), (1, 11, [0.0, 1.0], 1.0)],
+        "cluster int, id_b long, __ub array<double>, __qb double",
+    )
+    capped = _semcap_neighbors(rhs, 64)
+    plan = explain_str(capped, "simple")
+    assert "semcap:" in plan
+    assert re.search(r"__cn#\d+ <= 64", plan), plan
+    # Spark compiles the rank-filter idiom to WindowGroupLimit with a
+    # PARTIAL pass before the exchange — each map task pre-truncates
+    # its own rows to the cap, so a degenerate cluster never ships
+    # more than cap rows per task through the shuffle
+    assert re.search(r"WindowGroupLimit .* row_number\(\), 64, Partial", plan)
+    assert re.search(r"WindowGroupLimit .* row_number\(\), 64, Final", plan)
+    s = plan_stats(capped)
+    assert s["n_exchanges"] == 1  # the cluster exchange, nothing else
+    assert not s["has_python_udf"]
