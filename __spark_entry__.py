@@ -262,6 +262,93 @@ _R10_WINDOW: list[str] = (
     _R10_HOLDS + _R10_BIRTHS + _R10_FLAGSHIPS + _R10_RESEATS
 )
 
+# ---- round-11 window (the COVERAGE.md "Round-11 rotation plan",
+# executed per VERDICT r10 item 6) ----
+# Holds for a second green: the five r10 births PLUS
+# q_demv_adasyn_lsh_rowcheck — the latter also re-earns AGAIN this
+# round because its plan changed (single-aggregation kNN fusion +
+# carry-nx one-table path + explicit fixture knobs), as do
+# q_stream_semantic_log (map-side argmax + fused admission join) and
+# q_sim_semantic_e2e (persist release via eager checkpoint) among
+# the holds. Rotated out: the 17 r9 births, both PageRank re-earns,
+# q_demv_adasyn_rowcheck, q_text_inverted_index, q_stream_index_log
+# (all twice-green; every rotated family keeps a flagship seat).
+_R11_HOLDS: list[str] = [
+    "q_sim_semantic_e2e",
+    "q_graph_kcore",
+    "q_dedup_repeated_ngrams",
+    "q_sim_recall_at_k",
+    "q_stream_semantic_log",
+    "q_demv_adasyn_lsh_rowcheck",
+]
+
+# round-11 births: the Lee-et-al span-removal action and the CAPPED
+# SemDeDup prune (the linear-bounded 100 TB path, driver-verified
+# with the cap binding at every sf)
+_R11_BIRTHS: list[str] = [
+    "q_dedup_span_trim",
+    "q_sim_semantic_capped",
+]
+
+# one seat per CORRECTNESS_r10 family not already covered by the
+# holds/births (q_events_asof_join, q_media_features,
+# q_text_tfidf_keywords, q_web_url_canon are opportunistic re-seats
+# of earlier-rotated veterans per the standing plan)
+_R11_FLAGSHIPS: list[str] = [
+    "q_sketch_hll",
+    "q_olap_star_join",
+    "q_ml_stratified_folds",
+    "q_etl_robust_outliers",
+    "q_cdc_snapshot",
+    "q_metric_fairness_suite",
+    "q_dataset_adult",
+    "q_pii_redact",
+    "q_validate_report",
+    "q_count_group_weights",
+    "q_warc_roundtrip",
+    "q_corpus_training_prep_e2e",
+    "q_events_asof_join",
+    "q_layout_zorder",
+    "q_linkage_best_match",
+    "q_media_features",
+    "q_privacy_k_anon",
+    "q_skew_salted_join",
+    "q_text_tfidf_keywords",
+    "q_web_url_canon",
+]
+
+# veteran re-seats filling the remaining 22 seats (all multi-round
+# green, all OUTSIDE the r10 window so their evidence refreshes —
+# the opportunistic re-seat half of the standing rotation)
+_R11_RESEATS: list[str] = [
+    "q_dedup_decontaminate",
+    "q_dedup_minhash_portable",
+    "q_sim_ivf_topk_fixed",
+    "q_sim_rrf_fusion",
+    "q_text_gopher_rules",
+    "q_text_bm25_topk",
+    "q_events_interval_join",
+    "q_metric_avg_odds_diff",
+    "q_metric_weighted_suite",
+    "q_demv_smote_rowcheck",
+    "q_demv_reweighing",
+    "q_dataset_crime",
+    "q_dataset_park",
+    "q_etl_quantile_label",
+    "q_etl_grouped_corr",
+    "q_ml_target_encode",
+    "q_olap_census_cube",
+    "q_corpus_mixture_report",
+    "q_privacy_l_diversity",
+    "q_stream_admission_log",
+    "q_postprocess_equalize",
+    "q_media_audio_features",
+]
+
+_R11_WINDOW: list[str] = (
+    _R11_HOLDS + _R11_BIRTHS + _R11_FLAGSHIPS + _R11_RESEATS
+)
+
 # the PLANTED BPE merge list shared by q_text_bpe_encode and its
 # oracle: learned once from the sf0.001 corpus (learn_bpe, 16 merges)
 # and frozen, so the driver row exercises the APPLY kernel against a
@@ -4425,7 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation policy as executable invariants: exactly 50 seats, no
     # never-driver-verified query outside the window, no family
     # losing all its seats, no typo'd seat name.
-    window = _R10_WINDOW
+    window = _R11_WINDOW
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
