@@ -241,6 +241,10 @@ HEADLINE = [
     "q_dedup_repeated_ngrams",
     "q_sim_recall_at_k",
     "q_stream_semantic_log",
+    # round-11: Lee-et-al span removal and the CAPPED SemDeDup prune
+    # (the linear-bounded pair stage, WindowGroupLimit-pruned)
+    "q_dedup_span_trim",
+    "q_sim_semantic_capped",
 ]
 
 
