@@ -288,6 +288,7 @@ _R11_HOLDS: list[str] = [
 _R11_BIRTHS: list[str] = [
     "q_dedup_span_trim",
     "q_sim_semantic_capped",
+    "q_dedup_decontaminate_spans",
 ]
 
 # one seat per CORRECTNESS_r10 family not already covered by the
@@ -322,7 +323,6 @@ _R11_FLAGSHIPS: list[str] = [
 # the opportunistic re-seat half of the standing rotation)
 _R11_RESEATS: list[str] = [
     "q_dedup_decontaminate",
-    "q_dedup_minhash_portable",
     "q_sim_ivf_topk_fixed",
     "q_sim_rrf_fusion",
     "q_text_gopher_rules",
@@ -1951,6 +1951,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_dedup_span_trim"] = _dedup_span_trim
+
+    # span-level benchmark decontamination (round 11): the GPT-3
+    # appendix-C dirty-window removal — the %13 documents ARE the
+    # eval set, so every one of them self-collides end-to-end (full
+    # trim) and organic keyword 3-grams nick spans out of the rest;
+    # margin=1 widens each window a token per side and exercises the
+    # boundary clamps at every sf.
+    def _dedup_decontaminate_spans(spark, sf):
+        from demv_spark.operators.dedup import decontaminate_spans
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 13 == 0)
+        return decontaminate_spans(d, bench, n=3, margin=1).select(
+            "doc_id", "n_tokens_before", "n_tokens_after", "n_spans_removed"
+        )
+
+    q["q_dedup_decontaminate_spans"] = _dedup_decontaminate_spans
 
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
@@ -6268,6 +6285,46 @@ def oracle_sql() -> dict[str, str]:
         cover AS (
             SELECT doc_id, SUM(e - s + 1) AS covered, COUNT(*) AS n_spans
             FROM sp GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+               CAST(len(t.t) - COALESCE(c.covered, 0) AS BIGINT) AS n_tokens_after,
+               CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans_removed
+        FROM toks t LEFT JOIN cover c USING (doc_id)
+    """
+
+    # span-decontamination twin: rep = the eval slice's distinct
+    # grams; windows widened by margin=1 (reach 3 + 2 = 5 for the
+    # merge), span ends clamped to the token range on BOTH sides
+    o["q_dedup_decontaminate_spans"] = rf"""
+        WITH toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS i, t
+            FROM toks
+        ),
+        g2 AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS sh FROM grams),
+        bench AS (
+            SELECT DISTINCT sh FROM g2 WHERE doc_id % 13 = 0
+        ),
+        starts AS (SELECT g.doc_id, g.i FROM g2 g JOIN bench USING (sh)),
+        flag AS (
+            SELECT doc_id, i,
+                   CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                          OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+                        THEN 1 ELSE 0 END AS ns
+            FROM starts),
+        sid AS (
+            SELECT doc_id, i,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+            FROM flag),
+        sp AS (
+            SELECT doc_id, sid,
+                   GREATEST(MIN(i) - 1, 1) AS s, MAX(i) + 3 AS e
+            FROM sid GROUP BY 1, 2),
+        cover AS (
+            SELECT s.doc_id,
+                   SUM(LEAST(s.e, len(t.t)) - s.s + 1) AS covered,
+                   COUNT(*) AS n_spans
+            FROM sp s JOIN toks t USING (doc_id) GROUP BY 1)
         SELECT t.doc_id,
                CAST(len(t.t) AS BIGINT) AS n_tokens_before,
                CAST(len(t.t) - COALESCE(c.covered, 0) AS BIGINT) AS n_tokens_after,

@@ -245,6 +245,7 @@ HEADLINE = [
     # (the linear-bounded pair stage, WindowGroupLimit-pruned)
     "q_dedup_span_trim",
     "q_sim_semantic_capped",
+    "q_dedup_decontaminate_spans",
 ]
 
 

@@ -1336,16 +1336,31 @@ def span_trim(
     if max_df is not None:
         rep = rep.filter(F.col("__df") <= int(max_df))
     starts = sh.join(rep.select("__sh"), "__sh").select("__id", "__pos")
+    return _trim_covered(docs, starts, n, 0, id_col, text_col)
 
-    # merge covered windows [p, p+n-1] into maximal spans: a start
-    # whose gap to the previous start exceeds n opens a new span
-    # (gap == n is adjacency — contiguous coverage — so it merges)
+
+def _trim_covered(
+    docs: DataFrame,
+    starts: DataFrame,
+    n: int,
+    margin: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared tail of the span-removal family: merge the covered
+    windows [p − margin, p + n − 1 + margin] of the (``__id``,
+    ``__pos``) start positions into maximal spans (lag + running
+    span-id — a start whose gap to the previous exceeds
+    n + 2·margin opens a new span; equality is adjacency and
+    merges), then drop every covered token from ``docs`` (``__id``,
+    ``__text``) and emit the trimmed text + integer census."""
+    reach = n + 2 * int(margin)
     w = Window.partitionBy("__id").orderBy("__pos")
     flagged = starts.withColumn(
         "__new",
         F.when(
             F.lag("__pos").over(w).isNull()
-            | ((F.col("__pos") - F.lag("__pos").over(w)) > n),
+            | ((F.col("__pos") - F.lag("__pos").over(w)) > reach),
             1,
         ).otherwise(0),
     ).withColumn(
@@ -1357,8 +1372,10 @@ def span_trim(
     spans = (
         flagged.groupBy("__id", "__sid")
         .agg(
-            F.min("__pos").alias("s"),
-            (F.max("__pos") + F.lit(n - 1)).alias("e"),
+            F.greatest(
+                F.min("__pos") - F.lit(int(margin)), F.lit(0)
+            ).alias("s"),
+            (F.max("__pos") + F.lit(n - 1 + int(margin))).alias("e"),
         )
         .groupBy("__id")
         .agg(
@@ -1387,3 +1404,45 @@ def span_trim(
         .cast("long")
         .alias("n_spans_removed"),
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    margin: int = 0,
+) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical form of
+    ``decontaminate``: instead of DROPPING every training document
+    sharing an n-gram with the eval corpus, remove just the
+    contaminated token spans (each benchmark-matching n-gram window,
+    widened by ``margin`` tokens each side, overlaps merged into
+    maximal spans) and keep the rest of the document — the GPT-3
+    appendix-C style dirty-window removal (Brown et al. 2020 removed
+    a fixed window around each collision rather than whole docs,
+    preserving training tokens eval-dropping would burn).
+
+    Returns the ``span_trim`` shape: (id_col, text_col [trimmed],
+    n_tokens_before, n_tokens_after, n_spans_removed); documents with
+    no benchmark overlap pass through with n_spans_removed = 0.
+
+    Plan shape (all linear): one posexplode of the corpus gram
+    positions, one distinct over the benchmark's grams (eval sets are
+    tiny next to the corpus, so Catalyst broadcasts the join), one
+    (doc)-keyed span-merge window pass, and one join of the span
+    lists onto the documents — ``decontaminate``'s join cost plus the
+    ``span_trim`` merge, nothing quadratic anywhere."""
+    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(shingles(text_col, n)).alias("__pos", "__sh"),
+    )
+    sh_bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("__sh")
+        ).distinct()
+    )
+    starts = sh.join(sh_bench, "__sh").select("__id", "__pos")
+    return _trim_covered(docs, starts, n, margin, id_col, text_col)

@@ -406,3 +406,47 @@ def test_span_trim_property_no_repeated_gram_survives(spark):
         F.col("n_tokens_after") > F.col("n_tokens_before")
     ).count()
     assert bad == 0
+
+
+def test_decontaminate_spans_removes_benchmark_windows(spark):
+    from demv_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words the secret eval answer is here plus trailing text"),
+            (2, "completely clean document with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer is the key")], "q long, text string"
+    )
+    out = {r.doc_id: r for r in
+           decontaminate_spans(corpus, bench, n=3, margin=0).collect()}
+    # grams of doc 1 matching bench 3-grams: "the secret eval",
+    # "secret eval answer", "eval answer is" -> starts 2,3,4 merge to
+    # one span covering tokens 2..6
+    assert out[1].text == "intro words here plus trailing text"
+    assert out[1].n_spans_removed == 1
+    assert (out[1].n_tokens_before, out[1].n_tokens_after) == (11, 6)
+    assert out[2].text == "completely clean document with no overlap at all"
+    assert out[2].n_spans_removed == 0
+
+
+def test_decontaminate_spans_margin_widens_and_clamps(spark):
+    from demv_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(1, "cc dd ee")], "q long, text string")
+    # margin=0: tokens 2..4 go
+    m0 = decontaminate_spans(corpus, bench, n=3, margin=0).collect()[0]
+    assert m0.text == "aa bb ff gg hh"
+    # margin=1: tokens 1..5 go
+    m1 = decontaminate_spans(corpus, bench, n=3, margin=1).collect()[0]
+    assert m1.text == "aa gg hh"
+    assert m1.n_spans_removed == 1
+    # margin large enough to clamp at both ends: everything goes
+    m9 = decontaminate_spans(corpus, bench, n=3, margin=9).collect()[0]
+    assert m9.text == "" and m9.n_tokens_after == 0
