@@ -123,10 +123,19 @@ def streaming_dedup_maintainer(
         vs_index = spark.createDataFrame([], "id_a long, id_b long")
         if spark.catalog.tableExists(bands_table):
             prior = F.col("batch_id") < F.lit(batch_id)
+            # NO pre-join distinct over the whole band history: the
+            # post-join pair distinct below yields the exact pair set
+            # regardless, and crash-window duplicates are rare — the
+            # r10 shape paid a full history shuffle every batch to
+            # absorb them early (round-10 VERDICT item 5)
             index_bands = (
                 spark.table(bands_table).filter(prior)
-                .select("doc_id", "band", "bucket").distinct()
+                .select("doc_id", "band", "bucket")
             )
+            # doc_id-bucketed storage (below) makes this dedup
+            # exchange-free; it stays because a duplicated sig row
+            # would fan the pair join out (identical rows, but paid
+            # twice in _est_jaccard)
             index_sigs = (
                 spark.table(sigs_table).filter(prior)
                 .select("doc_id", "sig").dropDuplicates(["doc_id"])
@@ -161,8 +170,17 @@ def streaming_dedup_maintainer(
 
         tag = F.lit(batch_id).cast("long").alias("batch_id")
         hits.withColumn("batch_id", tag).write.mode("append").saveAsTable(matches_table)
-        accepted_sigs.withColumn("batch_id", tag).write.mode("append").saveAsTable(sigs_table)
-        accepted_bands.withColumn("batch_id", tag).write.mode("append").saveAsTable(bands_table)
+        # the state tables are BUCKETED on their per-batch join keys
+        # (round-10 VERDICT item 5): every later batch joins sigs on
+        # doc_id and bands on (band, bucket), so bucketed storage
+        # hands the store side to the join already hash-distributed —
+        # the history never re-shuffles, only the batch does
+        accepted_sigs.withColumn("batch_id", tag).write.mode("append").bucketBy(
+            32, "doc_id"
+        ).saveAsTable(sigs_table)
+        accepted_bands.withColumn("batch_id", tag).write.mode("append").bucketBy(
+            32, "band", "bucket"
+        ).saveAsTable(bands_table)
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)
@@ -247,7 +265,14 @@ def streaming_admission_maintainer(
         verdicts = incremental_admission(batch_df, store).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        verdicts.write.mode("append").saveAsTable(verdicts_table)
+        # fp-bucketed storage (round-10 VERDICT item 5): the per-batch
+        # store read is filter→select(fp)→distinct→join, and BOTH the
+        # distinct and the join are keyed on fp, so a bucketed table
+        # hands them the history already hash-distributed — no
+        # per-batch re-shuffle of the whole store
+        verdicts.write.mode("append").bucketBy(32, "fp").saveAsTable(
+            verdicts_table
+        )
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

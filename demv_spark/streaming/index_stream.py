@@ -52,9 +52,14 @@ def streaming_index_maintainer(
             if batch_id <= applied:
                 return
         idx = inverted_index(batch_df, text_col=text_col, id_col=id_col)
+        # doc_id-bucketed postings (round-10 VERDICT item 5 family):
+        # the read surface's resolve is a per-doc max census + a
+        # doc-keyed join over the whole log — bucketed storage hands
+        # both the log already hash-distributed, so merge-on-read
+        # never re-shuffles the history
         idx.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
-        ).saveAsTable(postings_table)
+        ).bucketBy(32, "doc_id").saveAsTable(postings_table)
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

@@ -372,3 +372,39 @@ def test_dedup_maintainer_crash_replay_duplicates_exactly(spark, index):
     assert sorted(
         (r["doc_id"],) for r in ds.dedup_accepted(spark, PREFIX).collect()
     ) == accepted_before
+
+
+def test_admission_store_is_bucketed_and_join_reuses_distribution(
+    spark, adm_index
+):
+    """The verdict store is fp-bucketed (round-10 VERDICT item 5):
+    the per-batch store read scans Bucketed, so the fp-keyed distinct
+    and join get the history already hash-distributed — only the
+    batch side exchanges."""
+    import re
+
+    from demv_spark.operators.dedup import incremental_admission
+    from demv_spark.plans.introspect import explain_str
+
+    d = tempfile.mkdtemp(prefix="demv_admbuck_")
+    try:
+        rows = [(i, f"fp{i % 40}") for i in range(100)]
+        spark.createDataFrame(rows, "doc_id long, fp string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _run_admission(spark, d, adm_index)
+        store = (
+            spark.table(f"{adm_index}_verdicts")
+            .filter((F.col("verdict") == "admitted") & (F.col("batch_id") < 1))
+            .select("fp")
+        )
+        batch = spark.createDataFrame(
+            [(200 + i, f"fp{i}") for i in range(30)], "doc_id long, fp string"
+        )
+        plan = explain_str(incremental_admission(batch, store), "simple")
+        assert "Bucketed: true" in plan, plan
+        # one hash exchange (the batch's fp window); the store side is
+        # either bucketed-SMJ (no exchange) or broadcast at this size
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
