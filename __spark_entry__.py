@@ -1969,6 +1969,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_decontaminate_spans"] = _dedup_decontaminate_spans
 
+    # FUZZY decontamination (round 11): portable MinHash-LSH matches
+    # between the corpus and the %13 eval slice — the paraphrased-
+    # leak case exact n-gram overlap misses. Every eval doc matches
+    # itself at est=1.0 by construction; organic near-dups among the
+    # keyword docs exercise the sub-1.0 band. est_jaccard is an exact
+    # int/32 ratio, hash-stable cross-engine.
+    def _dedup_decontaminate_near(spark, sf):
+        from demv_spark.operators.dedup import decontaminate_near
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = d.filter(F.col("doc_id") % 13 == 0)
+        return decontaminate_near(
+            d, bench, num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+        )
+
+    q["q_dedup_decontaminate_near"] = _dedup_decontaminate_near
+
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
     # from three templates (agent-group shadowing, wildcard+anchor
@@ -5675,6 +5692,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, ov / 32.0 AS est_jaccard FROM ov
+    """
+
+    # fuzzy-decontamination twin: the bench side's sigs/bands are the
+    # %13 slice of the SAME portable signature table (identical text
+    # -> identical signature), so the cross join is banded corpus x
+    # banded bench with no self-pair restriction
+    o["q_dedup_decontaminate_near"] = f"""
+        WITH {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        bbands AS (
+            SELECT doc_id AS bench_id, band, bucket
+            FROM banded WHERE doc_id % 13 = 0
+        ),
+        pairs AS (
+            SELECT a.doc_id, b.bench_id
+            FROM banded a
+            JOIN bbands b ON a.band = b.band AND a.bucket = b.bucket
+            GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT p.doc_id, p.bench_id,
+                   SUM(CASE WHEN sa.min_h = sb.min_h THEN 1 ELSE 0 END) AS ov
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_id
+            JOIN sigs sb ON sb.doc_id = p.bench_id AND sb.h_idx = sa.h_idx
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, bench_id, ov / 32.0 AS est_jaccard FROM ov
+        WHERE ov / 32.0 >= 0.5
     """
     # first-wins verdicts: filter the SAME portable pair set at the
     # threshold, then per rejected doc keep the smallest matching id

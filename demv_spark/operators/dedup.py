@@ -784,6 +784,96 @@ def minhash_signatures_portable(
     )
 
 
+def _portable_bands(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows from a ``_portable_sig`` table: band
+    bucket = polynomial combine of the band's signature rows mod P31
+    (SQL-reproducible). Shared by the self-join pair generator and
+    the cross-corpus decontamination join."""
+    rows_per_band = num_hashes // bands
+    pows = _band_pows(rows_per_band)
+
+    def bucket(b):
+        # sum of (sig[j]*C^j mod P) stays < bands*P < 2^36 — no overflow
+        acc = sum(
+            (F.element_at("sig", b * rows_per_band + j + 1) * F.lit(pows[j]))
+            % F.lit(_P31)
+            for j in range(rows_per_band)
+        )
+        return (acc % F.lit(_P31)).alias("bucket")
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), bucket(b)) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def decontaminate_near(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: near-duplicate matches
+    between the training corpus and an eval corpus by portable
+    MinHash-LSH — the contamination exact n-gram overlap
+    (``decontaminate`` / ``decontaminate_spans``) misses when the
+    leaked eval item was paraphrased, reformatted, or lightly edited
+    (the Lee et al. 2022 observation that near-duplicates carry the
+    same memorization risk as exact ones applies doubly to eval
+    leakage). Returns (id_col, bench_id, est_jaccard) for every
+    corpus×benchmark candidate pair clearing ``threshold`` —
+    anti-join the corpus against it to drop flagged docs, or feed the
+    pairs to a review queue.
+
+    Plan shape: both sides sign once (linear), band buckets from the
+    shared polynomial combine, then ONE (band, bucket)-keyed
+    equi-join RESTRICTED to cross-side pairs — candidates only where
+    a corpus doc and a bench doc share a bucket, never all-pairs; the
+    benchmark side is eval-set-sized, so Catalyst broadcasts it and
+    the corpus pass is map-only at scale. Signature re-joins are
+    id-keyed on the ≤candidate survivors (the minhash_lsh_pairs
+    discipline)."""
+    assert num_hashes % bands == 0
+    sig_c = _portable_sig(df, text_col, id_col, num_hashes, shingle_n)
+    sig_b = _portable_sig(benchmark, text_col, bench_id_col, num_hashes, shingle_n)
+    banded_c = _portable_bands(sig_c, num_hashes, bands)
+    banded_b = _portable_bands(sig_b, num_hashes, bands)
+    cand = (
+        banded_c.withColumnRenamed("id", "__cid")
+        .join(banded_b.withColumnRenamed("id", "__bid"), ["band", "bucket"])
+        .select("__cid", "__bid")
+        .distinct()
+    )
+    cand = cand.join(
+        sig_c.select(F.col("id").alias("__cid"), F.col("sig").alias("sig_a")),
+        "__cid",
+    ).join(
+        sig_b.select(F.col("id").alias("__bid"), F.col("sig").alias("sig_b")),
+        "__bid",
+    )
+    overlap = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.select(
+            F.col("__cid").alias(id_col),
+            F.col("__bid").alias("bench_id"),
+            (overlap / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= float(threshold))
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -799,25 +889,8 @@ def minhash_lsh_pairs_portable(
     linear explode → equi-join → ids-only distinct → broadcast
     signature re-join plan."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    pows = _band_pows(rows_per_band)
     sig = _portable_sig(df, text_col, id_col, num_hashes, shingle_n).persist()
-
-    def bucket(b):
-        # sum of (sig[j]*C^j mod P) stays < bands*P < 2^36 — no overflow
-        acc = sum(
-            (F.element_at("sig", b * rows_per_band + j + 1) * F.lit(pows[j]))
-            % F.lit(_P31)
-            for j in range(rows_per_band)
-        )
-        return (acc % F.lit(_P31)).alias("bucket")
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), bucket(b)) for b in range(bands)])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _portable_bands(sig, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(

@@ -1652,32 +1652,57 @@ def semantic_dedup(
     # documented session-cache cost as `assigned` below)
     rows = rows.persist()
 
-    # seeds: TakeOrdered k rows, ranked 1..k (window over k rows only)
-    seeds = rows.orderBy("__h", "__id").limit(int(n_clusters))
-    w_seed = Window.orderBy("__h", "__id")
-    seeds = seeds.withColumn("cluster", F.row_number().over(w_seed)).select(
-        "cluster",
-        F.col("__u").alias("__cu"),
-        F.col("__qaa").alias("__qcc"),
+    # seeds: TakeOrdered k rows, collected as LITERALS — the centroid
+    # set is census-sized (≤ n_clusters), so assignment becomes a
+    # row-local array_min fold (the semantic_assign shape): no
+    # crossJoin, no per-id window shuffle of the whole corpus per
+    # assignment round. Collect→lit round-trips IEEE doubles exactly,
+    # so assignments are bit-identical to the broadcast-window plan.
+    seed_rows = sorted(
+        rows.select("__h", "__id", "__u", "__qaa")
+        .orderBy("__h", "__id")
+        .limit(int(n_clusters))
+        .collect(),
+        key=lambda r: (r["__h"], r["__id"]),
     )
+    seed_cands = [
+        (i + 1, [float(x) for x in r["__u"]], float(r["__qaa"]))
+        for i, r in enumerate(seed_rows)
+    ]
 
-    def _assign(cand):
-        """argmax whitened cosine against the broadcast candidate
-        centroids, tie-break on the smaller cluster id."""
-        num = _dot_fold(F.col("__z"), F.col("__cu"))
-        sim = num / F.sqrt(F.col("__qaa") * F.col("__qcc"))
-        w = Window.partitionBy("__id").orderBy(
-            F.col("__sim").desc(), F.col("cluster").asc()
+    def _assign(cands):
+        """argmax whitened cosine against the centroid literals,
+        tie-break on the smaller cluster id: array_min over
+        struct(-sim, cluster) is exactly the (sim DESC, cluster ASC)
+        total order — negation is IEEE-exact."""
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(c)).alias("cluster"),
+                    F.array(*[F.lit(float(x)) for x in cu]).alias("cu"),
+                    F.lit(float(qcc)).alias("qcc"),
+                )
+                for c, cu, qcc in cands
+            ]
         )
-        return (
-            rows.crossJoin(F.broadcast(cand))
-            .withColumn("__sim", sim)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "__z", "__u", "__qaa", "cluster")
+        best = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    (
+                        F.lit(0.0)
+                        - _dot_fold(F.col("__z"), s["cu"])
+                        / F.sqrt(F.col("__qaa") * s["qcc"])
+                    ).alias("ns"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return rows.withColumn("cluster", best["cluster"]).select(
+            "__id", "__z", "__u", "__qaa", "cluster"
         )
 
-    assigned = _assign(seeds)
+    assigned = _assign(seed_cands)
     for _ in range(int(lloyd_iters)):
         from demv_spark.functions.compat import stable_avg
 
@@ -1701,7 +1726,17 @@ def semantic_dedup(
         cent = cent.filter(F.col("__qcc") > 0).select(
             "cluster", "__cu", "__qcc"
         )
-        assigned = _assign(cent)
+        # census-sized collect (≤ n_clusters rows) — same
+        # literal-fold assignment as the seed round
+        cent_cands = sorted(
+            (
+                (int(r["cluster"]), [float(x) for x in r["__cu"]],
+                 float(r["__qcc"]))
+                for r in cent.collect()
+            ),
+            key=lambda t: t[0],
+        )
+        assigned = _assign(cent_cands)
 
     # the final assignment feeds THREE subtrees (pair lhs, pair rhs,
     # the census join) and each reference would re-run the whitening

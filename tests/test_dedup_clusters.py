@@ -450,3 +450,31 @@ def test_decontaminate_spans_margin_widens_and_clamps(spark):
     # margin large enough to clamp at both ends: everything goes
     m9 = decontaminate_spans(corpus, bench, n=3, margin=9).collect()[0]
     assert m9.text == "" and m9.n_tokens_after == 0
+
+
+def test_decontaminate_near_flags_paraphrases_not_strangers(spark):
+    from demv_spark.operators.dedup import decontaminate_near
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "completely different content about spark dataframes and shuffles"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank today")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           decontaminate_near(corpus, bench, shingle_n=3, threshold=0.4).collect()}
+    assert out[1].est_jaccard == 1.0 and out[1].bench_id == 100
+    # one-word paraphrase: high but < 1 — the case exact n-gram
+    # decontamination would score only partially and doc-level
+    # containment might miss
+    assert 0.5 < out[3].est_jaccard < 1.0
+    assert 2 not in out
+    # threshold filters
+    strict = decontaminate_near(corpus, bench, shingle_n=3, threshold=0.999)
+    assert {r.doc_id for r in strict.collect()} == {1}
