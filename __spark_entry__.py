@@ -289,6 +289,7 @@ _R11_BIRTHS: list[str] = [
     "q_dedup_span_trim",
     "q_sim_semantic_capped",
     "q_dedup_decontaminate_spans",
+    "q_dedup_decontaminate_near",
 ]
 
 # one seat per CORRECTNESS_r10 family not already covered by the
@@ -322,7 +323,6 @@ _R11_FLAGSHIPS: list[str] = [
 # green, all OUTSIDE the r10 window so their evidence refreshes —
 # the opportunistic re-seat half of the standing rotation)
 _R11_RESEATS: list[str] = [
-    "q_dedup_decontaminate",
     "q_sim_ivf_topk_fixed",
     "q_sim_rrf_fusion",
     "q_text_gopher_rules",

@@ -246,6 +246,7 @@ HEADLINE = [
     "q_dedup_span_trim",
     "q_sim_semantic_capped",
     "q_dedup_decontaminate_spans",
+    "q_dedup_decontaminate_near",
 ]
 
 
