@@ -1607,8 +1607,9 @@ def semantic_dedup(
 
     Scale shape (the SemDeDup contract): whitening is map-only
     (d-term folds per row against a literal d×d matrix); assignment
-    is a broadcast cross join against ≤n_clusters centroids + a
-    per-row window over n_clusters candidates; Lloyd recomputes
+    is a row-local array_min fold over the ≤n_clusters centroid
+    LITERALS (census-sized collects — no cross join, no per-row
+    window shuffle); Lloyd recomputes
     centroids with one map-side-partial agg per iteration (k·d
     rows shuffled, never n·d); the prune self-join shuffles on
     cluster id and is quadratic WITHIN a cluster — O(n²/k) total,
@@ -2020,11 +2021,12 @@ def semantic_admission(
     verdict — callers need no dedup pass before handing it in. Pass
     ``assigned`` (the ``semantic_assign`` output for this batch) to
     skip the internal derivation — the maintainer does, after using
-    it to prune the store read. Scale shape: map-only derivation, a
-    ≤|centroids| broadcast cross join, and two cluster-keyed joins
-    (batch×store, batch×batch) — the per-batch cost is
-    |batch|·(|store-in-cluster| + |batch-in-cluster|), the SemDeDup
-    O(n²/k) paid incrementally."""
+    it to prune the store read. Scale shape: map-only derivation and
+    assignment (a row-local fold over the centroid literals), then
+    ONE cluster-keyed join of the batch against the tagged
+    store∪batch partner table + one conditional-min aggregation —
+    the per-batch cost is |batch|·(|store-in-cluster| +
+    |batch-in-cluster|), the SemDeDup O(n²/k) paid incrementally."""
     if assigned is None:
         assigned = semantic_assign(
             batch, mu, minv, centroids,
