@@ -459,45 +459,42 @@ def synthetic_rebalance_lsh(
             F.col("__rem").desc(),
             portable_hash(F.concat(F.lit(f"adasyn{seed}:"), F.col("__fid"))),
         )
-        rows_d = (
-            rows.join(dens_tbl, "__fid", "left")
-            .withColumn(
-                "__dens",
-                F.coalesce(F.col("__ds") / F.col("__dk"), F.lit(0.0)),
-            )
-            # order-independent float sum: decimal-cast window total
-            .withColumn(
-                "__wtot",
-                F.sum(F.col("__dens").cast("decimal(38,18)")).over(wsum)
-                .cast("double"),
-            )
-            .withColumn(
-                "__share",
-                F.when(
-                    F.col("__wtot") > 0,
-                    n_new * F.col("__dens") / F.col("__wtot"),
-                ).otherwise(F.lit(0.0)),
-            )
-            .withColumn("__q", F.floor("__share").cast("long"))
-            .withColumn("__rem", F.col("__share") - F.col("__q"))
-            .withColumn("__L", n_new - F.sum("__q").over(wsum))
-            .withColumn("__rr", F.row_number().over(w_rem) - 1)
-            .withColumn(
-                "__rep",
+        # two selects, not eight withColumns: each withColumn
+        # re-analyzes the whole window-heavy plan on the driver, and
+        # at this plan size the analysis chatter was a measurable
+        # slice of the per-fit wall (round-11 profile)
+        dens = F.coalesce(F.col("__ds") / F.col("__dk"), F.lit(0.0))
+        # order-independent float sum: decimal-cast window total
+        wtot = (
+            F.sum(dens.cast("decimal(38,18)")).over(wsum).cast("double")
+        )
+        share = F.when(wtot > 0, n_new * dens / wtot).otherwise(F.lit(0.0))
+        q_ = F.floor(share).cast("long")
+        stage1 = rows.join(dens_tbl, "__fid", "left").select(
+            "*",
+            q_.alias("__q"),
+            (share - q_).alias("__rem"),
+            (n_new - F.sum(q_).over(wsum)).alias("__L"),
+        )
+        rows_d = stage1.select(
+            "*",
+            (F.row_number().over(w_rem) - 1).alias("__rr"),
+        ).select(
+            "*",
+            (
                 F.col("__q")
                 + F.expr("__L div __n")
                 + F.when(
                     F.col("__rr") < F.pmod(F.col("__L"), F.col("__n")),
                     F.lit(1),
-                ).otherwise(F.lit(0)),
-            )
+                ).otherwise(F.lit(0))
+            ).alias("__rep"),
         )
         seeds_df = (
             rows_d.filter(F.col("__rep") > 0)
             .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
             .withColumn("__j", F.col("__rr") + (F.col("__e") - 1) * F.col("__n"))
-            .drop("__ds", "__dk", "__dens", "__wtot", "__share",
-                  "__q", "__rem", "__L", "__rr")
+            .drop("__ds", "__dk", "__q", "__rem", "__L", "__rr")
         )  # __nbrs already aboard — no second join below
     else:
         # seeded-rank base selection with round-robin wraparound:
