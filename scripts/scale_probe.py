@@ -759,6 +759,30 @@ def main():
             .agg(F.sum("n_repeated_pos")).collect()[0][0]
         )
 
+    def run_span_trim(d):
+        from demv_spark.operators.dedup import span_trim
+
+        # uncapped df (the repeated_ngram_census probe's reasoning):
+        # replicas make every doc's grams corpus-repeated, so the
+        # trim work is monotone in corpus size
+        r = (
+            span_trim(d, n=3, min_df=2)
+            .agg(F.sum("n_tokens_after"), F.sum("n_spans_removed"))
+            .collect()[0]
+        )
+        return int(r[1])
+
+    def run_decontaminate_near(d):
+        from demv_spark.operators.dedup import decontaminate_near
+
+        # bench side FIXED (eval sets don't grow with the corpus):
+        # always the base slice, so the probe measures corpus-side
+        # signing + the banded cross join at Kx corpus volume
+        bench = docs.filter(F.col("doc_id") % 13 == 0)
+        return decontaminate_near(
+            d, bench, num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+        ).count()
+
     def run_semantic_dedup(ee):
         # per-row scale jitter so the K replicas of a vector are NOT
         # trivial duplicates (a pure id offset keeps the embedding
@@ -871,6 +895,8 @@ def main():
         ("semantic_dedup_capped64", run_semantic_dedup_capped, emb, emb_k),
         ("kcore_peel_k2", run_kcore, docs, docs_k),
         ("repeated_ngram_census", run_repeated_ngrams, docs, docs_k),
+        ("span_trim", run_span_trim, docs, docs_k),
+        ("decontaminate_near_fixed_bench", run_decontaminate_near, docs, docs_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
