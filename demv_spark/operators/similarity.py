@@ -20,6 +20,12 @@ import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 
 def _as_double(col) -> Column:
@@ -893,16 +899,60 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
+    arrow: bool = True,
 ) -> DataFrame:
     """PQ-encode every vector: per sub-space, the index of the
     nearest centroid by exact integer L2 (tie → lowest index). With
     the defaults (64 dims → 8 subs × 16 centroids) a vector becomes
     8 nibbles — a 64× shrink over float32, the representation that
-    keeps a 100 TB corpus's ANN index in executor RAM. MAP-ONLY: the
-    codebook folds into the plan as a literal nested array, argmin
-    runs in codegen per row — no shuffle, no join, no UDF."""
+    keeps a 100 TB corpus's ANN index in executor RAM. MAP-ONLY
+    either way: no shuffle, no join.
+
+    ``arrow=True`` (default) runs the grid quantization + argmin as
+    ONE Arrow-batched NumPy kernel — bit-identical to the expression
+    path (float64 multiply/add/floor are the same correctly-rounded
+    IEEE ops elementwise, every distance is exact int64, and
+    np.argmin takes the FIRST minimum exactly like the struct-min
+    (d, j) tie-break) but ~an order of magnitude faster per row:
+    interpreted higher-order folds pay per-element allocation, the
+    vectorized kernel pays one BLAS-shaped broadcast per batch.
+    ``arrow=False`` keeps the pure-expression plan (the SQL-twin
+    shape; also the no-Arrow fallback)."""
     n_subs = len(centroids)
     sub = dim // n_subs
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        valid = quantize_embeddings_grid(
+            df, dim, scale, id_col, vec_col
+        ).drop("g_codes")
+        out_schema = StructType(
+            list(valid.schema.fields)
+            + [StructField(code_col, ArrayType(IntegerType()))]
+        )
+        cents = np.array(centroids, dtype=np.int64)  # (n_subs, n_cents, sub)
+        s_f = float(int(scale))
+        cols = [f.name for f in valid.schema.fields]
+
+        def encode(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(columns=cols + [code_col])
+                    continue
+                V = np.array(
+                    [np.asarray(v[:dim], dtype=np.float64) for v in pdf[vec_col]]
+                )
+                G = np.clip(np.floor(V * s_f + 0.5), -127, 127).astype(np.int64)
+                Gs = G.reshape(len(pdf), n_subs, 1, sub)
+                d2 = ((Gs - cents[None, :, :, :]) ** 2).sum(axis=3)
+                codes = d2.argmin(axis=2).astype(np.int32)  # first-min tie
+                out = pdf.copy()
+                out[code_col] = [list(map(int, row)) for row in codes]
+                yield out
+
+        return valid.mapInPandas(encode, schema=out_schema)
+
     cent = _pq_cent_lit(centroids)
     g = quantize_embeddings_grid(df, dim, scale, id_col, vec_col)
     gc = F.col("g_codes")
