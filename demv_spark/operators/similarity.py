@@ -706,6 +706,8 @@ def quantized_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Top-k by cosine over int8 codes: approx_cos(a, b) =
     int_dot(a,b) / sqrt(int_dot(a,a) · int_dot(b,b)) — the per-vector
@@ -734,6 +736,68 @@ def quantized_cosine_topk(
         F.col("q_codes").alias("ca"),
         int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
     )
+    if arrow:
+        # Arrow GEMM path (default; bit-identical): BOTH sides'
+        # codes/norms still come from the Spark quantization
+        # expressions — the kernel only does the integer matmul
+        # (exact int64, no float order-dependence), one elementwise
+        # sqrt(q_nn·c_nn) and one divide (each a single
+        # correctly-rounded IEEE op, same as the column expressions),
+        # and a per-batch deterministic truncation matching _topk's
+        # (cos desc, id asc) tie-break — so only O(batches·|Q|·k)
+        # rows reach the global rank window instead of |Q|·|corpus|
+        # pairs through the interpreted int_dot fold (the
+        # cosine_topk_arrow playbook, integer edition).
+        import numpy as np
+        import pandas as pd
+
+        q_rows = qq.limit(max_query_rows + 1).collect()
+        if len(q_rows) > max_query_rows:
+            raise ValueError(
+                "quantized_cosine_topk: query set exceeds the "
+                f"max_query_rows={max_query_rows} driver cap; chunk "
+                "the queries (quantized_cosine_topk_chunked)"
+            )
+        if not q_rows:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, int_dot long, rank int"
+            )
+        q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        QM = np.array([list(r["qa"]) for r in q_rows], dtype=np.int64)
+        q_nn = np.array([r["q_nn"] for r in q_rows], dtype=np.float64)
+        kk = int(k)
+        out_cols = ["query_id", "neighbor_id", "int_dot", "cos_sim"]
+
+        def score(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(columns=out_cols)
+                    continue
+                ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                C = np.array(list(pdf["ca"]), dtype=np.int64)
+                c_nn = pdf["c_nn"].to_numpy(dtype=np.float64)
+                dots = C @ QM.T                       # |batch| × |Q| int64
+                den = np.sqrt(q_nn[None, :] * c_nn[:, None])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den == 0, 0.0, dots / den)
+                recs = []
+                for j in range(len(q_ids)):
+                    keep = np.nonzero(ids != q_ids[j])[0]
+                    order = keep[np.lexsort((ids[keep], -cos[keep, j]))][:kk]
+                    for o in order:
+                        recs.append(
+                            (int(q_ids[j]), int(ids[o]), int(dots[o, j]),
+                             float(cos[o, j]))
+                        )
+                yield pd.DataFrame(recs, columns=out_cols)
+
+        scored = cc.mapInPandas(
+            score,
+            "query_id long, neighbor_id long, int_dot long, cos_sim double",
+        )
+        return _topk(scored, k).select(
+            "query_id", "neighbor_id", "int_dot", "rank"
+        )
     d = int_dot(F.col("qa"), F.col("ca"))
     den = F.sqrt(F.col("q_nn").cast("double") * F.col("c_nn").cast("double"))
     scored = (

@@ -508,16 +508,31 @@ def test_star_join_broadcasts_both_dims(spark):
 
 
 def test_topk_chunked_plan_all_joins_broadcast(spark):
-    """The chunked union keeps every chunk's join a broadcast — the
-    corpus is never shuffled for the join at any chunk count."""
+    """The chunked union never shuffles the corpus for a join at any
+    chunk count: the Arrow default scores map-only (no join at all),
+    and the expression fallback keeps every chunk's join a
+    broadcast."""
     emb = read_table(spark, SF, "embeddings")
     out = similarity.quantized_cosine_topk_chunked(
         emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
         chunk_rows=16,
     )
     s = plan_stats(out)
-    assert s["n_sort_merge_joins"] == 0
-    assert s["n_broadcasts"] >= 2      # one query-side broadcast per chunk
+    assert s["n_sort_merge_joins"] == 0  # arrow path: no join anywhere
+
+    def expr_fn(qc):
+        return similarity.quantized_cosine_topk(
+            qc, emb, 64, k=3, arrow=False
+        )
+
+    from demv_spark.operators.similarity import topk_chunked
+
+    out2 = topk_chunked(
+        emb.filter(F.col("vec_id") % 10 == 0), expr_fn, chunk_rows=16
+    )
+    s2 = plan_stats(out2)
+    assert s2["n_sort_merge_joins"] == 0
+    assert s2["n_broadcasts"] >= 2     # one query-side broadcast per chunk
 
 
 def test_bloom_prune_fact_side_never_shuffled(spark):
