@@ -323,18 +323,21 @@ _R11_FLAGSHIPS: list[str] = [
 # green, all OUTSIDE the r10 window so their evidence refreshes —
 # the opportunistic re-seat half of the standing rotation)
 _R11_RESEATS: list[str] = [
-    "q_sim_ivf_topk_fixed",
+    # the four Arrow-reshaped ANN rows re-earn on their NEW plans
+    # (the r6 plan-change policy): pq/ivfpq encode and the quantized
+    # cosine scorer moved to bit-identical Arrow kernels this round
+    "q_sim_pq_topk",
+    "q_sim_ivfpq_topk",
+    "q_sim_quantized_topk",
+    "q_sim_topk_chunked",
     "q_sim_rrf_fusion",
     "q_text_gopher_rules",
     "q_text_bm25_topk",
     "q_events_interval_join",
-    "q_metric_avg_odds_diff",
     "q_metric_weighted_suite",
     "q_demv_smote_rowcheck",
     "q_demv_reweighing",
     "q_dataset_crime",
-    "q_dataset_park",
-    "q_etl_quantile_label",
     "q_etl_grouped_corr",
     "q_ml_target_encode",
     "q_olap_census_cube",
