@@ -201,21 +201,30 @@ def cosine_topk_arrow(
     def score_batches(it):
         for pdf in it:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # pre-sort the batch by id: a STABLE argsort on -sims then
+            # reads out exactly the (cos desc, neighbor_id asc)
+            # tie-break per query with no per-query Python loop
+            # (VERDICT r11 item 3; argpartition alone would keep an
+            # ARBITRARY subset of boundary ties — this keeps the same
+            # set as the old per-column lexsort, bit-identical output)
+            perm = np.argsort(ids, kind="stable")
+            ids = ids[perm]
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)[perm]
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0   # zero corpus vector → sims 0.0
             sims = (m / norms) @ qm.T                     # |batch| × |Q|
             top = min(k + 1, len(ids))  # +1 absorbs self-matches
-            # deterministic per-batch truncation matching the global
-            # tie-break (cos desc, neighbor_id asc): argpartition
-            # would keep an ARBITRARY subset of boundary ties
-            cols = {"query_id": [], "neighbor_id": [], "cos_sim": []}
-            for j in range(len(q_ids)):
-                order = np.lexsort((ids, -sims[:, j]))[:top]
-                cols["query_id"].append(np.full(top, q_ids[j]))
-                cols["neighbor_id"].append(ids[order])
-                cols["cos_sim"].append(sims[order, j])
-            yield pd.DataFrame({c: np.concatenate(v) for c, v in cols.items()})
+            order = np.argsort(-sims, axis=0, kind="stable")[:top]
+            sel_ids = ids[order]                          # top × |Q|
+            sel_sims = np.take_along_axis(sims, order, axis=0)
+            qcol = np.broadcast_to(q_ids[None, :], sel_ids.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol.ravel(order="F"),
+                    "neighbor_id": sel_ids.ravel(order="F"),
+                    "cos_sim": sel_sims.ravel(order="F"),
+                }
+            )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, cos_sim double"
@@ -774,22 +783,43 @@ def quantized_cosine_topk(
                     yield pd.DataFrame(columns=out_cols)
                     continue
                 ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-                C = np.array(list(pdf["ca"]), dtype=np.int64)
-                c_nn = pdf["c_nn"].to_numpy(dtype=np.float64)
+                # pre-sort the batch by id: a STABLE argsort on -cos
+                # then reads out exactly the (cos desc, id asc)
+                # tie-break — the whole selection vectorizes with no
+                # per-query Python loop (VERDICT r11 item 3; same
+                # selected set as the old per-column lexsort, so the
+                # output is bit-identical)
+                perm = np.argsort(ids, kind="stable")
+                ids = ids[perm]
+                C = np.array(list(pdf["ca"]), dtype=np.int64)[perm]
+                c_nn = pdf["c_nn"].to_numpy(dtype=np.float64)[perm]
                 dots = C @ QM.T                       # |batch| × |Q| int64
                 den = np.sqrt(q_nn[None, :] * c_nn[:, None])
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = np.where(den == 0, 0.0, dots / den)
-                recs = []
-                for j in range(len(q_ids)):
-                    keep = np.nonzero(ids != q_ids[j])[0]
-                    order = keep[np.lexsort((ids[keep], -cos[keep, j]))][:kk]
-                    for o in order:
-                        recs.append(
-                            (int(q_ids[j]), int(ids[o]), int(dots[o, j]),
-                             float(cos[o, j]))
-                        )
-                yield pd.DataFrame(recs, columns=out_cols)
+                # self-pairs sink to -inf; ids are unique per batch so
+                # a query masks at most ONE row — keeping kk+1 then
+                # dropping masked rows can never lose a real top-kk row
+                self_mask = ids[:, None] == q_ids[None, :]
+                masked = np.where(self_mask, -np.inf, cos)
+                m = min(kk + 1, len(ids))
+                order = np.argsort(-masked, axis=0, kind="stable")[:m]
+                sel_ids = ids[order]                          # m × |Q|
+                sel_ok = ~np.take_along_axis(self_mask, order, axis=0)
+                keep = sel_ok & (np.cumsum(sel_ok, axis=0) <= kk)
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[c],
+                        "neighbor_id": sel_ids[r, c],
+                        "int_dot": np.take_along_axis(dots, order, axis=0)[
+                            r, c
+                        ],
+                        "cos_sim": np.take_along_axis(cos, order, axis=0)[
+                            r, c
+                        ],
+                    }
+                )
 
         scored = cc.mapInPandas(
             score,
@@ -1353,6 +1383,16 @@ def topk_chunked(
     return reduce(DataFrame.unionByName, parts)
 
 
+# below this many queries per chunk the Arrow/GEMM kernel LOSES to
+# the expression broadcast join: every chunk pays a driver collect
+# job for its query side plus a full Python-worker corpus pass, where
+# the expression twin is one JVM broadcast join — the GEMM win only
+# amortizes at thousands of queries per chunk (measured in
+# PERFORMANCE.md; the r11 driver row ran 5 chunks of ~100 queries and
+# regressed 1.3× on the hardcoded Arrow path — VERDICT r11 item 1)
+_ARROW_CHUNK_MIN_QUERIES = 4096
+
+
 def quantized_cosine_topk_chunked(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1361,14 +1401,27 @@ def quantized_cosine_topk_chunked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int = 100_000,
+    arrow: "bool | None" = None,
 ) -> DataFrame:
     """``quantized_cosine_topk`` for query sets past the broadcast
     cap: identical output (same scores, ranks, tie-breaks), bounded
-    broadcast per chunk. See ``topk_chunked``."""
+    broadcast per chunk. See ``topk_chunked``.
+
+    ``arrow=None`` (default) auto-gates the inner kernel on chunk
+    size: chunks of ≥ ``_ARROW_CHUNK_MIN_QUERIES`` queries take the
+    GEMM path (per-chunk fixed costs amortize), smaller chunks take
+    the expression broadcast join (one JVM job per chunk, no driver
+    collect, no Python-worker corpus pass). Pass True/False to pin.
+    The inner cap gets a 1.5× margin over ``chunk_rows`` so hash-split
+    skew can never trip the ValueError chunking exists to solve."""
+    if arrow is None:
+        arrow = chunk_rows >= _ARROW_CHUNK_MIN_QUERIES
+    inner_cap = int(1.5 * chunk_rows) + 64
     return topk_chunked(
         queries,
         lambda qc: quantized_cosine_topk(
-            qc, corpus, dim, k=k, id_col=id_col, vec_col=vec_col
+            qc, corpus, dim, k=k, id_col=id_col, vec_col=vec_col,
+            arrow=arrow, max_query_rows=inner_cap,
         ),
         chunk_rows=chunk_rows,
         id_col=id_col,

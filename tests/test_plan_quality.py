@@ -509,16 +509,25 @@ def test_star_join_broadcasts_both_dims(spark):
 
 def test_topk_chunked_plan_all_joins_broadcast(spark):
     """The chunked union never shuffles the corpus for a join at any
-    chunk count: the Arrow default scores map-only (no join at all),
-    and the expression fallback keeps every chunk's join a
-    broadcast."""
+    chunk count: sub-threshold chunks auto-gate to the expression
+    twin (one query-side BROADCAST join per chunk, no driver collect,
+    no Python-worker corpus pass — VERDICT r11 item 1), and the
+    explicitly-pinned Arrow path scores map-only (no join at all)."""
     emb = read_table(spark, SF, "embeddings")
     out = similarity.quantized_cosine_topk_chunked(
         emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
         chunk_rows=16,
     )
     s = plan_stats(out)
-    assert s["n_sort_merge_joins"] == 0  # arrow path: no join anywhere
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] >= 2        # expression twin per chunk
+    assert not s["has_python_udf"]       # the auto-gate chose JVM
+    out_arrow = similarity.quantized_cosine_topk_chunked(
+        emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
+        chunk_rows=16, arrow=True,
+    )
+    sa = plan_stats(out_arrow)
+    assert sa["n_sort_merge_joins"] == 0  # pinned arrow: no join
 
     def expr_fn(qc):
         return similarity.quantized_cosine_topk(

@@ -1461,6 +1461,25 @@ def test_topk_chunked_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_topk_chunked_arrow_gate_is_output_invisible(spark):
+    """The r12 auto-gate (small chunks → expression twin, VERDICT r11
+    item 1) is purely a physical-plan choice: pinning arrow=True or
+    arrow=False on the chunked wrapper gives the identical result the
+    default auto path produces."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    auto = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs, emb, dim=64, k=3, chunk_rows=16).collect()))
+    pinned_arrow = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs, emb, dim=64, k=3, chunk_rows=16, arrow=True).collect()))
+    pinned_expr = sorted(map(tuple, S.quantized_cosine_topk_chunked(
+        qs, emb, dim=64, k=3, chunk_rows=16, arrow=False).collect()))
+    assert auto == pinned_arrow == pinned_expr
+    assert len(auto) > 0
+
+
 # ---- RAG chunking: overlapping token windows (round 8) ----
 
 def test_chunk_windows_hand_fixture(spark):
