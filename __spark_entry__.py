@@ -352,6 +352,100 @@ _R11_WINDOW: list[str] = (
     _R11_HOLDS + _R11_BIRTHS + _R11_FLAGSHIPS + _R11_RESEATS
 )
 
+# ---- round-12 window (the COVERAGE.md "Round-12 rotation plan",
+# executed per VERDICT r11 item 4) ----
+# Holds: the four r11 births plus every r11 plan-changed re-earn
+# needing a second green on its CURRENT plan — and two of those
+# plans changed AGAIN this round, restarting their clocks:
+# q_sim_topk_chunked (the chunked wrapper auto-gates arrow OFF for
+# sub-threshold chunks — back to the expression broadcast-join plan,
+# VERDICT r11 item 1) and q_demv_adasyn_lsh_rowcheck (fid-only
+# partitioning lets the kNN window, the neighbor aggregation and the
+# density join share one exchange). q_sim_semantic_e2e is pinned to
+# the explicit max_cluster=None opt-out so the capped API default
+# (VERDICT r11 item 5) does NOT change its plan. Rotated out: the
+# r11 holds that closed twice-green (q_graph_kcore,
+# q_dedup_repeated_ngrams, q_sim_recall_at_k) and the twice-green
+# r11 flagships/reseats; every rotated family keeps a seat below.
+_R12_HOLDS: list[str] = [
+    "q_dedup_span_trim",
+    "q_sim_semantic_capped",
+    "q_dedup_decontaminate_spans",
+    "q_dedup_decontaminate_near",
+    "q_demv_adasyn_lsh_rowcheck",
+    "q_stream_semantic_log",
+    "q_sim_semantic_e2e",
+    "q_sim_pq_topk",
+    "q_sim_ivfpq_topk",
+    "q_sim_quantized_topk",
+    "q_sim_topk_chunked",
+    "q_sim_rrf_fusion",
+]
+
+# round-12 births (the no-new-backlog rule: every new oracled row
+# earns its driver seat in its birth round)
+_R12_BIRTHS: list[str] = [
+    # the driver-visible SPLIT of the adasyn-LSH rowcheck (VERDICT
+    # r11 item 2): same fixture + operator, no parity harness — the
+    # BENCH_r12 delta between this row and the rowcheck attributes
+    # the driver cost from driver numbers alone
+    "q_demv_adasyn_lsh_census",
+]
+
+# one seat per CORRECTNESS_r11 family not covered by holds/births,
+# each the family member with the OLDEST green evidence (refresh
+# beats repetition — the opportunistic re-seat policy)
+_R12_FLAGSHIPS: list[str] = [
+    "q_cdc_scd2",
+    "q_corpus_mixture",
+    "q_count_census_merge",
+    "q_dataset_cmc",
+    "q_etl_binarize",
+    "q_events_json_extract",
+    "q_graph_triangles",
+    "q_layout_hilbert",
+    "q_linkage_fuzzy_join",
+    "q_media_resize_plan",
+    "q_metric_accuracy",
+    "q_ml_oof_majority",
+    "q_olap_census_cube",
+    "q_pii_counts",
+    "q_postprocess_multiclass",
+    "q_privacy_anon_report",
+    "q_sketch_bloom_join",
+    "q_skew_heavy_hitters",
+    "q_text_bpe_estimate",
+    "q_validate_dup_keys",
+    "q_warc_roundtrip",
+    "q_web_domain_filter",
+]
+
+# veteran re-seats filling the remaining seats: the 15 stalest green
+# rows repo-wide (all last driver-green in ROUND 1 — the oldest
+# evidence in the registry), all outside the r11 window, all oracled;
+# shrinks one-for-one if further round-12 births land
+_R12_RESEATS: list[str] = [
+    "q_etl_one_hot",
+    "q_etl_profile_columns",
+    "q_etl_recode_map",
+    "q_etl_stratified_sample",
+    "q_etl_union_provenance",
+    "q_etl_zorder_key",
+    "q_sim_label_centroids",
+    "q_sim_nearest_centroid",
+    "q_text_chunk",
+    "q_text_corpus_clean",
+    "q_text_fingerprint",
+    "q_text_lang_confusion",
+    "q_text_lang_id",
+    "q_text_line_dedup",
+    "q_text_pack_sequential",
+]
+
+_R12_WINDOW: list[str] = (
+    _R12_HOLDS + _R12_BIRTHS + _R12_FLAGSHIPS + _R12_RESEATS
+)
+
 # the PLANTED BPE merge list shared by q_text_bpe_encode and its
 # oracle: learned once from the sf0.001 corpus (learn_bpe, 16 merges)
 # and frozen, so the driver row exercises the APPLY kernel against a
@@ -918,9 +1012,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "label",
         )
         corpus = emb.unionByName(planted)
+        # max_cluster=None is the EXPLICIT uncapped opt-out (round 12:
+        # the API default became the capped linear prune; this row
+        # stays pinned to the exact quadratic plan it re-earned on,
+        # and its oracle replays the full pair set)
         return similarity.semantic_dedup(
             corpus, dim=16, n_clusters=4, tau=0.99,
-            ridge=1e-6, seed=42, lloyd_iters=1,
+            ridge=1e-6, seed=42, lloyd_iters=1, max_cluster=None,
         )
 
     q["q_sim_semantic_e2e"] = _sim_semantic_e2e
@@ -3681,6 +3779,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_demv_adasyn_lsh_rowcheck"] = _demv_adasyn_lsh_rowcheck
 
+    # the DRIVER-VISIBLE split of the rowcheck row (round 12, VERDICT
+    # r11 item 2, third missed <3 s bar): the SAME fixture and the
+    # SAME operator invocation, WITHOUT the parity harness (no rng
+    # min/max broadcast join, no invariant sums) — just the operator
+    # and its size census. BENCH_r12 then carries BOTH rows, so the
+    # judge can attribute the rowcheck's driver cost between the
+    # operator pipeline (this row) and the parity harness (the delta)
+    # from driver numbers alone. Same-box A/B this round measured the
+    # two within noise of each other (the harness is one broadcast
+    # join + two fused sums — the cost IS the operator's 8-exchange
+    # DAG at driver-overhead-bound size), so the renegotiated bar
+    # lives on this row: see PERFORMANCE.md "adasyn-LSH bar".
+    def _demv_adasyn_lsh_census(spark, sf):
+        from demv_spark.operators.balancer import group_targets
+        from demv_spark.operators.strategies import synthetic_rebalance_lsh
+
+        base = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+                (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+                "o_orderkey",
+                (F.col("o_orderkey") % 997).cast("double").alias("f1"),
+            )
+            .withColumn("f2", F.col("f1") * 3.0 + 7.0)
+            .persist()
+        )
+        targets = group_targets(base, ["s"], "y", 1, 10000)
+        out = synthetic_rebalance_lsh(
+            base, ["s"], "y", targets,
+            id_cols=["o_orderkey"], strategy="adasyn", seed=42,
+            k=3, n_tables=1, n_projs=2, max_bucket=8,
+            bucket_width=500.0,
+        )
+        return out.groupBy("s", "y").agg(
+            F.count(F.lit(1)).alias("n_out")
+        )
+
+    q["q_demv_adasyn_lsh_census"] = _demv_adasyn_lsh_census
+
     # multi-valued sensitive attribute (5 priority classes × binary
     # label, y correlated with s): the reference hardcodes binary
     # {0,1} sensitive values (helpers.py:74,85) — the Spark census
@@ -4549,7 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation policy as executable invariants: exactly 50 seats, no
     # never-driver-verified query outside the window, no family
     # losing all its seats, no typo'd seat name.
-    window = _R11_WINDOW
+    window = _R12_WINDOW
     ordered = {name: q[name] for name in window if name in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
@@ -9074,6 +9213,12 @@ def oracle_sql() -> dict[str, str]:
     # planted line (round 10: the line saturates the LSH candidate
     # bound by construction; the parity claim is per-group)
     o["q_demv_adasyn_lsh_rowcheck"] = o["q_demv_smote_rowcheck"].replace(
+        "FROM orders", "FROM orders WHERE o_orderkey % 5 = 0"
+    )
+    # the harness-free split row (round 12): sizes-only census from
+    # the same fixed-point walk — the operator's group sizes are the
+    # walk's closed form regardless of base-point distribution
+    o["q_demv_adasyn_lsh_census"] = o["q_demv_rebalance_census"].replace(
         "FROM orders", "FROM orders WHERE o_orderkey % 5 = 0"
     )
     o["q_demv_rebalance_census_multi"] = """

@@ -247,6 +247,10 @@ HEADLINE = [
     "q_sim_semantic_capped",
     "q_dedup_decontaminate_spans",
     "q_dedup_decontaminate_near",
+    # round-12: the driver-visible split of the adasyn-LSH rowcheck
+    # (same fixture + operator, no parity harness) — the delta vs
+    # q_demv_adasyn_lsh_rowcheck attributes that row's driver cost
+    "q_demv_adasyn_lsh_census",
 ]
 
 
@@ -295,13 +299,25 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # ALSO persist the full per-query dict next to the repo: the
+    # driver's BENCH_r{N}.json truncates stdout to the last ~66 rows,
+    # leaving cross-round comparisons half-blind (VERDICT r11 item 6)
+    # — bench_rows.json carries all rows and is committed per closing
+    # bench so every adjudication can cite all-row deltas
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_rows.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the one-liner
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1753,7 +1753,7 @@ def semantic_dedup(
     ridge: float = 1e-6,
     seed: int = 42,
     lloyd_iters: int = 1,
-    max_cluster: "int | None" = None,
+    max_cluster: "int | None" = 256,
 ) -> DataFrame:
     """SemDeDup as ONE composed DataFrame DAG: whiten (Mahalanobis
     geometry from ``whitening_inverse``), bucket by nearest centroid
@@ -1780,10 +1780,17 @@ def semantic_dedup(
     centroids with one map-side-partial agg per iteration (k·d
     rows shuffled, never n·d); the prune self-join shuffles on
     cluster id and is quadratic WITHIN a cluster — O(n²/k) total,
-    the published SemDeDup cost — with an optional ``max_cluster``
-    cap that keeps at most that many hash-ranked rows per cluster
-    on the NEIGHBOR side (|cluster|·cap candidates, linear — the
-    synthetic_rebalance_lsh lesson); components close in O(log n)
+    the published SemDeDup cost — bounded BY DEFAULT by
+    ``max_cluster=256``: the pair stage keeps at most that many
+    hash-ranked rows per cluster on the NEIGHBOR side, so candidate
+    volume is |cluster|·cap (linear — the measured 64× probe is
+    2.72× wall vs 20.4× uncapped, and the synthetic_rebalance_lsh
+    lesson). Clusters at or under the cap are EXACT (the cap keeps
+    every neighbor); above it the prune is the capped SemDeDup
+    approximation — the 100 TB-sane default. Pass
+    ``max_cluster=None`` to opt into the exact uncapped quadratic
+    prune (the published O(n²/k) shape — fine when n/k is small,
+    a deliberate choice at corpus scale); components close in O(log n)
     shuffle rounds (duplicate_clusters). Rows whose centered vector
     is exactly μ (qaa = 0) are excluded — a whitened cosine is
     undefined there and engines disagree on NaN ordering."""
@@ -1837,6 +1844,17 @@ def semantic_dedup(
         (i + 1, [float(x) for x in r["__u"]], float(r["__qaa"]))
         for i, r in enumerate(seed_rows)
     ]
+    if not seed_cands:
+        # zero valid rows (every embedding NULL/ragged/at-μ): return
+        # the empty census rather than letting the literal-fold
+        # _assign build F.array() — an array<null> whose struct-field
+        # access fails analysis (ADVICE r11)
+        rows.unpersist()
+        return df.sparkSession.createDataFrame(
+            [],
+            "cluster int, n_members long, n_dup_pairs long, "
+            "n_kept long, n_dropped long",
+        )
 
     def _assign(cands):
         """argmax whitened cosine against the centroid literals,
@@ -1904,6 +1922,13 @@ def semantic_dedup(
             ),
             key=lambda t: t[0],
         )
+        if not cent_cands:
+            # every recomputed centroid landed exactly at μ
+            # (__qcc = 0 — e.g. a perfectly symmetric cluster) and
+            # was filtered: skip the refinement round and keep the
+            # previous assignment instead of folding an empty
+            # centroid array (ADVICE r11)
+            continue
         assigned = _assign(cent_cands)
 
     # the final assignment feeds THREE subtrees (pair lhs, pair rhs,

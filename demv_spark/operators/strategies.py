@@ -415,7 +415,14 @@ def synthetic_rebalance_lsh(
         # provable no-op and is skipped (a full exchange at candidate
         # volume, the single heaviest stage of the one-table plan)
         cand = cand.distinct()
-    w_knn = Window.partitionBy(*keys, "__fid").orderBy(
+    # partition on __fid ALONE: it is globally unique (concat of
+    # id_cols), so it determines the group — (keys, __fid) and
+    # (__fid) induce the same partitions of the data, but the
+    # fid-only spec lets the downstream groupBy (grouping keys ⊇
+    # __fid) AND the density join (keyed on __fid) both reuse this
+    # one exchange instead of re-shuffling (round-12: the r11 driver
+    # row was AQE-job-bound, not data-bound)
+    w_knn = Window.partitionBy("__fid").orderBy(
         F.col("__d2").asc(), portable_hash(F.col("__nfid"))
     )
     topk = cand.withColumn("__rk", F.row_number().over(w_knn)).filter(

@@ -52,6 +52,7 @@ from demv_spark.operators.dedup import (
     lsh_band_buckets,
     minhash_signatures,
 )
+from demv_spark.streaming.state import append_state_table
 
 _SENTINEL = (1 << 63) - 1
 
@@ -174,13 +175,17 @@ def streaming_dedup_maintainer(
         # (round-10 VERDICT item 5): every later batch joins sigs on
         # doc_id and bands on (band, bucket), so bucketed storage
         # hands the store side to the join already hash-distributed —
-        # the history never re-shuffles, only the batch does
-        accepted_sigs.withColumn("batch_id", tag).write.mode("append").bucketBy(
-            32, "doc_id"
-        ).saveAsTable(sigs_table)
-        accepted_bands.withColumn("batch_id", tag).write.mode("append").bucketBy(
-            32, "band", "bucket"
-        ).saveAsTable(bands_table)
+        # the history never re-shuffles, only the batch does.
+        # append_state_table falls back to a legacy table's own
+        # layout instead of dying on the spec mismatch (ADVICE r11)
+        append_state_table(
+            accepted_sigs.withColumn("batch_id", tag), sigs_table,
+            bucket_cols=["doc_id"],
+        )
+        append_state_table(
+            accepted_bands.withColumn("batch_id", tag), bands_table,
+            bucket_cols=["band", "bucket"],
+        )
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)
@@ -269,10 +274,9 @@ def streaming_admission_maintainer(
         # store read is filter→select(fp)→distinct→join, and BOTH the
         # distinct and the join are keyed on fp, so a bucketed table
         # hands them the history already hash-distributed — no
-        # per-batch re-shuffle of the whole store
-        verdicts.write.mode("append").bucketBy(32, "fp").saveAsTable(
-            verdicts_table
-        )
+        # per-batch re-shuffle of the whole store (legacy-layout
+        # fallback per ADVICE r11)
+        append_state_table(verdicts, verdicts_table, bucket_cols=["fp"])
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

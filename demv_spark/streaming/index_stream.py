@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from demv_spark.operators.text import inverted_index
+from demv_spark.streaming.state import append_state_table
 
 
 def streaming_index_maintainer(
@@ -57,9 +58,11 @@ def streaming_index_maintainer(
         # doc-keyed join over the whole log — bucketed storage hands
         # both the log already hash-distributed, so merge-on-read
         # never re-shuffles the history
-        idx.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).bucketBy(32, "doc_id").saveAsTable(postings_table)
+        # legacy-layout fallback per ADVICE r11
+        append_state_table(
+            idx.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            postings_table, bucket_cols=["doc_id"],
+        )
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

@@ -35,6 +35,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from demv_spark.streaming.state import append_state_table
+
 
 def streaming_semantic_maintainer(
     stream: DataFrame,
@@ -105,10 +107,9 @@ def streaming_semantic_maintainer(
             assigned=assigned,
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         # cluster-partitioned store: each batch's pruned read above
-        # touches only its clusters' directories (PartitionFilters)
-        v.write.mode("append").partitionBy("cluster").saveAsTable(
-            verdicts_table
-        )
+        # touches only its clusters' directories (PartitionFilters);
+        # legacy-layout fallback per ADVICE r11
+        append_state_table(v, verdicts_table, partition_cols=["cluster"])
         spark.createDataFrame(
             [(batch_id,)], "last_batch_id long"
         ).write.mode("overwrite").saveAsTable(meta_table)

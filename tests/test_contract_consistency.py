@@ -95,7 +95,7 @@ def test_window_is_exactly_50_known_names():
     exist — queries() silently SKIPS unknown window names, so a typo
     would shrink the window and hand a seat to an arbitrary query."""
     names = list(entrymod.queries())
-    w = entrymod._R11_WINDOW
+    w = entrymod._R12_WINDOW
     assert len(w) == 50, f"window pins {len(w)} seats, driver checks 50"
     assert len(set(w)) == 50, "duplicate window seat"
     assert names[:50] == w, (

@@ -408,3 +408,98 @@ def test_admission_store_is_bucketed_and_join_reuses_distribution(
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_state_table_legacy_layout_fallback(spark):
+    """ADVICE r11: a maintainer resuming over a state table created
+    by the PRE-bucketed code must not die — append_state_table
+    retries the append in the table's existing (plain) layout when
+    the bucket/partition spec mismatches, and only then."""
+    from tests.conftest import drop_table_and_dir
+
+    from demv_spark.streaming.state import append_state_table
+
+    t = "t_legacy_state"
+    drop_table_and_dir(spark, t)
+    try:
+        # legacy table: PLAIN append, no bucketing
+        spark.createDataFrame(
+            [(1, "fp1", "admitted", 0)],
+            "doc_id long, fp string, verdict string, batch_id long",
+        ).write.mode("append").saveAsTable(t)
+        nxt = spark.createDataFrame(
+            [(2, "fp2", "admitted", 1)],
+            "doc_id long, fp string, verdict string, batch_id long",
+        )
+        # bucketed append over the legacy table: falls back, appends
+        append_state_table(nxt, t, bucket_cols=["fp"])
+        assert spark.table(t).count() == 2
+        # a REAL analysis error (missing column) must still raise
+        bad = spark.createDataFrame([(3,)], "doc_id long")
+        with pytest.raises(Exception):
+            append_state_table(bad, t, bucket_cols=["fp"])
+    finally:
+        drop_table_and_dir(spark, t)
+    # fresh table: the helper creates it in the bucketed layout
+    t2 = "t_fresh_state"
+    drop_table_and_dir(spark, t2)
+    try:
+        append_state_table(
+            spark.createDataFrame(
+                [(1, "fp1", "admitted", 0)],
+                "doc_id long, fp string, verdict string, batch_id long",
+            ),
+            t2, bucket_cols=["fp"],
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t2}").collect()
+        }
+        assert desc.get("Num Buckets") == "32", desc
+    finally:
+        drop_table_and_dir(spark, t2)
+
+
+def test_admission_maintainer_survives_legacy_plain_store(spark, adm_index):
+    """End-to-end ADVICE r11 scenario: verdicts were written by the
+    pre-bucketed maintainer (plain layout); the upgraded maintainer
+    appends new batches into the same table instead of raising, and
+    admission semantics against the legacy store are unchanged."""
+    d = tempfile.mkdtemp(prefix="demv_admlegacy_")
+    try:
+        rows = [(i, f"fp{i % 7}") for i in range(20)]
+        b1 = spark.createDataFrame(rows[:8], "doc_id long, fp string")
+        b1.coalesce(1).write.mode("append").parquet(d)
+        _run_admission(spark, d, adm_index)
+
+        # downgrade the store to the legacy plain layout in place
+        vt = f"{adm_index}_verdicts"
+        legacy_rows = spark.table(vt).collect()
+        from tests.conftest import drop_table_and_dir
+
+        drop_table_and_dir(spark, vt)
+        spark.createDataFrame(
+            legacy_rows,
+            "doc_id long, fp string, verdict string, batch_id long",
+        ).write.mode("append").saveAsTable(vt)
+
+        time.sleep(1.1)
+        b2 = spark.createDataFrame(rows[8:], "doc_id long, fp string")
+        b2.coalesce(1).write.mode("append").parquet(d)
+        _run_admission(spark, d, adm_index)
+
+        got = {
+            r["doc_id"]
+            for r in spark.table(vt).filter("verdict = 'admitted'").collect()
+        }
+        whole = spark.createDataFrame(rows, "doc_id long, fp string")
+        empty = spark.createDataFrame([], "fp string")
+        want = {
+            r["doc_id"]
+            for r in dedup.incremental_admission(whole, empty)
+            .filter("verdict = 'admitted'")
+            .collect()
+        }
+        assert got == want == set(range(7))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

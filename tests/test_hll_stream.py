@@ -80,3 +80,38 @@ def test_hll_replay_crash_duplicates_harmless(spark):
     assert a == b
     with pytest.raises(ValueError, match="empty batch list"):
         hll_log_replay([], "user_id")
+
+
+def test_hll_log_resolve_reads_bucketed_without_exchange(spark, hidx):
+    """VERDICT r11 item 7: the register log is bucketed on the group
+    keys, so resolve_hll_log's re-max (grouping on a SUPERSET of the
+    bucket spec) reads the whole stream-lifetime log with no
+    exchange — merge-on-read never re-shuffles history."""
+    import re
+
+    from demv_spark.plans.introspect import explain_str
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = tempfile.mkdtemp(prefix="demv_hllbuck_")
+    try:
+        for i in range(2):
+            ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "append").parquet(d)
+            time.sleep(1.1)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = streaming_hll_maintainer(
+            stream, hidx, "user_id", group_cols=["event_type"], p=6)
+        q.awaitTermination(120)
+        spark.catalog.refreshTable(f"{hidx}_registers")
+        resolved = resolve_hll_log(
+            spark.table(f"{hidx}_registers"), group_cols=["event_type"]
+        )
+        plan = explain_str(resolved, "simple")
+        assert "Bucketed: true" in plan, plan
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

