@@ -390,6 +390,11 @@ _R12_BIRTHS: list[str] = [
     # BENCH_r12 delta between this row and the rowcheck attributes
     # the driver cost from driver numbers alone
     "q_demv_adasyn_lsh_census",
+    # ninth-wave op: contrastive-training hard-negative mining —
+    # top-k most-similar DIFFERENT-label rows with the 0.98
+    # false-negative ceiling binding by construction (planted
+    # flipped-label near-copies), integer-exact quantized contract
+    "q_sim_hard_negatives",
 ]
 
 # one seat per CORRECTNESS_r11 family not covered by holds/births,
@@ -439,7 +444,6 @@ _R12_RESEATS: list[str] = [
     "q_text_lang_confusion",
     "q_text_lang_id",
     "q_text_line_dedup",
-    "q_text_pack_sequential",
 ]
 
 _R12_WINDOW: list[str] = (
@@ -1364,6 +1368,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"),
         dim=64, k=10,
     )
+
+    # hard-negative mining (round 12, ninth wave): per query, the
+    # top-k most-similar DIFFERENT-label corpus rows, with the
+    # false-negative ceiling BINDING by construction — every even
+    # query vector gets a planted near-copy (cosine-preserving 1.001×
+    # scale) with a FLIPPED label: a perfect would-be hard negative
+    # that the ceiling (0.98) must exclude as a suspected labeling
+    # error. Integer-exact quantized contract, so ranks + int dots
+    # value-hash cross-engine.
+    def _sim_hard_negatives(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        planted = emb.filter(F.col("vec_id") % 2 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 1.001).cast("float"),
+            ).alias("embedding"),
+            ((F.col("label") + 1) % 10).alias("label"),
+        )
+        corpus = emb.unionByName(planted)
+        return similarity.hard_negative_topk(
+            corpus.filter(F.col("vec_id") < 5), corpus,
+            dim=64, k=10, ceiling=0.98,
+        )
+
+    q["q_sim_hard_negatives"] = _sim_hard_negatives
 
     # product quantization (round 6): deterministic codebook from the
     # first 16 grid-quantized corpus vectors (same sample-seeding rule
@@ -7740,6 +7770,76 @@ def oracle_sql() -> dict[str, str]:
         .replace("WHERE q.vec_id < 5", "WHERE q.vec_id % 4 = 0")
         .replace("WHERE rnk <= 10", "WHERE rnk <= 5")
     )
+
+    # hard-negative mining (round 12): the quantized-cosine brute
+    # force over the planted corpus, restricted to DIFFERENT-label
+    # pairs, with the false-negative ceiling as a WHERE on the same
+    # bit-exact score expression (exact int64 dots through sqrt +
+    # divide — both single correctly-rounded IEEE ops, so the 0.98
+    # threshold decides identically in both engines)
+    o["q_sim_hard_negatives"] = """
+        WITH base AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000 AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding,
+                   CAST((label + 1) % 10 AS INTEGER) AS label
+            FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        val AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM base
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND label IS NOT NULL
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        qz AS (
+            SELECT vec_id, label,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, label, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM val)
+        ),
+        nn AS (
+            SELECT vec_id, label, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM qz
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.codes[i] * c.codes[i])) AS BIGINT) AS int_dot,
+                   q.nn AS qnn, c.nn AS cnn
+            FROM nn q JOIN nn c
+              ON q.vec_id != c.vec_id AND q.label != c.label
+            WHERE q.vec_id < 5
+        ),
+        guarded AS (
+            SELECT query_id, neighbor_id, int_dot, qnn, cnn
+            FROM pairs
+            WHERE CASE WHEN qnn * cnn = 0 THEN 0.0
+                       ELSE int_dot / sqrt(CAST(qnn AS DOUBLE) * CAST(cnn AS DOUBLE))
+                  END < CAST(0.98 AS DOUBLE)
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, int_dot,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CASE WHEN qnn * cnn = 0 THEN 0.0
+                                     ELSE int_dot / sqrt(CAST(qnn AS DOUBLE) * CAST(cnn AS DOUBLE))
+                                END DESC, neighbor_id
+                   ) AS rnk
+            FROM guarded
+        )
+        SELECT query_id, neighbor_id, int_dot, CAST(rnk AS INT) AS rank
+        FROM scored WHERE rnk <= 10
+    """
 
     o["q_sim_semantic_dedup"] = """
         WITH pl AS (

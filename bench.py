@@ -251,6 +251,9 @@ HEADLINE = [
     # (same fixture + operator, no parity harness) — the delta vs
     # q_demv_adasyn_lsh_rowcheck attributes that row's driver cost
     "q_demv_adasyn_lsh_census",
+    # round-12 ninth wave: hard-negative mining (one broadcast join
+    # over the planted flipped-label corpus, ceiling-guarded)
+    "q_sim_hard_negatives",
 ]
 
 

@@ -887,6 +887,87 @@ def quantized_rerank_topk(
     return _topk(scored, k)
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ceiling: "float | None" = None,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (round 12, the
+    ninth-wave training-data op): per query, the ``k`` MOST-similar
+    corpus rows whose ``label_col`` DIFFERS from the query's — the
+    negatives that actually move an embedding model; easy (dissimilar)
+    negatives contribute near-zero gradient, so every production
+    dual-encoder pipeline mines its negatives from a similarity index
+    rather than sampling uniformly.
+
+    ``ceiling`` is the standard false-negative guard: candidates with
+    quantized cosine ≥ ceiling are EXCLUDED — a different-label row
+    that near-duplicates the query is far more likely a labeling
+    error (or an unlabeled positive) than a useful negative, and
+    training on it actively hurts (the margin filter in the
+    SBERT/SimCSE mining recipes). The cosine that decides the ceiling
+    is the integer-exact quantized score (two correctly-rounded IEEE
+    ops over exact int64 dots — see ``quantized_cosine_topk``), so
+    the threshold decision is bit-reproducible cross-engine and the
+    emission (query_id, neighbor_id, int_dot, rank) value-hashes.
+
+    Rows with NULL labels are excluded from BOTH sides: a NULL label
+    can neither match nor differ, and SQL's three-valued ``!=`` would
+    silently drop them from one side only.
+
+    Plan shape: quantization is map-only on both sides; the capped
+    query side broadcasts ONCE with the self-exclusion and the
+    label-difference fused into the join condition, so the corpus
+    streams through a single broadcast join with no shuffle; the
+    ceiling is a post-join filter on the already-computed score (no
+    extra pass); per-query top-k via the shared ``_topk`` tie-break
+    (cos desc, id asc). At 100 TB this is the same
+    broadcast-the-small-side shape as the whole capped-ANN family —
+    for corpus-sized query sets route through ``topk_chunked``."""
+    qq = quantize_embeddings(
+        queries.filter(F.col(label_col).isNotNull()), dim, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlab"),
+        F.col("q_codes").alias("qa"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("q_nn"),
+    )
+    _assert_query_cap(qq, max_query_rows, "hard_negative_topk")
+    cc = quantize_embeddings(
+        corpus.filter(F.col(label_col).isNotNull()), dim, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__clab"),
+        F.col("q_codes").alias("ca"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+    )
+    d = int_dot(F.col("qa"), F.col("ca"))
+    den = F.sqrt(F.col("q_nn").cast("double") * F.col("c_nn").cast("double"))
+    scored = (
+        cc.join(
+            F.broadcast(qq),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("__qlab") != F.col("__clab")),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            d.alias("int_dot"),
+            F.when(den == 0, F.lit(0.0)).otherwise(d / den).alias("cos_sim"),
+        )
+    )
+    if ceiling is not None:
+        scored = scored.filter(F.col("cos_sim") < float(ceiling))
+    return _topk(scored, k).select(
+        "query_id", "neighbor_id", "int_dot", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's PQ half) — exact-integer codebooks
 # ---------------------------------------------------------------------------

@@ -1480,6 +1480,79 @@ def test_topk_chunked_arrow_gate_is_output_invisible(spark):
     assert len(auto) > 0
 
 
+# ---- hard-negative mining (round 12) ----
+
+def test_hard_negative_topk_labels_differ_and_ceiling_binds(spark):
+    """Every mined negative has a label different from its query's;
+    a planted flipped-label NEAR-COPY (the perfect would-be hard
+    negative) is excluded by the false-negative ceiling, and included
+    without it."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * 1.001).cast("float"),
+        ).alias("embedding"),
+        ((F.col("label") + 1) % 10).alias("label"),
+    )
+    corpus = emb.unionByName(planted)
+    qs = corpus.filter(F.col("vec_id") < 5)
+    labels = {r["vec_id"]: r["label"] for r in corpus.select("vec_id", "label").collect()}
+
+    unguarded = S.hard_negative_topk(qs, corpus, dim=64, k=10).collect()
+    assert all(labels[r["query_id"]] != labels[r["neighbor_id"]] for r in unguarded)
+    # without the ceiling, each even query's flipped-label near-copy
+    # ranks FIRST (cos ≈ 1, label differs)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in unguarded if r["rank"] == 1}
+    for qid in (0, 2, 4):
+        assert top1[qid] == qid + 10_000_000
+
+    guarded = S.hard_negative_topk(qs, corpus, dim=64, k=10, ceiling=0.98).collect()
+    mined = {(r["query_id"], r["neighbor_id"]) for r in guarded}
+    for qid in (0, 2, 4):
+        assert (qid, qid + 10_000_000) not in mined  # ceiling excluded it
+    assert all(labels[q] != labels[n] for q, n in mined)
+    assert len(guarded) > 0
+
+
+def test_hard_negative_topk_null_labels_excluded(spark):
+    """NULL-label rows appear on neither side: never as a query,
+    never as a negative."""
+    from demv_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], None), (3, [0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = S.hard_negative_topk(df, df, dim=2, k=5).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 2 not in ids
+    assert len(out) > 0
+
+
+def test_hard_negative_topk_plan_is_single_broadcast(spark):
+    """The corpus never shuffles: one broadcast join with the label
+    filter fused into the condition, no sort-merge join, no Python
+    UDF."""
+    from demv_spark.operators import similarity as S
+    from demv_spark.plans.introspect import plan_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.hard_negative_topk(
+        emb.filter(F.col("vec_id") < 5), emb, dim=64, k=5, ceiling=0.98
+    )
+    s = plan_stats(out)
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] >= 1
+    assert not s["has_python_udf"]
+
+
 # ---- RAG chunking: overlapping token windows (round 8) ----
 
 def test_chunk_windows_hand_fixture(spark):
