@@ -783,6 +783,18 @@ def main():
             d, bench, num_hashes=32, bands=8, shingle_n=3, threshold=0.5
         ).count()
 
+    def run_hard_negatives(ee):
+        # FIXED query set (the decontaminate_near reasoning: the
+        # mining query batch doesn't grow with the corpus), so the
+        # probe measures the corpus-side quantization + the single
+        # broadcast scoring join at Kx corpus volume
+        from demv_spark.operators.similarity import hard_negative_topk
+
+        qs = emb.filter(F.col("vec_id") < 100)
+        return hard_negative_topk(
+            qs, ee, dim=64, k=10, ceiling=0.98
+        ).count()
+
     def run_semantic_dedup(ee):
         # per-row scale jitter so the K replicas of a vector are NOT
         # trivial duplicates (a pure id offset keeps the embedding
@@ -897,6 +909,7 @@ def main():
         ("repeated_ngram_census", run_repeated_ngrams, docs, docs_k),
         ("span_trim", run_span_trim, docs, docs_k),
         ("decontaminate_near_fixed_bench", run_decontaminate_near, docs, docs_k),
+        ("hard_negatives_fixed_queries", run_hard_negatives, emb, emb_k),
     ]
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
     if only:
