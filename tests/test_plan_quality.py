@@ -683,3 +683,52 @@ def test_semantic_capped_neighbor_side_is_row_number_capped(spark):
     s = plan_stats(capped)
     assert s["n_exchanges"] == 1  # the cluster exchange, nothing else
     assert not s["has_python_udf"]
+
+
+def test_adasyn_lsh_knn_window_feeds_aggregation_exchange_free(spark):
+    """Round-12 plan cut: the kNN window partitions on __fid ALONE
+    (globally unique ⇒ same partitions as (keys, __fid)), so the
+    fused neighbor/density aggregation sits directly on the window's
+    partitioning with NO exchange between them, and the partial
+    WindowGroupLimit still runs before the one __fid exchange."""
+    import re
+
+    from demv_spark.operators.balancer import group_targets
+    from demv_spark.operators.strategies import synthetic_rebalance_lsh
+    from demv_spark.plans.introspect import explain_str
+
+    base = (
+        read_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            (F.col("o_totalprice") > 100000).cast("int").alias("s"),
+            (F.col("o_totalprice") > 200000).cast("int").alias("y"),
+            "o_orderkey",
+            (F.col("o_orderkey") % 997).cast("double").alias("f1"),
+        )
+    )
+    targets = group_targets(base, ["s"], "y", 1, 10000)
+    out = synthetic_rebalance_lsh(
+        base, ["s"], "y", targets, id_cols=["o_orderkey"],
+        strategy="adasyn", seed=42, k=3, n_tables=1, n_projs=2,
+        max_bucket=8, bucket_width=500.0,
+    )
+    plan = explain_str(out, "simple")
+    # the aggregation's subtree: ObjectHashAggregate(partial) directly
+    # over the Window — no Exchange may sit between them
+    m = re.search(
+        r"ObjectHashAggregate\(keys=\[[^\]]*__fid[^\]]*\], functions=\[partial_"
+        r".*?(?=SortMergeJoin|BroadcastHashJoin|Exchange hashpartitioning\(__fid)",
+        plan, re.S,
+    )
+    assert m, plan
+    inner = m.group(0)
+    assert "Window" in inner and "WindowGroupLimit" in inner, inner
+    assert "Exchange" not in inner.split("WindowGroupLimit")[0], inner
+    # exactly TWO __fid exchanges in the whole DAG: one feeding the
+    # candidate window chain, one for the rows side of the density
+    # join (the window/agg/join right-side all reuse the first)
+    n_fid_ex = len(re.findall(r"Exchange hashpartitioning\(__fid", plan))
+    assert n_fid_ex == 2, plan
+    s = plan_stats(out)
+    assert not s["has_python_udf"]
