@@ -395,6 +395,10 @@ _R12_BIRTHS: list[str] = [
     # false-negative ceiling binding by construction (planted
     # flipped-label near-copies), integer-exact quantized contract
     "q_sim_hard_negatives",
+    # ninth-wave op: EMBEDDING-space benchmark decontamination — the
+    # contamination layer n-gram/MinHash decontaminators can't see;
+    # planted scaled eval copies make the tau flag bind exactly
+    "q_sim_decontaminate_semantic",
 ]
 
 # one seat per CORRECTNESS_r11 family not covered by holds/births,
@@ -443,7 +447,6 @@ _R12_RESEATS: list[str] = [
     "q_text_fingerprint",
     "q_text_lang_confusion",
     "q_text_lang_id",
-    "q_text_line_dedup",
 ]
 
 _R12_WINDOW: list[str] = (
@@ -1394,6 +1397,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_sim_hard_negatives"] = _sim_hard_negatives
+
+    # semantic (embedding-space) benchmark decontamination (round 12,
+    # ninth wave): the layer the n-gram/MinHash decontaminators can't
+    # see — the "eval set" is a scaled near-copy of every %11 vector
+    # (cosine-preserving), so each bench item's leaked origin sits at
+    # cos ≈ 1 and the tau=0.98 flag BINDS on exactly those pairs
+    # (plus any naturally-near corpus rows — the oracle replays both)
+    def _sim_decontaminate_semantic(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        bench = emb.filter(F.col("vec_id") % 11 == 0).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * 1.001).cast("float"),
+            ).alias("embedding"),
+        )
+        return similarity.decontaminate_semantic(
+            emb, bench, dim=64, tau=0.98
+        )
+
+    q["q_sim_decontaminate_semantic"] = _sim_decontaminate_semantic
 
     # product quantization (round 6): deterministic codebook from the
     # first 16 grid-quantized corpus vectors (same sample-seeding rule
@@ -7759,6 +7783,74 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, int_dot, CAST(rnk AS INT) AS rank
         FROM scored WHERE rnk <= 10
+    """
+
+    # semantic decontamination (round 12): quantized cosine of every
+    # corpus×bench pair, tau filter on the same bit-exact score
+    # expression (bench = scaled near-copies of the %11 vectors)
+    o["q_sim_decontaminate_semantic"] = """
+        WITH bench AS (
+            SELECT vec_id + 20000000 AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id % 11 = 0
+        ),
+        cval AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        bval AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM bench
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        cqz AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM cval)
+        ),
+        bqz AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM bval)
+        ),
+        cnn AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM cqz
+        ),
+        bnn AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM bqz
+        ),
+        pairs AS (
+            SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.codes[i] * b.codes[i])) AS BIGINT) AS int_dot,
+                   c.nn AS qnn, b.nn AS cnn2
+            FROM cnn c CROSS JOIN bnn b
+        )
+        SELECT vec_id, bench_id, int_dot
+        FROM pairs
+        WHERE CASE WHEN qnn * cnn2 = 0 THEN 0.0
+                   ELSE int_dot / sqrt(CAST(qnn AS DOUBLE) * CAST(cnn2 AS DOUBLE))
+              END >= CAST(0.98 AS DOUBLE)
     """
 
     # chunked ANN: chunking is invisible to the result (per-query

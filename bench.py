@@ -252,8 +252,11 @@ HEADLINE = [
     # q_demv_adasyn_lsh_rowcheck attributes that row's driver cost
     "q_demv_adasyn_lsh_census",
     # round-12 ninth wave: hard-negative mining (one broadcast join
-    # over the planted flipped-label corpus, ceiling-guarded)
+    # over the planted flipped-label corpus, ceiling-guarded) and
+    # embedding-space benchmark decontamination (bench broadcast,
+    # corpus map-only)
     "q_sim_hard_negatives",
+    "q_sim_decontaminate_semantic",
 ]
 
 

@@ -968,6 +968,70 @@ def hard_negative_topk(
     )
 
 
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    tau: float = 0.97,
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench_rows: int = 100_000,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination (round 12, ninth wave):
+    flag every corpus document whose EMBEDDING sits within cosine
+    ``tau`` of any eval-set embedding — the contamination layer the
+    text-side family (``dedup.decontaminate`` exact n-grams,
+    ``decontaminate_spans``, ``decontaminate_near`` MinHash) cannot
+    see: a leaked eval item that was translated, heavily paraphrased,
+    or re-rendered (code reformatted, math re-notated) shares almost
+    no n-grams with the original but still lands next to it in
+    embedding space. Production decontamination stacks run BOTH
+    layers; this is the missing second one.
+
+    Returns (``id_col``, bench_id, int_dot) for every corpus×bench
+    pair clearing ``tau`` — same pairs contract as
+    ``dedup.decontaminate_near``: anti-join the corpus against it to
+    drop flagged docs, or feed a review queue. The tau decision rides
+    the int8-quantized cosine (exact int64 dots through two
+    correctly-rounded IEEE ops — see ``quantized_cosine_topk``), so
+    the threshold decides identically in any engine and the integer
+    emission value-hashes.
+
+    Plan shape: both sides quantize map-only; the BENCH side is
+    eval-set-sized and broadcasts ONCE (capped — eval sets at 100 TB
+    are still small); the corpus streams through a single broadcast
+    nested-loop/hash join with the tau filter on the scored pair —
+    no corpus shuffle, no candidate blow-up beyond |corpus|·|bench|
+    scored map-side. For multi-million-item "benchmarks" (not eval
+    sets any more) route through the banded LSH path instead."""
+    bb = quantize_embeddings(benchmark, dim, vec_col).select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.col("q_codes").alias("ba"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("b_nn"),
+    )
+    _assert_query_cap(bb, max_bench_rows, "decontaminate_semantic")
+    cc = quantize_embeddings(corpus, dim, vec_col).select(
+        F.col(id_col).alias("__cid"),
+        F.col("q_codes").alias("ca"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+    )
+    d = int_dot(F.col("ca"), F.col("ba"))
+    den = F.sqrt(F.col("c_nn").cast("double") * F.col("b_nn").cast("double"))
+    cos = F.when(den == 0, F.lit(0.0)).otherwise(d / den)
+    return (
+        cc.crossJoin(F.broadcast(bb))
+        .select(
+            F.col("__cid").alias(id_col),
+            "bench_id",
+            d.alias("int_dot"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= float(tau))
+        .drop("__cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's PQ half) — exact-integer codebooks
 # ---------------------------------------------------------------------------

@@ -1919,3 +1919,66 @@ def test_learn_bpe_indexed_loop_equals_naive_recompute(spark):
         want = naive(words, 400)
         got = text.learn_bpe(df, n_merges=400)
         assert got == want, f"trial {trial}: diverged at {len(want)} merges"
+
+
+# ---- semantic benchmark decontamination (round 12) ----
+
+def test_decontaminate_semantic_flags_planted_leaks(spark):
+    """Every planted eval near-copy flags its leaked origin at
+    tau=0.98; unrelated corpus rows flag nothing at tau=0.999999."""
+    from demv_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * 1.001).cast("float"),
+        ).alias("embedding"),
+    )
+    out = S.decontaminate_semantic(emb, bench, dim=64, tau=0.98).collect()
+    flagged = {(r["vec_id"], r["bench_id"]) for r in out}
+    origins = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 11 == 0)
+               .select("vec_id").collect()]
+    for vid in origins:
+        assert (vid, vid + 20_000_000) in flagged
+    # the contract is the pairs table: anti-join drops the leaks
+    clean = emb.join(
+        S.decontaminate_semantic(emb, bench, dim=64, tau=0.98)
+        .select("vec_id").distinct(),
+        "vec_id", "left_anti",
+    )
+    assert clean.count() <= emb.count() - len(origins)
+
+
+def test_decontaminate_semantic_plan_broadcasts_bench(spark):
+    """The corpus never shuffles: the eval side broadcasts once and
+    the tau filter rides the scored map-side pair — no sort-merge
+    join, no Python UDF."""
+    from demv_spark.operators import similarity as S
+    from demv_spark.plans.introspect import plan_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 11 == 0)
+    s = plan_stats(S.decontaminate_semantic(emb, bench, dim=64, tau=0.98))
+    assert s["n_sort_merge_joins"] == 0
+    assert s["n_broadcasts"] >= 1
+    assert not s["has_python_udf"]
+
+
+def test_decontaminate_semantic_malformed_rows_excluded(spark):
+    """NULL/ragged embeddings on either side drop out of the pair
+    stage (quantize_embeddings' validity contract) instead of
+    crashing or pairing."""
+    from demv_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, None)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.decontaminate_semantic(corpus, bench, dim=2, tau=0.9).collect()
+    assert {(r["vec_id"], r["bench_id"]) for r in out} == {(0, 100)}
