@@ -399,6 +399,10 @@ _R12_BIRTHS: list[str] = [
     # contamination layer n-gram/MinHash decontaminators can't see;
     # planted scaled eval copies make the tau flag bind exactly
     "q_sim_decontaminate_semantic",
+    # ninth-wave op: the LAYERED decontamination e2e (exact n-gram +
+    # MinHash near + embedding semantic, one %20 fixture, per-doc
+    # 0/1 flag triple)
+    "q_dedup_decontaminate_e2e",
 ]
 
 # one seat per CORRECTNESS_r11 family not covered by holds/births,
@@ -445,7 +449,6 @@ _R12_RESEATS: list[str] = [
     "q_text_chunk",
     "q_text_corpus_clean",
     "q_text_fingerprint",
-    "q_text_lang_confusion",
     "q_text_lang_id",
 ]
 
@@ -2140,6 +2143,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_dedup_decontaminate_near"] = _dedup_decontaminate_near
+
+    # LAYERED decontamination e2e (round 12, ninth wave): one
+    # coherent %20 fixture across all three layers — text train/bench
+    # split on doc_id % 20, embedding corpus = the %20!=0 vectors
+    # PLUS a planted scaled copy of every bench vector (ids +30M, the
+    # "translated leak" the text layers can't see), so each layer
+    # flags a provably non-empty, partially-overlapping set: exact =
+    # shared 4-grams, near = MinHash est≥0.5, semantic = exactly the
+    # planted +30M ids (plus organic near-pairs). Flags are 0/1 ints.
+    def _dedup_decontaminate_e2e(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bench_docs = docs.filter(F.col("doc_id") % 20 == 0)
+        train = docs.filter(F.col("doc_id") % 20 != 0)
+        emb = _t(spark, sf, "embeddings")
+        bench_emb = emb.filter(F.col("vec_id") % 20 == 0)
+        corpus_emb = emb.filter(F.col("vec_id") % 20 != 0).unionByName(
+            bench_emb.select(
+                (F.col("vec_id") + 30_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: (x.cast("double") * 1.001).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+        return dedup.decontaminate_report(
+            train, bench_docs, corpus_emb, bench_emb,
+            n=4, num_hashes=32, bands=8, shingle_n=3, threshold=0.5,
+            dim=64, tau=0.98,
+        )
+
+    q["q_dedup_decontaminate_e2e"] = _dedup_decontaminate_e2e
 
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
@@ -5922,6 +5957,130 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, bench_id, ov / 32.0 AS est_jaccard FROM ov
         WHERE ov / 32.0 >= 0.5
     """
+
+    # layered decontamination e2e (round 12): the three layer bodies
+    # composed as CTEs over ONE %20 fixture — exact 4-gram overlap,
+    # MinHash est>=0.5, and the quantized-cosine semantic layer over
+    # the planted +30M leak copies; final = full-outer flag join
+    o["q_dedup_decontaminate_e2e"] = f"""
+        WITH {_sig_cte},
+        gtoks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        sh_all AS (
+          SELECT doc_id, UNNEST(list_distinct(
+            list_transform(range(1, GREATEST(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')))) AS sh
+          FROM gtoks),
+        gbench AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 20 = 0),
+        gtrain AS (SELECT doc_id, sh FROM sh_all WHERE doc_id % 20 != 0),
+        exact_hits AS (
+          SELECT DISTINCT doc_id FROM gtrain JOIN gbench USING (sh)),
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        bbands AS (
+            SELECT doc_id AS bench_id, band, bucket
+            FROM banded WHERE doc_id % 20 = 0
+        ),
+        npairs AS (
+            SELECT a.doc_id, b.bench_id
+            FROM banded a
+            JOIN bbands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id % 20 != 0
+            GROUP BY 1, 2
+        ),
+        nov AS (
+            SELECT p.doc_id,
+                   SUM(CASE WHEN sa.min_h = sb.min_h THEN 1 ELSE 0 END) AS ov
+            FROM npairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_id
+            JOIN sigs sb ON sb.doc_id = p.bench_id AND sb.h_idx = sa.h_idx
+            GROUP BY p.doc_id, p.bench_id
+        ),
+        near_hits AS (
+            SELECT DISTINCT doc_id FROM nov WHERE ov / 32.0 >= 0.5),
+        ebase AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 != 0
+            UNION ALL
+            SELECT vec_id + 30000000 AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        cval AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM ebase
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        bval AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE vec_id % 20 = 0
+              AND embedding IS NOT NULL AND len(embedding) = 64
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        ),
+        cqz AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM cval)
+        ),
+        bqz AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(FLOOR(x * 127.0 / amax + 0.5) AS BIGINT))
+                   END AS codes
+            FROM (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS amax
+                  FROM bval)
+        ),
+        cnn AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM cqz
+        ),
+        bnn AS (
+            SELECT vec_id, codes,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> codes[i] * codes[i])) AS BIGINT) AS nn
+            FROM bqz
+        ),
+        spairs AS (
+            SELECT c.vec_id AS doc_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.codes[i] * b.codes[i])) AS BIGINT) AS int_dot,
+                   c.nn AS qnn, b.nn AS cnn2
+            FROM cnn c CROSS JOIN bnn b
+        ),
+        sem_hits AS (
+            SELECT DISTINCT doc_id FROM spairs
+            WHERE CASE WHEN qnn * cnn2 = 0 THEN 0.0
+                       ELSE int_dot / sqrt(CAST(qnn AS DOUBLE) * CAST(cnn2 AS DOUBLE))
+                  END >= CAST(0.98 AS DOUBLE)
+        ),
+        allhits AS (
+            SELECT doc_id FROM exact_hits
+            UNION SELECT doc_id FROM near_hits
+            UNION SELECT doc_id FROM sem_hits
+        )
+        SELECT h.doc_id,
+               CAST(e.doc_id IS NOT NULL AS INTEGER) AS hit_exact,
+               CAST(n.doc_id IS NOT NULL AS INTEGER) AS hit_near,
+               CAST(s.doc_id IS NOT NULL AS INTEGER) AS hit_semantic
+        FROM allhits h
+        LEFT JOIN exact_hits e ON h.doc_id = e.doc_id
+        LEFT JOIN near_hits n ON h.doc_id = n.doc_id
+        LEFT JOIN sem_hits s ON h.doc_id = s.doc_id
+    """
+
     # first-wins verdicts: filter the SAME portable pair set at the
     # threshold, then per rejected doc keep the smallest matching id
     o["q_dedup_first_wins"] = f"""
@@ -9475,7 +9634,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _chunk_pos_cte = rf"""
-        toks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        gtoks AS (SELECT doc_id, {_toks} AS t FROM documents),
         pos AS (
           SELECT doc_id, t,
                  UNNEST(range(0, CAST(CEIL(len(t)/8.0) AS BIGINT))) AS i

@@ -257,6 +257,7 @@ HEADLINE = [
     # corpus map-only)
     "q_sim_hard_negatives",
     "q_sim_decontaminate_semantic",
+    "q_dedup_decontaminate_e2e",
 ]
 
 

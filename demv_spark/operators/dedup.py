@@ -874,6 +874,83 @@ def decontaminate_near(
     )
 
 
+def decontaminate_report(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    n: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    dim: int = 64,
+    tau: float = 0.98,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """LAYERED decontamination verdict — the e2e composition a
+    production pipeline actually runs before training: every doc is
+    checked against the eval set by (1) EXACT n-gram overlap
+    (``decontaminate``), (2) FUZZY MinHash-LSH near-duplication
+    (``decontaminate_near`` — paraphrased/lightly-edited leaks), and
+    (3) SEMANTIC embedding proximity
+    (``similarity.decontaminate_semantic`` — translated/re-rendered
+    leaks with no shared n-grams). One layer alone under-flags: Lee
+    et al. 2022 for (1) vs (2); the embedding layer is standard in
+    current decontamination stacks for (3).
+
+    Returns one row per doc flagged by ANY layer:
+    (id_col, hit_exact, hit_near, hit_semantic) with 0/1 integer
+    flags — anti-join the corpus against it for the clean set, or
+    group by the flag triple for the layer-overlap census. Text and
+    embedding corpora are joined on id (docs without an embedding
+    simply can't be semantically flagged — layer coverage is a
+    per-modality fact, not an error).
+
+    Scale shape: each layer keeps its own documented plan (gram
+    join / banded cross-side LSH / bench-broadcast map-only scan);
+    the combiner is a three-way FULL outer join of id-distinct flag
+    sets — output-sized, never corpus-sized."""
+    from demv_spark.operators.similarity import decontaminate_semantic
+
+    exact = (
+        decontaminate(train_docs, bench_docs, n=n, text_col=text_col,
+                      id_col=id_col)
+        .select(id_col).distinct()
+        .withColumn("hit_exact", F.lit(1))
+    )
+    near = (
+        decontaminate_near(
+            train_docs, bench_docs, text_col=text_col, id_col=id_col,
+            bench_id_col=id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, threshold=threshold,
+        )
+        .select(id_col).distinct()
+        .withColumn("hit_near", F.lit(1))
+    )
+    sem = (
+        decontaminate_semantic(
+            corpus_emb, bench_emb, dim=dim, tau=tau,
+            id_col=vec_id_col, bench_id_col=vec_id_col,
+        )
+        .select(F.col(vec_id_col).alias(id_col)).distinct()
+        .withColumn("hit_semantic", F.lit(1))
+    )
+    return (
+        exact.join(near, id_col, "full")
+        .join(sem, id_col, "full")
+        .select(
+            id_col,
+            F.coalesce("hit_exact", F.lit(0)).cast("int").alias("hit_exact"),
+            F.coalesce("hit_near", F.lit(0)).cast("int").alias("hit_near"),
+            F.coalesce("hit_semantic", F.lit(0)).cast("int")
+            .alias("hit_semantic"),
+        )
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str = "text",

@@ -1982,3 +1982,50 @@ def test_decontaminate_semantic_malformed_rows_excluded(spark):
     )
     out = S.decontaminate_semantic(corpus, bench, dim=2, tau=0.9).collect()
     assert {(r["vec_id"], r["bench_id"]) for r in out} == {(0, 100)}
+
+
+def test_decontaminate_report_layer_flags(spark):
+    """The e2e combiner: a planted semantic-only leak carries
+    (0,0,1); every bench text doc's layer hits agree with the
+    individual layer operators run standalone."""
+    from demv_spark.operators import dedup as D
+    from demv_spark.operators import similarity as S
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench_emb = emb.filter(F.col("vec_id") % 20 == 0)
+    planted = bench_emb.select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * 1.001).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus_emb = emb.filter(F.col("vec_id") % 20 != 0).unionByName(planted)
+
+    rep = D.decontaminate_report(
+        train, bench_docs, corpus_emb, bench_emb,
+        n=4, threshold=0.5, dim=64, tau=0.98,
+    ).collect()
+    flags = {r["doc_id"]: (r["hit_exact"], r["hit_near"], r["hit_semantic"])
+             for r in rep}
+    # every planted +30M id is flagged semantic-only (it has no text)
+    planted_ids = [r["vec_id"] for r in planted.select("vec_id").collect()]
+    for pid in planted_ids:
+        assert flags[pid] == (0, 0, 1), (pid, flags.get(pid))
+    # standalone layers agree with the combined flags
+    exact_ids = {r["doc_id"] for r in
+                 D.decontaminate(train, bench_docs, n=4).select("doc_id")
+                 .distinct().collect()}
+    assert {d for d, f in flags.items() if f[0] == 1} == exact_ids
+    sem_ids = {r["vec_id"] for r in S.decontaminate_semantic(
+        corpus_emb, bench_emb, dim=64, tau=0.98).select("vec_id")
+        .distinct().collect()}
+    assert {d for d, f in flags.items() if f[2] == 1} == sem_ids
+    # a flagged row has at least one hit by construction
+    assert all(sum(f) >= 1 for f in flags.values())
