@@ -403,6 +403,10 @@ _R12_BIRTHS: list[str] = [
     # MinHash near + embedding semantic, one %20 fixture, per-doc
     # 0/1 flag triple)
     "q_dedup_decontaminate_e2e",
+    # ninth-wave op: leakage-free train/val split — near-dup
+    # components decide the side, so validation can never hold a
+    # near-copy of a training doc
+    "q_dedup_leakage_split",
 ]
 
 # one seat per CORRECTNESS_r11 family not covered by holds/births,
@@ -449,7 +453,6 @@ _R12_RESEATS: list[str] = [
     "q_text_chunk",
     "q_text_corpus_clean",
     "q_text_fingerprint",
-    "q_text_lang_id",
 ]
 
 _R12_WINDOW: list[str] = (
@@ -2175,6 +2178,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_dedup_decontaminate_e2e"] = _dedup_decontaminate_e2e
+
+    # leakage-free train/val split (round 12, ninth wave): near-dup
+    # COMPONENTS decide the side, so a validation doc can never be a
+    # near-copy of a training doc — the eval-inflation hole a per-doc
+    # random split leaves open. Pairs are the portable-MinHash est ≥
+    # 0.5 set (the oracled machinery); the side is an md5-portable
+    # hash of the component label, so every engine reproduces the
+    # exact per-doc assignment.
+    def _dedup_leakage_split(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        pairs = dedup.minhash_lsh_pairs_portable(
+            d, num_hashes=32, bands=8, shingle_n=3
+        ).filter(F.col("est_jaccard") >= 0.5)
+        return dedup.leakage_free_split(d, pairs, val_pct=10)
+
+    q["q_dedup_leakage_split"] = _dedup_leakage_split
 
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
@@ -6079,6 +6098,58 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN exact_hits e ON h.doc_id = e.doc_id
         LEFT JOIN near_hits n ON h.doc_id = n.doc_id
         LEFT JOIN sem_hits s ON h.doc_id = s.doc_id
+    """
+
+    # leakage-free split (round 12): the portable est>=0.5 pair set
+    # closed into components by the recursive reach CTE (the
+    # corpus_e2e machinery), singletons labeled by their own id, side
+    # = md5-portable hash of the component label mod 100
+    o["q_dedup_leakage_split"] = f"""
+        WITH RECURSIVE {_sig_cte},
+        banded AS (
+            SELECT doc_id, h_idx // 4 AS band,
+                   SUM({_bucket_term}) % {_p31} AS bucket
+            FROM sigs GROUP BY 1, 2
+        ),
+        cpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT p.id_a, p.id_b,
+                   SUM(CASE WHEN sa.min_h = sb.min_h THEN 1 ELSE 0 END) AS ov
+            FROM cpairs p
+            JOIN sigs sa ON sa.doc_id = p.id_a
+            JOIN sigs sb ON sb.doc_id = p.id_b AND sb.h_idx = sa.h_idx
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT id_a, id_b FROM ov WHERE ov / 32.0 >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM scored
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM scored
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        clus AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        base AS (SELECT DISTINCT doc_id FROM documents),
+        lab AS (
+            SELECT b.doc_id,
+                   COALESCE(c.cluster_id, b.doc_id) AS cluster_id
+            FROM base b LEFT JOIN clus c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_ph.format(s="concat('split7:', CAST(cluster_id AS VARCHAR))")} % 100 < 10
+                    THEN 'val' ELSE 'train' END AS side
+        FROM lab
     """
 
     # first-wins verdicts: filter the SAME portable pair set at the

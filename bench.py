@@ -258,6 +258,7 @@ HEADLINE = [
     "q_sim_hard_negatives",
     "q_sim_decontaminate_semantic",
     "q_dedup_decontaminate_e2e",
+    "q_dedup_leakage_split",
 ]
 
 

@@ -951,6 +951,65 @@ def decontaminate_report(
     )
 
 
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    seed: int = 7,
+) -> DataFrame:
+    """Contamination-safe train/validation split (round 12, ninth
+    wave): the split decision is made per near-dup CLUSTER, not per
+    document — every member of a connected component of ``pairs``
+    lands on the same side, so a validation item can never be a
+    near-copy of a training item. A per-doc random split silently
+    allows exactly that leak (near-dups straddle the boundary with
+    probability 2·p·(1−p) per pair), which inflates eval metrics the
+    same way benchmark contamination does; splitting on the component
+    label closes the hole by construction.
+
+    Returns (``id_col``, cluster_id, side) for EVERY input doc — docs
+    in no pair are their own singleton cluster — with
+    side = 'val' iff portable_hash('split{seed}:' || cluster_id)
+    % 100 < ``val_pct``. Everything is a pure function of the data
+    (md5-portable), so the assignment reproduces across engines,
+    partitionings and retries, and the oracle recomputes it exactly.
+
+    Scale shape: components close in O(log n) shuffle rounds
+    (``duplicate_clusters`` large/small-star); the side decision is
+    map-only arithmetic on the cluster label; the only other work is
+    one left join of the doc universe against the component labels
+    (pair-bounded, usually far smaller than the corpus)."""
+    from demv_spark.functions.compat import portable_hash
+
+    cc = duplicate_clusters(
+        pairs.select(F.col(pair_a).alias("id_a"), F.col(pair_b).alias("id_b"))
+    )
+    out = (
+        df.select(F.col(id_col)).distinct()
+        .join(cc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+        )
+    )
+    side = F.when(
+        F.pmod(
+            portable_hash(
+                F.concat(
+                    F.lit(f"split{seed}:"),
+                    F.col("cluster_id").cast("string"),
+                )
+            ),
+            F.lit(100),
+        )
+        < int(val_pct),
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return out.withColumn("side", side)
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str = "text",

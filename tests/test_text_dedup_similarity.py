@@ -2029,3 +2029,35 @@ def test_decontaminate_report_layer_flags(spark):
     assert {d for d, f in flags.items() if f[2] == 1} == sem_ids
     # a flagged row has at least one hit by construction
     assert all(sum(f) >= 1 for f in flags.values())
+
+
+def test_leakage_free_split_no_pair_crosses_sides(spark):
+    """The defining invariant: no near-dup pair straddles the
+    train/val boundary; every doc gets exactly one row; singletons
+    keep their own id as cluster label; the assignment is
+    deterministic under repartitioning."""
+    from demv_spark.operators import dedup as D
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs_portable(
+        docs, num_hashes=32, bands=8, shingle_n=3
+    ).filter(F.col("est_jaccard") >= 0.5)
+    split = D.leakage_free_split(docs, pairs, val_pct=10)
+    rows = split.collect()
+    assert len(rows) == docs.select("doc_id").distinct().count()
+    side = {r["doc_id"]: r["side"] for r in rows}
+    clus = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for p in pairs.collect():
+        assert side[p["id_a"]] == side[p["id_b"]], p
+        assert clus[p["id_a"]] == clus[p["id_b"]], p
+    paired = {p["id_a"] for p in pairs.collect()} | {
+        p["id_b"] for p in pairs.collect()}
+    for d, c in clus.items():
+        if d not in paired:
+            assert c == d  # singleton labels itself
+    assert {r["side"] for r in rows} <= {"train", "val"}
+    again = sorted(map(tuple, D.leakage_free_split(
+        docs.repartition(7), pairs, val_pct=10).collect()))
+    assert again == sorted(map(tuple, rows))
