@@ -407,6 +407,9 @@ _R12_BIRTHS: list[str] = [
     # components decide the side, so validation can never hold a
     # near-copy of a training doc
     "q_dedup_leakage_split",
+    # ninth-wave op: integer-exact token-budget water-filling with
+    # per-source epoch caps (capped-prefix redistribution)
+    "q_corpus_budget_waterfill",
 ]
 
 # one seat per CORRECTNESS_r11 family not covered by holds/births,
@@ -452,7 +455,6 @@ _R12_RESEATS: list[str] = [
     "q_sim_nearest_centroid",
     "q_text_chunk",
     "q_text_corpus_clean",
-    "q_text_fingerprint",
 ]
 
 _R12_WINDOW: list[str] = (
@@ -2194,6 +2196,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.leakage_free_split(d, pairs, val_pct=10)
 
     q["q_dedup_leakage_split"] = _dedup_leakage_split
+
+    # token-budget water-filling (round 12, ninth wave): src0 is
+    # weighted 8× so its proportional share provably exceeds its
+    # 1-epoch cap — the capped-prefix redistribution (the piece
+    # mixture_sample_epochs' truncation lacks) is exercised at every
+    # sf. budget = half the corpus tokens, derived identically on
+    # both sides from the same exact integer census.
+    def _corpus_budget_waterfill(spark, sf):
+        from demv_spark.operators.corpus import budget_waterfill
+
+        census = (
+            _t(spark, sf, "documents")
+            .groupBy(F.lower("source").alias("source"))
+            .agg(F.sum("n_chars").cast("long").alias("tokens"))
+            .withColumn(
+                "weight",
+                F.when(F.col("source") == "src0", F.lit(8))
+                .otherwise(F.lit(1))
+                .cast("long"),
+            )
+        )
+        total = census.agg(F.sum("tokens")).collect()[0][0]
+        return budget_waterfill(
+            census, int(total) // 2, max_epochs=1
+        )
+
+    q["q_corpus_budget_waterfill"] = _corpus_budget_waterfill
 
     # ---- robots.txt politeness (round 9, sixth wave) ----
     # RFC 9309 end to end: per-domain robots.txt text is SYNTHESIZED
@@ -6098,6 +6127,63 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN exact_hits e ON h.doc_id = e.doc_id
         LEFT JOIN near_hits n ON h.doc_id = n.doc_id
         LEFT JOIN sem_hits s ON h.doc_id = s.doc_id
+    """
+
+    # token-budget water-filling (round 12): the capped-prefix
+    # closed form replayed with HUGEINT products and exact
+    # remainder-subtracted floor division; the cap/weight ORDERING is
+    # the same single IEEE divide both engines compute bit-equally
+    o["q_corpus_budget_waterfill"] = """
+        WITH census AS (
+            SELECT lower(source) AS source,
+                   CAST(SUM(n_chars) AS BIGINT) AS tokens,
+                   CAST(CASE WHEN lower(source) = 'src0' THEN 8 ELSE 1 END
+                        AS BIGINT) AS weight
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS budget FROM census),
+        base AS (
+            SELECT source, tokens, weight, tokens * 1 AS cap FROM census
+        ),
+        ranked AS (
+            SELECT source, tokens, weight, cap,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(cap AS DOUBLE) / CAST(weight AS DOUBLE),
+                                source) AS pos,
+                   COALESCE(SUM(cap) OVER (
+                       ORDER BY CAST(cap AS DOUBLE) / CAST(weight AS DOUBLE),
+                                source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cap_before,
+                   SUM(weight) OVER (
+                       ORDER BY CAST(cap AS DOUBLE) / CAST(weight AS DOUBLE),
+                                source
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS w_from
+            FROM base
+        ),
+        flags AS (
+            SELECT r.*, t.budget,
+                   CAST(cap AS HUGEINT) * w_from
+                     > CAST(t.budget - cap_before AS HUGEINT) * weight AS failc
+            FROM ranked r CROSS JOIN tot t
+        ),
+        k AS (SELECT MIN(pos) AS kstar FROM flags WHERE failc),
+        stars AS (
+            SELECT CAST(f.budget - f.cap_before AS HUGEINT) AS b_star,
+                   CAST(f.w_from AS HUGEINT) AS w_star
+            FROM flags f JOIN k ON f.pos = k.kstar
+        )
+        SELECT source, tokens, weight, cap,
+               CAST(CASE
+                 WHEN (SELECT kstar FROM k) IS NULL
+                   OR pos < (SELECT kstar FROM k) THEN CAST(cap AS HUGEINT)
+                 ELSE ((SELECT b_star FROM stars) * weight
+                       - ((SELECT b_star FROM stars) * weight)
+                         % (SELECT w_star FROM stars))
+                      // (SELECT w_star FROM stars)
+               END AS BIGINT) AS allocated
+        FROM flags
     """
 
     # leakage-free split (round 12): the portable est>=0.5 pair set

@@ -259,6 +259,7 @@ HEADLINE = [
     "q_sim_decontaminate_semantic",
     "q_dedup_decontaminate_e2e",
     "q_dedup_leakage_split",
+    "q_corpus_budget_waterfill",
 ]
 
 

@@ -197,6 +197,111 @@ def mixture_sample_epochs(
     return out.drop("__w", "__avail", "__target", "__before", "__copies")
 
 
+def budget_waterfill(
+    census: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Token-budget WATER-FILLING across sources with per-source
+    epoch caps (round 12, ninth wave) — the data-schedule computation
+    behind LLaMA/Pile-style mixtures: each source should receive
+    budget proportional to its mixture ``weight``, but never more
+    than ``max_epochs`` passes over its own ``tokens``; budget a
+    capped source cannot absorb is REDISTRIBUTED proportionally among
+    the uncapped ones (``mixture_sample_epochs`` truncates at the cap
+    and silently under-spends the budget — this closes the loop).
+
+    Exact algorithm (classic water-filling, integer-exact): sort
+    sources ascending by cap/weight; a PREFIX of that order is capped
+    (the standard exchange argument), and the first uncapped position
+    k* is the first row where ``cap·W_from > B_rem·w`` — with
+    ``W_from`` the weight at-and-after the row and ``B_rem`` the
+    budget minus the caps before it. Capped rows take their cap;
+    uncapped rows take ``floor(B*·w / W*)`` evaluated at k*. Every
+    decision and every allocation is a product/compare/div of exact
+    integers (decimal(38,0) intermediates — token budgets × weights
+    overflow int64), so the output value-hashes cross-engine and the
+    oracle replays it bit-for-bit. The cap/weight ORDERING uses one
+    IEEE double divide — a single correctly-rounded op, identical in
+    any engine (ties break on source).
+
+    Returns (source, tokens, weight, cap, allocated): Σ allocated =
+    min(budget, Σ cap) up to the uncapped rows' floor remainders —
+    the deterministic integer shape every downstream sampler
+    (``mixture_sample``/``mixture_sample_epochs``) consumes directly.
+
+    Scale shape: the input is a per-source CENSUS (thousands of rows
+    at most — sources, not documents), so the two full-set windows
+    run in one census-sized task by design; never call this on
+    row-level data."""
+    w_order = Window.orderBy(
+        (F.col("cap").cast("double") / F.col(weight_col).cast("double")),
+        F.col(source_col),
+    )
+    dec = "decimal(38,0)"
+    base = census.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+        F.col(weight_col).cast("long").alias(weight_col),
+        (F.col(tokens_col).cast("long") * int(max_epochs)).alias("cap"),
+    )
+    ranked = base.select(
+        "source", "tokens", F.col(weight_col).alias("weight"), "cap",
+        F.row_number().over(w_order).alias("__pos"),
+        F.coalesce(
+            F.sum("cap").over(
+                w_order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast(dec).alias("__cap_before"),
+        F.sum(weight_col).over(
+            w_order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).cast(dec).alias("__w_from"),
+    )
+    b_rem = F.lit(int(budget)).cast(dec) - F.col("__cap_before")
+    fail = (
+        F.col("cap").cast(dec) * F.col("__w_from")
+        > b_rem * F.col("weight").cast(dec)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = ranked.select(
+        "*",
+        F.min(F.when(fail, F.col("__pos"))).over(w_all).alias("__kstar"),
+    )
+    # B*/W* are the remaining budget/weight AT k* — broadcast to every
+    # row via conditional window aggregates
+    b_star = F.max(
+        F.when(F.col("__pos") == F.col("__kstar"), b_rem)
+    ).over(w_all)
+    w_star = F.max(
+        F.when(F.col("__pos") == F.col("__kstar"), F.col("__w_from"))
+    ).over(w_all)
+    # EXACT floor division: subtract the exact decimal remainder
+    # before dividing, so the quotient is an integer and the decimal
+    # divide cannot round (a bare floor(num/den) rounds the quotient
+    # to the result scale FIRST — half-up — and can flip the floor
+    # when the true quotient sits within half an ulp below an integer)
+    num = b_star * F.col("weight").cast(dec)
+    den = w_star
+    alloc = F.when(
+        F.col("__kstar").isNull() | (F.col("__pos") < F.col("__kstar")),
+        F.col("cap").cast(dec),
+    ).otherwise((num - F.pmod(num, den)) / den)
+    return (
+        flagged.select(
+            "source", "tokens", "weight", "cap",
+            F.greatest(alloc, F.lit(0).cast(dec))
+            .cast("long")
+            .alias("allocated"),
+        )
+    )
+
+
 def mixture_report(
     df: DataFrame, group_col: str, unit_col: str | None = None
 ) -> DataFrame:

@@ -498,3 +498,31 @@ def test_dsir_weights_python_mirror(spark):
         )
         assert got[doc_id] == (n, fb + n * norm), doc_id
     assert got[4] == (0, 0)   # NULL text: no features, flag-not-filter
+
+
+def test_budget_waterfill_three_regimes(spark):
+    """Hand-checked water-filling closed form: mixed capped/uncapped
+    (the redistribution case mixture_sample_epochs' truncation
+    misses), budget above all caps (everyone capped), and tiny budget
+    (pure proportional floors)."""
+    from demv_spark.operators.corpus import budget_waterfill
+
+    census = spark.createDataFrame(
+        [("a", 100, 1), ("b", 1000, 1), ("c", 10000, 2)],
+        "source string, tokens long, weight long",
+    )
+    out = sorted(map(tuple, budget_waterfill(
+        census, 5000, max_epochs=2).collect()))
+    # a capped at 200; remaining 4800 splits 1:2 between b and c
+    assert out == [("a", 100, 1, 200, 200), ("b", 1000, 1, 2000, 1600),
+                   ("c", 10000, 2, 20000, 3200)], out
+    out2 = sorted(map(tuple, budget_waterfill(
+        census, 10**9, max_epochs=2).collect()))
+    assert [r[4] for r in out2] == [200, 2000, 20000]
+    out3 = sorted(map(tuple, budget_waterfill(
+        census, 100, max_epochs=2).collect()))
+    assert [r[4] for r in out3] == [25, 25, 50]
+    # allocation never exceeds the budget or any cap
+    for rows, budget in ((out, 5000), (out2, 10**9), (out3, 100)):
+        assert sum(r[4] for r in rows) <= budget
+        assert all(r[4] <= r[3] for r in rows)
