@@ -9791,7 +9791,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _chunk_pos_cte = rf"""
-        gtoks AS (SELECT doc_id, {_toks} AS t FROM documents),
+        toks AS (SELECT doc_id, {_toks} AS t FROM documents),
         pos AS (
           SELECT doc_id, t,
                  UNNEST(range(0, CAST(CEIL(len(t)/8.0) AS BIGINT))) AS i
