@@ -83,13 +83,71 @@ def pagerank_integer(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
     ).distinct()
+    base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
+    if not redistribute_dangling:
+        # FUSED plain path (round 12, guide §2.4): the per-iteration
+        # |nodes|-sized left join that materialized a full rank table
+        # every step is algebraically unnecessary — every e.src has
+        # out-edges by construction, so next iteration's contribution
+        # pass can read the PREVIOUS contribs table (node, in_sum)
+        # through a left join on src and evaluate the damping
+        # expression inline; absent nodes coalesce to in_sum = 0,
+        # exactly the rank the nodes-join would have given them. One
+        # shuffle (the groupBy dst) + one small-side join per
+        # iteration instead of two joins + a checkpoint cadence; the
+        # full rank table exists only ONCE, at the end. Integer
+        # results are plan-invariant (same-box A/B: bit-identical,
+        # 2.9 s → 1.3 s on the crawl-frontier fixture). No persists:
+        # the distinct-edge exchange is shared across every reference
+        # via ReuseExchange, and the linear-depth plan needs no
+        # lineage cut at real iteration counts (cadence kept at 8 as
+        # insurance for deep chains).
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        e_deg = e.join(deg, "src")
+        rank_sql = (
+            f"({base}L + (({DAMPING_NUM} * coalesce(in_sum, 0L)) "
+            f"div {DAMPING_DEN}))"
+        )
+        contribs = None
+        for it in range(int(iterations)):
+            if contribs is None:
+                src_ranks = e_deg.select(
+                    "dst", F.expr(f"{int(scale)}L div out_deg").alias("c")
+                )
+            else:
+                src_ranks = e_deg.join(
+                    contribs.select(F.col("node").alias("src"), "in_sum"),
+                    "src",
+                    "left",
+                ).select("dst", F.expr(f"{rank_sql} div out_deg").alias("c"))
+            contribs = src_ranks.groupBy(F.col("dst").alias("node")).agg(
+                F.sum("c").alias("in_sum")
+            )
+            if (it + 1) % 8 == 0 and it < int(iterations) - 1:
+                contribs = contribs.localCheckpoint(eager=True)
+        if contribs is None:  # iterations == 0: uniform start
+            return nodes.withColumn(
+                "rank_int", F.lit(int(scale)).cast("long")
+            )
+        return nodes.join(contribs, "node", "left").select(
+            "node", F.expr(rank_sql).alias("rank_int")
+        )
     # cache the distinct edge set FIRST: nodes, deg and e_deg all
     # derive from it, and each materializes separately below — an
     # unpersisted e re-scans and re-distincts the raw edge input once
     # per derivation AND once per iteration level of the lazy plan
-    # (round 9: giving the plain path the redistribute variant's
-    # persist+checkpoint treatment took the driver row 4.1 → ~2 s;
-    # exact integer results are plan-invariant, oracle unchanged)
+    # (round 9; exact integer results are plan-invariant, oracle
+    # unchanged). The redistribute variant keeps the materialized
+    # per-iteration rank table: its dangling-mass scalar reads the
+    # ranks a second time each step, and the round-12 fused prototype
+    # (contribs + scalar threaded separately) measured SLOWER (3.5 →
+    # 4.3 s same-box) because the doubled state chain serializes two
+    # broadcast materializations per iteration.
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -100,39 +158,25 @@ def pagerank_integer(
     # out_deg is static — pre-join it onto the edges ONCE instead of
     # re-joining deg inside every iteration
     e_deg = e.join(deg, "src")
-    base = int(scale) * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN
-    # static tables persist in BOTH variants: each iteration level of
-    # the lazy plan references nodes and e_deg once, so unpersisted
-    # they re-derive (scan + distinct + join) per level
     e_deg = e_deg.persist()
-    if not redistribute_dangling:
-        nodes = nodes.persist()
-    if redistribute_dangling:
-        # The dangling flag is static
-        # per node (no out-edges), computed here once and carried
-        # through every rank update so the per-iteration scalar is a
-        # filter-agg over materialized ranks, never a join.
-        nodes = (
-            nodes.join(
-                deg.select(F.col("src").alias("node"))
-                .withColumn("__out", F.lit(1)),
-                "node",
-                "left",
-            )
-            .select("node", F.col("__out").isNull().alias("__dang"))
-            .persist()
+    # The dangling flag is static
+    # per node (no out-edges), computed here once and carried
+    # through every rank update so the per-iteration scalar is a
+    # filter-agg over materialized ranks, never a join.
+    nodes = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"))
+            .withColumn("__out", F.lit(1)),
+            "node",
+            "left",
         )
-    n_nodes = nodes.count() if redistribute_dangling else None
+        .select("node", F.col("__out").isNull().alias("__dang"))
+        .persist()
+    )
+    n_nodes = nodes.count()
     ranks = nodes.withColumn("rank_int", F.lit(int(scale)).cast("long"))
     for it in range(int(iterations)):
-        if not redistribute_dangling and it and it % 2 == 0:
-            # same lineage-cut cadence as the redistribute variant:
-            # without it the 5-iteration lazy tree chains every
-            # join+agg stage into ONE plan whose scheduling overhead
-            # dominates at fixture scale (values unchanged — exact
-            # integers are plan-invariant)
-            ranks = ranks.localCheckpoint(eager=True)
-        if redistribute_dangling and it % 2 == 0:
+        if it % 2 == 0:
             # the update reads ranks TWICE (contributions + dangling
             # scalar); without materialization the lazy plan doubles
             # per iteration (2^iterations leaf scans). Eager
@@ -160,50 +204,36 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        if redistribute_dangling:
-            # the dangling mass stays IN the plan as a broadcast
-            # 1-row aggregate (filter-sum over the flagged ranks —
-            # no join, no shuffle): a per-iteration collect() was a
-            # whole scheduled job on top of the checkpoint job, and
-            # on job-overhead-bound graphs those actions, not data,
-            # were the cost (round 9). share = __dm div N with N a
-            # literal (counted once; N > 0 whenever any rank row
-            # exists, so the div is safe — an empty graph yields
-            # empty ranks before this expression ever evaluates).
-            dang = ranks.filter(F.col("__dang")).agg(
-                F.coalesce(F.sum("rank_int"), F.lit(0))
-                .cast("long")
-                .alias("__dm")
+        # the dangling mass stays IN the plan as a broadcast
+        # 1-row aggregate (filter-sum over the flagged ranks —
+        # no join, no shuffle): a per-iteration collect() was a
+        # whole scheduled job on top of the checkpoint job, and
+        # on job-overhead-bound graphs those actions, not data,
+        # were the cost (round 9). share = __dm div N with N a
+        # literal (counted once; N > 0 whenever any rank row
+        # exists, so the div is safe — an empty graph yields
+        # empty ranks before this expression ever evaluates).
+        dang = ranks.filter(F.col("__dang")).agg(
+            F.coalesce(F.sum("rank_int"), F.lit(0))
+            .cast("long")
+            .alias("__dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "__dang",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({DAMPING_NUM} * (coalesce(in_sum, 0L) "
+                        f"+ (__dm div {max(int(n_nodes or 0), 1)}L))) "
+                        f"div {DAMPING_DEN}"
+                    )
+                ).alias("rank_int"),
             )
-            ranks = (
-                nodes.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dang))
-                .select(
-                    "node",
-                    "__dang",
-                    (
-                        F.lit(base).cast("long")
-                        + F.expr(
-                            f"({DAMPING_NUM} * (coalesce(in_sum, 0L) "
-                            f"+ (__dm div {max(int(n_nodes or 0), 1)}L))) "
-                            f"div {DAMPING_DEN}"
-                        )
-                    ).alias("rank_int"),
-                )
-            )
-        else:
-            ranks = (
-                nodes.join(contribs, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base).cast("long")
-                        + F.expr(
-                            f"({DAMPING_NUM} * coalesce(in_sum, 0L)) div {DAMPING_DEN}"
-                        )
-                    ).alias("rank_int"),
-                )
-            )
+        )
     # materialize the final ranks, then RELEASE the static tables: a
     # bare unpersist would silently re-derive them on the caller's
     # first action, and persists without unpersist pin blocks for the
