@@ -3310,8 +3310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # smoothed + leave-one-out target encoding (the high-cardinality
     # categorical feature transform), integer-exact: cross-multiplied
-    # rational shrinkage in DECIMAL(38,0), one census shuffle + one
-    # broadcast join back per variant
+    # rational shrinkage in DECIMAL(38,0). Both variants derive from
+    # the SAME category census in one pass (round 12): one census
+    # shuffle + one broadcast join total — the chained two-call form
+    # re-derived the first encode's whole subtree for the second
+    # call's census (values identical: same s/n/S/N integers)
     def _ml_target_encode(spark, sf):
         from demv_spark.operators.etl import target_encode
 
@@ -3319,10 +3322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", "o_orderpriority",
             (F.col("o_totalprice") > 150000).cast("int").alias("y"),
         )
-        enc = target_encode(o, "o_orderpriority", "y", m=20, out="te_fx")
         enc = target_encode(
-            enc, "o_orderpriority", "y", m=20, leave_one_out=True,
-            out="te_loo_fx",
+            o, "o_orderpriority", "y", m=20, out="te_fx",
+            loo_out="te_loo_fx",
         )
         return enc.select("o_orderkey", "te_fx", "te_loo_fx")
 

@@ -229,6 +229,7 @@ def target_encode(
     scale: int = 1_000_000,
     leave_one_out: bool = False,
     out: str | None = None,
+    loo_out: str | None = None,
 ) -> DataFrame:
     """Smoothed target encoding — the high-cardinality-categorical
     feature transform (category → shrunk mean target), INTEGER-EXACT
@@ -247,11 +248,16 @@ def target_encode(
 
         te_loo_fx = (scale·((s − y)·N + m·S)) div (N·(n − 1 + m))
 
-    Plan: one category census (single shuffle), a global-count
-    broadcast, one join back (broadcast when the category table is
-    small). NULL category encodes like any other value (its own
-    group); NULL y rows are excluded from s/S but still receive an
-    encoding. m ≥ 1 keeps the LOO denominator positive for n = 1."""
+    Plan (round 12, guide §2.4): ONE category census (single shuffle);
+    the global S/N are the census's own column sums (no second scan of
+    ``df``), cross-joined onto the |categories|-row census so exactly
+    ONE broadcast hash join touches the big side. ``loo_out`` emits the
+    plain AND the leave-one-out encodings from that same census/join —
+    the chained two-call form re-derived the whole first-encode subtree
+    for the second call's census. NULL category encodes like any other
+    value (its own group); NULL y rows are excluded from s/S but still
+    receive an encoding. m ≥ 1 keeps the LOO denominator positive for
+    n = 1."""
     if m < 1:
         raise ValueError("m must be >= 1")
     out = out or f"{cat_col}_te_fx"
@@ -271,18 +277,33 @@ def target_encode(
         F.coalesce(F.sum(y), F.lit(0)).alias("__s"),
         F.count(y).alias("__n"),
     )
-    tot = df.agg(
-        F.coalesce(F.sum(y), F.lit(0)).alias("__gs"),
-        F.count(y).alias("__gn"),
+    # global S/N = the census's own column sums: identical integers
+    # (per-group partial sums of the same rows), one scan of df
+    # instead of two
+    tot = census.agg(
+        F.coalesce(F.sum("__s"), F.lit(0)).alias("__gs"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__gn"),
     )
 
     def dec(x):
         return x.cast("decimal(38,0)")
 
     j = null_safe_broadcast_join(
-        df, census, keys=[cat_col], carry=["__s", "__n"]
-    ).crossJoin(F.broadcast(tot))
-    if leave_one_out:
+        df,
+        census.crossJoin(tot),
+        keys=[cat_col],
+        carry=["__s", "__n", "__gs", "__gn"],
+    )
+
+    def _plain():
+        num = dec(F.lit(scale)) * (
+            dec(F.col("__s")) * dec(F.col("__gn"))
+            + dec(F.lit(m)) * dec(F.col("__gs"))
+        )
+        den = dec(F.col("__gn")) * (dec(F.col("__n")) + dec(F.lit(m)))
+        return num, den
+
+    def _loo():
         num = dec(F.lit(scale)) * (
             (dec(F.col("__s")) - dec(F.coalesce(y, F.lit(0))))
             * dec(F.col("__gn"))
@@ -295,18 +316,19 @@ def target_encode(
             - dec(y.isNotNull().cast("long"))
             + dec(F.lit(m))
         )
-    else:
-        num = dec(F.lit(scale)) * (
-            dec(F.col("__s")) * dec(F.col("__gn"))
-            + dec(F.lit(m)) * dec(F.col("__gs"))
+        return num, den
+
+    outputs = [(out, _loo() if leave_one_out else _plain())]
+    if loo_out is not None:
+        outputs = [(out, _plain()), (loo_out, _loo())]
+    for col_name, (num, den) in outputs:
+        j = (
+            j.withColumn("__num", num)
+            .withColumn("__den", den)
+            .withColumn(col_name, F.expr("__num div __den"))
+            .drop("__num", "__den")
         )
-        den = dec(F.col("__gn")) * (dec(F.col("__n")) + dec(F.lit(m)))
-    return (
-        j.withColumn("__num", num)
-        .withColumn("__den", den)
-        .withColumn(out, F.expr("__num div __den"))
-        .drop("__num", "__den", "__s", "__n", "__gs", "__gn")
-    )
+    return j.drop("__s", "__n", "__gs", "__gn")
 
 
 def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:

@@ -32,6 +32,18 @@ def read_table(
     round-robin repartition to the session's parallelism when the
     scan is under-split."""
     path = f"{sf_dir}/{name}.parquet"
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (id(spark), _os.path.abspath(path), st.st_mtime, st.st_size, spread)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _PLAN_CACHE.get(key)
+        # the stored session ref guards against id() reuse after GC
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     # INT64 TIMESTAMP(NANOS,…) columns are rejected by the vectorized
     # reader; surfacing them as raw longs up-front avoids a failed
     # first read (which costs a whole schema-inference job). Tables
@@ -54,9 +66,66 @@ def read_table(
         )
     if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(target, 8):
+        if _est_scan_splits(spark, path, target) < min(target, 8):
             df = df.repartition(target)
+    if key is not None:
+        _PLAN_CACHE[key] = (spark, df)
     return df
+
+
+# Lazy-PLAN cache: (session, abs path, mtime, size, spread) -> the
+# unevaluated reader DataFrame. A DataFrame is an immutable logical
+# plan — NO rows live here; every action on it re-scans the parquet
+# data in full, so repeated bench/oracle invocations still compute
+# from the inputs. What the memo removes is per-CALL driver work that
+# is identical every time: relation construction + footer schema
+# resolution (~90 ms) and the split-count probe (~60 ms when it was
+# df.rdd-based), paid once per table per query per bench rep before
+# this cache. The mtime+size key invalidates on any rewrite of the
+# path (scratch round-trip tables); the session ref in the value
+# keeps one session's plans from leaking into a successor with a
+# recycled id().
+_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
+def _est_scan_splits(spark: SparkSession, path: str, parallelism: int) -> int:
+    """Estimate the scan's split count from the FILES, not the plan.
+
+    ``df.rdd.getNumPartitions()`` answers the same question but costs a
+    py4j round trip through RDD conversion (~60 ms per call, measured —
+    paid per table per query per bench rep). Spark's own split sizing is
+    deterministic from file sizes and two confs (FilePartition.maxSplitBytes):
+    ``maxSplit = min(maxPartitionBytes, max(openCost, (bytes + nFiles*openCost)
+    / parallelism))``, then splittable files are carved into
+    ``ceil(size / maxSplit)`` pieces. Replicating it on os.stat data is
+    exact for plain parquet paths and ~0.1 ms. Over-estimating for
+    many-tiny-file dirs (packing merges those) errs toward skipping the
+    repartition only when there are already >= 8 data files to spread."""
+    import math
+    import os as _os
+
+    try:
+        max_part = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .rstrip("b")
+        )
+    except ValueError:
+        max_part = 134217728
+    open_cost = 4 * 1024 * 1024
+    sizes = []
+    if _os.path.isdir(path):
+        for root, _dirs, fs in _os.walk(path):
+            for f in fs:
+                if f.startswith(("_", ".")) or f.endswith(".crc"):
+                    continue
+                sizes.append(_os.path.getsize(_os.path.join(root, f)))
+    elif _os.path.exists(path):
+        sizes.append(_os.path.getsize(path))
+    if not sizes:
+        return 1
+    total = sum(sizes) + len(sizes) * open_cost
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+    return sum(max(1, math.ceil(s / max_split)) for s in sizes)
 
 
 def read_csv_noheader(

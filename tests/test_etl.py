@@ -271,6 +271,28 @@ def test_target_encode_matches_exact_fraction(spark):
         assert got == want, loo
 
 
+def test_target_encode_fused_loo_equals_chained(spark):
+    """The one-pass two-variant form (loo_out=) is value-identical to
+    chaining a plain call and a leave_one_out call — the round-12
+    plan optimization must not move a single integer."""
+    from demv_spark.operators.etl import target_encode
+
+    rows = [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", None),
+            ("c", 1), (None, 0), (None, 1)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    fused = target_encode(
+        df, "cat", "y", m=3, out="te", loo_out="te_loo"
+    ).select("cat", "y", "te", "te_loo")
+    chained = target_encode(df, "cat", "y", m=3, out="te")
+    chained = target_encode(
+        chained, "cat", "y", m=3, leave_one_out=True, out="te_loo"
+    ).select("cat", "y", "te", "te_loo")
+    key = lambda r: (r["cat"] or "", r["y"] if r["y"] is not None else -1)  # noqa: E731
+    assert [tuple(r) for r in sorted(fused.collect(), key=key)] == [
+        tuple(r) for r in sorted(chained.collect(), key=key)
+    ]
+
+
 def test_target_encode_guards(spark):
     import pytest as _pytest
 
