@@ -717,6 +717,7 @@ def quantized_cosine_topk(
     vec_col: str = "embedding",
     arrow: bool = True,
     max_query_rows: int = 100_000,
+    _corpus_codes: "DataFrame | None" = None,
 ) -> DataFrame:
     """Top-k by cosine over int8 codes: approx_cos(a, b) =
     int_dot(a,b) / sqrt(int_dot(a,a) · int_dot(b,b)) — the per-vector
@@ -740,10 +741,17 @@ def quantized_cosine_topk(
         F.col("q_codes").alias("qa"),
         int_dot(F.col("q_codes"), F.col("q_codes")).alias("q_nn"),
     )
-    cc = quantize_embeddings(corpus, dim, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("q_codes").alias("ca"),
-        int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+    # _corpus_codes: a pre-quantized (neighbor_id, ca, c_nn) table —
+    # the chunked wrapper quantizes the corpus ONCE and shares it
+    # across chunks instead of re-deriving the encode map per chunk
+    cc = (
+        _corpus_codes
+        if _corpus_codes is not None
+        else quantize_embeddings(corpus, dim, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("q_codes").alias("ca"),
+            int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+        )
     )
     if arrow:
         # Arrow GEMM path (default; bit-identical): BOTH sides'
@@ -1585,11 +1593,22 @@ def quantized_cosine_topk_chunked(
     if arrow is None:
         arrow = chunk_rows >= _ARROW_CHUNK_MIN_QUERIES
     inner_cap = int(1.5 * chunk_rows) + 64
+    # quantize the corpus ONCE and persist the int8 code table for
+    # the call's lifetime (round 12, the pq_topk_chunked treatment):
+    # the encode map is the heaviest per-row corpus step and the old
+    # shape re-ran it once per chunk; codes are a quarter of the
+    # float bytes, the same documented session-cache tradeoff as
+    # topk_chunked's query-side persist
+    codes = quantize_embeddings(corpus, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q_codes").alias("ca"),
+        int_dot(F.col("q_codes"), F.col("q_codes")).alias("c_nn"),
+    ).persist()
     return topk_chunked(
         queries,
         lambda qc: quantized_cosine_topk(
             qc, corpus, dim, k=k, id_col=id_col, vec_col=vec_col,
-            arrow=arrow, max_query_rows=inner_cap,
+            arrow=arrow, max_query_rows=inner_cap, _corpus_codes=codes,
         ),
         chunk_rows=chunk_rows,
         id_col=id_col,
