@@ -56,13 +56,22 @@ def _knn_chunked(
     Returned neighbor indices are into ``x`` (mapped through ref).
     Ties at the k-th boundary break by index (argpartition is
     deterministic for a fixed numpy; the within-k order is re-sorted
-    by (distance, index) so downstream choice is reproducible)."""
+    by (distance, index) so downstream choice is reproducible).
+
+    Chunks are INDEPENDENT (each writes its own nn/dm slice), so they
+    run on a small thread pool (round 12, guide §4.2): the heavy ops
+    (GEMM, the elementwise distance fusion, argpartition) all release
+    the GIL, and one applyInPandas group is otherwise a single
+    Spark task pinning one core while the rest idle. Results are
+    bit-identical to the sequential loop — per-chunk arithmetic and
+    output slots don't depend on execution order."""
     xr = x if ref is None else x[ref]
     sqr = (xr * xr).sum(axis=1)
     sq = (x * x).sum(axis=1)
     nn = np.empty((len(rows), kk), dtype=np.int64)
     dm = np.empty(len(rows)) if want_dist else None
-    for s in range(0, len(rows), _KNN_CHUNK):
+
+    def _one(s: int) -> None:
         r = rows[s : s + _KNN_CHUNK]
         # in-place fusion: the GEMM output buffer becomes d2 directly
         # (the naive `sq + sqr - 2*g` allocates two more chunk-sized
@@ -88,7 +97,32 @@ def _knn_chunked(
             dm[s : s + len(r)] = np.sqrt(
                 np.maximum(np.take_along_axis(pd2, order, axis=1), 0.0)
             ).mean(axis=1)
+
+    starts = list(range(0, len(rows), _KNN_CHUNK))
+    if len(starts) <= 1:
+        for s in starts:
+            _one(s)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_knn_threads()) as pool:
+            list(pool.map(_one, starts))
     return nn, dm
+
+
+def _knn_threads() -> int:
+    """Thread count for the chunk pool: modest by default (other
+    groups' tasks may share the executor), overridable via
+    DEMV_SPARK_KNN_THREADS for dedicated-executor deployments."""
+    import os
+
+    try:
+        env = int(os.environ.get("DEMV_SPARK_KNN_THREADS", "0"))
+    except ValueError:
+        env = 0
+    if env > 0:
+        return env
+    return max(1, min(8, (os.cpu_count() or 2) // 2))
 
 
 def _ref_subsample(n: int) -> np.ndarray | None:
