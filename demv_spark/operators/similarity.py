@@ -1834,9 +1834,21 @@ def whitening_inverse(
     against DuckDB. Pivot-free is safe here: Σ + ridge·I is positive
     definite, so every leading principal minor (each pivot) is > 0.
 
-    Scale shape: one covariance census (map-side partial d²/2 sums,
-    see embedding_covariance) + one d-row first-moment agg; the
-    O(d³) elimination runs on the driver over a config-sized (≤64²)
+    Scale shape (round 12, guide §2.4): ONE exploded moment census —
+    the d(d+1)/2 second-moment pairs AND the d first-moment entries
+    (tagged ``j = -1``) leave each row as one flattened array, so a
+    single explode → groupBy(i, j) job carries every stable sum the
+    inverse needs (the old shape ran a first-moment job, then a
+    separate covariance census job, each a full scan + shuffle +
+    collect; a 153-expression global aggregate was also tried and
+    measured SLOWER than the explode — wide decimal agg buffers lose
+    to one thin sum column). The covariance formula
+    ``(spp − si·sj/n)/(n−1)`` is replayed on the driver with the
+    identical left-to-right IEEE scalar ops the census expression
+    used (same stable-sum inputs, every op correctly rounded), so
+    mu/minv are BIT-IDENTICAL to the two-job form and the DuckDB
+    elimination twin — verified by the oracle re-runs. The O(d³)
+    elimination runs on the driver over a config-sized (≤64²)
     matrix. Returns (mu, minv, n) as plain Python floats for literal
     embedding into downstream expressions."""
     from demv_spark.functions.compat import stable_sum
@@ -1846,27 +1858,57 @@ def whitening_inverse(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= d)
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # first moments BEFORE the covariance census: its (n-1) divisor
-    # is an ANSI divide-by-zero on a 0/1-row input, so the n >= 2
-    # contract must be checked from this cheaper pass first
-    first = (
-        valid.select(F.posexplode(v).alias("pos", "x"))
-        .filter(F.col("pos") < d)
-        .groupBy("pos")
-        .agg(stable_sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(v, (i + 1).cast("int"))
+                        * F.element_at(v, (j + 1).cast("int"))
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    firsts = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.element_at(v, (i + 1).cast("int")).alias("p"),
+        ),
+    )
+    moments = (
+        valid.select(F.explode(F.concat(pairs, firsts)).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), stable_sum("p").alias("sp"))
         .collect()
     )
-    if not first:
+    if not moments:
         raise ValueError("whitening_inverse: no valid vectors")
-    n = int(first[0]["n"])
+    n = int(moments[0]["n"])
+    # the (n-1) covariance divisor runs on the DRIVER now, so the
+    # n >= 2 contract needs no separate cheaper first-moment pass
     if n < 2:
         raise ValueError(f"whitening_inverse: need >= 2 vectors, got {n}")
-    cov_rows = embedding_covariance(df, vec_col=vec_col, dim=d).collect()
-    sx = {int(r["pos"]): float(r["sx"]) for r in first}
+    sx = {
+        int(r["i"]): float(r["sp"]) for r in moments if int(r["j"]) < 0
+    }
     mu = [sx[i] / n for i in range(d)]
     S = [[0.0] * d for _ in range(d)]
-    for r in cov_rows:
-        i, j, c = int(r["i"]), int(r["j"]), float(r["cov"])
+    for r in moments:
+        i, j = int(r["i"]), int(r["j"])
+        if j < 0:
+            continue
+        spp = float(r["sp"])
+        # op-for-op the embedding_covariance census expression:
+        # (spp − si·sj/n)/(n−1), left to right
+        c = (spp - sx[i] * sx[j] / n) / (n - 1)
         S[i][j] = c
         S[j][i] = c
     # augmented [S + ridge·I | I] as a flat row-major cell list; the
