@@ -271,16 +271,31 @@ def hits_integer(
     Scale shape: graph tables persist once; per iteration two
     shuffles (auth groupBy dst, hub groupBy src) and two scalar
     aggregates. Fixed iteration count, bit-identical across engines —
-    the SQL twin unrolls the same recurrence."""
+    the SQL twin unrolls the same recurrence.
+
+    Round 12 (guide §2.4, the plain-pagerank fusion applied here):
+    the per-half-step ``nodes`` left join that materialized a full
+    |nodes|-sized score table every time is algebraically
+    unnecessary — a node absent from the contribution aggregate has
+    score 0, contributes 0 to the next half-step's sums, and 0 never
+    changes the max (scores are non-negative), so the iterations run
+    on the PARTIAL (contribution-receiving) tables and the full node
+    table is built once at the end with coalesce-to-0. Halves the
+    per-half-step work and shrinks every checkpoint from |nodes| to
+    |receiving nodes|; integer results are plan-invariant."""
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
     ).distinct().persist()
+    # checkpointed, not persisted: the fused loop below never reads
+    # the node table — only the FINAL join-back does — so an eager
+    # checkpoint lets e release as before without the output plan
+    # re-deriving nodes from the raw edge input
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _norm(scores: DataFrame, col: str) -> DataFrame:
@@ -305,37 +320,48 @@ def hits_integer(
             ).alias(col),
         )
 
-    hub = nodes.withColumn("hub_int", F.lit(int(scale)).cast("long"))
-    auth = nodes.withColumn("auth_int", F.lit(0).cast("long"))
-    for _ in range(int(iterations)):
-        auth = _norm(
-            nodes.join(
+    if int(iterations) <= 0:
+        e.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("auth_int"),
+            F.lit(int(scale)).cast("long").alias("hub_int"),
+        )
+    auth = hub = None
+    for it in range(int(iterations)):
+        if hub is None:
+            # first half-step: every node's hub is `scale`, so the
+            # per-dst sum is exactly in_deg · scale — no join needed
+            sums = e.groupBy(F.col("dst").alias("node")).agg(
+                (F.count(F.lit(1)) * int(scale)).cast("long").alias("auth_int")
+            )
+        else:
+            sums = (
                 e.join(hub.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hub_int").alias("__s")),
-                "node", "left",
-            ).select(
-                "node", F.coalesce("__s", F.lit(0)).cast("long").alias("auth_int")
-            ),
-            "auth_int",
-        )
+                .agg(F.sum("hub_int").cast("long").alias("auth_int"))
+            )
+        auth = _norm(sums, "auth_int")
         hub = _norm(
-            nodes.join(
-                e.join(auth.withColumnRenamed("node", "dst"), "dst")
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("auth_int").alias("__s")),
-                "node", "left",
-            ).select(
-                "node", F.coalesce("__s", F.lit(0)).cast("long").alias("hub_int")
-            ),
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_int").cast("long").alias("hub_int")),
             "hub_int",
         )
-    # auth/hub are localCheckpointed by the final _norm calls, so the
-    # static graph tables can be released without changing the result
-    # plan (the pagerank_integer leak fix, applied here too)
+    # auth/hub are localCheckpointed by the final _norm calls and
+    # nodes is checkpointed, so the edge table can be released
+    # without changing the result plan (the pagerank_integer leak
+    # fix, applied here too)
     e.unpersist()
-    nodes.unpersist()
-    return auth.join(hub, "node")
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth_int", F.lit(0)).cast("long").alias("auth_int"),
+            F.coalesce("hub_int", F.lit(0)).cast("long").alias("hub_int"),
+        )
+    )
 
 
 def triangle_census(
