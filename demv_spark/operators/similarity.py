@@ -512,16 +512,21 @@ def embedding_near_dup(
     mask = (1 << band_bits) - 1
     df = drop_invalid_vectors(df, vec_col, dim)
     s = lsh_signature(df, dim, n_planes, vec_col, "__sig", seed)
-    # per-row norm computed ONCE before the pair join (the float DAG —
-    # sqrt(Σv²) then a product — is identical to evaluating cosine's
-    # denominator per pair, so scores stay bit-equal to the oracle)
+    # the banded self-join carries IDS AND SIGNATURES ONLY (round 13,
+    # guide §8 "shuffle keys and metadata instead of payloads"): the
+    # join key space is n_bands·2^band_bits values, so the pair
+    # explosion concentrates on few keys — when every candidate row
+    # also carried both full vectors (2·dim doubles), the join
+    # materialized candidate-volume × ~1 KB of short-lived pair rows
+    # and the stage was GC-bound, degrading WORSE at higher task
+    # concurrency (the r12 driver measured 8 cores beating 32 by 4×
+    # on this operator). Now a candidate pair is ~24 bytes; vectors
+    # re-attach AFTER the first-band dedup via two id-keyed joins
+    # (well-spread keys at any scale; Catalyst broadcasts the vector
+    # table when it fits) and the cosine pipelines on the join output.
     banded = s.select(
         F.col(id_col).alias("id"),
-        _as_double(vec_col).alias("v"),
         F.col("__sig"),
-        # norm computed once per row BEFORE the band explode (inside
-        # the same projection as the signature)
-        norm(_as_double(vec_col)).alias("nrm"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -534,8 +539,16 @@ def embedding_near_dup(
             ])
         ).alias("bc"),
     ).select(
-        "id", "v", "__sig", "nrm",
+        "id", "__sig",
         F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+    )
+    # per-row norm computed ONCE per vector (the float DAG — sqrt(Σv²)
+    # then a product — is identical to evaluating cosine's denominator
+    # per pair, so scores stay bit-equal to the oracle)
+    vecs = s.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        norm(_as_double(vec_col)).alias("nrm"),
     )
 
     def _signed64(v: int) -> int:
@@ -550,7 +563,7 @@ def embedding_near_dup(
         first_band = F.when(
             xor.bitwiseAND(F.lit(_signed64(mask << (b * band_bits)))) == 0, F.lit(b)
         ).otherwise(first_band)
-    cand = (
+    cand_ids = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -559,10 +572,16 @@ def embedding_near_dup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(F.col("a.band") == first_band)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        cand_ids
+        .join(vecs.alias("va_t"), F.col("id_a") == F.col("va_t.id"))
+        .join(vecs.alias("vb_t"), F.col("id_b") == F.col("vb_t.id"))
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-            (F.col("a.nrm") * F.col("b.nrm")).alias("den"),
+            "id_a", "id_b",
+            F.col("va_t.v").alias("va"), F.col("vb_t.v").alias("vb"),
+            (F.col("va_t.nrm") * F.col("vb_t.nrm")).alias("den"),
         )
     )
     cos = F.when(F.col("den") == 0, F.lit(0.0)).otherwise(
