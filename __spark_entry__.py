@@ -2564,13 +2564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
         # the two component rankings are tiny (k·|Q| rows) but their
-        # PLANS re-score the corpus — persist them so the fused plan
-        # (and any second action the harness runs on the result) reads
-        # the cached candidates instead of recomputing both rankers
-        # (VERDICT r7 nit 2)
-        qz = similarity.quantized_cosine_topk(queries, emb, dim=64, k=10).persist()
+        # PLANS re-score the corpus — materialize them (eager
+        # localCheckpoint, round 13) so the fused plan (and any second
+        # action the harness runs on the result) reads the tiny
+        # candidate tables instead of recomputing both rankers
+        # (VERDICT r7 nit 2), and the blocks release with the result
+        qz = similarity.quantized_cosine_topk(
+            queries, emb, dim=64, k=10
+        ).localCheckpoint(eager=True)
         cents = similarity.pq_train_fixed(emb, 64, n_subs=8, n_cents=16)
-        pq = similarity.pq_topk_fixed(queries, emb, cents, k=10).persist()
+        pq = similarity.pq_topk_fixed(
+            queries, emb, cents, k=10
+        ).localCheckpoint(eager=True)
         return similarity.rrf_fuse([qz, pq], k=60, top_k=10).select(
             "query_id", "neighbor_id", "rrf_fx", "rank"
         )
@@ -3870,8 +3875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .withColumn("f2", F.col("f1") * 3.0 + 7.0)
             # five subtrees re-read this lineage (targets census,
-            # shrink, grow, range census, final join) — cache it once
-            .persist()
+            # shrink, grow, range census, final join) — materialize
+            # it once (eager localCheckpoint, round 13)
+            .localCheckpoint(eager=True)
         )
         targets = group_targets(base, ["s"], "y", 1, 10000)
         # the planted LINE is 1-dimensional, so every row lands in a
@@ -3944,7 +3950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("o_orderkey") % 997).cast("double").alias("f1"),
             )
             .withColumn("f2", F.col("f1") * 3.0 + 7.0)
-            .persist()
+            # materialized once (eager localCheckpoint, round 13)
+            .localCheckpoint(eager=True)
         )
         targets = group_targets(base, ["s"], "y", 1, 10000)
         out = synthetic_rebalance_lsh(

