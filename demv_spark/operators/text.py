@@ -1367,29 +1367,37 @@ def phrase_search(
     BM25's bag-of-words ranking (quote queries, benchmark-contam
     phrase probes, boilerplate hunting).
 
-    Plan: one postings row per phrase term (k rows, fetched by an
-    ``isin`` filter a term-partitioned index turns into partition
-    pruning) joined on the doc id — candidate docs must contain ALL
-    terms (inner joins) — then adjacency checks run as pure array
+    Plan: ONE pass over the index — an ``isin`` filter on the phrase's
+    distinct terms (map-side; a term-partitioned index turns it into
+    partition pruning), then one groupBy(doc) pivoting each role's
+    position list out with ``max(when(term = tⱼ, positions))`` (the
+    index holds exactly one row per (term, doc), so the conditional
+    max IS that row's list). Candidate docs must contain ALL terms
+    (every pivoted list non-null); adjacency checks run as pure array
     algebra on the position lists: occurrence positions are
     ``filter(pos_0, p -> array_contains(pos_j, p + j) ∀j)``. No
-    explode of positions, no window, no UDF; k−1 doc-keyed joins of
-    postings-sized tables. Duplicate phrase terms are handled
-    naturally (the same postings row joins under two roles)."""
+    explode of positions, no window, no UDF. Duplicate phrase terms
+    are handled naturally (two roles pivot the same postings row).
+    Round 13: this replaces k−1 doc-keyed joins of k separately
+    FILTERED READS of the index — when the index is an unmaterialized
+    lineage (build-then-search in one DAG), each role re-ran the full
+    tokenize→posexplode→aggregate pipeline, k full corpus passes for
+    a k-word phrase (guide §2.2/§6.1: share the scan)."""
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     terms = [t.lower() for t in terms if t]
     if not terms:
         raise ValueError("phrase_search: empty phrase")
-    sides = []
-    for j, t in enumerate(terms):
-        sides.append(
-            index.filter(F.col("term") == t).select(
-                F.col(id_col), F.col("positions").alias(f"__p{j}")
-            )
+    joined = (
+        index.filter(F.col("term").isin(*set(terms)))
+        .groupBy(id_col)
+        .agg(*[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"__p{j}")
+            for j, t in enumerate(terms)
+        ])
+        .filter(
+            F.expr(" AND ".join(f"__p{j} IS NOT NULL" for j in range(len(terms))))
         )
-    joined = sides[0]
-    for s in sides[1:]:
-        joined = joined.join(s, id_col)
+    )
     # closure factory, NOT a default-arg lambda: a second parameter
     # (even a defaulted one) makes PySpark treat the lambda as the
     # (element, index) form and bind the default to the index column
