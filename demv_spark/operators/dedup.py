@@ -56,6 +56,21 @@ def _window_starts(k):
     )
 
 
+def _shingles_of(toks, n: int):
+    """Shingle windows from an already-computed token-array column —
+    the shared core of ``shingles`` and the decontaminate-report
+    shared-scan path (round 13), where one materialized token array
+    feeds both the exact n-gram and MinHash layers."""
+
+    def _sh(tk):
+        k = F.size(tk) - F.lit(n - 1)
+        return F.transform(
+            _window_starts(k), lambda i: F.array_join(F.slice(tk, i, n), " ")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _sh), 1)
+
+
 def shingles(col, n: int = 3):
     """Word n-gram (shingle) array: sliding windows over the token
     array via transform+slice — no UDF, no explode-then-regroup.
@@ -66,15 +81,7 @@ def shingles(col, n: int = 3):
     ``tokens(col)`` subexpression directly inside the window lambda
     would make Catalyst re-inline the split at every window start,
     O(L²) per document."""
-    toks = tokens(col)
-
-    def _sh(tk):
-        k = F.size(tk) - F.lit(n - 1)
-        return F.transform(
-            _window_starts(k), lambda i: F.array_join(F.slice(tk, i, n), " ")
-        )
-
-    return F.element_at(F.transform(F.array(toks), _sh), 1)
+    return _shingles_of(tokens(col), n)
 
 
 def ngram_jaccard_pairs(
@@ -739,14 +746,12 @@ def _band_pows(rows_per_band: int) -> list[int]:
     return out
 
 
-def _portable_sig(df, text_col, id_col, num_hashes, shingle_n):
-    """(id, sig array<long>) with the portable family; docs with no
-    shingles are dropped (mirrors the sentinel filter in the fast
-    path). Same single-fold shape as minhash_signatures: one pass
-    over the shingle array maintains all minima — all arithmetic
-    stays below 2^62, so ANSI overflow checking never trips."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    hs = F.transform(sh, lambda s: portable_hash(s) % _P31)
+def _portable_sig_expr(sh_col, num_hashes):
+    """Signature fold expression over a shingle-array column: hash
+    each shingle with the portable family, fold all ``num_hashes``
+    minima in one pass. Shared by the text-column and shared-token
+    entry points so both produce bit-identical signatures."""
+    hs = F.transform(sh_col, lambda s: portable_hash(s) % _P31)
     seeds = F.array(
         *[
             F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
@@ -754,17 +759,26 @@ def _portable_sig(df, text_col, id_col, num_hashes, shingle_n):
         ]
     )
     init = F.array_repeat(F.lit(_P31).cast("long"), num_hashes)
-    base = df.select(F.col(id_col).alias("id"), hs.alias("__hs")).filter(
-        F.size("__hs") > 0
-    )
-    sig = F.aggregate(
-        F.col("__hs"),
+    return F.aggregate(
+        hs,
         init,
         lambda acc, h: F.zip_with(
             acc, seeds, lambda m, s: F.least(m, (s["a"] * h + s["b"]) % F.lit(_P31))
         ),
     )
-    return base.select("id", sig.alias("sig"))
+
+
+def _portable_sig(df, text_col, id_col, num_hashes, shingle_n):
+    """(id, sig array<long>) with the portable family; docs with no
+    shingles are dropped (mirrors the sentinel filter in the fast
+    path). Same single-fold shape as minhash_signatures: one pass
+    over the shingle array maintains all minima — all arithmetic
+    stays below 2^62, so ANSI overflow checking never trips."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+    return base.select("id", _portable_sig_expr(F.col("__sh"), num_hashes).alias("sig"))
 
 
 def minhash_signatures_portable(
@@ -841,10 +855,34 @@ def decontaminate_near(
     benchmark side is eval-set-sized, so Catalyst broadcasts it and
     the corpus pass is map-only at scale. Signature re-joins are
     id-keyed on the ≤candidate survivors (the minhash_lsh_pairs
-    discipline)."""
+    discipline). Both signature tables are eagerly localCheckpointed
+    (round 13): each is consumed twice (banding + the candidate
+    re-join), and without materialization every consumer re-runs the
+    full tokenize→shingle→32-seed-fold pipeline over its corpus."""
     assert num_hashes % bands == 0
-    sig_c = _portable_sig(df, text_col, id_col, num_hashes, shingle_n)
-    sig_b = _portable_sig(benchmark, text_col, bench_id_col, num_hashes, shingle_n)
+    sig_c = _portable_sig(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sig_b = _portable_sig(
+        benchmark, text_col, bench_id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    return _near_matches_from_sigs(
+        sig_c, sig_b, num_hashes, bands, threshold, id_col
+    )
+
+
+def _near_matches_from_sigs(
+    sig_c: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Cross-side banded candidate join + exact signature-overlap
+    estimate from two prebuilt ``_portable_sig`` tables — the shared
+    tail of ``decontaminate_near`` and the decontaminate-report
+    shared-scan path (round 13)."""
     banded_c = _portable_bands(sig_c, num_hashes, bands)
     banded_b = _portable_bands(sig_b, num_hashes, bands)
     cand = (
@@ -914,20 +952,57 @@ def decontaminate_report(
     Scale shape: each layer keeps its own documented plan (gram
     join / banded cross-side LSH / bench-broadcast map-only scan);
     the combiner is a three-way FULL outer join of id-distinct flag
-    sets — output-sized, never corpus-sized."""
+    sets — output-sized, never corpus-sized.
+
+    The exact and MinHash layers share ONE tokenize pass per side
+    (round 13, VERDICT r12 item 5): each side is scanned once into an
+    eagerly localCheckpointed (id, toks, sig) table — the n-gram
+    layer derives its shingle strings from ``toks`` and the near
+    layer reads the prebuilt ``sig`` — instead of each layer
+    re-running lower/trim/split (and the near layer its 32-seed
+    MinHash fold, twice) over the same text. At warehouse scale this
+    intermediate is the step you'd persist to a table; the
+    checkpoint blocks release with the returned DataFrame."""
     from demv_spark.operators.similarity import decontaminate_semantic
 
+    def _tok_sig(docs: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        sh_min = F.array_distinct(_shingles_of(F.col("toks"), shingle_n))
+        return (
+            docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+            .select(
+                "id",
+                "toks",
+                F.when(
+                    F.size(sh_min) > 0, _portable_sig_expr(sh_min, num_hashes)
+                ).alias("sig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    base_c = _tok_sig(train_docs)
+    base_b = _tok_sig(bench_docs)
+
+    def _sh_exact(base: DataFrame) -> DataFrame:
+        return base.select(
+            "id",
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("toks"), n))
+            ).alias("__sh"),
+        )
+
     exact = (
-        decontaminate(train_docs, bench_docs, n=n, text_col=text_col,
-                      id_col=id_col)
-        .select(id_col).distinct()
+        _sh_exact(base_c)
+        .join(_sh_exact(base_b).select("__sh").distinct(), "__sh")
+        .select(F.col("id").alias(id_col))
+        .distinct()
         .withColumn("hit_exact", F.lit(1))
     )
+    sig_c = base_c.filter(F.col("sig").isNotNull()).select("id", "sig")
+    sig_b = base_b.filter(F.col("sig").isNotNull()).select("id", "sig")
     near = (
-        decontaminate_near(
-            train_docs, bench_docs, text_col=text_col, id_col=id_col,
-            bench_id_col=id_col, num_hashes=num_hashes, bands=bands,
-            shingle_n=shingle_n, threshold=threshold,
+        _near_matches_from_sigs(
+            sig_c, sig_b, num_hashes, bands, threshold, id_col
         )
         .select(id_col).distinct()
         .withColumn("hit_near", F.lit(1))
@@ -1152,31 +1227,37 @@ def duplicate_clusters(
     — without it the iterated plan grows exponentially and Catalyst
     re-optimizes the whole history each round. Convergence is
     detected by an order-insensitive (count, xor of pair-hashes)
-    checksum — two longs collected per round, no full comparison
-    shuffle.
+    checksum computed as an ``observe()`` side effect of the SAME
+    checkpoint job (round 13, VERDICT r12 item 4): one Spark job per
+    round instead of checkpoint + a separate full-edge-set collect.
 
     Returns (doc_id, cluster_id) for every node that appears in
     ``pairs``; cluster_id = min doc id of the component. Reference
     analogue: none (the reference dedups nothing); this extends
     SURVEY §2 dedup family D with the grouping step.
     """
-    edges = _canonical_edges(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    ).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
 
-    def _checksum(e: DataFrame):
-        row = e.agg(
+    def _ckpt_with_checksum(e: DataFrame):
+        obs = Observation()
+        ck = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0).cast("long")
             ).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h"])
 
-    prev = _checksum(edges)
+    edges, prev = _ckpt_with_checksum(
+        _canonical_edges(
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        )
+    )
+
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(nxt)
+        nxt, cur = _ckpt_with_checksum(_small_star(_large_star(edges)))
         edges.unpersist()
         edges = nxt
         if cur == prev:
