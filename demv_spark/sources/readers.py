@@ -67,8 +67,17 @@ def read_table(
     if spread:
         target = spark.sparkContext.defaultParallelism
         if _est_scan_splits(spark, path, target) < min(target, 8):
-            df = df.repartition(target)
+            df = df.repartition(_spread_target(path, target))
     if key is not None:
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            # bound the memo (ADVICE r12): drop other sessions' entries
+            # first (dead sessions would otherwise pin their JVM-side
+            # plans forever), then fall back to a full reset
+            stale = [k for k, v in _PLAN_CACHE.items() if v[0] is not spark]
+            for k in stale:
+                _PLAN_CACHE.pop(k, None)
+            if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                _PLAN_CACHE.clear()
         _PLAN_CACHE[key] = (spark, df)
     return df
 
@@ -86,6 +95,69 @@ def read_table(
 # keeps one session's plans from leaking into a successor with a
 # recycled id().
 _PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+# soft cap on memo entries (10 tables x a generous session/mtime churn
+# allowance); eviction prefers other sessions' entries — see read_table
+_PLAN_CACHE_MAX = 256
+
+
+def _spread_target(path: str, parallelism: int) -> int:
+    """Partition count for the under-split spread repartition,
+    derived from the INPUT SIZE instead of pinned to the core count
+    (guide §2: a constant tuned for either local mode or the cluster
+    is wrong at the other scale). Spreading a sub-megabyte table 32
+    ways buys nothing downstream — every stage pays 32 task launches
+    and a 32-block shuffle for a few thousand rows — and it is why
+    tiny-table queries ran FASTER at 8 cores than 32 (the 8-core run
+    repartitioned to 8). One partition per
+    ``DEMV_SPARK_SPREAD_SPLIT_BYTES`` of on-disk parquet (default
+    256 KiB ≈ a few thousand text rows — the best of an interleaved
+    0/128K/256K/512K sweep over 12 affected queries, 39.9→25.1 s),
+    clamped to [2, parallelism]; 0 restores the old
+    pin-to-parallelism behavior. Production-scale inputs have enough
+    natural splits that the spread never fires."""
+    import math
+    import os as _os
+
+    try:
+        per = int(_os.environ.get("DEMV_SPARK_SPREAD_SPLIT_BYTES", "262144"))
+    except ValueError:
+        per = 262144
+    if per <= 0:
+        return parallelism
+    size = 0
+    try:
+        if _os.path.isdir(path):
+            for root, _dirs, fs in _os.walk(path):
+                for f in fs:
+                    if f.startswith(("_", ".")) or f.endswith(".crc"):
+                        continue
+                    size += _os.path.getsize(_os.path.join(root, f))
+        else:
+            size = _os.path.getsize(path)
+    except OSError:
+        return parallelism
+    return max(2, min(parallelism, math.ceil(size / per)))
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Spark byte-string conf value as an int — handles the k/m/g/t
+    suffix forms ('128m', '1g', '134217728b') the previous trailing-'b'
+    strip silently turned into the default (ADVICE r12)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if raw.endswith(suf):
+            mult = m
+            raw = raw[: -len(suf)]
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
 
 
 def _est_scan_splits(spark: SparkSession, path: str, parallelism: int) -> int:
@@ -104,14 +176,12 @@ def _est_scan_splits(spark: SparkSession, path: str, parallelism: int) -> int:
     import math
     import os as _os
 
-    try:
-        max_part = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
-        )
-    except ValueError:
-        max_part = 134217728
-    open_cost = 4 * 1024 * 1024
+    max_part = _conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 134217728
+    )
+    open_cost = _conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
     sizes = []
     if _os.path.isdir(path):
         for root, _dirs, fs in _os.walk(path):
