@@ -1573,8 +1573,13 @@ def topk_chunked(
     comparison against each leaked cache entry), and are released by
     the ContextCleaner as soon as the returned DataFrame is dropped —
     nothing outlives the caller. The lineage cut also keeps the
-    n_chunks-branch union plan flat."""
-    queries = queries.localCheckpoint(eager=True)
+    n_chunks-branch union plan flat. The checkpoint is LAZY and the
+    chunk-count ``count()`` is the action that materializes it
+    (round 13, the duplicate_clusters pattern) — one job instead of
+    checkpoint + count. (Not ``observe()``: registering any
+    Observation breaks later MLlib closure serialization — see
+    duplicate_clusters.)"""
+    queries = queries.localCheckpoint(eager=False)
     n = queries.count()
     n_chunks = max(1, -(-n // int(chunk_rows)))
     if n_chunks <= 1:
