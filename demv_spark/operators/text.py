@@ -369,7 +369,18 @@ def bm25_topk(
     toks = df.select(id_col, F.explode(tokens(text_col)).alias("token")).filter(
         F.col("token") != ""
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # doc length is a ROW-LOCAL array size — the old explode+groupBy
+    # shape shuffled the full token multiset just to count it (round
+    # 13, guide §2.4: remove the exchange outright). Docs with zero
+    # tokens get dl = 0 instead of no row; dl is only consumed through
+    # the inner join against tf (such docs match no terms) and the Σdl
+    # total (0 contributes nothing), so results are identical.
+    dl = df.select(
+        id_col,
+        F.size(
+            F.filter(tokens(text_col), lambda t: t != F.lit(""))
+        ).cast("long").alias("dl"),
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("N"))
     # T = Σ dl: derived from the dl census, not a second full
     # tokenize pass over the corpus
@@ -504,7 +515,13 @@ def bm25_topk_batch(
     toks = df.select(id_col, F.explode(tokens(text_col)).alias("token")).filter(
         F.col("token") != ""
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # row-local dl, not explode+groupBy — see bm25_topk (round 13)
+    dl = df.select(
+        id_col,
+        F.size(
+            F.filter(tokens(text_col), lambda t: t != F.lit(""))
+        ).cast("long").alias("dl"),
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("N"))
     n_toks = dl.agg(F.sum("dl").cast("long").alias("T"))
     tf = (
