@@ -85,6 +85,8 @@ def _reduction_cross_val(
                 "zero_one_loss": loss,
             }
         )
+    # all folds collected — release the fold cache (round 13)
+    folded.unpersist()
     return df.sparkSession.createDataFrame(rows)
 
 

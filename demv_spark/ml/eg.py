@@ -192,6 +192,9 @@ class ExponentiatedGradientBGL:
                 lams[g] = lams[g] * max(
                     0.0, 1 + self.eta * (losses[g] - self.bound)
                 )
+        # fits and loss censuses are all materialized above; the
+        # fitted models never read df again (round 13 cache hygiene)
+        df.unpersist()
         return self
 
     def predict(self, df: DataFrame, out: str = "prediction") -> DataFrame:
@@ -398,6 +401,8 @@ class GridSearchBGL:
             else (lambda r: (max(r["losses"].values()), r["idx"]))
         )
         self.best_idx_ = min(pool, key=key)["idx"]
+        # grid fits and censuses fully collected above (round 13)
+        df.unpersist()
         return self
 
     def predict(self, df: DataFrame, out: str = "prediction") -> DataFrame:

@@ -208,7 +208,14 @@ def out_of_fold_predictions(
 
     Returns df columns + `prediction` (double) + `y_true` (the label
     copied, matching the reference's column convention)."""
-    folded = assign_folds(df, k, seed, fold_col, exact=False).cache()
+    # eager localCheckpoint, not cache (round 13): the returned union
+    # references the folded table lazily, so a bare unpersist would
+    # re-derive it per fold on the caller's first action, while the
+    # old .cache() held a CacheManager entry for the session lifetime
+    # (every later query paid a canonicalized-plan comparison on it)
+    folded = assign_folds(df, k, seed, fold_col, exact=False).localCheckpoint(
+        eager=True
+    )
     pipe = _pipeline(feature_cols, label_col, classifier)
     parts = []
     for fold in range(k):
@@ -324,6 +331,9 @@ def cross_val(
                 "zero_one_loss": loss,
             }
         )
+    # every fold's metrics are collected above — nothing lazy escapes,
+    # so the fold cache releases with the call (round 13)
+    folded.unpersist()
     return df.sparkSession.createDataFrame(rows)
 
 

@@ -745,6 +745,10 @@ def test_call_lifetime_materializations_leave_no_cache_entries(spark):
     ContextCleaner instead."""
     from demv_spark.operators import dedup
 
+    # start from a clean CacheManager: this test pins THESE operators'
+    # hygiene, not the suite's run order (an earlier test's session
+    # residue failed it spuriously in the full run — round 13)
+    spark.catalog.clearCache()
     emb = read_table(spark, SF, "embeddings")
     docs = read_table(spark, SF, "documents")
     for _ in range(2):
@@ -757,6 +761,35 @@ def test_call_lifetime_materializations_leave_no_cache_entries(spark):
         ).collect()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "persisted tables outlived the operator calls"
+
+
+def test_cv_fold_caches_release_with_the_call(spark):
+    """Round 13: the k-fold helpers cached their fold assignment for
+    the whole session (out_of_fold_predictions held a CacheManager
+    entry on a corpus-sized table until session eviction; cross_val
+    and the EG/GridSearch fits the same). After the call returns and
+    its result is consumed, the CacheManager must hold nothing."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from demv_spark.ml import evaluation as E
+
+    spark.catalog.clearCache()
+    data = spark.range(200).select(
+        (F.col("id") % 7).cast("double").alias("f1"),
+        (F.col("id") % 2).cast("double").alias("g"),
+        (F.col("id") % 3 == 0).cast("double").alias("y"),
+    )
+    clf = LogisticRegression(
+        featuresCol="__features", labelCol="y", maxIter=3
+    )
+    E.out_of_fold_predictions(data, ["f1"], "y", clf, k=2).collect()
+    E.cross_val(
+        data, ["f1"], "y", clf,
+        unpriv=F.col("g") == 1.0, positive_label=1.0, sensitive=["g"],
+        k=2,
+    ).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "fold caches outlived the CV calls"
 
 
 def test_topk_chunked_ranks_union_in_one_window(spark):
