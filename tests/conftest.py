@@ -26,6 +26,28 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session")
+def query_df(spark):
+    """Memoized per-name construction of the declared queries at
+    sf0.001 (round 13): constructing a query is NOT free — iterative
+    operators run driver-side jobs (whitening collects, CC rounds,
+    chunk counts) at build time — and three all-queries tests each
+    paid the full pass (~100 s each). Construction happens once per
+    session; tests that EXECUTE results still collect independently."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = qs[name](spark, "/root/testdata/sf0.001")
+        return cache[name]
+
+    get.names = list(qs)
+    return get
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: end-to-end replication tests with MLlib fits"

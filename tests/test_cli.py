@@ -26,7 +26,17 @@ def biased(spark):
     ).cache()
 
 
-@pytest.mark.parametrize("method", ["biased", "uniform", "eg"])
+@pytest.mark.parametrize(
+    "method",
+    [
+        "biased",
+        "uniform",
+        # the EG variant fits iters x k MLlib models (~90 s) — slow
+        # tier; the dispatch wiring it shares with biased/uniform is
+        # covered by those, and EG itself by test_eg.py
+        pytest.param("eg", marks=pytest.mark.slow),
+    ],
+)
 def test_run_metrics_dispatch(biased, method):
     per_fold = cli.run_metrics(
         biased, method, {"s0": 1}, "y", 1, k=3,

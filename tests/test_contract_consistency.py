@@ -27,10 +27,9 @@ def test_coverage_doc_names_real_queries():
     assert not unknown, f"COVERAGE.md cites unknown queries: {unknown}"
 
 
-def test_all_queries_run_and_have_columns(spark):
-    qs = entrymod.queries()
-    for name, fn in qs.items():
-        df = fn(spark, SF)
+def test_all_queries_run_and_have_columns(query_df):
+    for name in query_df.names:
+        df = query_df(name)
         assert df.columns, name
         # driver hash-compares sorted column names — they must be unique
         assert len(df.columns) == len(set(df.columns)), name
@@ -165,7 +164,7 @@ def test_no_collection_types_in_oracle_snapshot():
     assert bad == [], f"collection-typed oracle emissions: {bad}"
 
 
-def test_window_emissions_are_scalar_typed(spark):
+def test_window_emissions_are_scalar_typed(spark, query_df):
     """Same rule enforced on the SPARK side for every seat the driver
     touches (the 50-query window + entry()): no Array/Map/Struct
     column may reach a driver emission, including rows-only seats the
@@ -178,10 +177,9 @@ def test_window_emissions_are_scalar_typed(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
 
-    qs = entrymod.queries()
     offenders = {}
-    for name in list(qs)[:50]:
-        cols = bad_cols(qs[name](spark, SF))
+    for name in query_df.names[:50]:
+        cols = bad_cols(query_df(name))
         if cols:
             offenders[name] = cols
     entry_bad = bad_cols(entrymod.entry(spark))

@@ -84,14 +84,13 @@ def test_assert_no_python_udf_fires(spark):
         assert_no_python_udf(df)
 
 
-def test_engine_hot_paths_have_no_python_udf(spark):
+def test_engine_hot_paths_have_no_python_udf(query_df):
     """Every SQL-oracled query must stay JVM-side end-to-end."""
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     for name in oracles:
-        assert_no_python_udf(qs[name](spark, "/root/testdata/sf0.001"))
+        assert_no_python_udf(query_df(name))
 
 
 def test_bucketed_join_is_exchange_free(spark):
