@@ -1245,7 +1245,24 @@ def duplicate_clusters(
     SURVEY §2 dedup family D with the grouping step.
     """
 
+    # DataFrame.unpersist() does NOT release localCheckpoint blocks
+    # (they are RDD-level, CacheManager-free, normally freed only when
+    # the ContextCleaner notices the RDD is garbage — i.e. on some
+    # later JVM GC). Measured: every superseded round's edge blocks
+    # stayed pinned for the call's lifetime. Each round's newly
+    # pinned RDD ids are tracked through the JVM persistent-RDD map
+    # and released deterministically once the NEXT round has
+    # materialized (its checkpoint no longer reads them); only the
+    # final round — the returned result — stays, ContextCleaner-
+    # managed. Operators run their rounds serially, so the
+    # before/after id delta is race-free within a call.
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _pinned_ids():
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
     def _ckpt_with_checksum(e: DataFrame):
+        before = _pinned_ids()
         ck = e.localCheckpoint(eager=False)
         row = ck.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1253,18 +1270,25 @@ def duplicate_clusters(
                 F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0).cast("long")
             ).alias("h"),
         ).collect()[0]
-        return ck, (row["n"], row["h"])
+        return ck, (row["n"], row["h"]), _pinned_ids() - before
 
-    edges, prev = _ckpt_with_checksum(
+    def _release(ids):
+        m = jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+
+    edges, prev, eids = _ckpt_with_checksum(
         _canonical_edges(
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         )
     )
 
     for _ in range(max_iter):
-        nxt, cur = _ckpt_with_checksum(_small_star(_large_star(edges)))
-        edges.unpersist()
-        edges = nxt
+        nxt, cur, nids = _ckpt_with_checksum(_small_star(_large_star(edges)))
+        _release(eids)
+        edges, eids = nxt, nids
         if cur == prev:
             break
         prev = cur
